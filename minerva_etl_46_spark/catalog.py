@@ -1,0 +1,144 @@
+"""Catalog: the declarative data model (SURVEY.md §1 D1–D11).
+
+Minerva's directory schema (trend stores, parts, trends with per-column
+aggregation functions, attribute stores, relations, materializations) is
+re-expressed as plain dataclasses; an instance definition (YAML/JSON in the
+reference [ref: crates/minerva/src/instance.rs — UNVERIFIED [M]]) maps to a
+`Instance` of these structs. No SQL codegen: builders in
+`minerva_etl_46_spark.operators` consume these specs directly and emit
+DataFrame plans for Catalyst to optimize.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+from minerva_etl_46_spark.functions.timestamps import GRANULARITIES, Granularity
+
+# Aggregation functions Minerva declares per trend column
+# [ref: trend_directory.table_trend time_aggregation/entity_aggregation —
+#  UNVERIFIED [H], SURVEY.md §2.4]
+AGG_FUNCTIONS = {"sum", "avg", "min", "max", "count", "first", "last", "samples_weighted_avg"}
+
+_PG_TO_SPARK = {
+    "smallint": T.ShortType(),
+    "integer": T.IntegerType(),
+    "bigint": T.LongType(),
+    "real": T.FloatType(),
+    "double precision": T.DoubleType(),
+    "numeric": T.DecimalType(38, 18),
+    "text": T.StringType(),
+    "timestamp with time zone": T.TimestampType(),
+    "jsonb": T.StringType(),
+}
+
+
+def pg_type_to_spark(pg: str) -> T.DataType:
+    """Minerva (PostgreSQL) declared type → Spark type (SURVEY.md §1.2)."""
+    if pg.endswith("[]"):
+        return T.ArrayType(pg_type_to_spark(pg[:-2]))
+    return _PG_TO_SPARK[pg]
+
+
+@dataclass(frozen=True)
+class Trend:
+    """One counter column of a trend store part (D5)."""
+
+    name: str
+    data_type: str = "double precision"
+    time_aggregation: str = "sum"
+    entity_aggregation: str = "sum"
+    samples_column: str | None = None  # for samples_weighted_avg
+    extra_data: dict = field(default_factory=dict)
+
+    def spark_field(self) -> T.StructField:
+        return T.StructField(self.name, pg_type_to_spark(self.data_type), True)
+
+
+@dataclass(frozen=True)
+class TrendStorePart:
+    """A named group of trends stored as one wide dataset (D4).
+
+    The reference splits wide stores into row-oriented physical parts to
+    keep PG tables narrow; on Parquet, column pruning makes one wide
+    dataset per part the natural layout.
+    """
+
+    name: str
+    trends: tuple[Trend, ...]
+
+    def agg_spec(self, kind: str = "time") -> dict[str, Trend]:
+        return {t.name: t for t in self.trends}
+
+
+@dataclass(frozen=True)
+class TrendStore:
+    """(data_source, entity_type, granularity) container (D3)."""
+
+    data_source: str
+    entity_type: str
+    granularity: str  # key into GRANULARITIES
+    parts: tuple[TrendStorePart, ...]
+    partition_size_seconds: int = 86400
+    retention_days: int | None = None
+
+    @property
+    def gran(self) -> Granularity:
+        return GRANULARITIES[self.granularity]
+
+
+@dataclass(frozen=True)
+class AttributeStore:
+    """Per-entity slowly-changing attributes, SCD-2 style (D6)."""
+
+    data_source: str
+    entity_type: str
+    attributes: tuple[Trend, ...]
+
+
+@dataclass(frozen=True)
+class Relation:
+    """Directed entity→entity mapping for entity rollups (D8)."""
+
+    name: str
+    source_entity_type: str
+    target_entity_type: str
+
+
+@dataclass(frozen=True)
+class Materialization:
+    """Derived dataset + scheduling params (D9).
+
+    src_fn is a callable (spark, window_start, window_end) -> DataFrame
+    registered in code — the analogue of the reference's generated source
+    view [ref: trend_directory.materialization — UNVERIFIED [H]].
+    """
+
+    target_part: str
+    processing_delay_s: int
+    stability_delay_s: int
+    reprocessing_period_s: int
+    src_fn: object = None
+
+
+@dataclass(frozen=True)
+class TriggerRule:
+    """Threshold rule → weighted notifications (D10)."""
+
+    name: str
+    predicate_sql: str   # boolean SQL over the KPI frame, via F.expr
+    weight_sql: str      # int expression
+    details_cols: tuple[str, ...] = ()  # packed into a JSON details column
+
+
+@dataclass(frozen=True)
+class Instance:
+    """A whole instance definition (D11): everything the CLI would apply."""
+
+    trend_stores: tuple[TrendStore, ...] = ()
+    attribute_stores: tuple[AttributeStore, ...] = ()
+    relations: tuple[Relation, ...] = ()
+    materializations: tuple[Materialization, ...] = ()
+    triggers: tuple[TriggerRule, ...] = ()

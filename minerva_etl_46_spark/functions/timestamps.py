@@ -1,0 +1,97 @@
+"""Granularity model + timestamp alignment (SURVEY.md §1.2, §2.8 F2/F3).
+
+Minerva trend timestamps sit on a granularity grid; a row's timestamp is the
+END of its period, and day/week/month granularities align in the instance's
+local timezone rather than UTC
+[ref: trend_directory timestamp functions — UNVERIFIED [H], SURVEY.md §1.2].
+
+Spark mapping: second-based granularities align by integer epoch arithmetic
+(whole-stage codegen, no shuffle); calendar granularities (day/week/month)
+go through from_utc_timestamp → date_trunc → to_utc_timestamp so DST is
+honored for instances configured with a local timezone.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Granularity:
+    """A trend-store granularity: either a fixed number of seconds or a
+    calendar unit (day/week/month) that needs tz-aware alignment."""
+
+    name: str
+    seconds: int | None = None  # None → calendar unit
+    unit: str | None = None     # 'day' | 'week' | 'month'
+
+    @property
+    def is_calendar(self) -> bool:
+        return self.seconds is None
+
+    def interval_sql(self) -> str:
+        if self.is_calendar:
+            return f"INTERVAL 1 {self.unit}"
+        return f"INTERVAL {self.seconds} SECOND"
+
+
+G_15M = Granularity("15m", seconds=900)
+G_30M = Granularity("30m", seconds=1800)
+G_1H = Granularity("1h", seconds=3600)
+G_1D = Granularity("1d", unit="day")
+G_1W = Granularity("1w", unit="week")
+G_1MONTH = Granularity("1month", unit="month")
+
+GRANULARITIES = {g.name: g for g in (G_15M, G_30M, G_1H, G_1D, G_1W, G_1MONTH)}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def align_floor(ts: Column | str, g: Granularity, tz: str = "UTC") -> Column:
+    """Floor a timestamp to the start of its granularity period.
+
+    Second-based: pure integer epoch arithmetic (stays in codegen).
+    Calendar: date_trunc in the instance-local timezone (SURVEY §1.2).
+    """
+    c = _col(ts)
+    if not g.is_calendar:
+        secs = g.seconds
+        return F.timestamp_seconds(F.floor(c.cast("long") / secs) * secs)
+    local = F.from_utc_timestamp(c, tz) if tz != "UTC" else c
+    trunc = F.date_trunc(g.unit, local)
+    return F.to_utc_timestamp(trunc, tz) if tz != "UTC" else trunc
+
+
+def align_end(ts: Column | str, g: Granularity, tz: str = "UTC") -> Column:
+    """Minerva-convention period timestamp: the END of the period the raw
+    timestamp falls in (start-exclusive, end-inclusive grid)."""
+    start = align_floor(ts, g, tz)
+    if not g.is_calendar:
+        return F.timestamp_seconds(start.cast("long") + g.seconds)
+    return start + F.expr(g.interval_sql())
+
+
+def bucket_epoch(ts: Column | str, g: Granularity) -> Column:
+    """Period start as epoch seconds BIGINT — the hash-stable bucket key used
+    in oracle-checked outputs (FIXTURES.md oracle-parity notes: avoid raw
+    temporal outputs where ns/µs precision could diverge).
+
+    Oracle SQL equivalent (second-based g):
+      CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / g) * g AS BIGINT)
+    """
+    if g.is_calendar:
+        return align_floor(ts, g).cast("long")
+    return (F.floor(_col(ts).cast("long") / g.seconds) * g.seconds).cast("long")
+
+
+def sql_bucket_epoch(ts_expr: str, g: Granularity) -> str:
+    """DuckDB-side mirror of bucket_epoch (second-based granularities)."""
+    if g.is_calendar:
+        return f"cast(epoch(date_trunc('{g.unit}', {ts_expr})) as bigint)"
+    s = g.seconds
+    return f"cast(floor(epoch({ts_expr}) / {s}) * {s} as bigint)"

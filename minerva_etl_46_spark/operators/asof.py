@@ -1,0 +1,63 @@
+"""As-of join (SURVEY.md §2.3 J4) — attribute value in effect at a fact
+timestamp, the reference's ``<store>_at(entity, ts)`` lookup
+[ref: attribute_directory at-functions — UNVERIFIED [H]].
+
+Spark has no native as-of join. Two scalable strategies; default is the
+union-tag trick because it is ONE shuffle-sort and never builds a range
+cross-product:
+
+  union-tag:  tag attribute rows (is_attr=1) and fact rows (is_attr=0),
+              union, then last(attr_value, ignorenulls) over
+              (PARTITION BY entity ORDER BY ts, is_attr ROWS UNBOUNDED
+              PRECEDING..CURRENT) — each fact row picks up the most recent
+              attribute row at-or-before its timestamp. Attribute rows sort
+              *after* fact rows at equal ts?  No: is_attr ascending puts the
+              fact row AFTER the attribute row of equal ts, so an attribute
+              change AT the fact timestamp is visible (PostgreSQL ``<= ts``
+              semantics, matching the reference's at-functions).
+
+  At 100 TB: cost == one sort-shuffle of facts+attrs on entity — the same
+  exchange a plain fact/dim shuffle join would need; no skew beyond the
+  fact table's own entity skew (AQE skew-join handles the tail).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    facts: DataFrame,
+    attrs: DataFrame,
+    on: str,
+    fact_ts: str,
+    attr_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For each fact row, attach the latest attrs row with
+    attr_ts <= fact_ts (per `on` key). Facts with no prior attribute row
+    get NULLs (left-join semantics)."""
+    f = facts.withColumn("__is_attr", F.lit(0)).withColumn("__ats", F.col(fact_ts))
+    a = attrs.select(
+        F.col(on),
+        F.col(attr_ts).alias("__ats"),
+        F.lit(1).alias("__is_attr"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    fact_cols = facts.columns
+    both = f.unionByName(a, allowMissingColumns=True)
+    # attribute row sorts BEFORE fact row at equal ts (desc on __is_attr
+    # ⇒ attr=1 first) so `<=` semantics hold.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ats").asc(), F.col("__is_attr").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = both
+    for c in value_cols:
+        out = out.withColumn(f"__last_{c}", F.last(f"__v_{c}", ignorenulls=True).over(w))
+    return out.filter(F.col("__is_attr") == 0).select(
+        *[F.col(c) for c in fact_cols],
+        *[F.col(f"__last_{c}").alias(c) for c in value_cols],
+    )

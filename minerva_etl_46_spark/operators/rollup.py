@@ -1,0 +1,119 @@
+"""Time & entity rollups (SURVEY.md §2.4 A1–A7, §2.3 J2).
+
+The reference generates SQL materializations that roll 15m→1h→1d trends
+(per-column declared aggregation function) and cell→site entity rollups via
+relation tables [ref: crates/minerva/src/aggregation.rs — UNVERIFIED [M]].
+
+Spark-first design:
+- ONE shuffle per rollup: groupBy(entity, bucket) → hash aggregate with
+  map-side partial aggregation (free via Catalyst). No pre-repartition —
+  the agg's own exchange is the only one.
+- Entity rollup broadcasts the relation edge table (dims are ~1e3–1e6 rows
+  even at 100 TB fact scale) so the join adds NO shuffle; the only exchange
+  is the re-aggregation on (target_id, bucket).
+- Per-column agg functions come from the catalog (Trend.time_aggregation /
+  entity_aggregation), mirroring the reference's generated column lists.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from minerva_etl_46_spark.catalog import Trend
+from minerva_etl_46_spark.functions.kpi import DEC
+from minerva_etl_46_spark.functions.timestamps import Granularity, bucket_epoch
+
+
+def _agg_column(t: Trend, value_col: str, order_col: Column, kind: str = "time") -> Column:
+    """Build the aggregate expression for one trend column.
+
+    kind selects the declared function: 'time' (time_aggregation) or
+    'entity' (entity_aggregation) — the two can differ per trend (e.g. a
+    gauge averages over time but sums over entities).
+
+    first/last use min_by/max_by over a deterministic ordering struct —
+    Spark's bare first()/last() are order-dependent and non-deterministic
+    after a shuffle, which would be a latent 1000-executor bug.
+    """
+    fn = t.time_aggregation if kind == "time" else t.entity_aggregation
+    c = F.col(value_col)
+    if fn == "sum":
+        # exact decimal accumulator: order-insensitive across partitions
+        return F.sum(c.cast(DEC)).cast("double")
+    if fn == "avg":
+        return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    if fn == "min":
+        return F.min(c)
+    if fn == "max":
+        return F.max(c)
+    if fn == "count":
+        return F.count(c)
+    if fn == "first":
+        return F.min_by(c, order_col)
+    if fn == "last":
+        return F.max_by(c, order_col)
+    if fn == "samples_weighted_avg":
+        if not t.samples_column:
+            raise ValueError(f"trend {t.name}: samples_weighted_avg needs samples_column")
+        w = F.col(t.samples_column)
+        num = F.sum((c * w).cast(DEC)).cast("double")
+        den = F.sum(w.cast(DEC)).cast("double")
+        return F.when(den != 0, num / den)
+    raise ValueError(f"unknown aggregation {fn!r} for trend {t.name}")
+
+
+def time_rollup(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    granularity: Granularity,
+    trends: Mapping[str, Trend],
+    order_cols: tuple[str, ...] | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """A1: roll raw rows up to (entity, granularity bucket).
+
+    bucket is epoch-seconds of the period start (hash-stable; callers
+    wanting Minerva's period-END timestamp add `granularity.seconds`).
+    order_cols: deterministic ordering key for first/last trends
+    (defaults to (ts_col,)).
+    """
+    order = F.struct(*[F.col(c) for c in (order_cols or (ts_col,))])
+    aggs = [_agg_column(t, name, order).alias(name) for name, t in trends.items()]
+    return (
+        df.groupBy(
+            F.col(entity_col),
+            bucket_epoch(ts_col, granularity).alias(bucket_col),
+        )
+        .agg(*aggs)
+    )
+
+
+def entity_rollup(
+    df: DataFrame,
+    relation: DataFrame,
+    entity_col: str,
+    bucket_col: str,
+    trends: Mapping[str, Trend],
+    source_col: str = "source_id",
+    target_col: str = "target_id",
+) -> DataFrame:
+    """A2/J2: roll (entity, bucket) rows up the entity hierarchy.
+
+    relation is the small edge table (cell→site); broadcast so the join is
+    shuffle-free, then one exchange for the re-aggregation on target.
+    """
+    joined = df.join(
+        F.broadcast(relation),
+        df[entity_col] == relation[source_col],
+        "inner",
+    )
+    order = F.struct(F.col(bucket_col))
+    aggs = [_agg_column(t, name, order, kind="entity").alias(name) for name, t in trends.items()]
+    return (
+        joined.groupBy(F.col(target_col).alias(entity_col), F.col(bucket_col))
+        .agg(*aggs)
+    )

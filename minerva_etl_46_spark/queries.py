@@ -1,0 +1,1003 @@
+"""Query registry — the driver contract surface (SURVEY.md §2 test keys).
+
+Every operator from the inventory gets a (builder, oracle) pair registered
+here; ``__spark_entry__.py`` re-exports the registry. Builder and oracle are
+colocated so semantics can't drift apart.
+
+Oracle-parity rules (FIXTURES.md, SURVEY.md §5 — learned from the fixtures):
+- ``events.ts`` is ns-precision parquet; Spark reads µs (floor). Every
+  oracle wraps events with CAST(ts AS TIMESTAMP) so DuckDB sees the same
+  µs values, including in ORDER BY keys of window functions.
+- No double ever hits ROUND in an output: aggregates go through exact
+  DECIMAL accumulators (functions/kpi.py), then element-wise double ops.
+- Sub-second timestamps in outputs travel as epoch MICROsecond BIGINTs
+  (unix_micros ↔ epoch_us); bucket keys as epoch-second BIGINTs.
+  (`fn_ts_align` deliberately returns a raw TIMESTAMP column as a canary
+  for whether the driver's hash tolerates temporal outputs.)
+- Nullable integer outputs are coalesced to sentinels (pandas converts
+  nullable int to float64, risking cross-engine dtype drift); NULLs are
+  allowed only in double/string outputs.
+- Every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from minerva_etl_46_spark.catalog import Trend
+from minerva_etl_46_spark.functions.hashing import row_hash, sql_row_hash
+from minerva_etl_46_spark.functions.kpi import (
+    DEC,
+    davg,
+    dsum,
+    dsum_expr,
+    safe_divide,
+    sql_davg,
+    sql_dsum,
+    sql_safe_div,
+    sql_weighted_avg,
+    weighted_avg,
+)
+from minerva_etl_46_spark.functions.strings import dn_part, json_get, parent_dn
+from minerva_etl_46_spark.functions.timestamps import (
+    G_1D,
+    G_1H,
+    G_1MONTH,
+    align_floor,
+    bucket_epoch,
+    sql_bucket_epoch,
+)
+from minerva_etl_46_spark.operators.asof import asof_join
+from minerva_etl_46_spark.operators.attributes import (
+    latest_per_entity,
+    suppress_unchanged,
+    validity_intervals,
+)
+from minerva_etl_46_spark.operators.rollup import entity_rollup, time_rollup
+from minerva_etl_46_spark.operators.upsert import upsert_latest
+from minerva_etl_46_spark.operators.windows import topk_per_group
+from minerva_etl_46_spark.session import tune
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+# DuckDB view of events with Spark-identical µs timestamps (ns floor-cast).
+EV = (
+    "(select event_id, cast(ts as timestamp) as ts, user_id, event_type,"
+    " value, props from events)"
+)
+#: open-interval sentinel for epoch-µs BIGINT outputs (see module docstring)
+OPEN_END_US = -1
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fixture loader. ns-precision timestamp columns arrive as long (see
+    session.RUNTIME_CONFS nanosAsLong) and are floor-converted to µs
+    timestamps — exactly what DuckDB's CAST(ts_ns AS TIMESTAMP) yields, so
+    oracles stay aligned."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register(key: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = f"q_{key}"
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[key] = wrapped
+        if oracle is not None:
+            ORACLES[key] = oracle
+        return wrapped
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / sources / sinks
+# ---------------------------------------------------------------------------
+
+@register(
+    "scan_parquet",
+    oracle="""
+    select l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+           epoch_us(l_shipdate) as l_shipdate_us
+    from lineitem
+    """,
+)
+def scan_parquet(spark, sf_dir):
+    """S3: trend-table scan — full parquet read with column projection.
+    Timestamp travels as epoch-µs (exact in both engines)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        # parquet ms-timestamps surface as TIMESTAMP_NTZ in Spark 4; cast is
+        # an identity under the pinned UTC session timezone
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("l_shipdate_us"),
+    )
+
+
+@register("scan_csv", oracle="select n_nationkey, n_name, n_regionkey from nation")
+def scan_csv(spark, sf_dir):
+    """S1: CSV harvest — explicit schema, no inference (Minerva vendor-file
+    ingest is schema-declared [SURVEY.md §2.1 S1]). Round-trips `nation`
+    through a scratch CSV so the oracle checks the full parse path.
+    Int/string-only table → lossless round-trip."""
+    import os
+    import tempfile
+
+    scratch = os.path.join(tempfile.gettempdir(), "minerva_etl_46_scratch",
+                           os.path.basename(sf_dir.rstrip("/")), "nation_csv")
+    nation = load(spark, sf_dir, "nation")
+    nation.coalesce(1).write.mode("overwrite").option("header", True).csv(scratch)
+    return spark.read.csv(
+        scratch, header=True,
+        schema="n_nationkey int, n_name string, n_regionkey int",
+    )
+
+
+@register(
+    "upsert_latest",
+    oracle=f"""
+    with e as (select * from {EV}),
+    b1 as (select event_id, user_id, value, 1 as job_id from e),
+    b2 as (select event_id, user_id, value + 1000.0 as value, 2 as job_id
+           from e where event_id % 10 = 0),
+    u as (select * from b1 union all select * from b2),
+    r as (select *, row_number() over
+            (partition by event_id order by job_id desc) as rn from u)
+    select event_id, user_id, value, job_id from r where rn = 1
+    """,
+)
+def q_upsert_latest(spark, sf_dir):
+    """S4/W3/U1: staged-batch upsert, last-write-wins per key
+    [ref: trend_directory.transfer_staged — UNVERIFIED [M]]."""
+    e = load(spark, sf_dir, "events")
+    b1 = e.select("event_id", "user_id", "value", F.lit(1).alias("job_id"))
+    b2 = (
+        e.filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "user_id",
+                (F.col("value") + 1000.0).alias("value"),
+                F.lit(2).alias("job_id"))
+    )
+    return upsert_latest(b1, b2, keys=["event_id"], version_cols=["job_id"])
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projection / filter
+# ---------------------------------------------------------------------------
+
+@register("project_select", oracle="select c_custkey, c_name, c_mktsegment from customer")
+def project_select(spark, sf_dir):
+    """P1: declared-column projection (parquet column pruning does the rest)."""
+    return load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "filter_ts_range",
+    oracle=f"""
+    select event_id, user_id, event_type, value from {EV}
+    where ts >= timestamp '2024-01-02 00:00:00'
+      and ts <  timestamp '2024-01-04 00:00:00'
+    """,
+)
+def filter_ts_range(spark, sf_dir):
+    """P2: one materialization period's timestamp-range filter — pushed to
+    parquet row-group stats by Catalyst."""
+    e = load(spark, sf_dir, "events")
+    return e.filter(
+        (F.col("ts") >= F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp"))
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+@register(
+    "filter_threshold",
+    oracle=f"""
+    select event_id, user_id, event_type, value from {EV}
+    where (value > 150.0 and event_type in ('purchase', 'click'))
+       or (event_type not in ('purchase', 'click') and value <= 5.0)
+    """,
+)
+def filter_threshold(spark, sf_dir):
+    """P3: trigger-rule threshold predicate (AND/OR/NOT/IN compositions)
+    [ref: trigger.rule threshold fns — UNVERIFIED [H]]."""
+    e = load(spark, sf_dir, "events")
+    web = F.col("event_type").isin("purchase", "click")
+    return e.filter(
+        ((F.col("value") > 150.0) & web) | (~web & (F.col("value") <= 5.0))
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_dim",
+    oracle="""
+    select c_custkey, n_name as nation, r_name as region, c_acctbal
+    from customer
+    join nation on c_nationkey = n_nationkey
+    join region on n_regionkey = r_regionkey
+    """,
+)
+def join_dim(spark, sf_dir):
+    """J1: entity-dimension equi-join — dims broadcast (shuffle-free at any
+    fact scale)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", F.col("n_name").alias("nation"),
+                F.col("r_name").alias("region"), "c_acctbal")
+    )
+
+
+@register(
+    "join_parts",
+    oracle=f"""
+    with e as (select * from {EV}),
+    p1 as (select user_id, {sql_bucket_epoch('ts', G_1H)} as bucket,
+                  {sql_dsum('value')} as purchase_value
+           from e where event_type = 'purchase' group by 1, 2),
+    p2 as (select user_id, {sql_bucket_epoch('ts', G_1H)} as bucket,
+                  count(*) as n_views
+           from e where event_type = 'view' group by 1, 2)
+    select p1.user_id, p1.bucket, p1.purchase_value, p2.n_views
+    from p1 join p2 on p1.user_id = p2.user_id and p1.bucket = p2.bucket
+    """,
+)
+def join_parts(spark, sf_dir):
+    """J3: cross-part KPI join on (entity, timestamp) — two trend-store
+    parts joined on the composite key [ref: generated KPI views [H]].
+    Both sides aggregate to the same key first, so AQE can pick
+    shuffle-hash/sort-merge; neither side is broadcast at scale."""
+    e = load(spark, sf_dir, "events")
+    p1 = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", bucket_epoch("ts", G_1H).alias("bucket"))
+        .agg(dsum("value").alias("purchase_value"))
+    )
+    p2 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", bucket_epoch("ts", G_1H).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    return p1.join(p2, ["user_id", "bucket"], "inner")
+
+
+@register(
+    "join_left",
+    oracle=f"""
+    with agg as (select l_orderkey, {sql_dsum('l_quantity')} as sum_qty
+                 from lineitem group by 1)
+    select o_orderkey, o_totalprice, coalesce(sum_qty, 0.0) as sum_qty
+    from orders left join agg on o_orderkey = l_orderkey
+    """,
+)
+def join_left(spark, sf_dir):
+    """J7: left-outer + null-safe arithmetic — KPI views keep entities that
+    lack some counters [SURVEY.md §2.3 J7]."""
+    o = load(spark, sf_dir, "orders")
+    agg = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+    )
+    return (
+        o.join(agg, o.o_orderkey == agg.l_orderkey, "left")
+        .select("o_orderkey", "o_totalprice",
+                F.coalesce("sum_qty", F.lit(0.0)).alias("sum_qty"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    select c_custkey, c_name from customer
+    where c_custkey in (select o_custkey from orders where o_totalprice > 100000.0)
+    """,
+)
+def join_semi(spark, sf_dir):
+    """J5: entity-set membership as a left-semi join."""
+    c = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000.0)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    select c_custkey, c_name from customer
+    where not exists (select 1 from orders where o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    """J6: new/missing-row detection as a left-anti join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_range",
+    oracle=f"""
+    with e as (select * from {EV}),
+    p as (select event_id, user_id, ts from e where event_type = 'purchase'),
+    err as (select user_id, ts from e where event_type = 'error')
+    select p.event_id, p.user_id, count(err.ts) as n_errors
+    from p left join err
+      on p.user_id = err.user_id
+     and err.ts >  p.ts - interval 1 hour
+     and err.ts <= p.ts
+    group by 1, 2
+    """,
+)
+def join_range(spark, sf_dir):
+    """J8: theta/range join — notifications correlated to a trailing trend
+    window [SURVEY.md §2.3 J8]. Equi-key (user) carries the join; the range
+    predicate filters inside each key group, so this is NOT a cross
+    product at scale (shuffle on user_id, AQE handles skew)."""
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    j = p.join(
+        err,
+        (p.user_id == err.e_user)
+        & (err.e_ts > p.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (err.e_ts <= p.p_ts),
+        "left",
+    )
+    return j.groupBy("event_id", "user_id").agg(F.count("e_ts").alias("n_errors"))
+
+
+@register(
+    "join_asof",
+    oracle=f"""
+    with e as (select * from {EV}),
+    attrs0 as (select user_id, ts, value, event_id from e
+               where event_type = 'signup'),
+    attrs as (select user_id, ts, value from (
+                select *, row_number() over
+                  (partition by user_id, ts order by event_id desc) as rn
+                from attrs0) where rn = 1),
+    facts as (select event_id, user_id, ts from e where event_type = 'purchase')
+    select f.event_id, f.user_id,
+           (select a.value from attrs a
+             where a.user_id = f.user_id and a.ts <= f.ts
+             order by a.ts desc limit 1) as segment_val
+    from facts f
+    """,
+)
+def q_join_asof(spark, sf_dir):
+    """J4: as-of join — attribute value in effect at the fact timestamp
+    (the ``_at(entity, ts)`` lookup [ref: attribute_directory at-functions —
+    UNVERIFIED [H]]). Union-tag + last(ignorenulls): ONE shuffle-sort,
+    no range cross-product (operators/asof.py)."""
+    e = load(spark, sf_dir, "events")
+    # one attribute row per (user, ts): dedupe equal-timestamp signups
+    attrs = (
+        e.filter(F.col("event_type") == "signup")
+        .select("user_id", "ts", F.col("value").alias("segment_val"), "event_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "segment_val")
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        facts, attrs, on="user_id", fact_ts="ts", attr_ts="ts",
+        value_cols=["segment_val"],
+    ).select("event_id", "user_id", "segment_val")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+AGG_TIME_ORACLE = f"""
+    with e as (select * from {EV})
+    select user_id, {sql_bucket_epoch('ts', G_1H)} as bucket,
+           count(value) as n_events,
+           {sql_dsum('value')} as sum_value,
+           {sql_davg('value')} as avg_value,
+           min(value) as min_value,
+           max(value) as max_value
+    from e group by 1, 2
+    """
+
+
+@register("agg_time", oracle=AGG_TIME_ORACLE)
+def agg_time(spark, sf_dir):
+    """A1+F2: THE Minerva-shaped computation — granularity-aligned tumbling
+    time rollup with per-column declared agg functions
+    [ref: crates/minerva/src/aggregation.rs — UNVERIFIED [M]].
+    One shuffle (the groupBy's own exchange), map-side partial agg free."""
+    e = load(spark, sf_dir, "events")
+    trends = {
+        "n_events": Trend("n_events", time_aggregation="count"),
+        "sum_value": Trend("sum_value", time_aggregation="sum"),
+        "avg_value": Trend("avg_value", time_aggregation="avg"),
+        "min_value": Trend("min_value", time_aggregation="min"),
+        "max_value": Trend("max_value", time_aggregation="max"),
+    }
+    src = e.select(
+        "user_id", "ts",
+        F.col("value").alias("n_events"),
+        F.col("value").alias("sum_value"),
+        F.col("value").alias("avg_value"),
+        F.col("value").alias("min_value"),
+        F.col("value").alias("max_value"),
+    )
+    return time_rollup(
+        src, entity_col="user_id", ts_col="ts", granularity=G_1H, trends=trends
+    )
+
+
+@register(
+    "agg_entity",
+    oracle=f"""
+    with fact as (
+      select l_suppkey, {sql_bucket_epoch('l_shipdate', G_1MONTH)} as bucket,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} as revenue
+      from lineitem group by 1, 2)
+    select s_nationkey as entity_id, bucket,
+           {sql_dsum('revenue')} as revenue
+    from fact join supplier on l_suppkey = s_suppkey
+    group by 1, 2
+    """,
+)
+def agg_entity(spark, sf_dir):
+    """A2/J2: entity rollup — supplier-level monthly revenue rolled up the
+    entity hierarchy (supplier→nation) via a broadcast relation join, then
+    one re-aggregation exchange [ref: entity aggregation SQL — UNVERIFIED [H]]."""
+    li = load(spark, sf_dir, "lineitem")
+    fact = (
+        li.groupBy(
+            F.col("l_suppkey").alias("entity_id"),
+            bucket_epoch("l_shipdate", G_1MONTH).alias("bucket"),
+        )
+        .agg(dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    rel = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("source_id"), F.col("s_nationkey").alias("target_id")
+    )
+    trends = {"revenue": Trend("revenue", entity_aggregation="sum")}
+    return entity_rollup(
+        fact, rel, entity_col="entity_id", bucket_col="bucket", trends=trends
+    )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle=f"""
+    select l_returnflag,
+           {sql_weighted_avg('l_extendedprice', 'l_quantity')} as wavg_price
+    from lineitem group by 1
+    """,
+)
+def agg_weighted_avg(spark, sf_dir):
+    """A3: samples-weighted average — the declared agg fn for rate counters
+    [ref: aggregation fn metadata — UNVERIFIED [M]]."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        weighted_avg("l_extendedprice", "l_quantity").alias("wavg_price")
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle=f"""
+    select event_type, count(distinct user_id) as n_users, count(*) as n
+    from {EV} group by 1
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    """A4: exact distinct entities reporting per period. (At 100 TB prefer
+    approx_count_distinct — exact distinct adds an expand+reshuffle;
+    exact kept here because the oracle demands it.)"""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_last_by",
+    oracle=f"""
+    with e as (select * from {EV}),
+    r as (select user_id, {sql_bucket_epoch('ts', G_1D)} as bucket, value,
+                 row_number() over (partition by user_id, {sql_bucket_epoch('ts', G_1D)}
+                                    order by ts asc,  event_id asc)  as rn_a,
+                 row_number() over (partition by user_id, {sql_bucket_epoch('ts', G_1D)}
+                                    order by ts desc, event_id desc) as rn_d
+          from e)
+    select user_id, bucket,
+           max(case when rn_a = 1 then value end) as first_value,
+           max(case when rn_d = 1 then value end) as last_value
+    from r group by 1, 2
+    """,
+)
+def agg_last_by(spark, sf_dir):
+    """A7: first/last gauge value per period via min_by/max_by over a
+    deterministic (ts, event_id) ordering struct — never bare first()/last()
+    (shuffle-order-dependent)."""
+    e = load(spark, sf_dir, "events")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy("user_id", bucket_epoch("ts", G_1D).alias("bucket"))
+        .agg(
+            F.min_by("value", order).alias("first_value"),
+            F.max_by("value", order).alias("last_value"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    select r_name as region, n_name as nation,
+           {sql_dsum('c_acctbal')} as total_bal, count(*) as n
+    from customer
+    join nation on c_nationkey = n_nationkey
+    join region on n_regionkey = r_regionkey
+    group by rollup (r_name, n_name)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """A6 (bonus): hierarchical subtotals — absent in the reference, free in
+    Spark (df.rollup)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"),
+                "c_acctbal")
+    )
+    return joined.rollup("region", "nation").agg(
+        dsum("c_acctbal").alias("total_bal"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows
+# ---------------------------------------------------------------------------
+
+@register(
+    "win_latest",
+    oracle=f"""
+    with e as (select * from {EV}),
+    r as (select *, row_number() over
+            (partition by user_id order by ts desc, event_id desc) as rn from e)
+    select user_id, event_id, event_type, value from r where rn = 1
+    """,
+)
+def win_latest(spark, sf_dir):
+    """W1: the attribute-store ``_curr`` view — latest row per entity
+    [ref: attribute_directory curr-view — UNVERIFIED [H]]."""
+    e = load(spark, sf_dir, "events")
+    return latest_per_entity(
+        e, entity_col="user_id", ts_col="ts", tiebreak=["event_id"]
+    ).select("user_id", "event_id", "event_type", "value")
+
+
+@register(
+    "win_intervals",
+    oracle=f"""
+    with e as (select * from {EV})
+    select user_id, event_id, epoch_us(ts) as valid_from_us,
+           coalesce(epoch_us(lead(ts) over
+             (partition by user_id order by ts, event_id)), {OPEN_END_US})
+             as valid_to_us
+    from e
+    """,
+)
+def win_intervals(spark, sf_dir):
+    """W2: history rows → [valid_from, valid_to) validity intervals
+    (open end → sentinel; epoch-µs keeps sub-second precision exact)."""
+    e = load(spark, sf_dir, "events")
+    iv = validity_intervals(
+        e, entity_col="user_id", ts_col="ts", tiebreak=["event_id"]
+    )
+    return iv.select(
+        "user_id", "event_id",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.coalesce(F.unix_micros("valid_to"), F.lit(OPEN_END_US)).alias("valid_to_us"),
+    )
+
+
+@register(
+    "win_change_detect",
+    oracle=f"""
+    with e as (select * from {EV}),
+    r as (select user_id, event_id, event_type,
+                 lag(event_type) over
+                   (partition by user_id order by ts, event_id) as prev
+          from e)
+    select user_id, event_id, event_type from r
+    where prev is null or event_type <> prev
+    """,
+)
+def win_change_detect(spark, sf_dir):
+    """W4+F5: hash-based change suppression — keep only rows whose attribute
+    hash differs from the previous row's (md5 row-hash, matching the
+    reference's attribute hash [H]). Oracle compares values directly —
+    same semantics, hash-free."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    return suppress_unchanged(
+        e, entity_col="user_id", ts_col="ts", attr_cols=["event_type"],
+        tiebreak=["event_id"],
+    ).select("user_id", "event_id", "event_type")
+
+
+@register(
+    "win_delta",
+    oracle=f"""
+    with e as (select * from {EV})
+    select user_id, event_id,
+           value - lag(value) over
+             (partition by user_id order by ts, event_id) as delta
+    from e
+    """,
+)
+def win_delta(spark, sf_dir):
+    """W5: cumulative-counter deltas between consecutive periods per entity.
+    First row per entity → NULL (double col: NULL/NaN-safe in the hash)."""
+    from minerva_etl_46_spark.operators.windows import delta
+
+    e = load(spark, sf_dir, "events")
+    return delta(
+        e, entity_col="user_id", ts_col="ts", value_col="value",
+        tiebreak=["event_id"],
+    ).select("user_id", "event_id", "delta")
+
+
+WIN_RANK_HOURLY = f"""
+    select user_id, {sql_bucket_epoch('ts', G_1H)} as bucket,
+           {sql_dsum('value')} as sum_value
+    from {EV} group by 1, 2
+"""
+
+
+@register(
+    "win_rank",
+    oracle=f"""
+    with h as ({WIN_RANK_HOURLY})
+    select bucket, user_id, sum_value,
+           rank() over (partition by bucket
+                        order by sum_value desc, user_id) as rnk
+    from h
+    """,
+)
+def win_rank(spark, sf_dir):
+    """W6: rank entities per period by KPI (worst-cell style ranking).
+    Deterministic: ordering includes the entity id."""
+    e = load(spark, sf_dir, "events")
+    h = (
+        e.groupBy("user_id", bucket_epoch("ts", G_1H).alias("bucket"))
+        .agg(dsum("value").alias("sum_value"))
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("sum_value").desc(), F.col("user_id"))
+    return h.withColumn("rnk", F.rank().over(w))
+
+
+@register(
+    "win_moving_avg",
+    oracle=f"""
+    with h as ({WIN_RANK_HOURLY})
+    select user_id, bucket,
+           cast(sum(cast(sum_value as decimal(38,4))) over w as double)
+             / count(sum_value) over w as mavg
+    from h
+    window w as (partition by user_id order by bucket
+                 rows between 3 preceding and current row)
+    """,
+)
+def win_moving_avg(spark, sf_dir):
+    """W7: trailing moving average over the last 4 periods. The frame SUM
+    goes through an exact decimal accumulator: engines disagree on
+    sliding-frame double summation (segment trees vs rescan), decimals
+    don't care."""
+    e = load(spark, sf_dir, "events")
+    h = (
+        e.groupBy("user_id", bucket_epoch("ts", G_1H).alias("bucket"))
+        .agg(dsum("value").alias("sum_value"))
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket").rowsBetween(-3, 0)
+    mavg = (
+        F.sum(F.col("sum_value").cast(DEC)).over(w).cast("double")
+        / F.count("sum_value").over(w)
+    )
+    return h.select("user_id", "bucket", mavg.alias("mavg"))
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "sort_order",
+    oracle="select c_custkey, c_acctbal from customer order by c_acctbal desc, c_custkey",
+)
+def sort_order(spark, sf_dir):
+    """O1: global ORDER BY (range-partitioned sort at scale — no single-node
+    sort). Driver hash is order-insensitive; the op itself is the point."""
+    return (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    )
+
+
+@register(
+    "sort_limit",
+    oracle="""
+    select o_orderkey, o_totalprice from orders
+    order by o_totalprice desc, o_orderkey limit 50
+    """,
+)
+def sort_limit(spark, sf_dir):
+    """O2: deterministic top-N pagination (TakeOrderedAndProject — no global
+    sort materialized)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    select o_custkey, o_orderkey, o_totalprice, rn from (
+      select o_custkey, o_orderkey, o_totalprice,
+             row_number() over (partition by o_custkey
+                                order by o_totalprice desc, o_orderkey) as rn
+      from orders)
+    where rn <= 3
+    """,
+)
+def q_topk_per_group(spark, sf_dir):
+    """O3/W6: top-k rows per group (worst-N cells per period); Catalyst
+    rewrites rank-filter into per-partition top-k (WindowGroupLimit)."""
+    o = load(spark, sf_dir, "orders")
+    return topk_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        group_cols=["o_custkey"], order_col="o_totalprice", k=3,
+        tiebreak=["o_orderkey"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_except",
+    oracle="""
+    select c_custkey from customer
+    except all
+    select o_custkey from orders
+    """,
+)
+def set_except(spark, sf_dir):
+    """U2: multiset difference — the ``minerva diff`` data-comparison shape
+    [ref: src/commands/diff.rs — UNVERIFIED [L]]."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    return c.exceptAll(o)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "fn_safe_div",
+    oracle=f"""
+    select l_orderkey, l_linenumber,
+           {sql_safe_div('l_extendedprice', 'l_quantity')} as unit_price,
+           {sql_safe_div('l_tax', 'l_discount')} as tax_per_discount
+    from lineitem
+    """,
+)
+def fn_safe_div(spark, sf_dir):
+    """F1: null-on-zero division — the ubiquitous Minerva KPI guard
+    [ref: safe_division SQL fn — UNVERIFIED [H]]."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        safe_divide("l_extendedprice", "l_quantity").alias("unit_price"),
+        safe_divide("l_tax", "l_discount").alias("tax_per_discount"),
+    )
+
+
+@register(
+    "fn_ts_align",
+    oracle=f"""
+    select cast(date_trunc('hour', ts) as timestamp) as bucket_ts, count(*) as n
+    from {EV} group by 1
+    """,
+)
+def fn_ts_align(spark, sf_dir):
+    """F2: granularity grid alignment. CANARY: returns a raw TIMESTAMP
+    column to probe the driver hash's temporal handling (everything else
+    ships epochs)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(align_floor("ts", G_1H).alias("bucket_ts"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "fn_string_dn",
+    oracle="""
+    select c_custkey,
+           concat('Nation=', c_nationkey, ',Customer=', c_custkey) as dn,
+           list_element(string_split(concat('Nation=', c_nationkey, ',Customer=', c_custkey), ','), 1) as root_part,
+           list_element(string_split(concat('Nation=', c_nationkey, ',Customer=', c_custkey), ','), -1) as leaf_part,
+           array_to_string(list_slice(string_split(concat('Nation=', c_nationkey, ',Customer=', c_custkey), ','), 1,
+             len(string_split(concat('Nation=', c_nationkey, ',Customer=', c_custkey), ',')) - 1), ',') as parent_dn
+    from customer
+    """,
+)
+def fn_string_dn(spark, sf_dir):
+    """F4: distinguished-name build/parse — Minerva entity DNs like
+    ``Network=NL,Node=RNC01,Cell=123`` [SURVEY.md §2.8 F4]."""
+    c = load(spark, sf_dir, "customer")
+    dn = F.concat(
+        F.lit("Nation="), F.col("c_nationkey").cast("string"),
+        F.lit(",Customer="), F.col("c_custkey").cast("string"),
+    )
+    d = c.select("c_custkey", dn.alias("dn"))
+    return d.select(
+        "c_custkey", "dn",
+        dn_part("dn", 1).alias("root_part"),
+        dn_part("dn", -1).alias("leaf_part"),
+        parent_dn("dn").alias("parent_dn"),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle=f"""
+    select c_custkey,
+           {sql_row_hash('c_custkey', 'c_name', 'c_mktsegment')} as attr_hash
+    from customer
+    """,
+)
+def fn_hash(spark, sf_dir):
+    """F5: md5 row-hash for attribute change detection — md5 chosen because
+    it is bit-identical across Spark and DuckDB (xxhash64 is not)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", row_hash("c_custkey", "c_name", "c_mktsegment").alias("attr_hash")
+    )
+
+
+@register(
+    "fn_json_extract",
+    oracle=f"""
+    select event_id,
+           cast(json_extract_string(props, '$.k') as integer) as k_val
+    from {EV}
+    """,
+)
+def fn_json_extract(spark, sf_dir):
+    """F6: jsonb key extraction (``extra_data``/notification ``details``)."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id", json_get("props", "k").cast("int").alias("k_val")
+    )
+
+
+@register(
+    "fn_case",
+    oracle="""
+    select o_orderkey,
+           case o_orderstatus when 'F' then 'final' when 'O' then 'open'
+                              else 'other' end as status_class,
+           cast(substr(o_orderpriority, 1, 1) as integer) as prio,
+           coalesce(nullif(o_orderstatus, 'O'), 'X') as status_or_x
+    from orders
+    """,
+)
+def fn_case(spark, sf_dir):
+    """F7: CASE/COALESCE/NULLIF piecewise KPI definitions."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "final")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+        .alias("status_class"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("prio"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("X"))
+        .alias("status_or_x"),
+    )
+
+
+@register(
+    "fn_date_parts",
+    oracle=f"""
+    select hour(ts) as hr, isodow(ts) as dow_iso, count(*) as n
+    from {EV} group by 1, 2
+    """,
+)
+def fn_date_parts(spark, sf_dir):
+    """F9: busy-hour analysis date parts (ISO weekday: 1=Monday)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.hour("ts").alias("hr"),
+            (F.weekday("ts") + 1).alias("dow_iso"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "fn_array",
+    oracle=f"""
+    select event_id,
+           list_contains(['view', 'click'], event_type) as is_web,
+           cast(len(string_split(props, ':')) as bigint) as n_colon_parts
+    from {EV}
+    """,
+)
+def fn_array(spark, sf_dir):
+    """F10 (bonus): array ops — tag membership + split cardinality."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.array_contains(F.array(F.lit("view"), F.lit("click")), F.col("event_type"))
+        .alias("is_web"),
+        F.size(F.split("props", ":")).cast("long").alias("n_colon_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry / flagship
+# ---------------------------------------------------------------------------
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query (SURVEY.md §7 step 1): Minerva-shaped tumbling
+    time rollup of the events stream."""
+    return agg_time(spark, sf_dir)

@@ -1,0 +1,74 @@
+"""SparkSession construction + runtime conf pinning.
+
+The driver hands us its own SparkSession for ``queries()`` calls, so any
+conf the engine depends on for *correctness* must be settable at runtime
+(SQLConf), not only at session build time. ``tune()`` pins those.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime (SQLConf) settings every query builder depends on.
+#: - UTC session timezone: oracle parity with DuckDB's naive timestamps
+#:   (SURVEY.md §1.2 "Timestamp semantics").
+#: - ANSI off: Minerva/PostgreSQL-style NULL-on-bad-input KPI math is
+#:   emulated explicitly with guards; ANSI-on would turn residual edge
+#:   cases (overflow, bad casts) into job-killing errors mid-gate.
+#:   Documented deliberately per SURVEY.md §7 hard-part (c).
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    # Spark 4 rejects parquet INT64 TIMESTAMP(NANOS) outright; read ns as
+    # long and convert to µs timestamps in the loader (sources/parquet.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Pin runtime confs this engine's semantics depend on. Idempotent."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime conf on some build — never fail a query over tuning
+    return spark
+
+
+def get_spark(
+    app_name: str = "minerva-etl-46-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a local SparkSession sized for this host.
+
+    Designed for local[N] testing; on a real cluster the same confs apply
+    except master/memory, which the submitter owns.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    if extra_confs:
+        for k, v in extra_confs.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)

