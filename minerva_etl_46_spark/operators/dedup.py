@@ -1,0 +1,165 @@
+"""Document deduplication suite (SURVEY.md §2.11 X1/X2 — BASELINE-mandated
+extension ops for LLM training-data pipelines; not in the reference).
+
+Spark-first shapes, designed for 100 TB corpora:
+- exact dedup: normalize → md5 → ONE hash-aggregation (group sizes +
+  canonical id). No sort, no window: min(doc_id)/count per hash group.
+- MinHash+LSH near-dup: shingle → k minhashes (xxhash64, JVM-side) →
+  band buckets → candidate pairs ONLY within buckets (the cross-product
+  never materializes) → exact Jaccard verification on candidates.
+- SimHash: md5-derived 32-bit token hashes → per-bit majority vote —
+  two hash-aggregations, fully cross-engine deterministic (oracle-able).
+
+md5 (not xxhash64) wherever the value must match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Casefold + collapse whitespace + trim — the canonical pre-image for
+    exact dedup. Oracle: trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """X1: exact duplicate groups over normalized text.
+
+    Returns (norm_hash, canonical_id = min id, n_dups) — one hash-agg,
+    scales linearly; the caller semi-joins to keep canonical docs.
+    """
+    h = F.md5(normalize_text(text_col)).alias("norm_hash")
+    return df.select(F.col(id_col), h).groupBy("norm_hash").agg(
+        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def tokens(c: Column | str, lowercase: bool = True) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    if lowercase:
+        col = F.lower(col)
+    return F.split(col, " ")
+
+
+def shingles(c: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles. Empty array when the doc has < n tokens
+    (explicit guard: Spark's sequence(1, 0) counts DOWN, not empty)."""
+    t = tokens(c)
+    count = F.size(t) - (n - 1)
+    make = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+    )
+    return F.when(count >= 1, make).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = 32,
+                      shingle_n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: for each of k seeded hash functions, the
+    min over the doc's shingle set. One explode + one hash-agg.
+
+    xxhash64 is Spark-internal here (no oracle crosses this value)."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh")
+    )
+    mins = [
+        F.min(F.xxhash64(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str, k: int = 32,
+                        bands: int = 8) -> DataFrame:
+    """Band the signature and emit candidate pairs (a < b) that share at
+    least one band bucket. The join key is (band_id, band_hash): only
+    same-bucket docs ever meet — no quadratic blowup at corpus scale.
+    Salting note: a degenerate bucket (e.g. empty docs) is the skew risk;
+    AQE skew-join handles it, or pre-filter empty shingle sets."""
+    r = k // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    long_ = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select(id_col, "e.band_id", "e.bh")
+    a = long_.select(F.col(id_col).alias("a_id"), "band_id", "bh")
+    b = long_.select(F.col(id_col).alias("b_id"), "band_id", "bh")
+    return (
+        a.join(b, ["band_id", "bh"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
+                   shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs: explode both docs' distinct
+    shingle sets, count intersections via an equi-join on the shingle, and
+    |A∪B| = |A|+|B|−|A∩B|. All integer arithmetic until the final
+    deterministic division."""
+    sh = df.select(
+        F.col(id_col).alias("jid"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh"),
+    )
+    sizes = sh.groupBy("jid").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = sh.select(F.col("jid").alias("a_id"), "sh")
+    b_sh = sh.select(F.col("jid").alias("b_id"), F.col("sh"))
+    inter = (
+        pairs.join(a_sh, "a_id").join(b_sh, ["b_id", "sh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("jid", "a_id")
+                   .withColumnRenamed("n_sh", "n_a"), "a_id")
+        .join(sizes.withColumnRenamed("jid", "b_id")
+              .withColumnRenamed("n_sh", "n_b"), "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "a_id", "b_id", "n_inter", "jaccard"
+    )
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per doc with md5-derived token hashes (cross-engine
+    reproducible — oracle mirrors the same arithmetic).
+
+    Per-bit majority over token hashes: explode(tokens × 32 bits) →
+    sum(±1) per (doc, bit) → Σ 2^bit where the vote is positive.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h32", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    bits = tok.select(
+        id_col, "h32", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i")
+    ).withColumn(
+        "vote",
+        F.when(
+            (F.floor(F.col("h32") / F.pow(F.lit(2.0), F.col("i"))).cast("long") % 2) == 1,
+            1,
+        ).otherwise(-1),
+    )
+    votes = bits.groupBy(id_col, "i").agg(F.sum("vote").alias("s"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("i")).cast("long")).otherwise(0)
+        ).alias("simhash")
+    )

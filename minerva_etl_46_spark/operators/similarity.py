@@ -1,0 +1,155 @@
+"""Embedding similarity search (SURVEY.md §2.11 X3).
+
+Two paths, as a 100 TB pipeline needs both:
+- brute-force cosine top-k: the exact baseline (and the oracle-checkable
+  one). Query set restricted by predicate; candidates = full corpus. The
+  dot/norm arithmetic goes through exact DECIMAL accumulators so DuckDB
+  reproduces it bit-for-bit (see functions/kpi.py rationale).
+- LSH (random-hyperplane / SRP) bucketed ANN: signature → band buckets →
+  exact cosine only within buckets → top-k. Candidate generation is an
+  equi-join on bucket keys — no cross product at scale. Recall is
+  probabilistic ⇒ rows-only check (documented in SURVEY.md §5).
+
+Embeddings stay ArrayType(Float) end-to-end; all math in built-in
+higher-order functions (JVM codegen) — no Python UDF in either path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# scale 12 snap for per-element products; precision 20 (not 38) so that
+# decimal addition KEEPS scale 12 (Spark types p38 s12 + p38 s12 as (38,11),
+# silently rounding — p20 s12 + p20 s12 → (21,12), exact). The cast back to
+# (20,12) in the accumulator is exact for any realizable magnitude here.
+DEC12 = "decimal(20,12)"
+
+
+def _dot_dec(a: Column, b: Column) -> Column:
+    """Exact-decimal dot product of two float arrays, computed in double
+    per element then snapped; order-insensitive, engine-identical."""
+    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC12))
+    return F.aggregate(
+        prods, F.lit(0).cast(DEC12), lambda acc, v: (acc + v).cast(DEC12)
+    ).cast("double")
+
+
+def _norm2_dec(a: Column) -> Column:
+    sq = F.transform(a, lambda x: (x.cast("double") * x.cast("double")).cast(DEC12))
+    return F.aggregate(
+        sq, F.lit(0).cast(DEC12), lambda acc, v: (acc + v).cast(DEC12)
+    ).cast("double")
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_mod: int = 200,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector
+    (id % query_mod == 0) against the whole corpus, self excluded.
+
+    Plan shape: queries (small) are broadcast against the corpus — the
+    corpus is never shuffled; per-query top-k via window (Catalyst's
+    WindowGroupLimit keeps it a streaming top-k, not a full sort)."""
+    from pyspark.sql import Window
+
+    norms = emb.select(
+        F.col(id_col), F.col(vec_col), _norm2_dec(F.col(vec_col)).alias("nrm2")
+    )
+    q = norms.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        F.col("nrm2").alias("q_nrm2"),
+    )
+    c = norms.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"),
+        F.col("nrm2").alias("c_nrm2"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("c_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id", "c_id",
+        (_dot_dec(F.col("q_vec"), F.col("c_vec"))
+         / F.sqrt(F.col("q_nrm2") * F.col("c_nrm2"))).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def srp_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Signed-random-projection bit signature as a long. planes: (nbits,
+    dim) from a fixed seed — shipped as literals (tiny), evaluated
+    JVM-side per row."""
+    bits = []
+    for j in range(planes.shape[0]):
+        plane = F.array(*[F.lit(float(v)) for v in planes[j]])
+        d = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def cosine_topk_ann(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_mod: int = 200,
+    k: int = 5,
+    nbits: int = 16,
+    bands: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN variant: SRP-LSH banding prunes candidates, exact cosine ranks
+    them. At 100 TB the bucket join replaces the corpus broadcast —
+    each query only meets its band-collision set."""
+    from pyspark.sql import Window
+
+    dim = 64
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((nbits, dim))
+    r = nbits // bands
+    mask = (1 << r) - 1
+
+    sig = emb.select(
+        F.col(id_col), F.col(vec_col),
+        srp_signature(F.col(vec_col), planes).alias("sig"),
+        _norm2_dec(F.col(vec_col)).alias("nrm2"),
+    )
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col("sig"), b * r).bitwiseAND(F.lit(mask)).alias("bh"),
+        )
+        for b in range(bands)
+    ])
+    banded = sig.select(id_col, vec_col, "nrm2", F.explode(band_structs).alias("e")) \
+                .select(id_col, vec_col, "nrm2", "e.band_id", "e.bh")
+    q = banded.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        F.col("nrm2").alias("q_nrm2"), "band_id", "bh",
+    )
+    cands = (
+        banded.join(q, ["band_id", "bh"])
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id", F.col(id_col).alias("c_id"), "q_vec", "q_nrm2",
+            F.col(vec_col).alias("c_vec"), F.col("nrm2").alias("c_nrm2"),
+        )
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    scored = cands.select(
+        "q_id", "c_id",
+        (_dot_dec(F.col("q_vec"), F.col("c_vec"))
+         / F.sqrt(F.col("q_nrm2") * F.col("c_nrm2"))).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

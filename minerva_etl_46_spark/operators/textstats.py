@@ -1,0 +1,98 @@
+"""Text analysis for training-data pipelines (SURVEY.md §2.11 X4 +
+BASELINE-mandated: language-ID, quality scoring, token counting,
+fingerprinting). All built-ins — regex/array ops stay in codegen; zero
+Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny per-language stopword lists for the n-gram/stopword lang-ID heuristic
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in"),
+    "fr": ("le", "la", "et", "un", "est"),
+    "es": ("el", "los", "y", "que", "por"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("de", "shi", "le", "wo", "ni"),
+}
+LANG_ORDER = ("en", "fr", "es", "de", "zh")  # deterministic tie resolution
+
+
+def ws_tokens(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.split(col, " ")
+
+
+def stopword_hits(c: Column | str, words: tuple[str, ...]) -> Column:
+    """Count (with repeats) of tokens in the list. list_filter keeps
+    multiplicity — array_intersect would dedup and diverge from the
+    oracle."""
+    return F.size(F.filter(ws_tokens(c), lambda t: t.isin(*words))).cast("long")
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts, plus char length."""
+    return df.select(
+        F.col(id_col),
+        F.size(ws_tokens(text_col)).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(TOKEN_RE)).cast("long").alias("re_tokens"),
+        F.length(text_col).cast("long").alias("n_chars_calc"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length/stopword/token-shape quality heuristics. One deterministic
+    arithmetic expression per row; the oracle mirrors the exact same parse
+    tree so double evaluation is bit-identical."""
+    n_tok = F.size(ws_tokens(text_col)).cast("long")
+    n_char = F.length(text_col).cast("long")
+    stop_n = stopword_hits(text_col, STOPWORDS["en"])
+    nospace = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+    mean_tok_len = nospace / n_tok
+    stop_ratio = stop_n / n_tok
+    score = (0.3 * stop_ratio) + (0.1 * mean_tok_len)
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tok"),
+        stop_n.alias("stop_n"),
+        stop_ratio.alias("stop_ratio"),
+        mean_tok_len.alias("mean_tok_len"),
+        score.alias("score"),
+        (score > 0.45).alias("is_quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str, label_col: str | None = None) -> DataFrame:
+    """Stopword-profile language ID. Deterministic argmax with fixed
+    LANG_ORDER tie-breaking (first language wins ties)."""
+    scores = {lg: stopword_hits(text_col, ws) for lg, ws in STOPWORDS.items()}
+    # sequential CASE: branch i fires iff lang i beats-or-ties every LATER
+    # lang (an earlier max would have taken its own branch first) — first
+    # match wins ties deterministically, and the oracle mirrors the chain.
+    pred = F.lit(LANG_ORDER[-1])
+    for idx in range(len(LANG_ORDER) - 2, -1, -1):
+        lg = LANG_ORDER[idx]
+        cond = None
+        for other in LANG_ORDER[idx + 1:]:
+            c = scores[lg] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lg)).otherwise(pred)
+    cols = [F.col(id_col)]
+    cols += [scores[lg].alias(f"s_{lg}") for lg in LANG_ORDER]
+    cols += [pred.alias("predicted_lang")]
+    if label_col:
+        cols += [(pred == F.col(label_col)).alias("matches_label")]
+    return df.select(*cols)
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token set of the normalized text (md5 ⇒ oracle-identical)."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return df.select(F.col(id_col), F.md5(canon).alias("fingerprint"))

@@ -1001,3 +1001,384 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (SURVEY.md §7 step 1): Minerva-shaped tumbling
     time rollup of the events stream."""
     return agg_time(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# §2.11 extension operators: dedup / similarity / text analysis / multimodal
+# (BASELINE-mandated LLM-training-data ops; not in the reference)
+# ---------------------------------------------------------------------------
+
+from minerva_etl_46_spark.operators.dedup import (  # noqa: E402
+    exact_dedup,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signature,
+    shingles,
+    simhash32,
+)
+from minerva_etl_46_spark.operators.multimodal import (  # noqa: E402
+    extract_features,
+    wrap_as_media,
+)
+from minerva_etl_46_spark.operators.similarity import (  # noqa: E402
+    cosine_topk_ann,
+    cosine_topk_bruteforce,
+)
+from minerva_etl_46_spark.operators.textstats import (  # noqa: E402
+    TOKEN_RE,
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_counts,
+)
+from minerva_etl_46_spark.streaming import jobs as streaming_jobs  # noqa: E402
+
+# corpus with injected duplicates: every 7th doc re-appears uppercased with
+# trailing whitespace (normalization collapses both), id offset +1_000_000
+DUP_CORPUS_SQL = """
+    (select doc_id, text from documents
+     union all
+     select doc_id + 1000000 as doc_id, upper(text) || '  ' as text
+     from documents where doc_id % 7 = 0)
+"""
+
+
+def _dup_corpus(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
+        )
+    )
+    return d.unionByName(dups)
+
+
+@register(
+    "llm_dedup_exact",
+    oracle=f"""
+    select md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as norm_hash,
+           min(doc_id) as canonical_id, count(*) as n_dups
+    from {DUP_CORPUS_SQL} corpus
+    group by 1
+    """,
+)
+def llm_dedup_exact(spark, sf_dir):
+    """X1: exact dedup groups over normalized text — one hash-agg, linear
+    at corpus scale (operators/dedup.py)."""
+    return exact_dedup(_dup_corpus(spark, sf_dir), id_col="doc_id", text_col="text")
+
+
+@register("llm_dedup_near")  # rows-only: LSH recall is probabilistic by design
+def llm_dedup_near(spark, sf_dir):
+    """X2: MinHash+LSH near-duplicate pairs (shingle→minhash→band→bucket
+    join→exact-Jaccard verify). Candidate generation never materializes the
+    cross product. Near-dups injected: every 11th doc + a mutated tail."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = (
+        d.filter(F.col("doc_id") % 11 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra near dup tail token")).alias("text"),
+        )
+    )
+    corpus = d.unionByName(near)
+    sig = minhash_signature(corpus, id_col="doc_id", text_col="text", k=32)
+    pairs = lsh_candidate_pairs(sig, id_col="doc_id", k=32, bands=8)
+    return jaccard_verify(corpus, pairs, id_col="doc_id", text_col="text", threshold=0.5)
+
+
+@register(
+    "llm_ngram_jaccard",
+    oracle="""
+    with d as (select doc_id, lower(text) as text from documents where doc_id % 20 = 0),
+    t as (select doc_id, string_split(text, ' ') as toks from d),
+    sh as (select distinct doc_id,
+                  unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                         i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) as sh
+           from t),
+    sizes as (select doc_id, count(*) as n_sh from sh group by 1),
+    inter as (select a.doc_id as a_id, b.doc_id as b_id, count(*) as n_inter
+              from sh a join sh b on a.sh = b.sh and a.doc_id < b.doc_id
+              group by 1, 2)
+    select a_id, b_id, n_inter,
+           n_inter / (sa.n_sh + sb.n_sh - n_inter) as jaccard
+    from inter
+    join sizes sa on sa.doc_id = a_id
+    join sizes sb on sb.doc_id = b_id
+    """,
+)
+def llm_ngram_jaccard(spark, sf_dir):
+    """X2 (exact flavor): full pairwise 3-gram Jaccard on a doc subset —
+    the oracle-checkable ground truth the LSH path approximates."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "text")
+    )
+    sh = d.select(
+        F.col("doc_id"), F.explode(F.array_distinct(shingles("text", 3))).alias("sh")
+    )
+    pairs = (
+        sh.select(F.col("doc_id").alias("a_id"), "sh")
+        .join(sh.select(F.col("doc_id").alias("b_id"), "sh"), "sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return jaccard_verify(d, pairs, id_col="doc_id", text_col="text", threshold=0.0)
+
+
+@register(
+    "llm_simhash",
+    oracle="""
+    with tok as (select doc_id, unnest(string_split(lower(text), ' ')) as tok
+                 from documents),
+    h as (select doc_id,
+                 cast(concat('0x', substr(md5(tok), 1, 8)) as bigint) as h32
+          from tok),
+    bits as (select doc_id, i,
+                    case when cast(floor(h32 / power(2, i)) as bigint) % 2 = 1
+                         then 1 else -1 end as v
+             from h, generate_series(0, 31) t(i)),
+    votes as (select doc_id, i, cast(sum(v) as bigint) as s from bits group by 1, 2)
+    select doc_id,
+           cast(sum(case when s > 0 then cast(power(2, i) as bigint) else 0 end)
+                as bigint) as simhash
+    from votes group by 1
+    """,
+)
+def llm_simhash(spark, sf_dir):
+    """X2 (SimHash flavor): 32-bit per-doc SimHash, md5-derived token
+    hashes — bit-identical in the oracle (operators/dedup.py::simhash32)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash32(d, id_col="doc_id", text_col="text")
+
+
+@register(
+    "llm_fingerprint",
+    oracle="""
+    select doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))),
+             ' ')) as fingerprint
+    from documents
+    """,
+)
+def llm_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over the sorted distinct token set of the
+    normalized text (order-insensitive content identity)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return fingerprint(d, id_col="doc_id", text_col="text")
+
+
+@register(
+    "llm_sim_topk",
+    oracle="""
+    with elems as (select vec_id, i, embedding[i]::double as x
+                   from embeddings, generate_series(1, 64) t(i)
+                   where i <= len(embedding)),
+    norms as (select vec_id,
+                     cast(sum(cast(x * x as decimal(38,12))) as double) as nrm2
+              from elems group by 1),
+    dots as (select a.vec_id as q_id, b.vec_id as c_id,
+                    cast(sum(cast(a.x * b.x as decimal(38,12))) as double) as dot
+             from elems a join elems b on a.i = b.i
+             where a.vec_id % 200 = 0 and b.vec_id <> a.vec_id
+             group by 1, 2),
+    scored as (select q_id, c_id, dot / sqrt(qn.nrm2 * cn.nrm2) as cos
+               from dots
+               join norms qn on qn.vec_id = q_id
+               join norms cn on cn.vec_id = c_id)
+    select q_id, c_id, cos, rn from (
+      select *, row_number() over (partition by q_id
+                                   order by cos desc, c_id) as rn
+      from scored)
+    where rn <= 5
+    """,
+)
+def llm_sim_topk(spark, sf_dir):
+    """X3: exact brute-force cosine top-5 for query vectors (id%200==0)
+    against the whole corpus. Queries broadcast; corpus un-shuffled;
+    decimal-exact dot/norms so the oracle reproduces every bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(emb, query_mod=200, k=5)
+
+
+@register("llm_sim_ann")  # rows-only: ANN recall is probabilistic by design
+def llm_sim_ann(spark, sf_dir):
+    """X3 (scale path): SRP-LSH bucketed ANN — banded signature equi-join
+    prunes candidates, exact cosine ranks survivors."""
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk_ann(emb, query_mod=200, k=5)
+
+
+@register(
+    "llm_text_stats",
+    oracle="""
+    select lang, count(*) as n_docs,
+           cast(sum(n_chars) as bigint) as total_chars,
+           cast(sum(n_chars) as double) / count(*) as avg_chars,
+           quantile_cont(n_chars, 0.5) as med_chars,
+           cast(sum(len(string_split(text, ' '))) as bigint) as total_tokens
+    from documents group by 1
+    """,
+)
+def llm_text_stats(spark, sf_dir):
+    """X4: per-language corpus stats (counts, char totals, exact median,
+    token totals)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.percentile("n_chars", 0.5).alias("med_chars"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("total_tokens"),
+    )
+
+
+@register(
+    "llm_tokens",
+    oracle=f"""
+    select doc_id,
+           len(string_split(text, ' ')) as ws_tokens,
+           cast(len(regexp_extract_all(text, '{TOKEN_RE}')) as bigint) as re_tokens,
+           len(text) as n_chars_calc
+    from documents
+    """,
+)
+def llm_tokens(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex pre-tokenizer counts."""
+    d = load(spark, sf_dir, "documents")
+    return token_counts(d, id_col="doc_id", text_col="text")
+
+
+_SW = "', '".join(STOPWORDS["en"])
+
+@register(
+    "llm_quality",
+    oracle=f"""
+    select doc_id,
+           len(string_split(text, ' ')) as n_tok,
+           len(list_filter(string_split(text, ' '),
+               x -> x in ('{_SW}'))) as stop_n,
+           len(list_filter(string_split(text, ' '), x -> x in ('{_SW}')))
+             / len(string_split(text, ' ')) as stop_ratio,
+           len(replace(text, ' ', '')) / len(string_split(text, ' ')) as mean_tok_len,
+           (0.3 * (len(list_filter(string_split(text, ' '), x -> x in ('{_SW}')))
+                   / len(string_split(text, ' '))))
+           + (0.1 * (len(replace(text, ' ', '')) / len(string_split(text, ' '))))
+             as score,
+           ((0.3 * (len(list_filter(string_split(text, ' '), x -> x in ('{_SW}')))
+                    / len(string_split(text, ' '))))
+            + (0.1 * (len(replace(text, ' ', '')) / len(string_split(text, ' ')))))
+             > 0.45 as is_quality
+    from documents
+    """,
+)
+def llm_quality(spark, sf_dir):
+    """Quality scoring: stopword ratio + mean token length blend, same
+    expression tree on both engines (deterministic double math)."""
+    d = load(spark, sf_dir, "documents")
+    return quality_score(d, id_col="doc_id", text_col="text")
+
+
+def _langid_case_sql() -> str:
+    from minerva_etl_46_spark.operators.textstats import LANG_ORDER
+    score = {}
+    for lg, ws in STOPWORDS.items():
+        wl = "', '".join(ws)
+        score[lg] = f"len(list_filter(string_split(text, ' '), x -> x in ('{wl}')))"
+    branches = []
+    for i, lg in enumerate(LANG_ORDER[:-1]):
+        conds = " and ".join(
+            f"{score[lg]} >= {score[o]}" for o in LANG_ORDER[i + 1:]
+        )
+        branches.append(f"when {conds} then '{lg}'")
+    case = "case " + " ".join(branches) + f" else '{LANG_ORDER[-1]}' end"
+    sels = ",\n           ".join(
+        f"cast({score[lg]} as bigint) as s_{lg}" for lg in LANG_ORDER
+    )
+    return f"""
+    select doc_id,
+           {sels},
+           {case} as predicted_lang,
+           ({case}) = lang as matches_label
+    from documents
+    """
+
+
+@register("llm_lang_id", oracle=_langid_case_sql())
+def llm_lang_id(spark, sf_dir):
+    """Language-ID heuristic: per-language stopword hit profiles with a
+    deterministic argmax chain (the fixtures' `lang` labels are synthetic
+    word-soup — `matches_label` reports heuristic-vs-label agreement)."""
+    d = load(spark, sf_dir, "documents")
+    return lang_id(d, id_col="doc_id", text_col="text", label_col="lang")
+
+
+# ---------------------------------------------------------------------------
+# multimodal (X5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_meta",
+    oracle="""
+    select doc_id as media_id, 'text' as kind,
+           octet_length(encode(text)) as n_bytes
+    from documents
+    """,
+)
+def mm_meta(spark, sf_dir):
+    """X5: multimodal record schema — binary payload + typed metadata
+    struct, with metadata accessors (operators/multimodal.py)."""
+    d = load(spark, sf_dir, "documents")
+    media = wrap_as_media(d, id_col="doc_id", text_col="text", kind="text")
+    return media.select("media_id", F.col("meta.kind").alias("kind"),
+                        F.col("meta.n_bytes").alias("n_bytes"))
+
+
+@register("mm_extract")  # rows-only: stubbed codec (libs not in container)
+def mm_extract(spark, sf_dir):
+    """X5: Arrow-batched feature extraction over mapInPandas — real
+    plumbing (schema/batching/partitioning), stubbed codec."""
+    d = load(spark, sf_dir, "documents")
+    media = wrap_as_media(d, id_col="doc_id", text_col="text", kind="text")
+    return extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# §2.9 streaming (T1/T4) — real Structured Streaming, batch-equivalent oracle
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_tumbling",
+    oracle=f"""
+    select event_type, {sql_bucket_epoch('ts', G_1H)} as bucket,
+           count(*) as n, {sql_dsum('value')} as sum_value
+    from {EV} group by 1, 2
+    """,
+)
+def stream_tumbling(spark, sf_dir):
+    """T1: tumbling 1-hour windows via Structured Streaming (memory sink,
+    complete mode, processAllAvailable) — checked against the batch oracle,
+    proving stream/batch semantic parity."""
+    return streaming_jobs.tumbling_counts(spark, sf_dir)
+
+
+@register(
+    "stream_sliding",
+    oracle=f"""
+    with e as (select * from {EV})
+    select cast(floor(epoch(ts) / 3600) * 3600 - off as bigint) as win_start,
+           count(*) as n
+    from e, unnest([0, 3600]) as t(off)
+    group by 1
+    """,
+)
+def stream_sliding(spark, sf_dir):
+    """T4 (bonus): sliding 2h/1h windows via Structured Streaming — each
+    event lands in exactly two windows."""
+    return streaming_jobs.sliding_counts(spark, sf_dir)

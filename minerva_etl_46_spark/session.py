@@ -31,12 +31,25 @@ RUNTIME_CONFS = {
 
 
 def tune(spark: SparkSession) -> SparkSession:
-    """Pin runtime confs this engine's semantics depend on. Idempotent."""
+    """Pin runtime confs this engine's semantics depend on. Idempotent.
+
+    Also right-sizes spark.sql.shuffle.partitions when the session still
+    carries the stock 200: on a local driver session that means 200 tiny
+    tasks per exchange (AQE coalesces batch plans, but streaming state
+    stores don't); match core count instead. A real cluster submitter that
+    set its own value is left untouched."""
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime conf on some build — never fail a query over tuning
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(min(32, os.cpu_count() or 8))
+            )
+    except Exception:
+        pass
     return spark
 
 

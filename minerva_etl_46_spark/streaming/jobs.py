@@ -1,0 +1,84 @@
+"""Streaming jobs runnable synchronously for the correctness gate
+(memory sink + processAllAvailable) and asynchronously in production
+(swap sink; the transformation is identical — T1/T4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minerva_etl_46_spark.functions.kpi import DEC
+from minerva_etl_46_spark.session import tune
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a stream source. ts arrives as ns-long
+    (nanosAsLong) and converts to µs timestamps exactly like the batch
+    loader — streaming and batch share one timestamp semantics."""
+    tune(spark)
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_STREAM_SCHEMA)
+        # file-stream sources require a directory; glob-filter to the table
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_to_memory(agg: DataFrame, name: str, spark: SparkSession) -> DataFrame:
+    """Drive a streaming aggregation to completion into a memory sink and
+    return the final table. Complete output mode: every trigger rewrites
+    the full aggregate state (fine for gate-scale; production uses
+    foreachBatch + partition overwrite — plans/materialize.py)."""
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    return spark.table(name)
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: tumbling 1-hour windows per event_type via real Structured
+    Streaming. Output: (event_type, bucket epoch-s, n, sum_value)."""
+    e = _read_events_stream(spark, sf_dir)
+    agg = (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("win.start").cast("long").alias("bucket"),
+            "n", "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "stream_tumbling_out", spark)
+
+
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 (bonus): sliding 2-hour windows every 1 hour — each event lands
+    in two windows. Output: (win_start epoch-s, n)."""
+    e = _read_events_stream(spark, sf_dir)
+    agg = (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").cast("long").alias("win_start"), "n")
+    )
+    return _run_to_memory(agg, "stream_sliding_out", spark)
