@@ -1,0 +1,48 @@
+"""Trigger/notification engine (SURVEY.md §3.3, §1 D10;
+[ref: crates/minerva/src/trigger.rs + trigger schema — UNVERIFIED [M/H]]).
+
+Rules are data (catalog.TriggerRule): a boolean KPI predicate, a weight
+expression, and the columns packed into the notification's JSON details.
+Evaluation is a pure DataFrame pipeline — filter(expr) → select(struct) —
+so Catalyst fuses rule evaluation into the KPI scan (predicate pushdown
+into the rollup when possible). Notifications append to a notification
+store (D7), here a partitioned dataset like any trend part.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from minerva_etl_46_spark.catalog import TriggerRule
+
+
+def evaluate_rule(
+    kpi_df: DataFrame,
+    rule: TriggerRule,
+    entity_col: str = "entity_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Run one rule over a KPI frame → notification rows
+    (entity_id, ts, rule, weight, details JSON)."""
+    hits = kpi_df.filter(F.expr(rule.predicate_sql))
+    details = F.to_json(F.struct(*[F.col(c) for c in rule.details_cols])) \
+        if rule.details_cols else F.lit(None).cast("string")
+    return hits.select(
+        F.col(entity_col).alias("entity_id"),
+        F.col(ts_col).alias("ts"),
+        F.lit(rule.name).alias("rule"),
+        F.expr(rule.weight_sql).cast("int").alias("weight"),
+        details.alias("details"),
+    )
+
+
+def evaluate_rules(kpi_df: DataFrame, rules: list[TriggerRule],
+                   entity_col: str = "entity_id", ts_col: str = "ts") -> DataFrame:
+    """All rules in one pass: a union of per-rule pipelines. Catalyst shares
+    the scan (same source subtree); each rule contributes a filter+project."""
+    out = None
+    for r in rules:
+        n = evaluate_rule(kpi_df, r, entity_col, ts_col)
+        out = n if out is None else out.unionByName(n)
+    return out

@@ -1,0 +1,65 @@
+"""Harvesting: vendor-file ingest with entity resolution (SURVEY.md §3.1,
+§2.1 S1; [ref: minerva-harvesting plugins, src/commands/loaddata.rs —
+UNVERIFIED [M]]).
+
+Pipeline: parse (schema-declared CSV, no inference) → resolve entity DNs to
+ids → align timestamps to the granularity grid → upsert into the trend
+store. One Spark job; entity dimension is broadcast (shuffle-free).
+
+Create-on-miss ids: the reference assigns serial ids from a PG sequence; a
+distributed engine can't serialize id assignment through one counter, so
+new entities get deterministic content-addressed ids (xxhash64 of the DN,
+top bit cleared). Collisions are ~2^-32-improbable at 1e6 entities and the
+mapping is reproducible across re-harvests — which serial ids are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minerva_etl_46_spark.functions.timestamps import Granularity, align_end
+
+
+def read_csv_harvest(spark: SparkSession, path: str, schema: str,
+                     timestamp_format: str | None = None) -> DataFrame:
+    """S1: schema-declared CSV read (inference is banned in the core path,
+    SURVEY.md §1.1)."""
+    reader = spark.read.option("header", True)
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    return reader.csv(path, schema=schema)
+
+
+def resolve_entities(
+    package: DataFrame,
+    entities: DataFrame,
+    dn_col: str = "dn",
+    id_col: str = "entity_id",
+    name_col: str = "name",
+) -> tuple[DataFrame, DataFrame]:
+    """Attach entity ids; mint deterministic ids for unseen DNs.
+
+    Returns (resolved package, new-entities frame to append to the
+    directory). entities is broadcast — at 100 TB the package never
+    shuffles for resolution."""
+    e = entities.select(
+        F.col(name_col).alias("__dn"), F.col(id_col).alias("__eid")
+    )
+    joined = package.join(F.broadcast(e), package[dn_col] == F.col("__dn"), "left")
+    minted = F.shiftrightunsigned(F.xxhash64(F.col(dn_col)), 1).cast("long")
+    resolved = joined.withColumn(
+        id_col, F.coalesce(F.col("__eid"), minted)
+    ).drop("__dn", "__eid")
+    new_entities = (
+        resolved.join(F.broadcast(e), resolved[dn_col] == F.col("__dn"), "left_anti")
+        .select(F.col(id_col), F.col(dn_col).alias(name_col))
+        .distinct()
+    )
+    return resolved, new_entities
+
+
+def align_package(df: DataFrame, ts_col: str, g: Granularity, tz: str = "UTC") -> DataFrame:
+    """Minerva timestamp convention: period END on the granularity grid
+    (SURVEY.md §1.2)."""
+    return df.withColumn(ts_col, align_end(ts_col, g, tz))

@@ -1,0 +1,132 @@
+"""Trend-store storage: time-partitioned Parquet datasets (SURVEY.md §1 D3/
+D4, §2.1 S4–S6).
+
+The reference stores trend data in PostgreSQL tables partitioned by
+timestamp range (`partition_size`), with retention dropping old partitions
+[ref: trend_directory partitioning — UNVERIFIED [H]]. Here a trend store
+part is a Parquet dataset partitioned by ``p_bucket`` (epoch-seconds of the
+partition start):
+
+- **writes** use dynamic partition overwrite: a batch only rewrites the
+  partitions its rows touch — the upsert unit, and the reason the
+  keep-latest window in operators/upsert.py stays bounded at 100 TB.
+- **reads** prune partitions via p_bucket predicates (Catalyst partition
+  pruning, no file listing outside the range).
+- **retention** is a partition-directory drop, never a data rewrite.
+- every write appends to a modified-log (S5) — the signal the
+  materialization engine's fingerprints consume.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MODIFIED_LOG = "_modified_log"
+
+
+def bucket_of(ts_col: str, partition_size_s: int):
+    return (F.floor(F.col(ts_col).cast("long") / partition_size_s)
+            * partition_size_s).cast("long")
+
+
+@dataclass
+class TrendStorePartStorage:
+    """One trend-store part = one partitioned Parquet dataset."""
+
+    base_dir: str
+    name: str
+    partition_size_s: int = 86400
+
+    @property
+    def path(self) -> str:
+        return os.path.join(self.base_dir, self.name)
+
+    @property
+    def modified_log_path(self) -> str:
+        return os.path.join(self.base_dir, MODIFIED_LOG, self.name)
+
+    def write(self, df: DataFrame, ts_col: str = "ts", job_id: int | None = None) -> list[int]:
+        """Dynamic-partition-overwrite write; returns touched p_buckets and
+        appends them to the modified log."""
+        spark = df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        out = df.withColumn("p_bucket", bucket_of(ts_col, self.partition_size_s))
+        touched = [r[0] for r in out.select("p_bucket").distinct().collect()]
+        out.write.mode("overwrite").partitionBy("p_bucket").parquet(self.path)
+        self._log_modified(spark, touched, job_id)
+        return sorted(touched)
+
+    def _log_modified(self, spark: SparkSession, buckets: list[int], job_id: int | None) -> None:
+        now = time.time()
+        rows = [(self.name, int(b), float(now), job_id) for b in buckets]
+        log = spark.createDataFrame(
+            rows, schema="part string, p_bucket long, modified_at double, job_id long"
+        )
+        log.coalesce(1).write.mode("append").parquet(self.modified_log_path)
+
+    def upsert(self, staged: DataFrame, keys: list[str], version_cols: list[str],
+               ts_col: str = "ts", job_id: int | None = None) -> list[int]:
+        """S4: transfer_staged semantics — merge staged rows into the
+        partitions they touch, last-write-wins per key.
+
+        Reads ONLY the touched partitions (partition-pruned), merges via
+        the keep-latest window, localCheckpoints to cut lineage (Spark
+        cannot overwrite a path it is still reading), then dynamic-
+        overwrites those partitions. Work ∝ staged data + touched
+        partitions, independent of total store size."""
+        from minerva_etl_46_spark.operators.upsert import upsert_latest
+
+        spark = staged.sparkSession
+        touched = [
+            r[0] for r in staged.select(
+                bucket_of(ts_col, self.partition_size_s).alias("b")
+            ).distinct().collect()
+        ]
+        existing = None
+        if os.path.isdir(self.path) and any(
+            e.startswith("p_bucket=") for e in os.listdir(self.path)
+        ):
+            existing = (
+                self.read(spark)
+                .filter(F.col("p_bucket").isin(touched))
+                .drop("p_bucket")
+            )
+        merged = upsert_latest(existing, staged, keys=keys, version_cols=version_cols)
+        merged = merged.localCheckpoint(eager=True)
+        return self.write(merged, ts_col=ts_col, job_id=job_id)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def read_window(self, spark: SparkSession, start_epoch: int, end_epoch: int) -> DataFrame:
+        """Partition-pruned range read: the p_bucket predicate prunes whole
+        directories before any file IO (verify via explain: PartitionFilters)."""
+        lo = (start_epoch // self.partition_size_s) * self.partition_size_s
+        return self.read(spark).filter(
+            (F.col("p_bucket") >= lo) & (F.col("p_bucket") < end_epoch)
+        )
+
+    def modified_log(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.isdir(self.modified_log_path):
+            return None
+        return spark.read.parquet(self.modified_log_path)
+
+    def apply_retention(self, retain_after_epoch: int) -> list[int]:
+        """S6: drop whole partition directories older than the cutoff."""
+        dropped = []
+        if not os.path.isdir(self.path):
+            return dropped
+        cutoff = (retain_after_epoch // self.partition_size_s) * self.partition_size_s
+        for entry in os.listdir(self.path):
+            if entry.startswith("p_bucket="):
+                b = int(entry.split("=", 1)[1])
+                if b < cutoff:
+                    shutil.rmtree(os.path.join(self.path, entry))
+                    dropped.append(b)
+        return sorted(dropped)

@@ -1,0 +1,111 @@
+"""Property-based tests (SURVEY.md §5.3): upsert idempotence, rollup
+additivity (15m sums compose into 1h sums), as-of join equivalence with
+pandas merge_asof. Small example counts — each example is a Spark job."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from minerva_etl_46_spark.catalog import Trend
+from minerva_etl_46_spark.functions.timestamps import G_15M, G_1H
+from minerva_etl_46_spark.operators.asof import asof_join
+from minerva_etl_46_spark.operators.rollup import time_rollup
+from minerva_etl_46_spark.operators.upsert import upsert_latest
+
+SLOW = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 4),                  # key
+        st.integers(1, 3),                  # version
+        st.floats(-100, 100, allow_nan=False, width=32),
+    ),
+    min_size=0, max_size=25,
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),                        # entity
+        st.integers(0, 2 * 3600),                 # ts offset seconds
+        st.floats(-100, 100, allow_nan=False, width=32),
+    ),
+    min_size=1, max_size=40,
+)
+
+
+@SLOW
+@given(rows=rows_strategy)
+def test_upsert_idempotent(spark, rows):
+    df = spark.createDataFrame(
+        [(k, v, x) for k, v, x in rows] or [(0, 1, 0.0)],
+        schema="k long, ver long, x double",
+    )
+    once = upsert_latest(None, df, keys=["k"], version_cols=["ver"])
+    twice = upsert_latest(once, once, keys=["k"], version_cols=["ver"])
+    a = once.toPandas().sort_values(["k"]).reset_index(drop=True)
+    b = twice.toPandas().sort_values(["k"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+    # exactly one row per key
+    assert a["k"].is_unique
+
+
+@SLOW
+@given(events=events_strategy)
+def test_rollup_additivity_15m_compose_1h(spark, events):
+    base = 1704067200  # 2024-01-01T00:00Z
+    df = spark.createDataFrame(
+        [(e, base + off, float(v)) for e, off, v in events],
+        schema="entity long, epoch long, v double",
+    ).withColumn("ts", F.timestamp_seconds("epoch"))
+    trends = {"v": Trend("v", time_aggregation="sum")}
+    src = df.select("entity", "ts", "v")
+    fine = time_rollup(src, "entity", "ts", G_15M, trends)
+    refined = fine.select(
+        "entity", F.timestamp_seconds("bucket").alias("ts"), "v"
+    )
+    composed = time_rollup(refined, "entity", "ts", G_1H, trends)
+    direct = time_rollup(src, "entity", "ts", G_1H, trends)
+    a = composed.toPandas().sort_values(["entity", "bucket"]).reset_index(drop=True)
+    b = direct.toPandas().sort_values(["entity", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+@SLOW
+@given(
+    facts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1000)),
+                   min_size=1, max_size=15),
+    attrs=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1000),
+                             st.integers(0, 99)),
+                   min_size=1, max_size=10, unique_by=lambda t: (t[0], t[1])),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, facts, attrs):
+    fdf = spark.createDataFrame(
+        [(i, e, base_ts(t)) for i, (e, t) in enumerate(facts)],
+        schema="fid long, entity long, epoch long",
+    ).withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+    adf = spark.createDataFrame(
+        [(e, base_ts(t), float(v)) for e, t, v in attrs],
+        schema="entity long, epoch long, val double",
+    ).withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+    got = (
+        asof_join(fdf, adf, on="entity", fact_ts="ts", attr_ts="ts",
+                  value_cols=["val"])
+        .toPandas().sort_values("fid").reset_index(drop=True)
+    )
+    fp = fdf.toPandas().sort_values("ts", kind="mergesort")
+    ap = adf.toPandas().sort_values("ts", kind="mergesort")
+    want = pd.merge_asof(fp, ap, on="ts", by="entity", direction="backward")
+    want = want.sort_values("fid").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["val"], want["val"], check_names=False
+    )
+
+
+def base_ts(offset: int) -> int:
+    return 1704067200 + offset
