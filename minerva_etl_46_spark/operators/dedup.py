@@ -19,6 +19,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a small-row-count / heavy-per-row-compute frame across all cores.
+
+    Corpus tables often arrive as 1–2 input splits; the downstream
+    explode+hash work then runs on 1–2 tasks no matter how many cores
+    exist. One cheap round-robin shuffle of the *small* pre-explode frame
+    buys full parallelism for the expensive stage. (At 100 TB inputs are
+    already many splits and this repartition is a no-op by comparison —
+    still correct, just unnecessary.)"""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def normalize_text(c: Column | str) -> Column:
     """Casefold + collapse whitespace + trim — the canonical pre-image for
     exact dedup. Oracle: trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))."""
@@ -63,11 +76,12 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = 32,
     min over the doc's shingle set. One explode + one hash-agg.
 
     xxhash64 is Spark-internal here (no oracle crosses this value)."""
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh")
     )
+    # seeded family via the multi-arg form (cheaper than string concat)
     mins = [
-        F.min(F.xxhash64(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}")
         for i in range(k)
     ]
     return sh.groupBy(id_col).agg(*mins)
@@ -80,6 +94,9 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, k: int = 32,
     same-bucket docs ever meet — no quadratic blowup at corpus scale.
     Salting note: a degenerate bucket (e.g. empty docs) is the skew risk;
     AQE skew-join handles it, or pre-filter empty shingle sets."""
+    # the self-join below would otherwise evaluate the full minhash
+    # pipeline TWICE (once per side) — materialize the signature once
+    sig = sig.localCheckpoint(eager=False)
     r = k // bands
     band_cols = [
         F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias(f"band{b}")
@@ -111,10 +128,11 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
     shingle sets, count intersections via an equi-join on the shingle, and
     |A∪B| = |A|+|B|−|A∩B|. All integer arithmetic until the final
     deterministic division."""
+    df = spread(df)
     sh = df.select(
         F.col(id_col).alias("jid"),
         F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)  # consumed 3× below (sizes + both join sides)
     sizes = sh.groupBy("jid").agg(F.count(F.lit(1)).alias("n_sh"))
     a_sh = sh.select(F.col("jid").alias("a_id"), "sh")
     b_sh = sh.select(F.col("jid").alias("b_id"), F.col("sh"))
@@ -145,7 +163,7 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Per-bit majority over token hashes: explode(tokens × 32 bits) →
     sum(±1) per (doc, bit) → Σ 2^bit where the vote is positive.
     """
-    tok = df.select(
+    tok = spread(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     ).withColumn("h32", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
     bits = tok.select(

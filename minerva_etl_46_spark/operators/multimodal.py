@@ -90,4 +90,7 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out[["media_id", "n_bytes", "n_frames", "feat_mean"]]
 
-    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+    from minerva_etl_46_spark.operators.dedup import spread
+
+    # decode is the expensive stage: spread small inputs across all cores
+    return spread(media).mapInPandas(run, schema=FEATURES_SCHEMA)

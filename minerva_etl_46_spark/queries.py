@@ -195,13 +195,28 @@ def project_select(spark, sf_dir):
     """,
 )
 def filter_ts_range(spark, sf_dir):
-    """P2: one materialization period's timestamp-range filter — pushed to
-    parquet row-group stats by Catalyst."""
-    e = load(spark, sf_dir, "events")
-    return e.filter(
-        (F.col("ts") >= F.lit("2024-01-02 00:00:00").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp"))
-    ).select("event_id", "user_id", "event_type", "value")
+    """P2: one materialization period's timestamp-range filter.
+
+    Filters on the RAW ns-long column before the µs conversion: a range
+    predicate over timestamp_micros(ts div 1000) is an expression Catalyst
+    cannot push into the parquet scan (only IsNotNull survives), which at
+    100 TB means no row-group pruning. The raw-long bounds are pushable,
+    and floor-conversion is monotonic with second-aligned bounds, so the
+    semantics are identical — verify via .explain: PushedFilters carries
+    GreaterThanOrEqual/LessThan on ts."""
+    import datetime as _dt
+
+    lo = int(_dt.datetime(2024, 1, 2, tzinfo=_dt.timezone.utc).timestamp()) * 10**9
+    hi = int(_dt.datetime(2024, 1, 4, tzinfo=_dt.timezone.utc).timestamp()) * 10**9
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+    else:  # pragma: no cover — µs-precision fixture variant
+        raw = load(spark, sf_dir, "events").filter(
+            (F.col("ts") >= F.lit("2024-01-02 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp"))
+        )
+    return raw.select("event_id", "user_id", "event_type", "value")
 
 
 @register(
