@@ -1397,3 +1397,49 @@ def stream_sliding(spark, sf_dir):
     """T4 (bonus): sliding 2h/1h windows via Structured Streaming — each
     event lands in exactly two windows."""
     return streaming_jobs.sliding_counts(spark, sf_dir)
+
+
+@register(
+    "llm_dedup_embed",
+    oracle="""
+    with q as (select vec_id, embedding from embeddings where vec_id % 10 = 0),
+    elems as (select vec_id, i, embedding[i]::double as x
+              from q, generate_series(1, 64) t(i)
+              where i <= len(embedding)),
+    norms as (select vec_id,
+                     cast(sum(cast(x * x as decimal(20,12))) as double) as nrm2
+              from elems group by 1),
+    dots as (select a.vec_id as a_id, b.vec_id as b_id,
+                    cast(sum(cast(a.x * b.x as decimal(20,12))) as double) as dot
+             from elems a join elems b on a.i = b.i and a.vec_id < b.vec_id
+             group by 1, 2)
+    select a_id, b_id, dot / sqrt(na.nrm2 * nb.nrm2) as cos
+    from dots
+    join norms na on na.vec_id = a_id
+    join norms nb on nb.vec_id = b_id
+    where dot / sqrt(na.nrm2 * nb.nrm2) >= 0.25
+    """,
+)
+def llm_dedup_embed(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the semantic-dedup flavor):
+    all subset pairs (a<b) with cosine >= 0.25, decimal-exact arithmetic.
+    At corpus scale the subset-pair enumeration is replaced by the ANN
+    bucketing in operators/similarity.py (llm_sim_ann)."""
+    from minerva_etl_46_spark.operators.similarity import _dot_dec, _norm2_dec
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    n = emb.select(
+        F.col("vec_id"), F.col("embedding"), _norm2_dec(F.col("embedding")).alias("nrm2")
+    )
+    a = n.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"),
+                 F.col("nrm2").alias("a_nrm2"))
+    b = n.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"),
+                 F.col("nrm2").alias("b_nrm2"))
+    pairs = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+    cos = _dot_dec(F.col("a_vec"), F.col("b_vec")) / F.sqrt(
+        F.col("a_nrm2") * F.col("b_nrm2")
+    )
+    return (
+        pairs.select("a_id", "b_id", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.25)
+    )
