@@ -1,0 +1,148 @@
+"""End-to-end Minerva lifecycle (SURVEY.md §3): instance definition →
+harvest (CSV w/ entity resolution) → trend store upsert → materialization
+tick → trigger evaluation → notification store. One test, the whole story."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from minerva_etl_46_spark.catalog import Trend
+from minerva_etl_46_spark.functions.timestamps import G_1H
+from minerva_etl_46_spark.instance import (
+    AddTrend,
+    AddTrendStore,
+    ModifyTrend,
+    diff_instances,
+    instance_from_yaml,
+)
+from minerva_etl_46_spark.operators.rollup import time_rollup
+from minerva_etl_46_spark.plans.materialize import (
+    MaterializationEngine,
+    MaterializationSpec,
+)
+from minerva_etl_46_spark.plans.triggers import evaluate_rules
+from minerva_etl_46_spark.sources.harvest import (
+    align_package,
+    read_csv_harvest,
+    resolve_entities,
+)
+from minerva_etl_46_spark.sources.trendstore import TrendStorePartStorage
+
+INSTANCE_YAML = """
+trend_stores:
+  - data_source: pm
+    entity_type: Cell
+    granularity: 15m
+    partition_size_seconds: 3600
+    parts:
+      - name: traffic
+        trends:
+          - {name: calls, data_type: integer, time_aggregation: sum}
+          - {name: drops, data_type: integer, time_aggregation: sum}
+triggers:
+  - name: high_drop_rate
+    predicate: "drop_rate > 0.2 and calls >= 2"
+    weight: "cast(drop_rate * 100 as int)"
+    details: [drop_rate, calls]
+"""
+
+
+def test_yaml_instance_and_diff():
+    inst = instance_from_yaml(INSTANCE_YAML)
+    assert inst.trend_stores[0].gran.seconds == 900
+    assert inst.triggers[0].name == "high_drop_rate"
+    # diff: desired adds a trend and changes an aggregation
+    desired = instance_from_yaml(INSTANCE_YAML.replace(
+        "- {name: drops, data_type: integer, time_aggregation: sum}",
+        "- {name: drops, data_type: integer, time_aggregation: max}\n"
+        "          - {name: congestion, data_type: real}",
+    ))
+    changes = diff_instances(inst, desired)
+    assert AddTrend("pm/Cell/15m", "traffic", "congestion") in changes
+    assert any(isinstance(c, ModifyTrend) and c.trend == "drops" and c.new == "max"
+               for c in changes)
+    # empty → current yields pure adds
+    from minerva_etl_46_spark.catalog import Instance
+    assert diff_instances(Instance(), inst) == [AddTrendStore("pm/Cell/15m")]
+
+
+def test_full_lifecycle(spark, tmp_path):
+    # 1. instance definition
+    inst = instance_from_yaml(INSTANCE_YAML)
+    store_def = inst.trend_stores[0]
+
+    # 2. harvest: vendor CSV → entity resolution → grid alignment
+    csv = tmp_path / "pm.csv"
+    csv.write_text(
+        "dn,ts,calls,drops\n"
+        '"Net=1,Cell=A",2024-01-01 00:03:00,10,1\n'
+        '"Net=1,Cell=A",2024-01-01 00:07:00,4,3\n'
+        '"Net=1,Cell=B",2024-01-01 00:11:00,8,0\n'
+        '"Net=1,Cell=A",2024-01-01 00:21:00,5,2\n'
+    )
+    pkg = read_csv_harvest(
+        spark, str(csv), schema="dn string, ts timestamp, calls int, drops int"
+    )
+    entities = spark.createDataFrame(
+        [(1, "Net=1,Cell=A")], schema="entity_id long, name string"
+    )
+    resolved, new_ents = resolve_entities(pkg, entities)
+    assert new_ents.count() == 1  # Cell=B minted
+    # keep the raw record time: after grid alignment it versions keep-latest
+    resolved = resolved.withColumn("raw_ts", F.col("ts"))
+    aligned = align_package(resolved, "ts", store_def.gran)  # period-END grid
+
+    # 3. upsert into the raw trend store part (partitioned storage)
+    raw = TrendStorePartStorage(str(tmp_path), "traffic_15m",
+                                partition_size_s=store_def.partition_size_seconds)
+    raw.upsert(
+        aligned.select("entity_id", "ts", "raw_ts", "calls", "drops"),
+        keys=["entity_id", "ts"], version_cols=["raw_ts"], ts_col="ts",
+    )
+    # 00:03 and 00:07 collapse onto the same 00:15 grid point → keep-latest
+    assert raw.read(spark).count() == 3
+
+    # 4. materialize: 15m → 1h rollup driven by the modified log
+    target = TrendStorePartStorage(str(tmp_path), "traffic_1h", partition_size_s=3600)
+    trends = {
+        "calls": Trend("calls", time_aggregation="sum"),
+        "drops": Trend("drops", time_aggregation="sum"),
+    }
+
+    def src_fn(spark_, w_start, w_end):
+        rows = raw.read_window(spark_, w_start, w_end).filter(
+            (F.col("ts").cast("long") > w_start) & (F.col("ts").cast("long") <= w_end)
+        )  # period-END timestamps: (start, end] per Minerva convention
+        return time_rollup(rows, "entity_id", "ts", G_1H, trends, bucket_col="bucket")
+
+    spec = MaterializationSpec(
+        name="traffic_1h", granularity=G_1H, target=target, src_fn=src_fn,
+        sources=[raw], ts_col="bucket", reprocessing_period_s=10**12,
+    )
+    engine = MaterializationEngine(str(tmp_path))
+    done = engine.tick(spark, spec, now=4e9)
+    assert done
+
+    hourly = target.read(spark)
+    got = {(r["entity_id"], r["calls"], r["drops"]) for r in hourly.collect()}
+    cell_b = [t for t in got if t[1] == 8]
+    assert cell_b and cell_b[0][2] == 0
+    # Cell=A: 00:15 grid point kept latest (4 calls, 3 drops), + 00:30 (5, 2)
+    assert (1, 9, 5) in got
+
+    # 5. trigger evaluation over the rollup → notification store
+    kpi = hourly.select(
+        "entity_id",
+        F.timestamp_seconds("bucket").alias("ts"),
+        "calls", "drops",
+        (F.col("drops") / F.col("calls")).alias("drop_rate"),
+    )
+    notes = evaluate_rules(kpi, list(inst.triggers))
+    nstore = TrendStorePartStorage(str(tmp_path), "notifications", partition_size_s=3600)
+    nstore.write(notes, ts_col="ts")
+    stored = nstore.read(spark).collect()
+    assert len(stored) == 1  # only Cell=A breaches drop_rate 0.2 with calls>=2
+    n = stored[0]
+    assert n["rule"] == "high_drop_rate" and n["entity_id"] == 1
+    assert n["weight"] == int(5 / 9 * 100)
+    assert '"calls":9' in n["details"]
