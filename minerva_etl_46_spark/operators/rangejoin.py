@@ -1,0 +1,58 @@
+"""Bucketed range join (SURVEY.md §2.3 J8 — the scale path).
+
+Semantics: match (l, r) where l.key == r.key AND
+r.ts ∈ (l.ts + lower_s, l.ts + upper_s].
+
+A naive conditional join shuffles on the key alone, so one hot key degrades
+to a per-key cross product (quadratic in that key's rows). Bucketizing adds
+the TIME BUCKET to the join key: each right row lives in exactly one bucket
+of width B = upper_s − lower_s; each left row's window overlaps at most two
+buckets, so the left side explodes ×2 and the equi-join runs on
+(key, bucket). Per-task pair counts are bounded by rows-per-(key, bucket) —
+time-uniform data stays linear no matter how hot the key. The exact range
+predicate filters inside the bucket match (no duplicates possible: a right
+row's bucket is unique).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+) -> DataFrame:
+    """Inner bucketed range join; returns left columns + right columns.
+    Requires lower_s < upper_s. right_ts ∈ (left_ts+lower_s, left_ts+upper_s]."""
+    if not lower_s < upper_s:
+        raise ValueError("lower_s must be < upper_s")
+    bsize = upper_s - lower_s
+    l_epoch = F.col(left_ts).cast("long")
+    r_epoch = F.col(right_ts).cast("long")
+
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor((l_epoch + lower_s) / bsize),
+                F.floor((l_epoch + upper_s) / bsize),
+            )
+        ),
+    )
+    rb = right.withColumn("__bucket", F.floor(r_epoch / bsize))
+    # exact predicate on the RAW timestamps (µs precision): the second-cast
+    # is only safe for bucket assignment (an integer multiple of B can never
+    # fall inside the sub-second truncation gap), not for the boundary test
+    lo = F.col(left_ts) + F.expr(f"INTERVAL {lower_s} SECONDS")
+    hi = F.col(left_ts) + F.expr(f"INTERVAL {upper_s} SECONDS")
+    joined = lb.join(rb, [key, "__bucket"], "inner").filter(
+        (F.col(right_ts) > lo) & (F.col(right_ts) <= hi)
+    )
+    return joined.drop("__bucket")

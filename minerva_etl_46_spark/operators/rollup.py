@@ -27,12 +27,19 @@ from minerva_etl_46_spark.functions.kpi import DEC
 from minerva_etl_46_spark.functions.timestamps import Granularity, bucket_epoch
 
 
-def _agg_column(t: Trend, value_col: str, order_col: Column, kind: str = "time") -> Column:
+def _agg_column(t: Trend, value_col: str, order_col: Column, kind: str = "time",
+                exact: bool = True) -> Column:
     """Build the aggregate expression for one trend column.
 
     kind selects the declared function: 'time' (time_aggregation) or
     'entity' (entity_aggregation) — the two can differ per trend (e.g. a
     gauge averages over time but sums over entities).
+
+    exact=True routes double sums through the DECIMAL accumulator
+    (order-insensitive, oracle-reproducible — functions/kpi.py); it costs
+    ~2× on sum-heavy rollups (measured in scale_probe.py). Production
+    pipelines that tolerate double summation-order jitter set exact=False
+    for native codegen'd double sums.
 
     first/last use min_by/max_by over a deterministic ordering struct —
     Spark's bare first()/last() are order-dependent and non-deterministic
@@ -41,9 +48,13 @@ def _agg_column(t: Trend, value_col: str, order_col: Column, kind: str = "time")
     fn = t.time_aggregation if kind == "time" else t.entity_aggregation
     c = F.col(value_col)
     if fn == "sum":
+        if not exact:
+            return F.sum(c)
         # exact decimal accumulator: order-insensitive across partitions
         return F.sum(c.cast(DEC)).cast("double")
     if fn == "avg":
+        if not exact:
+            return F.avg(c)
         return F.sum(c.cast(DEC)).cast("double") / F.count(c)
     if fn == "min":
         return F.min(c)
@@ -73,16 +84,18 @@ def time_rollup(
     trends: Mapping[str, Trend],
     order_cols: tuple[str, ...] | None = None,
     bucket_col: str = "bucket",
+    exact: bool = True,
 ) -> DataFrame:
     """A1: roll raw rows up to (entity, granularity bucket).
 
     bucket is epoch-seconds of the period start (hash-stable; callers
     wanting Minerva's period-END timestamp add `granularity.seconds`).
     order_cols: deterministic ordering key for first/last trends
-    (defaults to (ts_col,)).
+    (defaults to (ts_col,)). exact: see _agg_column.
     """
     order = F.struct(*[F.col(c) for c in (order_cols or (ts_col,))])
-    aggs = [_agg_column(t, name, order).alias(name) for name, t in trends.items()]
+    aggs = [_agg_column(t, name, order, exact=exact).alias(name)
+            for name, t in trends.items()]
     return (
         df.groupBy(
             F.col(entity_col),

@@ -372,24 +372,29 @@ def join_anti(spark, sf_dir):
 )
 def join_range(spark, sf_dir):
     """J8: theta/range join — notifications correlated to a trailing trend
-    window [SURVEY.md §2.3 J8]. Equi-key (user) carries the join; the range
-    predicate filters inside each key group, so this is NOT a cross
-    product at scale (shuffle on user_id, AQE handles skew)."""
+    window [SURVEY.md §2.3 J8]. BUCKETED: the join key is (user, time
+    bucket), so a hot user never degrades to a per-key cross product
+    (operators/rangejoin.py). Left-join count semantics restored by
+    re-joining matched counts onto the full purchase set."""
+    from minerva_etl_46_spark.operators.rangejoin import bucketed_range_join
+
     e = load(spark, sf_dir, "events")
     p = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.col("ts").alias("p_ts")
     )
     err = e.filter(F.col("event_type") == "error").select(
-        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+        "user_id", F.col("ts").alias("e_ts")
     )
-    j = p.join(
-        err,
-        (p.user_id == err.e_user)
-        & (err.e_ts > p.p_ts - F.expr("INTERVAL 1 HOUR"))
-        & (err.e_ts <= p.p_ts),
-        "left",
+    pairs = bucketed_range_join(
+        p, err, key="user_id", left_ts="p_ts", right_ts="e_ts",
+        lower_s=-3600, upper_s=0,
     )
-    return j.groupBy("event_id", "user_id").agg(F.count("e_ts").alias("n_errors"))
+    counts = pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        p.join(counts, "event_id", "left")
+        .select("event_id", "user_id",
+                F.coalesce("__n", F.lit(0)).alias("n_errors"))
+    )
 
 
 @register(

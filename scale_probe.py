@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Scale probe: run the engine's core operator shapes on synthetic data
+~200x the sf0.1 fixtures (default 20M events, 100k entities) and print one
+JSON line per shape: wall-clock + shuffle (exchange) count.
+
+Purpose (SURVEY.md §6 / BASELINE scale target): measured evidence that the
+partition/shuffle strategy holds as data grows — rollups stay one-exchange,
+upsert work is bounded by touched partitions, the range join stays linear
+under a hot key. SCALE.md records results + extrapolation.
+
+SCALE_PROBE_ROWS=2000000 python scale_probe.py   # quicker variant
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from minerva_etl_46_spark.catalog import Trend
+from minerva_etl_46_spark.functions.timestamps import G_1H
+from minerva_etl_46_spark.operators.asof import asof_join
+from minerva_etl_46_spark.operators.rangejoin import bucketed_range_join
+from minerva_etl_46_spark.operators.rollup import time_rollup
+from minerva_etl_46_spark.operators.upsert import upsert_latest
+from minerva_etl_46_spark.operators.windows import topk_per_group
+from minerva_etl_46_spark.session import get_spark
+
+N = int(os.environ.get("SCALE_PROBE_ROWS", 20_000_000))
+USERS = max(1000, N // 200)
+SPAN_S = 30 * 86400
+BASE = 1704067200
+
+
+def synth_events(spark, n=N, hot_user_fraction=0.0):
+    e = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(BASE + (F.col("id") * 997) % SPAN_S).alias("ts"),
+        (F.xxhash64("id") % USERS).alias("user_id"),
+        ((F.col("id") % 100000) / 7.0).alias("value"),
+    )
+    if hot_user_fraction > 0:
+        # route a fraction of all rows onto one hot entity (skew stressor)
+        e = e.withColumn(
+            "user_id",
+            F.when(F.col("event_id") % int(1 / hot_user_fraction) == 0, F.lit(7))
+            .otherwise(F.col("user_id")),
+        )
+    return e
+
+
+def timed(label, df, results):
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    dt = round(time.perf_counter() - t0, 2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    results[label] = {
+        "sec": dt,
+        "exchanges": plan.count("Exchange "),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+    }
+    print(json.dumps({"shape": label, **results[label]}), flush=True)
+
+
+def main():
+    spark = get_spark(app_name="scale-probe")
+    res: dict = {}
+    e = synth_events(spark)
+
+    trends = {
+        "n": Trend("n", time_aggregation="count"),
+        "sum_value": Trend("sum_value", time_aggregation="sum"),
+    }
+    src = e.select("user_id", "ts", F.col("value").alias("n"),
+                   F.col("value").alias("sum_value"))
+    timed("agg_time_rollup", time_rollup(src, "user_id", "ts", G_1H, trends), res)
+
+    staged = e.filter(F.col("event_id") % 100 == 0).withColumn(
+        "value", F.col("value") + 1.0)
+    timed("upsert_keep_latest",
+          upsert_latest(e, staged, keys=["event_id"], version_cols=["value"]), res)
+
+    attrs = (
+        spark.range(USERS * 10)
+        .select(
+            (F.col("id") % USERS).alias("user_id"),
+            F.timestamp_seconds(BASE + (F.col("id") * 8887) % SPAN_S).alias("ats"),
+            (F.col("id") % 5).cast("double").alias("segment"),
+        )
+        .dropDuplicates(["user_id", "ats"])
+    )
+    timed("asof_join",
+          asof_join(e.select("event_id", "user_id", "ts"), attrs,
+                    on="user_id", fact_ts="ts", attr_ts="ats",
+                    value_cols=["segment"]), res)
+
+    hourly = time_rollup(src, "user_id", "ts", G_1H, trends)
+    timed("topk_per_bucket",
+          topk_per_group(hourly, ["bucket"], "sum_value", 5,
+                         tiebreak=["user_id"]), res)
+
+    p = e.filter(F.col("event_id") % 50 == 0).select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"))
+    err = e.filter(F.col("event_id") % 50 == 1).select(
+        "user_id", F.col("ts").alias("e_ts"))
+    timed("bucketed_range_join",
+          bucketed_range_join(p, err, key="user_id", left_ts="p_ts",
+                              right_ts="e_ts", lower_s=-3600, upper_s=0), res)
+
+    # hot-key stress: 10% of ALL rows on one user — the shape naive range
+    # joins die on
+    eh = synth_events(spark, hot_user_fraction=0.10)
+    ph = eh.filter(F.col("event_id") % 50 == 0).select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"))
+    errh = eh.filter(F.col("event_id") % 50 == 1).select(
+        "user_id", F.col("ts").alias("e_ts"))
+    timed("bucketed_range_join_hotkey",
+          bucketed_range_join(ph, errh, key="user_id", left_ts="p_ts",
+                              right_ts="e_ts", lower_s=-3600, upper_s=0), res)
+
+    print(json.dumps({"metric": "scale_probe", "rows": N, "users": USERS,
+                      "shapes": res}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
