@@ -1,0 +1,191 @@
+"""Command-line interface — the `minerva` CLI surface re-expressed
+(SURVEY.md §0 "Administer", §3; [ref: minerva-etl src/commands/* —
+UNVERIFIED [M]]).
+
+Subcommands mirror the reference verbs a migrating user runs today:
+
+  load-data     harvest a vendor CSV / 3GPP XML file into a trend store
+                (entity resolution + grid alignment + partitioned upsert)
+  materialize   one daemon tick for a registered materialization spec
+                (python path `module:attribute`)
+  trigger       run trigger rules from an instance YAML over a KPI dataset,
+                append notifications
+  diff          diff two instance-definition YAMLs → typed change list
+  retention     drop partitions older than N days from a store part
+
+python -m minerva_etl_46_spark.cli <subcommand> --help
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import json
+import sys
+
+from minerva_etl_46_spark.functions.timestamps import GRANULARITIES
+
+
+def _spark(args):
+    from minerva_etl_46_spark.session import get_spark
+
+    return get_spark(app_name=f"minerva-cli-{args.cmd}")
+
+
+def cmd_load_data(args) -> int:
+    from pyspark.sql import functions as F
+
+    from minerva_etl_46_spark.sources.harvest import (
+        align_package,
+        read_csv_harvest,
+        resolve_entities,
+    )
+    from minerva_etl_46_spark.sources.trendstore import TrendStorePartStorage
+
+    spark = _spark(args)
+    store = TrendStorePartStorage(args.base_dir, args.part,
+                                  partition_size_s=args.partition_size)
+    if args.format == "csv":
+        pkg = read_csv_harvest(spark, args.file, schema=args.schema)
+    else:
+        from minerva_etl_46_spark.sources.xml3gpp import harvest_3gpp_xml
+
+        long_rows = harvest_3gpp_xml(spark, [args.file])
+        pkg = (
+            long_rows.groupBy("dn", "ts").pivot("counter")
+            .agg(F.first("value"))
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+    entities_store = f"{args.base_dir}/_entities"
+    try:
+        entities = spark.read.parquet(entities_store)
+    except Exception:
+        entities = spark.createDataFrame([], schema="entity_id long, name string")
+    resolved, new_ents = resolve_entities(pkg, entities, dn_col=args.dn_col)
+    if new_ents.count() > 0:
+        new_ents.write.mode("append").parquet(entities_store)
+    resolved = resolved.withColumn("raw_ts", F.col(args.ts_col))
+    aligned = align_package(resolved, args.ts_col, GRANULARITIES[args.granularity])
+    value_cols = [c for c in aligned.columns
+                  if c not in (args.dn_col, args.ts_col, "raw_ts")]
+    touched = store.upsert(
+        aligned.select("entity_id", args.ts_col, "raw_ts",
+                       *[c for c in value_cols if c != "entity_id"]),
+        keys=["entity_id", args.ts_col],
+        version_cols=["raw_ts"],
+        ts_col=args.ts_col,
+    )
+    print(json.dumps({"loaded": args.file, "touched_partitions": touched}))
+    return 0
+
+
+def cmd_materialize(args) -> int:
+    from minerva_etl_46_spark.plans.materialize import MaterializationEngine
+
+    mod, attr = args.spec.split(":", 1)
+    spec = getattr(importlib.import_module(mod), attr)
+    if callable(spec):
+        spec = spec(args.base_dir)
+    spark = _spark(args)
+    engine = MaterializationEngine(args.base_dir)
+    done = engine.tick(spark, spec)
+    print(json.dumps({"materialized_windows": done}))
+    return 0
+
+
+def cmd_trigger(args) -> int:
+    from minerva_etl_46_spark.instance import instance_from_yaml
+    from minerva_etl_46_spark.plans.triggers import evaluate_rules
+    from minerva_etl_46_spark.sources.trendstore import TrendStorePartStorage
+
+    spark = _spark(args)
+    inst = instance_from_yaml(open(args.instance).read())
+    rules = [r for r in inst.triggers if not args.rule or r.name == args.rule]
+    if not rules:
+        print(f"no matching trigger rules in {args.instance}", file=sys.stderr)
+        return 2
+    kpi = spark.read.parquet(args.kpi)
+    notes = evaluate_rules(kpi, rules, entity_col=args.entity_col,
+                           ts_col=args.ts_col)
+    store = TrendStorePartStorage(args.base_dir, args.notification_store)
+    store.write(notes, ts_col=args.ts_col)
+    print(json.dumps({"notifications": notes.count(),
+                      "rules": [r.name for r in rules]}))
+    return 0
+
+
+def cmd_diff(args) -> int:
+    from minerva_etl_46_spark.instance import diff_instances, instance_from_yaml
+
+    cur = instance_from_yaml(open(args.current).read())
+    want = instance_from_yaml(open(args.desired).read())
+    for change in diff_instances(cur, want):
+        print(f"{type(change).__name__}: {change}")
+    return 0
+
+
+def cmd_retention(args) -> int:
+    import time
+
+    from minerva_etl_46_spark.sources.trendstore import TrendStorePartStorage
+
+    store = TrendStorePartStorage(args.base_dir, args.part)
+    cutoff = int(time.time()) - args.days * 86400
+    dropped = store.apply_retention(cutoff)
+    print(json.dumps({"dropped_partitions": dropped}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="minerva-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ld = sub.add_parser("load-data", help="harvest a vendor file into a trend store")
+    ld.add_argument("file")
+    ld.add_argument("--format", choices=["csv", "xml"], default="csv")
+    ld.add_argument("--schema", help="CSV schema DDL (required for csv)")
+    ld.add_argument("--base-dir", required=True)
+    ld.add_argument("--part", required=True)
+    ld.add_argument("--granularity", default="15m", choices=sorted(GRANULARITIES))
+    ld.add_argument("--partition-size", type=int, default=86400)
+    ld.add_argument("--dn-col", default="dn")
+    ld.add_argument("--ts-col", default="ts")
+    ld.set_defaults(fn=cmd_load_data)
+
+    mt = sub.add_parser("materialize", help="run one materialization tick")
+    mt.add_argument("--base-dir", required=True)
+    mt.add_argument("--spec", required=True,
+                    help="python path module:attr of a MaterializationSpec "
+                         "(or factory taking base_dir)")
+    mt.set_defaults(fn=cmd_materialize)
+
+    tr = sub.add_parser("trigger", help="evaluate trigger rules → notifications")
+    tr.add_argument("--instance", required=True, help="instance YAML with triggers")
+    tr.add_argument("--rule", help="run only this rule")
+    tr.add_argument("--kpi", required=True, help="parquet path of the KPI frame")
+    tr.add_argument("--base-dir", required=True)
+    tr.add_argument("--notification-store", default="notifications")
+    tr.add_argument("--entity-col", default="entity_id")
+    tr.add_argument("--ts-col", default="ts")
+    tr.set_defaults(fn=cmd_trigger)
+
+    df = sub.add_parser("diff", help="diff two instance YAMLs")
+    df.add_argument("current")
+    df.add_argument("desired")
+    df.set_defaults(fn=cmd_diff)
+
+    rt = sub.add_parser("retention", help="drop partitions past retention")
+    rt.add_argument("--base-dir", required=True)
+    rt.add_argument("--part", required=True)
+    rt.add_argument("--days", type=int, required=True)
+    rt.set_defaults(fn=cmd_retention)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1448,3 +1448,55 @@ def llm_dedup_embed(spark, sf_dir):
         pairs.select("a_id", "b_id", cos.alias("cos"))
         .filter(F.col("cos") >= 0.25)
     )
+
+
+@register(
+    "kpi_expr",
+    oracle=f"""
+    with h as (
+      select user_id, {sql_bucket_epoch('ts', G_1H)} as bucket,
+             count(*) as n, {sql_dsum('value')} as sum_value,
+             count(case when event_type = 'error' then 1 end) as n_errors
+      from {EV} group by 1, 2)
+    select user_id, bucket, n, sum_value,
+           case when n <> 0 then sum_value / n end as avg_value,
+           case when n <> 0 then n_errors / (n * 1.0) end as error_rate,
+           case when sum_value > 1000.0 then 'high'
+                when sum_value > 100.0 then 'mid' else 'low' end as load_class
+    from h
+    """,
+)
+def kpi_expr(spark, sf_dir):
+    """§2.10: KPI definitions as SQL expression strings over a trend
+    rollup — the reference's generated-KPI-view shape, via F.expr
+    passthrough (functions/kpiview.py). The KPI dict is data, exactly like
+    instance YAML."""
+    from minerva_etl_46_spark.functions.kpiview import kpi_view
+
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", bucket_epoch("ts", G_1H).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("sum_value"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+    kpis = {
+        "avg_value": "case when n <> 0 then sum_value / n end",
+        "error_rate": "case when n <> 0 then n_errors / (n * 1.0) end",
+        "load_class": ("case when sum_value > 1000.0 then 'high' "
+                       "when sum_value > 100.0 then 'mid' else 'low' end"),
+    }
+    return kpi_view(hourly, kpis, keep=["user_id", "bucket", "n", "sum_value"])
+
+
+@register("agg_approx")  # rows-only: approximate results have no exact oracle
+def agg_approx(spark, sf_dir):
+    """A4 at scale: the approximate variants a 100 TB pipeline uses instead
+    of exact distinct/percentile (no expand+reshuffle, mergeable sketches).
+    HLL++ and GK-quantile via built-ins; rows-only check by design."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+    )

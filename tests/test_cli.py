@@ -1,0 +1,105 @@
+"""CLI surface: load-data (csv + 3GPP xml), trigger, diff, retention."""
+
+from __future__ import annotations
+
+import json
+
+from minerva_etl_46_spark.cli import main
+from minerva_etl_46_spark.sources.trendstore import TrendStorePartStorage
+
+from tests.test_xml_harvest import XML
+
+INSTANCE = """
+triggers:
+  - name: hot
+    predicate: "v > 5"
+    weight: "cast(v as int)"
+    details: [v]
+"""
+
+
+def test_cli_load_data_csv_and_retention(spark, tmp_path, capsys):
+    csv = tmp_path / "pm.csv"
+    csv.write_text(
+        "dn,ts,calls\n"
+        '"Net=1,Cell=A",2024-01-01 00:03:00,10\n'
+        '"Net=1,Cell=B",2024-06-01 00:11:00,8\n'
+    )
+    rc = main([
+        "load-data", str(csv), "--schema", "dn string, ts timestamp, calls int",
+        "--base-dir", str(tmp_path), "--part", "traffic",
+        "--granularity", "15m",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["touched_partitions"]) == 2
+    st = TrendStorePartStorage(str(tmp_path), "traffic")
+    assert st.read(spark).count() == 2
+    # second load is idempotent (same keys, same versions)
+    main([
+        "load-data", str(csv), "--schema", "dn string, ts timestamp, calls int",
+        "--base-dir", str(tmp_path), "--part", "traffic",
+        "--granularity", "15m",
+    ])
+    assert st.read(spark).count() == 2
+    # retention: both 2024 partitions are long past a 30-day horizon —
+    # whole partition dirs drop (an all-dropped store has no schema left
+    # to read, so check the filesystem, not a scan)
+    rc = main(["retention", "--base-dir", str(tmp_path), "--part", "traffic",
+               "--days", "30"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["dropped_partitions"]) == 2
+    import os
+    left = [e for e in os.listdir(st.path) if e.startswith("p_bucket=")]
+    assert left == []
+
+
+def test_cli_load_data_xml(spark, tmp_path, capsys):
+    x = tmp_path / "meas.xml"
+    x.write_text(XML)
+    rc = main([
+        "load-data", str(x), "--format", "xml",
+        "--base-dir", str(tmp_path), "--part", "from_xml",
+        "--granularity", "15m",
+    ])
+    assert rc == 0
+    st = TrendStorePartStorage(str(tmp_path), "from_xml")
+    rows = st.read(spark).collect()
+    assert len(rows) == 2  # two cells, counters pivoted to columns
+    cols = set(rows[0].asDict())
+    assert {"attTCHSeizures", "succTCHSeizures", "entity_id"} <= cols
+
+
+def test_cli_trigger_and_diff(spark, tmp_path, capsys):
+    inst = tmp_path / "instance.yaml"
+    inst.write_text(INSTANCE)
+    kpi = tmp_path / "kpi"
+    spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00", 9.0), (2, "2024-01-01 01:00:00", 2.0)],
+        schema="entity_id long, ts string, v double",
+    ).selectExpr("entity_id", "cast(ts as timestamp) ts", "v") \
+        .write.parquet(str(kpi))
+    rc = main([
+        "trigger", "--instance", str(inst), "--kpi", str(kpi),
+        "--base-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"notifications": 1, "rules": ["hot"]}
+
+    cur = tmp_path / "cur.yaml"
+    cur.write_text("trend_stores: []\n")
+    want = tmp_path / "want.yaml"
+    want.write_text(
+        "trend_stores:\n"
+        "  - {data_source: pm, entity_type: Cell, granularity: 15m, parts: []}\n"
+    )
+    rc = main(["diff", str(cur), str(want)])
+    assert rc == 0
+    assert "AddTrendStore" in capsys.readouterr().out
+    # unknown rule name → error exit
+    assert main([
+        "trigger", "--instance", str(inst), "--rule", "nope",
+        "--kpi", str(kpi), "--base-dir", str(tmp_path),
+    ]) == 2
