@@ -1500,3 +1500,67 @@ def agg_approx(spark, sf_dir):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
     )
+
+
+@register(
+    "win_sessionize",
+    oracle=f"""
+    with e as (select * from {EV}),
+    g as (select user_id, event_id, ts,
+                 case when lag(ts) over w is null
+                        or epoch(ts) - epoch(lag(ts) over w) > 1800
+                      then 1 else 0 end as is_new
+          from e window w as (partition by user_id order by ts, event_id)),
+    s as (select user_id, event_id,
+                 sum(is_new) over (partition by user_id order by ts, event_id
+                                   rows unbounded preceding) as session_id
+          from g)
+    select user_id, session_id, count(*) as n_events
+    from s group by 1, 2
+    """,
+)
+def win_sessionize(spark, sf_dir):
+    """Sessionization (bonus; absent in the reference): 30-minute
+    inactivity gap → new session. lag + running-sum of boundaries — the
+    standard one-sort pattern; `session_window` is the streaming twin
+    (stream_sliding's sibling). Gap test on epoch seconds (double, µs
+    fraction included) identically in both engines."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    gap = F.col("ts").cast("double") - prev.cast("double")
+    is_new = F.when(prev.isNull() | (gap > 1800.0), 1).otherwise(0)
+    s = e.withColumn("session_id", F.sum(is_new).over(run))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle=f"""
+    select user_id,
+           {sql_dsum("case when event_type = 'view' then value end")} as view_value,
+           {sql_dsum("case when event_type = 'click' then value end")} as click_value,
+           {sql_dsum("case when event_type = 'purchase' then value end")} as purchase_value,
+           cast(count(case when event_type = 'error' then 1 end) as bigint) as n_errors
+    from {EV} group by 1
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot (bonus): per-entity counters fanned to columns — the wide
+    trend-store-part shape built from an event stream. Explicit pivot
+    values (no second pass to discover them); decimal-exact sums. NULL
+    when an entity never saw the event type (matches SQL conditional
+    aggregation)."""
+    e = load(spark, sf_dir, "events")
+    def _case(t):
+        return F.when(F.col("event_type") == t, F.col("value"))
+    return e.groupBy("user_id").agg(
+        dsum_expr(_case("view")).alias("view_value"),
+        dsum_expr(_case("click")).alias("click_value"),
+        dsum_expr(_case("purchase")).alias("purchase_value"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
