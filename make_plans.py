@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: executed (AQE-final) physical plans of the headline
+operators with the scale property each must keep. Run after plan-shape
+changes; diff review of PLANS.md is the perf-regression signal."""
+
+from __future__ import annotations
+
+from minerva_etl_46_spark.queries import QUERIES
+from minerva_etl_46_spark.session import get_spark
+
+SF = "/root/testdata/sf0.01"
+
+NOTES = {
+    "agg_time": "ONE exchange (the groupBy's own); partial HashAggregate "
+                "before it — map-side combine at any scale.",
+    "filter_ts_range": "Range bounds pushed as raw-long PushedFilters → "
+                       "parquet row-group pruning.",
+    "join_dim": "Both dimension joins are BroadcastHashJoin — zero shuffle "
+                "of the fact side.",
+    "topk_per_group": "WindowGroupLimit before the sort: per-partition "
+                      "streaming top-k, never a full per-group sort.",
+    "join_range": "SortMergeJoin on (user_id, time-bucket): the bucket key "
+                  "bounds per-task pair counts under hot keys.",
+    "join_asof": "Union-tag as-of: one exchange per side into a single "
+                 "window sort — no range cross-product.",
+    "upsert_latest": "Single window exchange; production bounds it per "
+                     "touched partition (trendstore.upsert).",
+}
+
+
+def main() -> None:
+    spark = get_spark(app_name="make-plans", cpus=8, shuffle_partitions=8)
+    out = [
+        "# PLANS — executed physical plans of headline operators "
+        "(sf0.01, AQE final plans)",
+        "",
+        "Regenerate: `python make_plans.py`. Annotations state the property "
+        "each plan",
+        "must keep at 100 TB; `.explain` drift here is a perf regression "
+        "signal.",
+        "",
+    ]
+    for key, note in NOTES.items():
+        df = QUERIES[key](spark, SF)
+        df.write.format("noop").mode("overwrite").save()  # resolve AQE plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = [ln.rstrip() for ln in plan.splitlines() if ln.strip()]
+        lines = [ln if len(ln) <= 150 else ln[:147] + "..." for ln in lines][:40]
+        out += [f"## {key}", "", note, "", "```", *lines, "```", ""]
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -103,3 +103,42 @@ def test_cli_trigger_and_diff(spark, tmp_path, capsys):
         "trigger", "--instance", str(inst), "--rule", "nope",
         "--kpi", str(kpi), "--base-dir", str(tmp_path),
     ]) == 2
+
+
+def test_cli_end_to_end_load_materialize_trigger(spark, tmp_path, capsys):
+    """The reference's daily loop through the CLI: load-data → materialize
+    (example spec by python path) → trigger from the example instance."""
+    csv = tmp_path / "pm.csv"
+    csv.write_text(
+        "dn,ts,calls,drops\n"
+        '"Net=1,Cell=A",2024-01-01 00:03:00,10,1\n'
+        '"Net=1,Cell=A",2024-01-01 00:21:00,5,4\n'
+        '"Net=1,Cell=B",2024-01-01 00:11:00,8,0\n'
+    )
+    assert main([
+        "load-data", str(csv),
+        "--schema", "dn string, ts timestamp, calls int, drops int",
+        "--base-dir", str(tmp_path), "--part", "traffic",
+        "--granularity", "15m", "--partition-size", "3600",
+    ]) == 0
+    assert main([
+        "materialize", "--base-dir", str(tmp_path),
+        "--spec", "examples.pm_instance.specs:hourly_traffic",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["materialized_windows"]
+
+    hourly = TrendStorePartStorage(str(tmp_path), "traffic_1h")
+    kpi_path = str(tmp_path / "kpi_1h")
+    from pyspark.sql import functions as F
+    hourly.read(spark).select(
+        "entity_id", F.timestamp_seconds("bucket").alias("ts"),
+        "calls", "drops", (F.col("drops") / F.col("calls")).alias("drop_rate"),
+    ).write.parquet(kpi_path)
+
+    assert main([
+        "trigger", "--instance", "examples/pm_instance/instance.yaml",
+        "--kpi", kpi_path, "--base-dir", str(tmp_path),
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["notifications"] == 1  # Cell=A: 5/15 drop rate breaches 0.2
