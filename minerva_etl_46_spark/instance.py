@@ -127,7 +127,51 @@ class ModifyTrend:
     new: object
 
 
-Change = AddTrendStore | RemoveTrendStore | AddTrend | RemoveTrend | ModifyTrend
+@dataclass(frozen=True)
+class AddAttributeStore:
+    store_key: str
+
+
+@dataclass(frozen=True)
+class RemoveAttributeStore:
+    store_key: str
+
+
+@dataclass(frozen=True)
+class AddAttribute:
+    store_key: str
+    attribute: str
+
+
+@dataclass(frozen=True)
+class RemoveAttribute:
+    store_key: str
+    attribute: str
+
+
+@dataclass(frozen=True)
+class AddTrigger:
+    name: str
+
+
+@dataclass(frozen=True)
+class RemoveTrigger:
+    name: str
+
+
+@dataclass(frozen=True)
+class ModifyTrigger:
+    name: str
+    field: str
+    old: object
+    new: object
+
+
+Change = (
+    AddTrendStore | RemoveTrendStore | AddTrend | RemoveTrend | ModifyTrend
+    | AddAttributeStore | RemoveAttributeStore | AddAttribute | RemoveAttribute
+    | AddTrigger | RemoveTrigger | ModifyTrigger
+)
 
 
 def _store_key(ts: TrendStore) -> str:
@@ -158,4 +202,33 @@ def diff_instances(current: Instance, desired: Instance) -> list[Change]:
                     o, n = getattr(ct[t], fieldname), getattr(wt[t], fieldname)
                     if o != n:
                         changes.append(ModifyTrend(k, pname, t, fieldname, o, n))
+
+    def akey(a) -> str:
+        return f"{a.data_source}/{a.entity_type}"
+
+    acur = {akey(a): a for a in current.attribute_stores}
+    awant = {akey(a): a for a in desired.attribute_stores}
+    for k in sorted(awant.keys() - acur.keys()):
+        changes.append(AddAttributeStore(k))
+    for k in sorted(acur.keys() - awant.keys()):
+        changes.append(RemoveAttributeStore(k))
+    for k in sorted(acur.keys() & awant.keys()):
+        ca = {t.name for t in acur[k].attributes}
+        wa = {t.name for t in awant[k].attributes}
+        for a in sorted(wa - ca):
+            changes.append(AddAttribute(k, a))
+        for a in sorted(ca - wa):
+            changes.append(RemoveAttribute(k, a))
+
+    tcur = {t.name: t for t in current.triggers}
+    twant = {t.name: t for t in desired.triggers}
+    for n in sorted(twant.keys() - tcur.keys()):
+        changes.append(AddTrigger(n))
+    for n in sorted(tcur.keys() - twant.keys()):
+        changes.append(RemoveTrigger(n))
+    for n in sorted(tcur.keys() & twant.keys()):
+        for fieldname in ("predicate_sql", "weight_sql", "details_cols"):
+            o, w = getattr(tcur[n], fieldname), getattr(twant[n], fieldname)
+            if o != w:
+                changes.append(ModifyTrigger(n, fieldname, o, w))
     return changes

@@ -1,0 +1,75 @@
+"""Data-service query API (SURVEY.md §2.6 O1/O2; [ref: minerva-service /
+minerva data-service REST API — UNVERIFIED [L]]).
+
+The reference exposes trend/attribute data over a small query API: select
+a store part, a set of entities, a time range and columns, get ordered,
+paginated rows. Re-expressed as composable DataFrame builders so the whole
+request compiles to ONE Catalyst plan: partition-pruned range scan →
+optional broadcast semi-join on the entity set → column pruning → order →
+keyset pagination.
+
+Pagination is KEYSET (after-tuple), not offset: OFFSET n forces the
+executor to produce and discard n rows per page; the keyset predicate
+pushes straight into the scan range. Page stability follows from the
+deterministic (ts, entity_id) order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minerva_etl_46_spark.sources.trendstore import TrendStorePartStorage
+
+
+@dataclass
+class TrendQuery:
+    """One data-service request."""
+
+    part: TrendStorePartStorage
+    start_epoch: int
+    end_epoch: int
+    columns: list[str] = field(default_factory=list)   # [] → all counters
+    entity_ids: list[int] | None = None                # None → all entities
+    entity_set: DataFrame | None = None                # semi-join restriction
+    page_size: int = 1000
+    after: tuple[int, int] | None = None               # keyset (ts_epoch, entity_id)
+
+    def run(self, spark: SparkSession, entity_col: str = "entity_id",
+            ts_col: str = "ts") -> DataFrame:
+        df = self.part.read_window(spark, self.start_epoch, self.end_epoch)
+        ts_epoch = F.col(ts_col).cast("long")
+        df = df.filter((ts_epoch >= self.start_epoch) & (ts_epoch < self.end_epoch))
+        if self.entity_ids is not None:
+            df = df.filter(F.col(entity_col).isin([int(e) for e in self.entity_ids]))
+        if self.entity_set is not None:
+            df = df.join(F.broadcast(self.entity_set), entity_col, "left_semi")
+        if self.columns:
+            df = df.select(entity_col, ts_col, *self.columns)
+        else:
+            df = df.drop("p_bucket")
+        if self.after is not None:
+            a_ts, a_ent = self.after
+            df = df.filter(
+                (ts_epoch > a_ts)
+                | ((ts_epoch == a_ts) & (F.col(entity_col) > a_ent))
+            )
+        return df.orderBy(ts_col, entity_col).limit(self.page_size)
+
+
+def page_through(spark: SparkSession, query: TrendQuery,
+                 entity_col: str = "entity_id", ts_col: str = "ts"):
+    """Generator over full pages — each page is one bounded Spark job."""
+    after = query.after
+    while True:
+        q = TrendQuery(**{**query.__dict__, "after": after})
+        rows = q.run(spark, entity_col, ts_col).collect()
+        if not rows:
+            return
+        yield rows
+        last = rows[-1]
+        after = (int(last[ts_col].timestamp()), last[entity_col])
+        if len(rows) < query.page_size:
+            return

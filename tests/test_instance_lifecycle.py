@@ -61,9 +61,14 @@ def test_yaml_instance_and_diff():
     assert AddTrend("pm/Cell/15m", "traffic", "congestion") in changes
     assert any(isinstance(c, ModifyTrend) and c.trend == "drops" and c.new == "max"
                for c in changes)
-    # empty → current yields pure adds
+    # empty → current yields pure adds (store + trigger)
     from minerva_etl_46_spark.catalog import Instance
-    assert diff_instances(Instance(), inst) == [AddTrendStore("pm/Cell/15m")]
+    from minerva_etl_46_spark.instance import AddTrigger
+
+    adds = diff_instances(Instance(), inst)
+    assert AddTrendStore("pm/Cell/15m") in adds
+    assert AddTrigger("high_drop_rate") in adds
+    assert len(adds) == 2
 
 
 def test_full_lifecycle(spark, tmp_path):
@@ -146,3 +151,42 @@ def test_full_lifecycle(spark, tmp_path):
     assert n["rule"] == "high_drop_rate" and n["entity_id"] == 1
     assert n["weight"] == int(5 / 9 * 100)
     assert '"calls":9' in n["details"]
+
+
+def test_diff_attribute_stores_and_triggers():
+    from minerva_etl_46_spark.instance import (
+        AddAttribute,
+        AddAttributeStore,
+        ModifyTrigger,
+        RemoveTrigger,
+    )
+
+    cur = instance_from_yaml("""
+attribute_stores:
+  - data_source: inv
+    entity_type: Cell
+    attributes:
+      - {name: plan}
+triggers:
+  - {name: a, predicate: "x > 1", weight: "1"}
+  - {name: gone, predicate: "y > 1", weight: "1"}
+""")
+    want = instance_from_yaml("""
+attribute_stores:
+  - data_source: inv
+    entity_type: Cell
+    attributes:
+      - {name: plan}
+      - {name: region}
+  - data_source: inv
+    entity_type: Site
+    attributes: []
+triggers:
+  - {name: a, predicate: "x > 2", weight: "1"}
+""")
+    changes = diff_instances(cur, want)
+    assert AddAttributeStore("inv/Site") in changes
+    assert AddAttribute("inv/Cell", "region") in changes
+    assert RemoveTrigger("gone") in changes
+    assert any(isinstance(c, ModifyTrigger) and c.name == "a"
+               and c.new == "x > 2" for c in changes)

@@ -1,0 +1,45 @@
+"""Data-service API: pruned range scan, entity restriction, keyset pages."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from minerva_etl_46_spark.service import TrendQuery, page_through
+from minerva_etl_46_spark.sources.trendstore import TrendStorePartStorage
+
+H0 = 1704067200  # 2024-01-01T00:00Z
+
+
+def _store(spark, tmp_path):
+    st = TrendStorePartStorage(str(tmp_path), "svc", partition_size_s=3600)
+    rows = [(e, H0 + 600 * i, float(e * 100 + i))
+            for e in (1, 2, 3) for i in range(12)]  # 2h per entity
+    df = spark.createDataFrame(
+        rows, schema="entity_id long, epoch long, v double"
+    ).select("entity_id", F.timestamp_seconds("epoch").alias("ts"), "v")
+    st.write(df, ts_col="ts")
+    return st
+
+
+def test_query_range_columns_entities(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    q = TrendQuery(part=st, start_epoch=H0, end_epoch=H0 + 3600,
+                   columns=["v"], entity_ids=[1, 3])
+    got = q.run(spark).collect()
+    assert len(got) == 12  # 2 entities x 6 rows in hour 0
+    assert {r["entity_id"] for r in got} == {1, 3}
+    assert got[0].asDict().keys() == {"entity_id", "ts", "v"}
+
+
+def test_keyset_pagination_is_complete_and_stable(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    q = TrendQuery(part=st, start_epoch=H0, end_epoch=H0 + 7200,
+                   columns=["v"], page_size=7)
+    pages = list(page_through(spark, q))
+    all_rows = [r for p in pages for r in p]
+    assert len(all_rows) == 36
+    assert all(len(p) <= 7 for p in pages)
+    # no dup, no gap: keyset ordering covers every (ts, entity) exactly once
+    keys = [(r["ts"], r["entity_id"]) for r in all_rows]
+    assert len(set(keys)) == 36
+    assert keys == sorted(keys)

@@ -1,0 +1,44 @@
+"""applyInPandasWithState: per-entity state must carry across micro-batches
+and converge to the batch ground truth."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from minerva_etl_46_spark.streaming.stateful import run_running_totals
+
+SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+def test_running_totals_converge_to_batch(spark, tmp_path):
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    events = df.select("event_id", "ts", "user_id", "value").filter(
+        F.col("user_id") < 10
+    )
+    src = os.path.join(str(tmp_path), "stream_src")
+    # three files → three micro-batches → state must persist between them
+    for i in range(3):
+        events.filter(F.col("event_id") % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    updates = run_running_totals(spark, src, SCHEMA).toPandas()
+    assert len(updates) > 0
+    # a user seen in several batches produced several update rows
+    assert updates.groupby("user_id").size().max() > 1
+
+    # final (largest-n) update per user == batch totals
+    final = updates.sort_values("n").groupby("user_id").tail(1) \
+        .set_index("user_id")
+    want = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .toPandas().set_index("user_id")
+    )
+    assert set(final.index) == set(want.index)
+    for uid in want.index:
+        assert final.loc[uid, "n"] == want.loc[uid, "n"]
+        assert abs(final.loc[uid, "total"] - want.loc[uid, "total"]) < 1e-6
