@@ -1460,7 +1460,7 @@ def llm_dedup_embed(spark, sf_dir):
       from {EV} group by 1, 2)
     select user_id, bucket, n, sum_value,
            case when n <> 0 then sum_value / n end as avg_value,
-           case when n <> 0 then n_errors / (n * 1.0) end as error_rate,
+           case when n <> 0 then n_errors / cast(n as double) end as error_rate,
            case when sum_value > 1000.0 then 'high'
                 when sum_value > 100.0 then 'mid' else 'low' end as load_class
     from h
@@ -1483,7 +1483,7 @@ def kpi_expr(spark, sf_dir):
     )
     kpis = {
         "avg_value": "case when n <> 0 then sum_value / n end",
-        "error_rate": "case when n <> 0 then n_errors / (n * 1.0) end",
+        "error_rate": "case when n <> 0 then n_errors / cast(n as double) end",
         "load_class": ("case when sum_value > 1000.0 then 'high' "
                        "when sum_value > 100.0 then 'mid' else 'low' end"),
     }
@@ -1563,4 +1563,73 @@ def agg_pivot(spark, sf_dir):
         dsum_expr(_case("click")).alias("click_value"),
         dsum_expr(_case("purchase")).alias("purchase_value"),
         F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+
+
+@register(
+    "llm_vocab",
+    oracle="""
+    with tok as (select unnest(string_split(lower(text), ' ')) as token
+                 from documents),
+    freq as (select token, count(*) as freq from tok group by 1),
+    ranked as (select token, freq,
+                      row_number() over (order by freq desc, token) as token_id
+               from freq)
+    select token, token_id, freq from ranked where token_id <= 1000
+    """,
+)
+def llm_vocab(spark, sf_dir):
+    """Vocabulary building for tokenization: top-1000 corpus tokens by
+    frequency with deterministic ids (freq desc, token asc). One explode +
+    one hash-agg + a global top-k (rank<=k rewrites to per-partition
+    top-k; the vocab table is tiny and broadcastable downstream)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    return (
+        freq.withColumn("token_id", F.row_number().over(w))
+        .filter(F.col("token_id") <= 1000)
+        .select("token", "token_id", "freq")
+    )
+
+
+@register(
+    "llm_split",
+    oracle="""
+    select doc_id,
+           case when cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 8))
+                     as bigint) % 100 < 90
+                then 'train' else 'eval' end as split
+    from documents
+    """,
+)
+def llm_split(spark, sf_dir):
+    """Deterministic train/eval split: md5-derived 90/10 assignment keyed
+    on the document id — reproducible across engines, runs and cluster
+    sizes (never random(), never row position)."""
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10) \
+        .cast("long")
+    return d.select(
+        "doc_id",
+        F.when(h % 100 < 90, "train").otherwise("eval").alias("split"),
+    )
+
+
+@register("llm_cluster")  # rows-only: iterative MLlib fit, no SQL oracle
+def llm_cluster(spark, sf_dir):
+    """Embedding clustering (corpus organization / stratified sampling):
+    seeded KMeans over the embedding column via spark.ml. Deterministic
+    with a fixed seed but iterative — no SQL oracle; rows-only check.
+    Output: vec_id, cluster, plus squared distance to the centroid."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=8, seed=42, maxIter=20).fit(emb)
+    return model.transform(emb).select(
+        "vec_id", F.col("prediction").alias("cluster")
     )

@@ -34,7 +34,7 @@ def test_all_keys_have_oracle_or_are_documented():
     missing = set(_QUERIES) - set(_ORACLES)
     # rows-only keys must be a deliberate, named choice
     allowed_rows_only = {"llm_dedup_near", "llm_sim_ann", "mm_extract",
-                         "agg_approx"}
+                         "agg_approx", "llm_cluster"}
     assert missing <= allowed_rows_only, f"undocumented rows-only keys: {missing}"
 
 
@@ -42,6 +42,14 @@ def test_all_keys_have_oracle_or_are_documented():
 def test_parity(key, spark, duck):
     q = _QUERIES[key]
     sdf = q(spark, SF_DIR)
+    # decimal outputs are a type-drift trap (e.g. a bare `1.0` literal is
+    # DECIMAL(2,1) in Spark SQL): they pandas-convert to Decimal objects
+    # and hash-diverge from DuckDB doubles. Cast to double at the source.
+    from pyspark.sql import types as T
+
+    decimals = [f.name for f in sdf.schema.fields
+                if isinstance(f.dataType, T.DecimalType)]
+    assert not decimals, f"{key}: decimal-typed output columns {decimals}"
     spark_pdf = sdf.toPandas()
     if key not in _ORACLES:
         assert len(spark_pdf) >= 0  # rows-only check
