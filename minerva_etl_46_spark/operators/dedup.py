@@ -181,3 +181,56 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("i")).cast("long")).otherwise(0)
         ).alias("simhash")
     )
+
+
+def connected_components(edges: DataFrame, a_col: str = "a_id",
+                         b_col: str = "b_id", max_iter: int = 20) -> DataFrame:
+    """Dedup group formation: connected components over the near-dup pair
+    graph → (node, group_id = min doc id in the component).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup components are tiny — pairs,
+    chains of mutated copies). Each round is one shuffle; the frame is
+    pair-scale, not corpus-scale. localCheckpoint per round keeps the plan
+    from growing unboundedly (lineage cut, not caching semantics).
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label")))
+                .alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("group_id"))

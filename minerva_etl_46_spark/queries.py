@@ -1633,3 +1633,66 @@ def llm_cluster(spark, sf_dir):
     return model.transform(emb).select(
         "vec_id", F.col("prediction").alias("cluster")
     )
+
+
+@register(
+    "llm_dedup_groups",
+    oracle="""
+    with recursive d0 as (select doc_id, lower(text) as text from documents
+                where doc_id % 20 = 0),
+    corpus as (select * from d0
+               union all
+               select doc_id + 1000000, text || ' tail extra token' from d0),
+    t as (select doc_id, string_split(text, ' ') as toks from corpus),
+    sh as (select distinct doc_id,
+                  unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                         i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) as sh
+           from t),
+    sizes as (select doc_id, count(*) as n_sh from sh group by 1),
+    inter as (select a.doc_id as a_id, b.doc_id as b_id, count(*) as n_inter
+              from sh a join sh b on a.sh = b.sh and a.doc_id < b.doc_id
+              group by 1, 2),
+    edges as (select a_id, b_id from inter
+              join sizes sa on sa.doc_id = a_id
+              join sizes sb on sb.doc_id = b_id
+              where n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.3),
+    sym as (select a_id as src, b_id as dst from edges
+            union select b_id, a_id from edges),
+    nodes as (select distinct src as node from sym),
+    reach as (
+      select node, node as label from nodes
+      union
+      select s.dst as node, r.label
+      from reach r join sym s on s.src = r.node
+    )
+    select node, min(label) as group_id from reach group by node
+    """,
+)
+def llm_dedup_groups(spark, sf_dir):
+    """Dedup group formation: exact-Jaccard edges (>=0.3) over a subset
+    corpus with injected near-copies → connected components → canonical
+    (min-id) group per doc. Spark: iterative min-label propagation
+    (operators/dedup.py); oracle: DuckDB recursive CTE reachability."""
+    from minerva_etl_46_spark.operators.dedup import connected_components
+
+    d0 = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", F.lower(F.col("text")).alias("text"))
+    )
+    corpus = d0.unionByName(
+        d0.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                  F.concat(F.col("text"), F.lit(" tail extra token")).alias("text"))
+    )
+    sh = corpus.select(
+        F.col("doc_id"), F.explode(F.array_distinct(shingles("text", 3))).alias("sh")
+    )
+    pairs = (
+        sh.select(F.col("doc_id").alias("a_id"), "sh")
+        .join(sh.select(F.col("doc_id").alias("b_id"), "sh"), "sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id").distinct()
+    )
+    edges = jaccard_verify(corpus, pairs, id_col="doc_id", text_col="text",
+                           threshold=0.3).select("a_id", "b_id")
+    return connected_components(edges)

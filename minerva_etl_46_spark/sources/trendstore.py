@@ -130,3 +130,26 @@ class TrendStorePartStorage:
                     shutil.rmtree(os.path.join(self.path, entry))
                     dropped.append(b)
         return sorted(dropped)
+
+
+def compact_partitions(storage: TrendStorePartStorage, spark: SparkSession,
+                       target_files_per_partition: int = 1) -> int:
+    """Small-file compaction (operational need S6-adjacent): repeated
+    incremental upserts leave each partition with one file per write;
+    at fleet scale that degrades scan planning and NameNode/listing cost.
+    Rewrites every partition directory to N files. Returns partitions
+    compacted. Run off-peak; the rewrite is per-partition-bounded work."""
+    if not os.path.isdir(storage.path):
+        return 0
+    parts = [e for e in os.listdir(storage.path) if e.startswith("p_bucket=")]
+    done = 0
+    for entry in sorted(parts):
+        pdir = os.path.join(storage.path, entry)
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        if len(files) <= target_files_per_partition:
+            continue
+        df = spark.read.parquet(pdir).coalesce(target_files_per_partition)
+        df = df.localCheckpoint(eager=True)  # cut lineage before overwrite
+        df.write.mode("overwrite").parquet(pdir)
+        done += 1
+    return done

@@ -118,3 +118,28 @@ def test_trigger_rules_produce_weighted_notifications(spark):
     hit = by_rule[("high_err", 2)]
     assert hit["weight"] == 90
     assert '"err_rate":0.9' in hit["details"]
+
+
+def test_compact_partitions(spark, tmp_path):
+    from minerva_etl_46_spark.sources.trendstore import compact_partitions
+
+    st = TrendStorePartStorage(str(tmp_path), "part_c", partition_size_s=3600)
+    # upsert rewrites its partitions (already 1 file); small files come from
+    # APPEND-mode writers (notification stores, logs) — simulate those
+    st.upsert(_mini(spark, [(0, "2024-01-01 00:10:00", 0, 0.0)]),
+              keys=["entity_id", "ts"], version_cols=["job_id"], ts_col="ts")
+    import os
+    pdir = os.path.join(st.path, "p_bucket=1704067200")
+    for j in (1, 2):
+        _mini(spark, [(j, "2024-01-01 00:10:00", j, float(j))]) \
+            .drop("ts") .withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:10:00"))) \
+            .select(*[c for c in spark.read.parquet(pdir).columns]) \
+            .coalesce(1).write.mode("append").parquet(pdir)
+    before = len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
+    assert before > 1
+    n = compact_partitions(st, spark)
+    assert n == 1
+    after = len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
+    assert after == 1
+    # data intact post-compaction
+    assert st.read(spark).count() == 3
