@@ -28,7 +28,7 @@ def hourly_traffic(base_dir: str) -> MaterializationSpec:
     target = TrendStorePartStorage(base_dir, "traffic_1h", partition_size_s=3600)
 
     def src_fn(spark, w_start, w_end):
-        rows = raw.read_window(spark, w_start, w_end).filter(
+        rows = raw.read_window(spark, w_start, w_end + 1).filter(
             (F.col("ts").cast("long") > w_start) & (F.col("ts").cast("long") <= w_end)
         )  # period-END grid timestamps: (start, end]
         return time_rollup(rows, "entity_id", "ts", G_1H, TRENDS,

@@ -76,6 +76,20 @@ def align_end(ts: Column | str, g: Granularity, tz: str = "UTC") -> Column:
     return start + F.expr(g.interval_sql())
 
 
+def bucket_epoch_end(ts: Column | str, g: Granularity) -> Column:
+    """Period-END bucket key (Minerva convention): the grid point CLOSING
+    the period (start-exclusive, end-inclusive]. A timestamp exactly on
+    the grid closes its own period: ceil(epoch/g)*g.
+
+    Use for END-labeled trend data (harvested packages, generated
+    rollups); bucket_epoch (floor) is the [start, end) analytics flavor.
+    """
+    if g.is_calendar:
+        raise NotImplementedError("END-labeled calendar buckets: use align_end")
+    c = _col(ts)
+    return (F.ceil(c.cast("long") / g.seconds) * g.seconds).cast("long")
+
+
 def bucket_epoch(ts: Column | str, g: Granularity) -> Column:
     """Period start as epoch seconds BIGINT — the hash-stable bucket key used
     in oracle-checked outputs (FIXTURES.md oracle-parity notes: avoid raw

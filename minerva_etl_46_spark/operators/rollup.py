@@ -85,22 +85,33 @@ def time_rollup(
     order_cols: tuple[str, ...] | None = None,
     bucket_col: str = "bucket",
     exact: bool = True,
+    label: str = "start",
 ) -> DataFrame:
     """A1: roll raw rows up to (entity, granularity bucket).
 
-    bucket is epoch-seconds of the period start (hash-stable; callers
-    wanting Minerva's period-END timestamp add `granularity.seconds`).
+    label selects the bucket convention:
+      'start' — floor: bucket = period start, rows grouped [start, end)
+                (the analytics flavor; hash-stable epoch key).
+      'end'   — ceil: bucket = period END, rows grouped (start, end] —
+                Minerva's trend-timestamp convention. REQUIRED when the
+                input carries END-labeled grid timestamps, otherwise a
+                boundary row (ts exactly on the coarser grid) is summed
+                into one window but labeled into the next one's partition.
     order_cols: deterministic ordering key for first/last trends
     (defaults to (ts_col,)). exact: see _agg_column.
     """
+    from minerva_etl_46_spark.functions.timestamps import bucket_epoch_end
+
     order = F.struct(*[F.col(c) for c in (order_cols or (ts_col,))])
     aggs = [_agg_column(t, name, order, exact=exact).alias(name)
             for name, t in trends.items()]
+    bucket = (
+        bucket_epoch_end(ts_col, granularity)
+        if label == "end"
+        else bucket_epoch(ts_col, granularity)
+    )
     return (
-        df.groupBy(
-            F.col(entity_col),
-            bucket_epoch(ts_col, granularity).alias(bucket_col),
-        )
+        df.groupBy(F.col(entity_col), bucket.alias(bucket_col))
         .agg(*aggs)
     )
 

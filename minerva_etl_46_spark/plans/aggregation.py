@@ -1,0 +1,111 @@
+"""Aggregation generator (SURVEY.md §0 "Aggregate", §7 step 4;
+[ref: crates/minerva/src/aggregation.rs — UNVERIFIED [M]]).
+
+The reference generates its time- and entity-rollup materializations FROM
+the instance definition: each trend's declared time_aggregation /
+entity_aggregation becomes a column of generated SQL. This module is that
+generator, emitting MaterializationSpecs whose src_fn is built from the
+catalog — users declare stores in YAML and get the 15m→1h→1d ladder and
+the cell→site rollups without writing pipeline code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minerva_etl_46_spark.catalog import TrendStore, TrendStorePart
+from minerva_etl_46_spark.functions.timestamps import GRANULARITIES, Granularity
+from minerva_etl_46_spark.operators.rollup import entity_rollup, time_rollup
+from minerva_etl_46_spark.plans.materialize import MaterializationSpec
+from minerva_etl_46_spark.sources.trendstore import TrendStorePartStorage
+
+
+def _trend_map(part: TrendStorePart) -> dict:
+    return {t.name: t for t in part.trends}
+
+
+def generate_time_rollup(
+    base_dir: str,
+    store: TrendStore,
+    part_name: str,
+    target_granularity: str,
+    entity_col: str = "entity_id",
+    ts_col: str = "ts",
+    exact: bool = True,
+    **spec_kw,
+) -> MaterializationSpec:
+    """Catalog declaration → a time-rollup materialization
+    (e.g. 15m → 1h): reads the raw part's window, aggregates every trend
+    by its declared time_aggregation. Target partition size = target
+    granularity (tiles windows exactly — plans/materialize.py invariant)."""
+    part = next(p for p in store.parts if p.name == part_name)
+    trends = _trend_map(part)
+    g_to: Granularity = GRANULARITIES[target_granularity]
+    raw = TrendStorePartStorage(
+        base_dir, f"{part_name}_{store.granularity}",
+        partition_size_s=store.partition_size_seconds,
+    )
+    target = TrendStorePartStorage(
+        base_dir, f"{part_name}_{target_granularity}",
+        partition_size_s=g_to.seconds,
+    )
+
+    def src_fn(spark: SparkSession, w_start: int, w_end: int) -> DataFrame:
+        # period-END convention: the partition AT w_end holds the boundary
+        # rows, and [start, end) pruning would drop it — read through w_end
+        rows = raw.read_window(spark, w_start, w_end + 1).filter(
+            (F.col(ts_col).cast("long") > w_start)
+            & (F.col(ts_col).cast("long") <= w_end)
+        )
+        return time_rollup(rows, entity_col, ts_col, g_to, trends,
+                           bucket_col="bucket", exact=exact, label="end")
+
+    return MaterializationSpec(
+        name=f"{part_name}_{store.granularity}_to_{target_granularity}",
+        granularity=g_to, target=target, src_fn=src_fn, sources=[raw],
+        ts_col="bucket", **spec_kw,
+    )
+
+
+def generate_entity_rollup(
+    base_dir: str,
+    store: TrendStore,
+    part_name: str,
+    relation_df_fn,
+    target_suffix: str,
+    entity_col: str = "entity_id",
+    **spec_kw,
+) -> MaterializationSpec:
+    """Catalog declaration → an entity-rollup materialization
+    (e.g. cell → site): same windows, broadcast relation join, each trend
+    by its declared entity_aggregation. relation_df_fn(spark) -> edge
+    DataFrame (source_id, target_id) — relations are directory data."""
+    part = next(p for p in store.parts if p.name == part_name)
+    trends = _trend_map(part)
+    g = store.gran
+    raw = TrendStorePartStorage(
+        base_dir, f"{part_name}_{store.granularity}",
+        partition_size_s=store.partition_size_seconds,
+    )
+    target = TrendStorePartStorage(
+        base_dir, f"{part_name}_{store.granularity}_{target_suffix}",
+        partition_size_s=store.partition_size_seconds,
+    )
+
+    def src_fn(spark: SparkSession, w_start: int, w_end: int) -> DataFrame:
+        rows = raw.read_window(spark, w_start, w_end + 1).filter(
+            (F.col("ts").cast("long") > w_start)
+            & (F.col("ts").cast("long") <= w_end)
+        ).withColumn("bucket", F.col("ts").cast("long"))
+        rolled = entity_rollup(
+            rows, relation_df_fn(spark), entity_col=entity_col,
+            bucket_col="bucket", trends=trends,
+        )
+        return rolled
+
+    return MaterializationSpec(
+        name=f"{part_name}_{store.granularity}_{target_suffix}",
+        granularity=g, target=target, src_fn=src_fn, sources=[raw],
+        ts_col="bucket", **spec_kw,
+    )

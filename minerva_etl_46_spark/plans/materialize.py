@@ -87,13 +87,22 @@ class MaterializationEngine:
 
     def _window_of_bucket(self, spec: MaterializationSpec, bucket: int,
                           partition_size_s: int) -> list[int]:
-        """All granularity windows overlapping one storage partition."""
+        """All granularity windows whose data can live in one storage
+        partition [bucket, bucket+partition_size).
+
+        Extends ONE granularity backwards: under Minerva's period-END
+        convention a row with ts == bucket (exactly on the partition
+        boundary) belongs to the window (bucket-g, bucket], whose start is
+        bucket-g — without the extension that window is never a candidate
+        and boundary rows silently never materialize (bug found by the
+        aggregation-generator tests when partition_size == granularity).
+        The extra window costs one fingerprint check, usually a no-op."""
         g = spec.granularity.seconds
-        start = (bucket // g) * g
+        start = (bucket // g) * g - g
         out = []
         w = start
         while w < bucket + partition_size_s:
-            if w + g > bucket:
+            if w + g >= bucket:
                 out.append(w)
             w += g
         return out

@@ -115,7 +115,7 @@ def test_full_lifecycle(spark, tmp_path):
     }
 
     def src_fn(spark_, w_start, w_end):
-        rows = raw.read_window(spark_, w_start, w_end).filter(
+        rows = raw.read_window(spark_, w_start, w_end + 1).filter(
             (F.col("ts").cast("long") > w_start) & (F.col("ts").cast("long") <= w_end)
         )  # period-END timestamps: (start, end] per Minerva convention
         return time_rollup(rows, "entity_id", "ts", G_1H, trends, bucket_col="bucket")
