@@ -20,7 +20,6 @@ import yaml
 from minerva_etl_46_spark.catalog import (
     AttributeStore,
     Instance,
-    Materialization,
     Relation,
     Trend,
     TrendStore,

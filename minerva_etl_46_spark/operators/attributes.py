@@ -13,7 +13,7 @@ the attribute store is dimension-sized (rows ∝ entities × change-rate, not
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from minerva_etl_46_spark.functions.hashing import row_hash

@@ -31,7 +31,6 @@ from minerva_etl_46_spark.catalog import Trend
 from minerva_etl_46_spark.functions.hashing import row_hash, sql_row_hash
 from minerva_etl_46_spark.functions.kpi import (
     DEC,
-    davg,
     dsum,
     dsum_expr,
     safe_divide,

@@ -35,7 +35,9 @@ class TrendQuery:
     entity_ids: list[int] | None = None                # None → all entities
     entity_set: DataFrame | None = None                # semi-join restriction
     page_size: int = 1000
-    after: tuple[int, int] | None = None               # keyset (ts_epoch, entity_id)
+    #: keyset cursor (epoch MICROseconds, entity_id) — µs so sub-second
+    #: rows can never be skipped between pages
+    after: tuple[int, int] | None = None
 
     def run(self, spark: SparkSession, entity_col: str = "entity_id",
             ts_col: str = "ts") -> DataFrame:
@@ -50,18 +52,25 @@ class TrendQuery:
             df = df.select(entity_col, ts_col, *self.columns)
         else:
             df = df.drop("p_bucket")
+        ts_us = F.unix_micros(F.col(ts_col))
         if self.after is not None:
-            a_ts, a_ent = self.after
+            a_us, a_ent = self.after
             df = df.filter(
-                (ts_epoch > a_ts)
-                | ((ts_epoch == a_ts) & (F.col(entity_col) > a_ent))
+                (ts_us > a_us) | ((ts_us == a_us) & (F.col(entity_col) > a_ent))
             )
-        return df.orderBy(ts_col, entity_col).limit(self.page_size)
+        return (
+            df.withColumn("__ts_us", ts_us)
+            .orderBy("__ts_us", entity_col)
+            .limit(self.page_size)
+            .drop("__ts_us")
+        )
 
 
 def page_through(spark: SparkSession, query: TrendQuery,
                  entity_col: str = "entity_id", ts_col: str = "ts"):
     """Generator over full pages — each page is one bounded Spark job."""
+    import calendar
+
     after = query.after
     while True:
         q = TrendQuery(**{**query.__dict__, "after": after})
@@ -70,6 +79,11 @@ def page_through(spark: SparkSession, query: TrendQuery,
             return
         yield rows
         last = rows[-1]
-        after = (int(last[ts_col].timestamp()), last[entity_col])
+        ts = last[ts_col]
+        # collected timestamps are naive in the session tz (UTC) —
+        # datetime.timestamp() would reinterpret them in the MACHINE tz;
+        # timegm is tz-independent
+        us = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+        after = (us, last[entity_col])
         if len(rows) < query.page_size:
             return
