@@ -69,11 +69,20 @@ def align_floor(ts: Column | str, g: Granularity, tz: str = "UTC") -> Column:
 
 def align_end(ts: Column | str, g: Granularity, tz: str = "UTC") -> Column:
     """Minerva-convention period timestamp: the END of the period the raw
-    timestamp falls in (start-exclusive, end-inclusive grid)."""
-    start = align_floor(ts, g, tz)
+    timestamp falls in (start-exclusive, end-inclusive grid).
+
+    Calendar granularities add the interval IN LOCAL TIME before the UTC
+    conversion: "+1 month" from a local month start must land on the next
+    local month start (e.g. Feb 29 23:00 UTC + 1 month in UTC would yield
+    Mar 29 23:00 — a non-boundary — instead of Mar 31 22:00, the local
+    Apr 1 midnight after a DST shift)."""
+    c = _col(ts)
     if not g.is_calendar:
+        start = align_floor(ts, g, tz)
         return F.timestamp_seconds(start.cast("long") + g.seconds)
-    return start + F.expr(g.interval_sql())
+    local = F.from_utc_timestamp(c, tz) if tz != "UTC" else c
+    local_end = F.date_trunc(g.unit, local) + F.expr(g.interval_sql())
+    return F.to_utc_timestamp(local_end, tz) if tz != "UTC" else local_end
 
 
 def bucket_epoch_end(ts: Column | str, g: Granularity) -> Column:
