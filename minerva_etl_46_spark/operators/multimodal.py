@@ -94,3 +94,52 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
 
     # decode is the expensive stage: spread small inputs across all cores
     return spread(media).mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.LongType(), False),
+    T.StructField("frame_bytes", T.LongType(), True),
+    T.StructField("frame_sum", T.LongType(), True),
+])
+
+
+def sample_frames(media: DataFrame, frame_size: int = 256,
+                  every_k: int = 4) -> DataFrame:
+    """Frame sampling: split each payload into fixed-size frames and keep
+    every k-th (the video-keyframe shape). Real chunk iteration over
+    Arrow batches; a codec would decode each kept frame where frame_sum
+    stands in. Output rows ∝ payload bytes / (frame_size * k) — the
+    executor-side fan-out a frame pipeline needs, no driver involvement."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for idx in range(0, len(payload) // frame_size + 1, every_k):
+                    chunk = payload[idx * frame_size:(idx + 1) * frame_size]
+                    if not chunk:
+                        continue
+                    rows.append({
+                        "media_id": mid, "frame_idx": idx,
+                        "frame_bytes": len(chunk), "frame_sum": sum(chunk),
+                    })
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_bytes", "frame_sum"]
+            )
+
+    from minerva_etl_46_spark.operators.dedup import spread
+
+    return spread(media).mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def resize_stub(payload: bytes, target: int = 64) -> bytes:
+    """Deterministic fake resize: byte-stride downsample to ~target bytes.
+    A real build swaps in PIL's Image.resize; the signature and the
+    batch plumbing (see sample_frames) are what the pipeline depends on."""
+    if payload is None:
+        raise NotImplementedError("real codec required")
+    stride = max(1, len(payload) // target)
+    return payload[::stride][:target]

@@ -1695,3 +1695,15 @@ def llm_dedup_groups(spark, sf_dir):
     edges = jaccard_verify(corpus, pairs, id_col="doc_id", text_col="text",
                            threshold=0.3).select("a_id", "b_id")
     return connected_components(edges)
+
+
+@register("mm_frames")  # rows-only: stubbed codec plumbing (libs absent)
+def mm_frames(spark, sf_dir):
+    """X5 (frame-sample verb): payloads split into 256-byte frames, every
+    4th kept — the video-keyframe sampling shape over mapInPandas
+    (operators/multimodal.py::sample_frames)."""
+    from minerva_etl_46_spark.operators.multimodal import sample_frames
+
+    d = load(spark, sf_dir, "documents")
+    media = wrap_as_media(d, id_col="doc_id", text_col="text", kind="text")
+    return sample_frames(media)

@@ -41,4 +41,4 @@ def test_no_undeclared_orphan_queries():
 def test_oracle_coverage_is_total_minus_documented_rows_only():
     rows_only = set(queries()) - set(oracle_sql())
     assert rows_only == {"llm_dedup_near", "llm_sim_ann", "mm_extract",
-                         "agg_approx", "llm_cluster"}
+                         "agg_approx", "llm_cluster", "mm_frames"}
