@@ -1707,3 +1707,34 @@ def mm_frames(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     media = wrap_as_media(d, id_col="doc_id", text_col="text", kind="text")
     return sample_frames(media)
+
+
+@register(
+    "agg_time_local",
+    oracle=f"""
+    with e as (select * from {EV}),
+    loc as (select user_id, value,
+                   timezone('UTC', timezone('Europe/Amsterdam',
+                     date_trunc('day',
+                       timezone('Europe/Amsterdam', timezone('UTC', ts)))))
+                     as day_start
+            from e)
+    select cast(epoch(day_start) as bigint) as day_epoch,
+           count(*) as n, {sql_dsum('value')} as sum_value
+    from loc group by 1
+    """,
+)
+def agg_time_local(spark, sf_dir):
+    """A1+F2 with instance-local calendar days (SURVEY §1.2: day-and-
+    coarser granularities align in the instance's LOCAL timezone, DST
+    included — the 23h/25h days). Spark: from_utc→date_trunc→to_utc
+    (functions/timestamps.align_floor); oracle: DuckDB ICU timezone()
+    round-trip. Both express the local-midnight instant back in UTC."""
+    from minerva_etl_46_spark.functions.timestamps import align_floor
+
+    e = load(spark, sf_dir, "events")
+    day = align_floor("ts", G_1D, tz="Europe/Amsterdam")
+    return (
+        e.groupBy(day.cast("long").alias("day_epoch"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )

@@ -109,3 +109,40 @@ def test_asof_join_matches_pandas_merge_asof(spark, facts, attrs):
 
 def base_ts(offset: int) -> int:
     return 1704067200 + offset
+
+
+@SLOW
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 7200)),
+                   min_size=1, max_size=20),
+    rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 7200)),
+                    min_size=1, max_size=20),
+)
+def test_bucketed_range_join_matches_naive(spark, lefts, rights):
+    """The bucketed range join must equal the naive conditional join on
+    arbitrary (key, ts) data — including boundary timestamps."""
+    from pyspark.sql import functions as F
+
+    from minerva_etl_46_spark.operators.rangejoin import bucketed_range_join
+
+    l = spark.createDataFrame(
+        [(i, k, base_ts(t)) for i, (k, t) in enumerate(lefts)],
+        schema="lid long, k long, le long",
+    ).select("lid", "k", F.timestamp_seconds("le").alias("lts"))
+    r = spark.createDataFrame(
+        [(j, k, base_ts(t)) for j, (k, t) in enumerate(rights)],
+        schema="rid long, k long, re long",
+    ).select("rid", F.col("k").alias("rk"), F.timestamp_seconds("re").alias("rts"))
+
+    got = bucketed_range_join(
+        l, r.withColumnRenamed("rk", "k"), key="k",
+        left_ts="lts", right_ts="rts", lower_s=-3600, upper_s=0,
+    ).select("lid", "rid").collect()
+    naive = l.join(
+        r,
+        (l.k == r.rk)
+        & (r.rts > l.lts - F.expr("INTERVAL 3600 SECONDS"))
+        & (r.rts <= l.lts),
+        "inner",
+    ).select("lid", "rid").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, naive))
