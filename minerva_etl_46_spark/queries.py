@@ -1738,3 +1738,45 @@ def agg_time_local(spark, sf_dir):
         e.groupBy(day.cast("long").alias("day_epoch"))
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
     )
+
+
+@register(
+    "agg_entity_chain",
+    oracle=f"""
+    with fact as (
+      select l_suppkey, {sql_bucket_epoch('l_shipdate', G_1MONTH)} as bucket,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} as revenue
+      from lineitem group by 1, 2),
+    per_nation as (
+      select s_nationkey as entity_id, bucket, {sql_dsum('revenue')} as revenue
+      from fact join supplier on l_suppkey = s_suppkey group by 1, 2)
+    select n_regionkey as entity_id, bucket, {sql_dsum('revenue')} as revenue
+    from per_nation join nation on entity_id = n_nationkey
+    group by 1, 2
+    """,
+)
+def agg_entity_chain(spark, sf_dir):
+    """A2 multi-level: the cell→site→region hierarchy shape — two chained
+    entity rollups (supplier→nation→region), each a broadcast relation
+    join + one re-aggregation exchange. Decimal re-snapping is exact at
+    every level, so chained == direct-to-top."""
+    li = load(spark, sf_dir, "lineitem")
+    fact = (
+        li.groupBy(
+            F.col("l_suppkey").alias("entity_id"),
+            bucket_epoch("l_shipdate", G_1MONTH).alias("bucket"),
+        )
+        .agg(dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    trends = {"revenue": Trend("revenue", entity_aggregation="sum")}
+    to_nation = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("source_id"), F.col("s_nationkey").alias("target_id")
+    )
+    per_nation = entity_rollup(fact, to_nation, entity_col="entity_id",
+                               bucket_col="bucket", trends=trends)
+    to_region = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("source_id"),
+        F.col("n_regionkey").alias("target_id"),
+    )
+    return entity_rollup(per_nation, to_region, entity_col="entity_id",
+                         bucket_col="bucket", trends=trends)
