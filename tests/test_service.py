@@ -43,3 +43,12 @@ def test_keyset_pagination_is_complete_and_stable(spark, tmp_path):
     keys = [(r["ts"], r["entity_id"]) for r in all_rows]
     assert len(set(keys)) == 36
     assert keys == sorted(keys)
+
+
+def test_entity_set_restriction(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    eset = spark.createDataFrame([(2,)], schema="entity_id long")
+    q = TrendQuery(part=st, start_epoch=H0, end_epoch=H0 + 7200,
+                   columns=["v"], entity_set=eset)
+    got = q.run(spark).collect()
+    assert len(got) == 12 and {r["entity_id"] for r in got} == {2}
