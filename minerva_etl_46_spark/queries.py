@@ -1780,3 +1780,59 @@ def agg_entity_chain(spark, sf_dir):
     )
     return entity_rollup(per_nation, to_region, entity_col="entity_id",
                          bucket_col="bucket", trends=trends)
+
+
+@register(
+    "fn_regexp",
+    oracle=r"""
+    select o_orderkey,
+           regexp_extract(o_orderpriority, '^(\d+)-(\w+)$', 1) as prio_num,
+           regexp_extract(o_orderpriority, '^(\d+)-(\w+)$', 2) as prio_word,
+           regexp_matches(o_orderpriority, '^[12]-') as is_urgentish
+    from orders
+    """,
+)
+def fn_regexp(spark, sf_dir):
+    """F4-adjacent: regex field extraction from vendor-encoded strings
+    (the counter-name/DN parsing shape). Simple patterns only — Java and
+    RE2 regex dialects agree on these; exotic constructs (lookbehind,
+    backrefs) are deliberately out of the shared-oracle surface."""
+    o = load(spark, sf_dir, "orders")
+    pat = r"^(\d+)-(\w+)$"
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", pat, 1).alias("prio_num"),
+        F.regexp_extract("o_orderpriority", pat, 2).alias("prio_word"),
+        F.col("o_orderpriority").rlike(r"^[12]-").alias("is_urgentish"),
+    )
+
+
+@register(
+    "win_cume",
+    oracle=f"""
+    with e as (select * from {EV})
+    select user_id, event_id,
+           cast(sum(cast(value as decimal(38,4))) over
+             (partition by user_id order by ts, event_id
+              rows unbounded preceding) as double) as running_total,
+           count(*) over (partition by user_id order by ts, event_id
+                          rows unbounded preceding) as running_n
+    from e
+    """,
+)
+def win_cume(spark, sf_dir):
+    """Cumulative per-entity running totals — the batch twin of the
+    applyInPandasWithState streaming operator (streaming/stateful.py).
+    Frame sums through the decimal accumulator: engines disagree on
+    incremental-vs-rescan double summation inside growing frames."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id", "event_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_total"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
