@@ -51,9 +51,11 @@ def cmd_load_data(args) -> int:
         from minerva_etl_46_spark.sources.xml3gpp import harvest_3gpp_xml
 
         long_rows = harvest_3gpp_xml(spark, [args.file])
+        # max: deterministic under shuffle when duplicate (dn, ts, counter)
+        # rows appear across files (rollup.py's first()/last() caveat).
         pkg = (
             long_rows.groupBy("dn", "ts").pivot("counter")
-            .agg(F.first("value"))
+            .agg(F.max("value"))
             .withColumn("ts", F.to_timestamp("ts"))
         )
     entities_store = f"{args.base_dir}/_entities"
@@ -62,8 +64,8 @@ def cmd_load_data(args) -> int:
     except Exception:
         entities = spark.createDataFrame([], schema="entity_id long, name string")
     resolved, new_ents = resolve_entities(pkg, entities, dn_col=args.dn_col)
-    if new_ents.count() > 0:
-        new_ents.write.mode("append").parquet(entities_store)
+    # appending an empty frame is a no-op; no count() pre-check job needed
+    new_ents.write.mode("append").parquet(entities_store)
     resolved = resolved.withColumn("raw_ts", F.col(args.ts_col))
     aligned = align_package(resolved, args.ts_col, GRANULARITIES[args.granularity])
     value_cols = [c for c in aligned.columns

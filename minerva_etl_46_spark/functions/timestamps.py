@@ -71,17 +71,26 @@ def align_end(ts: Column | str, g: Granularity, tz: str = "UTC") -> Column:
     """Minerva-convention period timestamp: the END of the period the raw
     timestamp falls in (start-exclusive, end-inclusive grid).
 
-    Calendar granularities add the interval IN LOCAL TIME before the UTC
-    conversion: "+1 month" from a local month start must land on the next
+    A timestamp exactly ON the grid closes its own period (matches
+    bucket_epoch_end's ceil convention): the 3GPP XML harvest emits
+    granPeriod endTime values that are always exact period ends, and those
+    must map to themselves, not one period later.
+
+    Second-based: ceil(epoch/g)*g. Calendar: add the interval IN LOCAL
+    TIME, and only when the local timestamp is not already on the unit
+    boundary — "+1 month" from a local month start must land on the next
     local month start (e.g. Feb 29 23:00 UTC + 1 month in UTC would yield
     Mar 29 23:00 — a non-boundary — instead of Mar 31 22:00, the local
     Apr 1 midnight after a DST shift)."""
     c = _col(ts)
     if not g.is_calendar:
-        start = align_floor(ts, g, tz)
-        return F.timestamp_seconds(start.cast("long") + g.seconds)
+        secs = g.seconds
+        return F.timestamp_seconds(F.ceil(c.cast("long") / secs) * secs)
     local = F.from_utc_timestamp(c, tz) if tz != "UTC" else c
-    local_end = F.date_trunc(g.unit, local) + F.expr(g.interval_sql())
+    trunc = F.date_trunc(g.unit, local)
+    local_end = F.when(local == trunc, local).otherwise(
+        trunc + F.expr(g.interval_sql())
+    )
     return F.to_utc_timestamp(local_end, tz) if tz != "UTC" else local_end
 
 

@@ -43,9 +43,12 @@ def resolve_entities(
     Returns (resolved package, new-entities frame to append to the
     directory). entities is broadcast — at 100 TB the package never
     shuffles for resolution."""
+    # distinct: concurrent load-data runs may blind-append the same
+    # (entity_id, name) row to the directory; dedupe on read so the
+    # resolution join never fans out package rows.
     e = entities.select(
         F.col(name_col).alias("__dn"), F.col(id_col).alias("__eid")
-    )
+    ).distinct()
     joined = package.join(F.broadcast(e), package[dn_col] == F.col("__dn"), "left")
     minted = F.shiftrightunsigned(F.xxhash64(F.col(dn_col)), 1).cast("long")
     resolved = joined.withColumn(

@@ -55,10 +55,13 @@ class TrendStorePartStorage:
         """Dynamic-partition-overwrite write; returns touched p_buckets and
         appends them to the modified log."""
         spark = df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         out = df.withColumn("p_bucket", bucket_of(ts_col, self.partition_size_s))
         touched = [r[0] for r in out.select("p_bucket").distinct().collect()]
-        out.write.mode("overwrite").partitionBy("p_bucket").parquet(self.path)
+        # per-write option, not session conf: mutating the session would
+        # silently flip every later overwrite on this session to dynamic
+        (out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("p_bucket").parquet(self.path))
         self._log_modified(spark, touched, job_id)
         return sorted(touched)
 

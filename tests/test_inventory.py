@@ -38,6 +38,26 @@ def test_no_undeclared_orphan_queries():
     assert not orphans, f"queries() keys not documented in SURVEY.md: {sorted(orphans)}"
 
 
+def test_no_bare_first_last_aggregates():
+    """Bare F.first()/F.last() after a shuffle is order-dependent
+    (operators/rollup.py docstring); only deterministic contexts are
+    allowed — currently the ordered-window forward-fill in asof.py."""
+    import pathlib
+
+    allowed = {
+        ("operators/asof.py", "F.last"),  # last(ignorenulls) OVER ordered window
+    }
+    pkg = pathlib.Path("minerva_etl_46_spark")
+    offenders = []
+    for path in pkg.rglob("*.py"):
+        rel = path.relative_to(pkg).as_posix()
+        for lineno, line in enumerate(path.read_text().splitlines(), 1):
+            for fn in ("F.first(", "F.last("):
+                if fn in line and (rel, fn[:-1]) not in allowed:
+                    offenders.append(f"{rel}:{lineno}: {line.strip()}")
+    assert not offenders, f"bare first()/last() found: {offenders}"
+
+
 def test_oracle_coverage_is_total_minus_documented_rows_only():
     rows_only = set(queries()) - set(oracle_sql())
     assert rows_only == {"llm_dedup_near", "llm_sim_ann", "mm_extract",

@@ -55,6 +55,35 @@ def test_month_alignment_and_period_end(spark):
         == "2024-03-31 22:00:00"
 
 
+def test_on_grid_timestamp_closes_its_own_period_seconds(spark):
+    """A ts exactly on the grid is a period END and must map to itself
+    (ceil convention, matching bucket_epoch_end) — the 3GPP harvest emits
+    exact granPeriod endTime values, which must not shift a period late."""
+    from minerva_etl_46_spark.functions.timestamps import G_15M, G_1H
+
+    assert _align(spark, "2024-03-15 12:00:00", G_1H, "UTC", align_end) \
+        == "2024-03-15 12:00:00"
+    assert _align(spark, "2024-03-15 12:15:00", G_15M, "UTC", align_end) \
+        == "2024-03-15 12:15:00"
+    # mid-period still rounds up to the closing grid point
+    assert _align(spark, "2024-03-15 12:00:01", G_1H, "UTC", align_end) \
+        == "2024-03-15 13:00:00"
+
+
+def test_on_grid_timestamp_closes_its_own_period_calendar(spark):
+    # Local midnight in Amsterdam (23:00 UTC, offset +1) is a day boundary:
+    # align_end must return it unchanged, not the next local midnight.
+    assert _align(spark, "2024-03-14 23:00:00", G_1D, TZ, align_end) \
+        == "2024-03-14 23:00:00"
+    # Local month start (Feb 29 23:00 UTC = Mar 1 00:00 local) maps to itself.
+    assert _align(spark, "2024-02-29 23:00:00", G_1MONTH, TZ, align_end) \
+        == "2024-02-29 23:00:00"
+    # One second past local midnight closes at the NEXT local midnight
+    # (22:00 UTC after spring-forward on the DST day).
+    assert _align(spark, "2024-03-30 23:00:01", G_1D, TZ, align_end) \
+        == "2024-03-31 22:00:00"
+
+
 def test_fifteen_minute_alignment_is_tz_free(spark):
     from minerva_etl_46_spark.functions.timestamps import G_15M
 
