@@ -31,6 +31,8 @@ import os
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+from zoneinfo import ZoneInfo
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -40,6 +42,42 @@ from minerva_etl_46_spark.functions.timestamps import Granularity
 from minerva_etl_46_spark.sources.trendstore import TrendStorePartStorage
 
 STATE_DIR = "_materialization_state"
+
+
+def _cal_floor(epoch: int, unit: str, tz: str) -> int:
+    """Epoch of the local-calendar period start containing ``epoch`` —
+    driver-side mirror of functions.timestamps.align_floor (same
+    local-midnight / Monday-week / month-start semantics, incl. DST)."""
+    zone = ZoneInfo(tz)
+    local = datetime.fromtimestamp(epoch, zone)
+    if unit == "day":
+        naive = datetime(local.year, local.month, local.day)
+    elif unit == "week":
+        monday = local.date() - timedelta(days=local.weekday())
+        naive = datetime(monday.year, monday.month, monday.day)
+    elif unit == "month":
+        naive = datetime(local.year, local.month, 1)
+    else:
+        raise ValueError(f"unsupported calendar unit {unit!r}")
+    return int(naive.replace(tzinfo=zone).timestamp())
+
+
+def _cal_next(window_start: int, unit: str, tz: str) -> int:
+    """Next local-calendar boundary after a boundary epoch. Calendar
+    arithmetic on the naive local wall clock, then re-localized — so the
+    next 'day' boundary is the next local midnight even across a 23h/25h
+    DST day, where +86400s would land mid-period."""
+    zone = ZoneInfo(tz)
+    local = datetime.fromtimestamp(window_start, zone).replace(tzinfo=None)
+    if unit == "day":
+        nxt = local + timedelta(days=1)
+    elif unit == "week":
+        nxt = local + timedelta(days=7)
+    elif unit == "month":
+        nxt = datetime(local.year + (local.month == 12), local.month % 12 + 1, 1)
+    else:
+        raise ValueError(f"unsupported calendar unit {unit!r}")
+    return int(nxt.replace(tzinfo=zone).timestamp())
 
 
 @dataclass
@@ -58,6 +96,8 @@ class MaterializationSpec:
     stability_delay_s: int = 0
     reprocessing_period_s: int = 7 * 86400
     ts_col: str = "ts"
+    #: local timezone for calendar (day/week/month) window alignment
+    tz: str = "UTC"
 
 
 class MaterializationEngine:
@@ -96,7 +136,21 @@ class MaterializationEngine:
         bucket-g — without the extension that window is never a candidate
         and boundary rows silently never materialize (bug found by the
         aggregation-generator tests when partition_size == granularity).
-        The extra window costs one fingerprint check, usually a no-op."""
+        The extra window costs one fingerprint check, usually a no-op.
+
+        Calendar granularities (day/week/month) iterate local-tz-aligned
+        boundaries instead of fixed-second steps; windows are variable
+        length (23h/25h DST days, 28–31-day months)."""
+        if spec.granularity.is_calendar:
+            unit, tz = spec.granularity.unit, spec.tz
+            w = _cal_floor(_cal_floor(bucket, unit, tz) - 1, unit, tz)
+            out = []
+            while w < bucket + partition_size_s:
+                w_end = _cal_next(w, unit, tz)
+                if w_end >= bucket:
+                    out.append(w)
+                w = w_end
+            return out
         g = spec.granularity.seconds
         start = (bucket // g) * g - g
         out = []
@@ -107,11 +161,15 @@ class MaterializationEngine:
             w += g
         return out
 
+    def _window_end(self, spec: MaterializationSpec, window_start: int) -> int:
+        if spec.granularity.is_calendar:
+            return _cal_next(window_start, spec.granularity.unit, spec.tz)
+        return window_start + spec.granularity.seconds
+
     def candidates(self, spark: SparkSession, spec: MaterializationSpec,
                    now: float | None = None) -> list[tuple[int, str]]:
         """(window_start, fingerprint) pairs that need (re)processing."""
         now = time.time() if now is None else now
-        g = spec.granularity.seconds
         # gather modified windows + per-window source digests
         win_info: dict[int, list[str]] = {}
         win_last_mod: dict[int, float] = {}
@@ -131,8 +189,9 @@ class MaterializationEngine:
         state = self.load_state(spec).set_index("window_start")
         out: list[tuple[int, str]] = []
         for w, parts in sorted(win_info.items()):
+            w_end = self._window_end(spec, w)
             # T2 stability gate: quiet sources + past processing delay
-            if now < w + g + spec.processing_delay_s:
+            if now < w_end + spec.processing_delay_s:
                 continue
             if now - win_last_mod[w] < spec.stability_delay_s:
                 continue
@@ -142,7 +201,7 @@ class MaterializationEngine:
                 if prev["fingerprint"] == fp:
                     continue  # already processed this exact source state
                 # T3 reprocessing horizon: late data outside the window is dropped
-                if now > w + g + spec.reprocessing_period_s:
+                if now > w_end + spec.reprocessing_period_s:
                     continue
             out.append((w, fp))
         return out
@@ -153,18 +212,29 @@ class MaterializationEngine:
                    window_start: int, fingerprint: str, now: float | None = None) -> int:
         """Materialize one window: run the registered pipeline, overwrite
         the target's partitions for that window, record the fingerprint."""
-        g = spec.granularity.seconds
+        w_end = self._window_end(spec, window_start)
         # Dynamic partition overwrite replaces WHOLE partitions: the target's
         # partition size must tile the window exactly, or this write would
         # clobber sibling windows sharing a partition (the reference instead
         # DELETEs at the timestamp — same invariant, different mechanism).
         ps = spec.target.partition_size_s
-        if ps > g or g % ps != 0:
+        if spec.granularity.is_calendar:
+            # variable-length windows: both boundaries must sit on the
+            # partition grid (holds when ps divides the tz's UTC-offset
+            # step — e.g. ps ≤ 3600 for whole-hour-offset zones)
+            if window_start % ps != 0 or w_end % ps != 0:
+                raise ValueError(
+                    f"materialization {spec.name}: calendar window "
+                    f"[{window_start}, {w_end}) does not tile "
+                    f"partition_size_s={ps}; pick a partition size that "
+                    f"divides the local-boundary epoch offsets"
+                )
+        elif ps > (g := spec.granularity.seconds) or g % ps != 0:
             raise ValueError(
                 f"materialization {spec.name}: target partition_size_s={ps} "
                 f"must evenly tile the {g}s granularity window"
             )
-        df = spec.src_fn(spark, window_start, window_start + g)
+        df = spec.src_fn(spark, window_start, w_end)
         spec.target.write(df, ts_col=spec.ts_col)
         state = self.load_state(spec)
         state = state[state["window_start"] != window_start]

@@ -137,6 +137,81 @@ def test_reprocessing_horizon_drops_ancient_late_data(spark, stores):
     assert engine.tick(spark, spec, now=4e9 + 1_000_001) == []
 
 
+def test_calendar_daily_materialization_equals_oneshot(spark, tmp_path):
+    """Calendar (G_1D) windows materialize end-to-end — the capability the
+    round-1 advisor flagged as TypeError'ing (granularity.seconds is None)."""
+    from minerva_etl_46_spark.functions.timestamps import G_1D
+
+    raw = TrendStorePartStorage(str(tmp_path), "raw_events", partition_size_s=86400)
+    target = TrendStorePartStorage(str(tmp_path), "events_1d", partition_size_s=86400)
+    events = load_events(spark)
+    engine = MaterializationEngine(str(tmp_path))
+
+    def src_fn(sp, w_start, w_end):
+        rows = raw.read_window(sp, w_start, w_end).filter(
+            (F.col("ts").cast("long") >= w_start) & (F.col("ts").cast("long") < w_end)
+        )
+        src = rows.select(
+            "user_id", "ts",
+            F.col("value").alias("n"), F.col("value").alias("sum_value"),
+        )
+        return time_rollup(src, "user_id", "ts", G_1D, TRENDS, bucket_col="bucket")
+
+    spec = MaterializationSpec(
+        name="events_1d", granularity=G_1D, target=target, src_fn=src_fn,
+        sources=[raw], ts_col="bucket", reprocessing_period_s=10**12,
+    )
+    raw.upsert(events, keys=["event_id"], version_cols=["event_id"], ts_col="ts")
+    done = engine.tick(spark, spec, now=4e9)
+    assert done, "no calendar windows materialized"
+    got = target.read(spark).drop("p_bucket").toPandas()
+    src = events.select(
+        "user_id", "ts", F.col("value").alias("n"), F.col("value").alias("sum_value")
+    )
+    want = time_rollup(src, "user_id", "ts", G_1D, TRENDS, bucket_col="bucket").toPandas()
+    key = ["user_id", "bucket"]
+    got = got.sort_values(key).reset_index(drop=True)[want.columns.tolist()]
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got.equals(want), "calendar materialization != one-shot batch"
+    # unchanged fingerprints quiesce for calendar windows too
+    assert engine.tick(spark, spec, now=4e9 + 10) == []
+
+
+def test_calendar_window_math_across_dst():
+    """Driver-side local-calendar boundary math mirrors align_floor/align_end
+    across DST (no Spark needed)."""
+    from minerva_etl_46_spark.plans.materialize import _cal_floor, _cal_next
+
+    TZ = "Europe/Amsterdam"
+    # local midnight 2024-03-31 = 23:00 UTC 03-30 (offset +1, epoch 1711839600)
+    mar31_local_midnight = 1711839600
+    assert _cal_floor(mar31_local_midnight + 3600, "day", TZ) == mar31_local_midnight
+    # spring-forward: the local day is 23h — next boundary is 22:00 UTC 03-31
+    assert _cal_next(mar31_local_midnight, "day", TZ) == mar31_local_midnight + 23 * 3600
+    # month: March Amsterdam = Feb 29 23:00 UTC → Mar 31 22:00 UTC (30d23h)
+    mar_start = _cal_floor(mar31_local_midnight, "month", TZ)
+    assert _cal_next(mar_start, "month", TZ) - mar_start == 30 * 86400 + 23 * 3600
+    # UTC days stay plain 86400s
+    assert _cal_next(1704067200, "day", "UTC") == 1704067200 + 86400
+
+
+def test_calendar_tiling_guard(spark, tmp_path):
+    """Non-UTC local midnights (22/23:00 UTC) don't tile 86400s partitions —
+    must refuse instead of clobbering sibling windows' partitions."""
+    from minerva_etl_46_spark.functions.timestamps import G_1D
+
+    raw = TrendStorePartStorage(str(tmp_path), "raw", partition_size_s=86400)
+    bad = TrendStorePartStorage(str(tmp_path), "bad", partition_size_s=86400)
+    engine = MaterializationEngine(str(tmp_path))
+    spec = MaterializationSpec(
+        name="bad_1d", granularity=G_1D, target=bad,
+        src_fn=lambda sp, a, b: None, sources=[raw],
+        tz="Europe/Amsterdam",
+    )
+    with pytest.raises(ValueError, match="tile"):
+        engine.run_window(spark, spec, 1711839600, "fp")
+
+
 def test_partition_tiling_guard(spark, stores):
     raw, _ = stores
     bad_target = TrendStorePartStorage(raw.base_dir, "bad", partition_size_s=7200)
