@@ -72,6 +72,75 @@ def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "stream_tumbling_out", spark)
 
 
+def tumbling_rollup_append(
+    spark: SparkSession,
+    stream_dir: str,
+    schema: str,
+    target,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> None:
+    """T1 production shape: append-mode tumbling rollup with a REAL
+    watermark, sunk into a partitioned trend store via foreachBatch.
+
+    Contrast with the complete-mode memory-sink harness above (gate-only):
+    - `withWatermark` bounds state — windows older than max(ts) − delay are
+      finalized and dropped from the state store, so state is O(active
+      windows), not O(history).
+    - append output emits each finalized (event_type, bucket) row exactly
+      once; the keyed trend-store upsert makes micro-batch retries
+      idempotent (exactly-once effect with the checkpoint).
+    - the sink is the same dynamic-partition-overwrite store the batch
+      engine writes (sources/trendstore.py) — nothing collects on the
+      driver. This is the variant that runs unattended on a cluster.
+
+    Late rows beyond the watermark are dropped by Spark — the batch
+    materializer's reprocessing horizon (plans/materialize.py T3) is the
+    recovery path for those, exactly the reference's daemon split.
+    """
+    tune(spark)
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(stream_dir)
+    )
+    agg = (
+        raw.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("win.start").cast("long").alias("bucket"),
+            "n", "sum_value",
+        )
+    )
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.withColumn("ts", F.timestamp_seconds("bucket"))
+        target.upsert(batch, keys=["event_type", "bucket"],
+                      version_cols=["bucket"], ts_col="ts")
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+        .queryName("stream_tumbling_append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+
+
 def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 (bonus): sliding 2-hour windows every 1 hour — each event lands
     in two windows. Output: (win_start epoch-s, n)."""
