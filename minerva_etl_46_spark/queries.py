@@ -1489,15 +1489,71 @@ def kpi_expr(spark, sf_dir):
     return kpi_view(hourly, kpis, keep=["user_id", "bucket", "n", "sum_value"])
 
 
-@register("agg_approx")  # rows-only: approximate results have no exact oracle
+@register(
+    "agg_approx",
+    oracle=f"""
+    select event_type,
+           cast(count(distinct user_id) as bigint) as exact_users,
+           true as users_ok,
+           true as q_ordered_ok,
+           true as q50_ok, true as q95_ok, true as q99_ok
+    from {EV}
+    group by event_type
+    """,
+)
 def agg_approx(spark, sf_dir):
     """A4 at scale: the approximate variants a 100 TB pipeline uses instead
     of exact distinct/percentile (no expand+reshuffle, mergeable sketches).
-    HLL++ and GK-quantile via built-ins; rows-only check by design."""
+
+    Approximate values have no exact oracle, but their ERROR BOUNDS do:
+    the output carries boolean invariants computed Spark-side — HLL++
+    estimate within 5% of the exact distinct count (rsd=0.02), approx
+    quantiles ordered, and each quantile's realized rank within ±1% of its
+    target (percentile_approx accuracy 10000 → rank error 1e-4, so ±1% is
+    generous). The oracle asserts the same exact count and literal trues —
+    a full rows+schema+hash check instead of rows-only.
+
+    Bench note: cold time is plan-compile-bound (~5s for the three
+    aggregate plans; warm run ≈1.3s at sf0.1) — the invariant costs
+    compile time, not data-scale time."""
     e = load(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    # two separate aggregations joined on the tiny key: mixing DISTINCT and
+    # sketch aggregates in ONE agg triggers a pathological ~5s codegen
+    # compile (measured; each alone compiles in <0.5s), and the join side
+    # is 5 rows
+    sketches = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("q"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    stats = sketches.join(F.broadcast(exact), "event_type") \
+        .localCheckpoint(eager=True)  # 5 rows; referenced twice below
+    # realized rank of each approx quantile: one more pass over events with
+    # the 5-row stats frame broadcast (no extra shuffle of the fact side)
+    ranks = (
+        e.join(F.broadcast(stats.select("event_type", "q")), "event_type")
+        .groupBy("event_type")
+        .agg(*[
+            (F.count(F.when(F.col("value") <= F.col("q")[i], 1))
+             / F.count("value")).alias(f"f{p}")
+            for i, p in enumerate((50, 95, 99))
+        ])
+    )
+    return (
+        stats.join(F.broadcast(ranks), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (F.abs(F.col("approx_users") - F.col("exact_users"))
+             <= 0.05 * F.col("exact_users")).alias("users_ok"),
+            ((F.col("q")[0] <= F.col("q")[1]) & (F.col("q")[1] <= F.col("q")[2]))
+            .alias("q_ordered_ok"),
+            F.col("f50").between(0.49, 0.51).alias("q50_ok"),
+            F.col("f95").between(0.94, 0.96).alias("q95_ok"),
+            F.col("f99").between(0.98, 1.0).alias("q99_ok"),
+        )
     )
 
 
