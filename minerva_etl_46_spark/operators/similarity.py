@@ -105,12 +105,20 @@ def cosine_topk_ann(
     query_mod: int = 200,
     k: int = 5,
     nbits: int = 16,
-    bands: int = 2,
+    bands: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """ANN variant: SRP-LSH banding prunes candidates, exact cosine ranks
     them. At 100 TB the bucket join replaces the corpus broadcast —
-    each query only meets its band-collision set."""
+    each query only meets its band-collision set.
+
+    Band width r = nbits/bands sets the recall/pruning trade: collision
+    probability per band is (1 − θ/π)^r. The default r=2 is tuned for
+    weakly-similar corpora like the fixture embeddings (top-5 neighbors at
+    cos ≈ 0.34 → θ/π ≈ 0.39, giving ~0.37/band; r=8 drops that to ~4e-4
+    and recall to 0 — measured in tests/test_recall.py). Corpora whose
+    near-neighbors sit at cos ≥ 0.9 should RAISE r (e.g. nbits=32,
+    bands=4) for harder pruning at the same recall."""
     from pyspark.sql import Window
 
     dim = 64
