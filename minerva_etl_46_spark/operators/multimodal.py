@@ -77,15 +77,32 @@ def wrap_as_media(df: DataFrame, id_col: str, text_col: str, kind: str = "text")
     )
 
 
-def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+def extract_features(media: DataFrame, batch_hint: int | None = None,
+                     decode=decode_stub) -> DataFrame:
     """Arrow-batched feature extraction over mapInPandas: the executor-side
     loop a real decoder would run. Partitioning is preserved (narrow op,
     no shuffle); at 100 TB the input should be pre-partitioned so batches
-    are local."""
+    are local.
+
+    ``decode`` is the codec swap-in point: pass any picklable callable
+    ``bytes -> {"n_bytes": int, "n_frames": int, "feat_mean": float}``
+    and it runs inside the executor's Arrow batches — e.g.::
+
+        def pil_decode(payload):
+            img = PIL.Image.open(io.BytesIO(payload))
+            arr = np.asarray(img)
+            return {"n_bytes": len(payload), "n_frames": 1,
+                    "feat_mean": float(arr.mean())}
+
+        extract_features(media, decode=pil_decode)
+
+    No Spark-side change is needed: schema, batching, and partitioning are
+    codec-independent (this container has no media libs, so the default
+    stays the deterministic stub)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_stub(p) for p in pdf["payload"]]
+            feats = [decode(p) for p in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out[["media_id", "n_bytes", "n_frames", "feat_mean"]]

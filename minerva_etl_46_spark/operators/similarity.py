@@ -79,6 +79,82 @@ def cosine_topk_bruteforce(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def cosine_topk_ivf(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_mod: int = 200,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: seeded KMeans centroids partition the
+    corpus into cells; each query probes only its ``n_probe`` nearest
+    cells and ranks candidates by exact cosine.
+
+    Scale shape: the corpus is assigned once (one model.transform pass,
+    narrow), candidates come from an equi-join on cell_id — per-query work
+    is corpus × n_probe/n_cells instead of the full broadcast. The
+    centroid table is n_cells rows (broadcast, never shuffled). Recall
+    rises with n_probe (n_probe == n_cells degenerates to brute force);
+    tests/test_recall.py pins a floor on the fixture corpus.
+
+    The KMeans fit is iterative (driver-coordinated, like llm_cluster) —
+    at 100 TB fit on a sample, then transform the full corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    feats = emb.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feats)
+    assigned = model.transform(feats).select(
+        F.col(id_col), F.col(vec_col), F.col("prediction").alias("cell_id"),
+        _norm2_dec(F.col(vec_col)).alias("nrm2"),
+    )
+    spark = emb.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())],
+        schema="cell_id int, centroid array<double>",
+    )
+    # queries probe their n_probe nearest cells (tiny frames: queries ×
+    # n_cells rows)
+    q = assigned.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        F.col("nrm2").alias("q_nrm2"),
+    )
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "q_id", "q_vec", "q_nrm2", "cell_id",
+        F.aggregate(
+            F.zip_with(F.col("q_vec"), F.col("centroid"),
+                       lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0), lambda acc, v: acc + v,
+        ).alias("dist2"),
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("dist2"), F.col("cell_id"))
+    probes = qc.withColumn("pr", F.row_number().over(wp)) \
+               .filter(F.col("pr") <= n_probe) \
+               .select("q_id", "q_vec", "q_nrm2", "cell_id")
+    cands = (
+        assigned.join(probes, "cell_id")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id", F.col(id_col).alias("c_id"), "q_vec", "q_nrm2",
+            F.col(vec_col).alias("c_vec"), F.col("nrm2").alias("c_nrm2"),
+        )
+    )
+    scored = cands.select(
+        "q_id", "c_id",
+        (_dot_dec(F.col("q_vec"), F.col("c_vec"))
+         / F.sqrt(F.col("q_nrm2") * F.col("c_nrm2"))).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
 def srp_signature(vec: Column, planes: np.ndarray) -> Column:
     """Signed-random-projection bit signature as a long. planes: (nbits,
     dim) from a fixed seed — shipped as literals (tiny), evaluated

@@ -60,5 +60,5 @@ def test_no_bare_first_last_aggregates():
 
 def test_oracle_coverage_is_total_minus_documented_rows_only():
     rows_only = set(queries()) - set(oracle_sql())
-    assert rows_only == {"llm_dedup_near", "llm_sim_ann", "mm_extract",
-                         "llm_cluster", "mm_frames"}
+    assert rows_only == {"llm_dedup_near", "llm_sim_ann", "llm_sim_ivf",
+                         "mm_extract", "llm_cluster", "mm_frames"}

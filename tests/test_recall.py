@@ -80,3 +80,17 @@ def test_sim_ann_recall_floor(spark):
     ann = _pairs(cosine_topk_ann(emb).select("q_id", "c_id").toPandas())
     recall = len(exact & ann) / len(exact)
     assert recall >= 0.8, f"ANN recall@5 {recall:.3f} < 0.8 ({len(exact)} exact rows)"
+
+
+def test_sim_ivf_recall_floor(spark):
+    """IVF scale path (measured 0.933 at cells=16, probe=4; cells=8/probe=2
+    measures 0.533 — the floor guards the probe-width tuning)."""
+    from minerva_etl_46_spark.operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").localCheckpoint(eager=True)
+    exact = _pairs(cosine_topk_bruteforce(emb).select("q_id", "c_id").toPandas())
+    ivf = _pairs(
+        cosine_topk_ivf(emb, n_cells=16, n_probe=4).select("q_id", "c_id").toPandas()
+    )
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.85, f"IVF recall@5 {recall:.3f} < 0.85"
