@@ -1,0 +1,74 @@
+"""Persisted MinHash signature store (SCALE.md round-1 "known costs" item).
+
+A 100 TB dedup sweep re-runs daily over a corpus that grows by a small
+fraction; recomputing every document's shingle+minhash pass each run wastes
+almost all of the pipeline's cost. This store caches signatures in parquet
+KEYED BY CONTENT HASH, so a run computes signatures only for content it has
+never seen — work ∝ new bytes, not corpus bytes:
+
+- the cache key is md5(text), not doc_id: re-ingested or re-numbered copies
+  of the same content hit the cache, and two docs with identical text share
+  one signature row (they are exact dups anyway — the exact-dedup pass
+  upstream already groups them).
+- appends are blind (no read-modify-write): duplicate cache rows from
+  concurrent runs are harmless because signatures are deterministic in the
+  content hash — readers drop duplicates.
+- the store is parameter-scoped (k, shingle_n): different signature shapes
+  never mix.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from minerva_etl_46_spark.operators.dedup import minhash_signature
+
+
+@dataclass
+class SignatureStore:
+    base_dir: str
+    k: int = 32
+    shingle_n: int = 3
+
+    @property
+    def path(self) -> str:
+        return os.path.join(self.base_dir, "_signatures",
+                            f"k{self.k}_n{self.shingle_n}")
+
+    def _cached(self, spark) -> DataFrame | None:
+        if not os.path.isdir(self.path):
+            return None
+        # blind concurrent appends may duplicate a content hash; signatures
+        # are deterministic in the hash, so keep any one row
+        return spark.read.parquet(self.path).dropDuplicates(["content_hash"])
+
+    def signatures(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        """(id, mh0..mh{k-1}) for every doc, computing only unseen content.
+
+        Plan shape: one hash per doc (narrow), an anti-join against the
+        cache to find missing content, the minhash pass over ONLY missing
+        docs, a blind append, then one equi-join to map signatures back to
+        ids. The cache side carries just (content_hash, k longs)."""
+        spark = docs.sparkSession
+        hashed = docs.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"),
+            F.col(text_col),
+        )
+        cached = self._cached(spark)
+        missing = hashed.dropDuplicates(["content_hash"])
+        if cached is not None:
+            missing = missing.join(cached.select("content_hash"),
+                                   "content_hash", "left_anti")
+        new_sigs = minhash_signature(
+            missing, "content_hash", text_col, k=self.k, shingle_n=self.shingle_n
+        )
+        if new_sigs.limit(1).count() > 0:
+            new_sigs.write.mode("append").parquet(self.path)
+        all_sigs = self._cached(spark)
+        return hashed.select(id_col, "content_hash").join(
+            all_sigs, "content_hash"
+        ).drop("content_hash")

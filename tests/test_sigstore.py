@@ -1,0 +1,58 @@
+"""Signature store: cache hit ∝ unchanged content, signatures identical to
+the direct pass (SCALE.md amortization item)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from minerva_etl_46_spark.operators.dedup import minhash_signature
+from minerva_etl_46_spark.sources.sigstore import SignatureStore
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, n=200):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < n)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+
+
+def test_store_matches_direct_and_amortizes(spark, tmp_path):
+    docs = _docs(spark)
+    store = SignatureStore(str(tmp_path), k=16)
+
+    got = store.signatures(docs, "doc_id", "text").toPandas()
+    want = minhash_signature(docs, "doc_id", "text", k=16).toPandas()
+    key = "doc_id"
+    got = got.sort_values(key).reset_index(drop=True)[want.columns.tolist()]
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got.equals(want), "cached signatures != direct minhash pass"
+
+    # store holds one row per distinct content
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+    stored = spark.read.parquet(store.path)
+    assert stored.count() == n_distinct
+
+    # second run over corpus + new docs appends ONLY the new content
+    more = _docs(spark, n=250)
+    out2 = store.signatures(more, "doc_id", "text")
+    assert out2.count() == more.count()
+    n_distinct2 = more.select(F.md5("text")).distinct().count()
+    stored2 = spark.read.parquet(store.path).dropDuplicates(["content_hash"])
+    assert stored2.count() == n_distinct2
+    # run-1 docs still resolve through the (append-only) store
+    assert out2.join(docs.select("doc_id"), "doc_id").count() == docs.count()
+
+
+def test_unchanged_rerun_appends_nothing(spark, tmp_path):
+    docs = _docs(spark)
+    store = SignatureStore(str(tmp_path), k=16)
+    store.signatures(docs, "doc_id", "text").count()
+    files1 = set(os.listdir(store.path))
+    store.signatures(docs, "doc_id", "text").count()
+    assert set(os.listdir(store.path)) == files1, "rerun appended despite full cache hit"
