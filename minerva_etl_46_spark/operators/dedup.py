@@ -88,12 +88,23 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = 32,
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str, k: int = 32,
-                        bands: int = 8) -> DataFrame:
+                        bands: int = 8,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Band the signature and emit candidate pairs (a < b) that share at
     least one band bucket. The join key is (band_id, band_hash): only
-    same-bucket docs ever meet — no quadratic blowup at corpus scale.
-    Salting note: a degenerate bucket (e.g. empty docs) is the skew risk;
-    AQE skew-join handles it, or pre-filter empty shingle sets."""
+    same-bucket docs ever meet — no quadratic blowup at corpus scale for
+    ORGANIC near-dups.
+
+    max_bucket_size is the guard for the remaining quadratic risk:
+    template/boilerplate clusters (n docs sharing a band bucket emit
+    n²/2 pairs — one 100k-doc template bucket is 5e9 pairs). Buckets
+    larger than the cap are dropped BEFORE the self-join (one cheap agg
+    over band rows); members of a dropped bucket can still pair through
+    their other, more selective bands. Docs that are byte-identical
+    belong to the exact-dedup pass upstream, and mega-clusters are better
+    handled by cluster-level sampling than pairwise verification — the
+    cap makes that policy explicit instead of letting one bucket own the
+    job. None disables the cap (fixture-scale default)."""
     # the self-join below would otherwise evaluate the full minhash
     # pipeline TWICE (once per side) — materialize the signature once
     sig = sig.localCheckpoint(eager=False)
@@ -112,6 +123,14 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, k: int = 32,
             ])
         ).alias("e"),
     ).select(id_col, "e.band_id", "e.bh")
+    if max_bucket_size is not None:
+        sizes = long_.groupBy("band_id", "bh").agg(
+            F.count(F.lit(1)).alias("__n"))
+        long_ = (
+            long_.join(sizes.filter(F.col("__n") <= max_bucket_size),
+                       ["band_id", "bh"])
+            .drop("__n")
+        )
     a = long_.select(F.col(id_col).alias("a_id"), "band_id", "bh")
     b = long_.select(F.col(id_col).alias("b_id"), "band_id", "bh")
     return (

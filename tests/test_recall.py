@@ -74,6 +74,42 @@ def test_dedup_pipeline_recall_and_groups(spark):
     assert got_map == want_map, "dedup group assignment diverges from exact components"
 
 
+def test_lsh_bucket_cap_bounds_template_blowup(spark):
+    """A template cluster (n near-identical docs) lands in shared band
+    buckets and emits ~n²/2 candidate pairs — the quadratic risk the
+    max_bucket_size cap exists for. The cap must crush the template
+    pair count while leaving organic planted pairs untouched."""
+    from pyspark.sql import functions as F
+
+    from scale_probe import synth_docs
+
+    organic = synth_docs(spark, 2000)
+    common = " ".join(f"t{i}" for i in range(29))
+    template = spark.range(64).select(
+        (F.col("id") + 100_000).alias("doc_id"),
+        F.concat(F.lit(common + " v"), F.col("id").cast("string")).alias("text"),
+    )
+    corpus = organic.unionByName(template).localCheckpoint(eager=True)
+
+    sig = minhash_signature(corpus, "doc_id", "text", k=32)
+    sig = sig.localCheckpoint(eager=True)
+    uncapped = lsh_candidate_pairs(sig, "doc_id", k=32, bands=16)
+    capped = lsh_candidate_pairs(sig, "doc_id", k=32, bands=16,
+                                 max_bucket_size=16)
+
+    n_template_unc = uncapped.filter(F.col("a_id") >= 100_000).count()
+    n_template_cap = capped.filter(F.col("a_id") >= 100_000).count()
+    assert n_template_unc >= 64 * 63 // 2 * 0.9, "template cluster not colliding?"
+    assert n_template_cap < n_template_unc / 10, \
+        f"cap ineffective: {n_template_cap} vs {n_template_unc}"
+
+    planted = {(i - 1, i) for i in range(1, 2000, 10)}
+    got = _pairs(capped.filter(F.col("a_id") < 100_000)
+                 .select("a_id", "b_id").toPandas())
+    found = len(planted & got) / len(planted)
+    assert found >= 0.99, f"cap damaged organic candidate recall: {found:.3f}"
+
+
 def test_sim_ann_recall_floor(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").localCheckpoint(eager=True)
     exact = _pairs(cosine_topk_bruteforce(emb).select("q_id", "c_id").toPandas())
