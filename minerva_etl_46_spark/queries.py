@@ -1105,7 +1105,9 @@ def llm_dedup_near(spark, sf_dir):
     )
     corpus = d.unionByName(near)
     sig = minhash_signature(corpus, id_col="doc_id", text_col="text", k=32)
-    pairs = lsh_candidate_pairs(sig, id_col="doc_id", k=32, bands=8)
+    # bands=16 (r=2, s50=0.25) matches the 0.5 verify threshold — see
+    # SCALE.md's S-curve measurements (bands=8 loses J≈0.65 pairs)
+    pairs = lsh_candidate_pairs(sig, id_col="doc_id", k=32, bands=16)
     return jaccard_verify(corpus, pairs, id_col="doc_id", text_col="text", threshold=0.5)
 
 
