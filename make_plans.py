@@ -25,6 +25,15 @@ NOTES = {
                  "window sort — no range cross-product.",
     "upsert_latest": "Single window exchange; production bounds it per "
                      "touched partition (trendstore.upsert).",
+    "agg_approx": "Sketch aggregation (HLL++ + GK quantiles) is ONE pass "
+                  "with map-side partials; the invariant machinery only "
+                  "touches 5-row frames (broadcast) plus one rank pass.",
+    "llm_dedup_near": "Candidate generation is an equi-join on "
+                      "(band_id, band_hash) — no cross product; exact "
+                      "Jaccard touches only candidates.",
+    "llm_sim_ivf": "Corpus joins centroids by cell_id equi-join after a "
+                   "one-pass assignment; queries probe n_probe cells — "
+                   "the corpus is never broadcast or cross-joined.",
 }
 
 
