@@ -39,3 +39,28 @@ def hourly_traffic(base_dir: str) -> MaterializationSpec:
         sources=[raw], ts_col="bucket",
         processing_delay_s=0, stability_delay_s=0,
     )
+
+
+def daily_traffic(base_dir: str) -> MaterializationSpec:
+    """Calendar-granularity (round-2) variant: windows are local days —
+    variable length across DST. Non-UTC zones need a partition size that
+    divides the local-midnight epoch offsets (3600 covers whole-hour-offset
+    zones); UTC tiles 86400 too."""
+    from minerva_etl_46_spark.functions.timestamps import G_1D
+
+    hourly = TrendStorePartStorage(base_dir, "traffic_1h", partition_size_s=3600)
+    target = TrendStorePartStorage(base_dir, "traffic_1d", partition_size_s=3600)
+
+    def src_fn(spark, w_start, w_end):
+        rows = hourly.read_window(spark, w_start, w_end + 1).filter(
+            (F.col("bucket") > w_start) & (F.col("bucket") <= w_end)
+        )
+        rows = rows.withColumn("ts", F.timestamp_seconds("bucket"))
+        return time_rollup(rows, "entity_id", "ts", G_1D, TRENDS,
+                           bucket_col="bucket", label="end",
+                           tz="Europe/Amsterdam")
+
+    return MaterializationSpec(
+        name="traffic_1d", granularity=G_1D, target=target, src_fn=src_fn,
+        sources=[hourly], ts_col="bucket", tz="Europe/Amsterdam",
+    )

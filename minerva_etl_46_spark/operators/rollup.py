@@ -86,6 +86,7 @@ def time_rollup(
     bucket_col: str = "bucket",
     exact: bool = True,
     label: str = "start",
+    tz: str = "UTC",
 ) -> DataFrame:
     """A1: roll raw rows up to (entity, granularity bucket).
 
@@ -97,19 +98,32 @@ def time_rollup(
                 input carries END-labeled grid timestamps, otherwise a
                 boundary row (ts exactly on the coarser grid) is summed
                 into one window but labeled into the next one's partition.
+    tz: calendar granularities (day/week/month) align in this zone
+    (Minerva instance-local alignment, SURVEY §1.2); ignored for
+    second-based granularities, whose grids are tz-free.
     order_cols: deterministic ordering key for first/last trends
     (defaults to (ts_col,)). exact: see _agg_column.
     """
-    from minerva_etl_46_spark.functions.timestamps import bucket_epoch_end
+    from minerva_etl_46_spark.functions.timestamps import (
+        align_end,
+        align_floor,
+        bucket_epoch_end,
+    )
 
     order = F.struct(*[F.col(c) for c in (order_cols or (ts_col,))])
     aggs = [_agg_column(t, name, order, exact=exact).alias(name)
             for name, t in trends.items()]
-    bucket = (
-        bucket_epoch_end(ts_col, granularity)
-        if label == "end"
-        else bucket_epoch(ts_col, granularity)
-    )
+    if granularity.is_calendar:
+        aligned = (
+            align_end(ts_col, granularity, tz)
+            if label == "end"
+            else align_floor(ts_col, granularity, tz)
+        )
+        bucket = aligned.cast("long")
+    elif label == "end":
+        bucket = bucket_epoch_end(ts_col, granularity)
+    else:
+        bucket = bucket_epoch(ts_col, granularity)
     return (
         df.groupBy(F.col(entity_col), bucket.alias(bucket_col))
         .agg(*aggs)

@@ -83,3 +83,29 @@ def test_time_and_entity_aggregation_can_differ(spark):
     row = rolled.collect()[0]
     assert row["entity"] == 9
     assert row["g"] == 20.0 + 7.0  # avg over time (20, 7) then SUM over entities
+
+
+def test_calendar_end_label_rollup_local_tz_across_dst(spark):
+    """Round-2: END-labeled daily rollup in instance-local time. The
+    Amsterdam spring-forward day (2024-03-31, 23h long) must produce ONE
+    bucket at the local midnight that CLOSES it (22:00 UTC), and a row
+    exactly on a local midnight closes its own day (ceil convention)."""
+    from minerva_etl_46_spark.functions.timestamps import G_1D
+
+    mar31_start = 1711839600        # 2024-03-30 23:00 UTC = 3/31 00:00 local
+    mar31_end = mar31_start + 23 * 3600  # 3/31 22:00 UTC = 4/1 00:00 local
+    rows = [
+        (1, mar31_start + 1, 10.0),      # just inside the DST day
+        (1, mar31_end - 1, 20.0),        # late in the DST day
+        (1, mar31_start, 5.0),           # ON local midnight → closes PREV day
+    ]
+    df = spark.createDataFrame(
+        rows, schema="entity long, epoch long, v double"
+    ).select("entity", F.timestamp_seconds("epoch").alias("ts"),
+             F.col("v").alias("t_sum"))
+    trends = {"t_sum": Trend("t_sum", time_aggregation="sum")}
+    out = {r["bucket"]: r["t_sum"]
+           for r in time_rollup(df, "entity", "ts", G_1D, trends,
+                                label="end", tz="Europe/Amsterdam").collect()}
+    assert out[mar31_end] == 30.0        # both in-day rows close at 4/1 local
+    assert out[mar31_start] == 5.0       # on-grid row closes its own (prev) day
