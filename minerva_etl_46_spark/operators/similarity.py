@@ -79,6 +79,72 @@ def cosine_topk_bruteforce(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.25,
+    nbits: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS at corpus scale (the semantic
+    dedup flavor — the scale twin of the exact all-pairs baseline in
+    queries.llm_dedup_embed, symmetric to text dedup's LSH→verify split).
+
+    SRP band buckets generate candidates via a self-equi-join on
+    (band_id, band_hash) — never the cross product — then exact decimal
+    cosine keeps pairs ≥ threshold (no false positives; recall is the
+    probabilistic part, floored in tests/test_recall.py). Per-band
+    collision for angle θ is (1 − θ/π)^r, so like the text path the band
+    width must track the threshold: r=2 suits thresholds in the 0.25–0.5
+    range. max_bucket_size guards degenerate buckets exactly like
+    lsh_candidate_pairs (e.g. zero-vector or template embeddings)."""
+    dim = 64
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((nbits, dim))
+    r = nbits // bands
+    mask = (1 << r) - 1
+
+    sig = emb.select(
+        F.col(id_col), F.col(vec_col),
+        srp_signature(F.col(vec_col), planes).alias("sig"),
+        _norm2_dec(F.col(vec_col)).alias("nrm2"),
+    ).localCheckpoint(eager=False)  # self-joined below: hash the vectors once
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col("sig"), b * r).bitwiseAND(F.lit(mask)).alias("bh"),
+        )
+        for b in range(bands)
+    ])
+    long_ = sig.select(id_col, "nrm2", F.explode(band_structs).alias("e")) \
+               .select(id_col, "nrm2", "e.band_id", "e.bh")
+    if max_bucket_size is not None:
+        sizes = long_.groupBy("band_id", "bh").agg(F.count(F.lit(1)).alias("__n"))
+        long_ = long_.join(sizes.filter(F.col("__n") <= max_bucket_size),
+                           ["band_id", "bh"]).drop("__n")
+    a = long_.select(F.col(id_col).alias("a_id"), "band_id", "bh")
+    b = long_.select(F.col(id_col).alias("b_id"), "band_id", "bh")
+    cand = (
+        a.join(b, ["band_id", "bh"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    av = sig.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"),
+                    F.col("nrm2").alias("a_nrm2"))
+    bv = sig.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"),
+                    F.col("nrm2").alias("b_nrm2"))
+    scored = cand.join(av, "a_id").join(bv, "b_id").select(
+        "a_id", "b_id",
+        (_dot_dec(F.col("a_vec"), F.col("b_vec"))
+         / F.sqrt(F.col("a_nrm2") * F.col("b_nrm2"))).alias("cos"),
+    )
+    return scored.filter(F.col("cos") >= threshold)
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     id_col: str = "vec_id",
