@@ -160,3 +160,31 @@ def resize_stub(payload: bytes, target: int = 64) -> bytes:
         raise NotImplementedError("real codec required")
     stride = max(1, len(payload) // target)
     return payload[::stride][:target]
+
+
+def resize_media(media: DataFrame, target: int = 64,
+                 resize=resize_stub) -> DataFrame:
+    """X5 'resize' verb as a DataFrame op: payload replaced in place, meta
+    n_bytes updated, schema preserved — so resized media flows back into
+    the same MEDIA_SCHEMA pipeline (extract_features / sample_frames).
+    ``resize`` is injectable exactly like extract_features' ``decode``
+    (pass a PIL-backed callable in a real deployment); the default stub
+    keeps the Arrow plumbing testable without media libs. Narrow op, no
+    shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            resized = [resize(p, target) if p is not None else None
+                       for p in pdf["payload"]]
+            out["payload"] = resized
+            out["meta"] = [
+                None if m is None else
+                {**m, "n_bytes": None if p is None else len(p)}
+                for m, p in zip(pdf["meta"], resized)
+            ]
+            yield out
+
+    from minerva_etl_46_spark.operators.dedup import spread
+
+    return spread(media).mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -1,0 +1,49 @@
+"""Multimodal plumbing units (X5): resize verb keeps the MEDIA_SCHEMA
+contract so resized media composes with the rest of the pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from minerva_etl_46_spark.operators.multimodal import (
+    extract_features,
+    resize_media,
+    wrap_as_media,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _media(spark, n=100):
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < n)
+    )
+    return wrap_as_media(docs, "doc_id", "text")
+
+
+def test_resize_preserves_schema_and_updates_meta(spark):
+    media = _media(spark).localCheckpoint(eager=True)
+    out = resize_media(media, target=64)
+    # simpleString ignores nullability flags (mapInPandas marks all fields
+    # nullable) — the structural contract is what downstream ops consume
+    assert out.schema.simpleString() == media.schema.simpleString(), \
+        "resize must preserve MEDIA_SCHEMA"
+    rows = out.select(
+        "media_id",
+        F.length("payload").alias("n"),
+        F.col("meta.n_bytes").alias("meta_n"),
+        F.col("meta.kind").alias("kind"),
+    ).collect()
+    assert len(rows) == media.count()
+    for r in rows:
+        assert r["n"] <= 64, f"payload not shrunk: {r['n']}"
+        assert r["meta_n"] == r["n"], "meta.n_bytes not updated to resized size"
+        assert r["kind"] == "text", "non-size meta fields must survive"
+
+
+def test_resize_composes_with_feature_extraction(spark):
+    media = _media(spark).localCheckpoint(eager=True)
+    feats = extract_features(resize_media(media, target=64)).collect()
+    assert len(feats) == media.count()
+    assert all(f["n_bytes"] <= 64 for f in feats)
