@@ -146,3 +146,42 @@ def test_bucketed_range_join_matches_naive(spark, lefts, rights):
         "inner",
     ).select("lid", "rid").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, naive))
+
+
+ts_strategy = st.lists(
+    st.integers(1577836800, 1735689600),  # 2020..2025 epoch range
+    min_size=1, max_size=20,
+)
+
+
+@SLOW
+@given(epochs=ts_strategy)
+def test_alignment_invariants(spark, epochs):
+    """align_floor/align_end grid laws for arbitrary timestamps (guards the
+    round-2 on-grid fix): floor ≤ ts ≤ end, both on-grid, end − floor is
+    one period for off-grid inputs, and on-grid inputs are fixed points of
+    BOTH (floor: own period start; end: closes own period)."""
+    from minerva_etl_46_spark.functions.timestamps import (
+        G_15M,
+        align_end,
+        align_floor,
+    )
+
+    g = G_15M.seconds
+    df = spark.createDataFrame([(e,) for e in epochs], "epoch long").select(
+        F.timestamp_seconds("epoch").alias("ts"), "epoch"
+    )
+    out = df.select(
+        "epoch",
+        align_floor("ts", G_15M).cast("long").alias("lo"),
+        align_end("ts", G_15M).cast("long").alias("hi"),
+    ).collect()
+    for r in out:
+        e, lo, hi = r["epoch"], r["lo"], r["hi"]
+        assert lo % g == 0 and hi % g == 0, "alignment off-grid"
+        assert lo <= e <= hi, f"ts {e} outside [{lo}, {hi}]"
+        if e % g == 0:
+            assert lo == e, "on-grid ts must be its own period start (floor)"
+            assert hi == e, "on-grid ts must close its own period (end)"
+        else:
+            assert hi - lo == g, "off-grid period must be exactly one granule"
