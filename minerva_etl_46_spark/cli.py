@@ -138,6 +138,19 @@ def cmd_retention(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from minerva_etl_46_spark.sources.trendstore import (
+        TrendStorePartStorage,
+        compact_partitions,
+    )
+
+    store = TrendStorePartStorage(args.base_dir, args.part)
+    done = compact_partitions(store, _spark(args),
+                              target_files_per_partition=args.target_files)
+    print(json.dumps({"compacted_partitions": done}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="minerva-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -181,6 +194,12 @@ def build_parser() -> argparse.ArgumentParser:
     rt.add_argument("--part", required=True)
     rt.add_argument("--days", type=int, required=True)
     rt.set_defaults(fn=cmd_retention)
+
+    cp = sub.add_parser("compact", help="rewrite small-file partitions")
+    cp.add_argument("--base-dir", required=True)
+    cp.add_argument("--part", required=True)
+    cp.add_argument("--target-files", type=int, default=1)
+    cp.set_defaults(fn=cmd_compact)
     return p
 
 

@@ -142,3 +142,36 @@ def test_cli_end_to_end_load_materialize_trigger(spark, tmp_path, capsys):
     ]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["notifications"] == 1  # Cell=A: 5/15 drop rate breaches 0.2
+
+
+def test_cli_compact_rewrites_multifile_partitions(spark, tmp_path, capsys):
+    """compact: repeated upserts leave one file per write; the verb
+    rewrites each partition directory down to --target-files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    store = TrendStorePartStorage(str(tmp_path), "traffic", partition_size_s=3600)
+    base = spark.range(20).select(
+        F.col("id").alias("entity_id"),
+        F.timestamp_seconds(1704067200 + F.col("id") % 2).alias("ts"),
+        F.col("id").cast("double").alias("calls"),
+    )
+    for i in range(3):  # three writes → ≥3 files in the touched partition
+        store.upsert(base.withColumn("calls", F.col("calls") + i),
+                     keys=["entity_id", "ts"], version_cols=["calls"], ts_col="ts")
+    pdir = os.path.join(store.path, "p_bucket=1704067200")
+    n_before = len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
+    before = store.read(spark).drop("p_bucket").toPandas()
+
+    assert main(["compact", "--base-dir", str(tmp_path), "--part", "traffic"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    if n_before > 1:
+        assert out["compacted_partitions"] >= 1
+    n_after = len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
+    assert n_after == 1 <= n_before
+    after = store.read(spark).drop("p_bucket").toPandas()
+    key = ["entity_id"]
+    assert before.sort_values(key).reset_index(drop=True).equals(
+        after.sort_values(key).reset_index(drop=True)[before.columns.tolist()]
+    ), "compaction changed data"
