@@ -80,9 +80,12 @@ def wrap_as_media(df: DataFrame, id_col: str, text_col: str, kind: str = "text")
 def extract_features(media: DataFrame, batch_hint: int | None = None,
                      decode=decode_stub) -> DataFrame:
     """Arrow-batched feature extraction over mapInPandas: the executor-side
-    loop a real decoder would run. Partitioning is preserved (narrow op,
-    no shuffle); at 100 TB the input should be pre-partitioned so batches
-    are local.
+    loop a real decoder would run. The extraction itself is row-local, but
+    a small round-robin repartition (``spread``) precedes it so CPU-bound
+    decode parallelizes even from few input partitions — one deliberate
+    shuffle of opaque bytes. At 100 TB the input is already many partitions
+    and that repartition is a rounding error next to decode cost;
+    pre-partitioned inputs keep batches local.
 
     ``decode`` is the codec swap-in point: pass any picklable callable
     ``bytes -> {"n_bytes": int, "n_frames": int, "feat_mean": float}``
@@ -169,8 +172,11 @@ def resize_media(media: DataFrame, target: int = 64,
     the same MEDIA_SCHEMA pipeline (extract_features / sample_frames).
     ``resize`` is injectable exactly like extract_features' ``decode``
     (pass a PIL-backed callable in a real deployment); the default stub
-    keeps the Arrow plumbing testable without media libs. Narrow op, no
-    shuffle."""
+    keeps the Arrow plumbing testable without media libs. The per-row
+    transform is narrow, but a small round-robin repartition (``spread``)
+    precedes it so CPU-bound decode work parallelizes even when the input
+    arrives in few partitions — one cheap shuffle of opaque bytes, bought
+    deliberately."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -79,6 +79,29 @@ def cosine_topk_bruteforce(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def _infer_dim(emb: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row (one-row driver fetch,
+    bounded metadata — not a data-path collect)."""
+    row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dim from '{vec_col}'")
+    return int(row["d"])
+
+
+def _dim_guard(emb: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Executor-side dim assertion for the SRP signature paths: a vector of
+    any other length would silently degenerate the sign test (zip_with pads
+    with null) and collapse recall instead of erroring. assert_true returns
+    NULL when the predicate holds, so the filter is a plan-visible no-op
+    that cannot be pruned away."""
+    return emb.where(
+        F.assert_true(
+            F.size(F.col(vec_col)) == dim,
+            F.lit(f"embedding length != SRP plane dim {dim}"),
+        ).isNull()
+    )
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -88,6 +111,7 @@ def cosine_near_dup_pairs(
     bands: int = 8,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS at corpus scale (the semantic
     dedup flavor — the scale twin of the exact all-pairs baseline in
@@ -100,8 +124,12 @@ def cosine_near_dup_pairs(
     collision for angle θ is (1 − θ/π)^r, so like the text path the band
     width must track the threshold: r=2 suits thresholds in the 0.25–0.5
     range. max_bucket_size guards degenerate buckets exactly like
-    lsh_candidate_pairs (e.g. zero-vector or template embeddings)."""
-    dim = 64
+    lsh_candidate_pairs (e.g. zero-vector or template embeddings).
+    ``dim`` defaults to the first row's vector length; a mismatched row
+    fails loudly (see _dim_guard)."""
+    if dim is None:
+        dim = _infer_dim(emb, vec_col)
+    emb = _dim_guard(emb, vec_col, dim)
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((nbits, dim))
     r = nbits // bands
@@ -253,6 +281,7 @@ def cosine_topk_ann(
     nbits: int = 16,
     bands: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN variant: SRP-LSH banding prunes candidates, exact cosine ranks
     them. At 100 TB the bucket join replaces the corpus broadcast —
@@ -264,10 +293,14 @@ def cosine_topk_ann(
     cos ≈ 0.34 → θ/π ≈ 0.39, giving ~0.37/band; r=8 drops that to ~4e-4
     and recall to 0 — measured in tests/test_recall.py). Corpora whose
     near-neighbors sit at cos ≥ 0.9 should RAISE r (e.g. nbits=32,
-    bands=4) for harder pruning at the same recall."""
+    bands=4) for harder pruning at the same recall. ``dim`` defaults to
+    the first row's vector length; a mismatched row fails loudly (see
+    _dim_guard)."""
     from pyspark.sql import Window
 
-    dim = 64
+    if dim is None:
+        dim = _infer_dim(emb, vec_col)
+    emb = _dim_guard(emb, vec_col, dim)
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((nbits, dim))
     r = nbits // bands

@@ -47,7 +47,18 @@ STATE_DIR = "_materialization_state"
 def _cal_floor(epoch: int, unit: str, tz: str) -> int:
     """Epoch of the local-calendar period start containing ``epoch`` —
     driver-side mirror of functions.timestamps.align_floor (same
-    local-midnight / Monday-week / month-start semantics, incl. DST)."""
+    local-midnight / Monday-week / month-start semantics, incl. DST).
+
+    Supported-zone assumption (shared with the whole-hour-offset caveat at
+    the window/partition tiling check below): DST transitions must not cross
+    local midnight / the period boundary. ``naive.replace(tzinfo=zone)``
+    resolves ambiguous/nonexistent local times with Python's fold=0
+    (earlier offset), which matches Spark's to_utc_timestamp for zones like
+    Europe/Amsterdam whose transitions happen at 02:00/03:00 — but a zone
+    whose transition crosses midnight (e.g. America/Santiago, 24:00→23:00)
+    can disagree and break the driver-mirror invariant. Such zones are out
+    of scope for calendar materialization; run_window's tiling check
+    catches the resulting off-grid boundaries loudly."""
     zone = ZoneInfo(tz)
     local = datetime.fromtimestamp(epoch, zone)
     if unit == "day":

@@ -47,12 +47,17 @@ class SignatureStore:
         return spark.read.parquet(self.path).dropDuplicates(["content_hash"])
 
     def signatures(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        """(id, mh0..mh{k-1}) for every doc, computing only unseen content.
+        """(id, mh0..mh{k-1}) for every doc that HAS shingles, computing only
+        unseen content.  Docs with fewer than ``shingle_n`` tokens yield no
+        shingles, hence no signature row: they cannot participate in MinHash
+        LSH and are deliberately absent from the output (the exact-dedup pass
+        upstream is the right tool for them).
 
         Plan shape: one hash per doc (narrow), an anti-join against the
         cache to find missing content, the minhash pass over ONLY missing
-        docs, a blind append, then one equi-join to map signatures back to
-        ids. The cache side carries just (content_hash, k longs)."""
+        docs (persisted so the emptiness probe and the append write share one
+        computation), a blind append, then one equi-join to map signatures
+        back to ids. The cache side carries just (content_hash, k longs)."""
         spark = docs.sparkSession
         hashed = docs.select(
             F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"),
@@ -65,10 +70,18 @@ class SignatureStore:
                                    "content_hash", "left_anti")
         new_sigs = minhash_signature(
             missing, "content_hash", text_col, k=self.k, shingle_n=self.shingle_n
-        )
-        if new_sigs.limit(1).count() > 0:
-            new_sigs.write.mode("append").parquet(self.path)
-        all_sigs = self._cached(spark)
-        return hashed.select(id_col, "content_hash").join(
-            all_sigs, "content_hash"
-        ).drop("content_hash")
+        ).persist()
+        try:
+            if new_sigs.count() > 0:
+                new_sigs.write.mode("append").parquet(self.path)
+            all_sigs = self._cached(spark)
+            if all_sigs is None:
+                # fresh store AND nothing new to write (empty input, or every
+                # doc shorter than shingle_n tokens): no parquet exists yet.
+                # new_sigs is an empty frame with the right schema.
+                all_sigs = new_sigs
+            return hashed.select(id_col, "content_hash").join(
+                all_sigs, "content_hash"
+            ).drop("content_hash")
+        finally:
+            new_sigs.unpersist(blocking=False)

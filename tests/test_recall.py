@@ -162,3 +162,25 @@ def test_sim_ivf_recall_floor(spark):
     )
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.85, f"IVF recall@5 {recall:.3f} < 0.85"
+
+
+def test_srp_dim_inferred_and_mismatch_raises(spark):
+    """ADVICE r02: SRP planes must match the data's dimensionality. Mixed
+    lengths fail loudly instead of silently collapsing recall."""
+    import pytest
+
+    from minerva_etl_46_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [0.5] * 8), (3, [-1.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    # dim inferred as 8 (not the old hardcoded 64): runs and returns a frame
+    cosine_topk_ann(emb, query_mod=1, k=1).collect()
+
+    mixed = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [0.5] * 4)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="SRP plane dim"):
+        cosine_near_dup_pairs(mixed, threshold=0.0).collect()

@@ -56,3 +56,22 @@ def test_unchanged_rerun_appends_nothing(spark, tmp_path):
     files1 = set(os.listdir(store.path))
     store.signatures(docs, "doc_id", "text").count()
     assert set(os.listdir(store.path)) == files1, "rerun appended despite full cache hit"
+
+
+def test_fresh_store_empty_input_returns_empty(spark, tmp_path):
+    """ADVICE r02: fresh store + nothing to write must not raise — it
+    returns an empty frame with the signature schema."""
+    docs = _docs(spark).filter(F.lit(False))
+    store = SignatureStore(str(tmp_path), k=16)
+    out = store.signatures(docs, "doc_id", "text")
+    assert out.count() == 0
+    assert "mh0" in out.columns and "doc_id" in out.columns
+
+
+def test_shingle_less_docs_absent_not_crashing(spark, tmp_path):
+    """Docs shorter than shingle_n tokens have no shingles: documented to
+    be absent from the output (fresh store, nothing cached)."""
+    short = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    store = SignatureStore(str(tmp_path), k=16, shingle_n=3)
+    out = store.signatures(short, "doc_id", "text")
+    assert out.count() == 0
