@@ -9,6 +9,7 @@ driver-side collect cost in the measurement)."""
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -22,14 +23,22 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="minerva-bench")
-    timings: dict[str, float] = {}
-    # warm the JVM/IO once on the flagship shape so per-query numbers
-    # aren't dominated by first-job startup
+def warmup(spark, sf_dir: str) -> None:
+    """Absorb session-level one-time costs so per-query numbers measure the
+    query: first-job/JIT startup (flagship shape) and Python-worker fork —
+    the first pandas-UDF query otherwise gets charged ~2-3s of interpreter
+    startup at local[32] that belongs to the session, not the query."""
     materialize(QUERIES["agg_time"](spark, sf_dir))
+    par = spark.sparkContext.defaultParallelism
+    materialize(
+        spark.range(par * 4, numPartitions=par).mapInPandas(
+            lambda it: it, schema="id long"
+        )
+    )
+
+
+def run_pass(spark, sf_dir: str) -> dict[str, float]:
+    timings: dict[str, float] = {}
     for key in sorted(QUERIES):
         t0 = time.perf_counter()
         try:
@@ -38,14 +47,36 @@ def main() -> None:
         except Exception as ex:  # a broken query must not hide the rest
             timings[key] = -1.0
             print(f"bench: {key} FAILED: {ex}", file=sys.stderr)
+    return timings
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="extra passes; pass 1 stays the headline (cold) "
+                         "number, per-query min lands in queries_min "
+                         "(BENCH_NOTES.md adjudication in one run)")
+    args = ap.parse_args()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="minerva-bench")
+    warmup(spark, sf_dir)
+    passes = [run_pass(spark, sf_dir) for _ in range(max(1, args.repeat))]
+    timings = passes[0]
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(json.dumps({
+    out = {
         "metric": "total_query_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-    }))
+    }
+    if len(passes) > 1:
+        qmin = {k: min(p[k] for p in passes if p[k] >= 0) if any(p[k] >= 0 for p in passes) else -1.0
+                for k in timings}
+        out["queries_min"] = qmin
+        out["value_min"] = round(sum(t for t in qmin.values() if t >= 0), 3)
+    print(json.dumps(out))
     spark.stop()
 
 

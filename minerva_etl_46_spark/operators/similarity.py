@@ -17,6 +17,7 @@ higher-order functions (JVM codegen) — no Python UDF in either path.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -41,6 +42,26 @@ def _norm2_dec(a: Column) -> Column:
     return F.aggregate(
         sq, F.lit(0).cast(DEC12), lambda acc, v: (acc + v).cast(DEC12)
     ).cast("double")
+
+
+def _dot_double(a: Column, b: Column) -> Column:
+    """Plain-double dot product for the rows-only ANN paths: element order
+    is fixed (array aggregate), so it is deterministic, just not
+    engine-portable like the decimal version. Interpreted BigDecimal
+    arithmetic is ~an order of magnitude slower per element — measurable
+    against a 12k-candidate rerank — and ANN outputs have no SQL oracle to
+    stay bit-identical with."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def _norm2_double(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
 
 
 def cosine_topk_bruteforce(
@@ -173,6 +194,104 @@ def cosine_near_dup_pairs(
     return scored.filter(F.col("cos") >= threshold)
 
 
+def _fit_centroids_sample(
+    emb: DataFrame, id_col: str, vec_col: str,
+    n_cells: int, seed: int, fit_sample: int, max_iter: int,
+) -> np.ndarray:
+    """Driver-side Lloyd fit on a deterministic pseudo-random sample — the
+    100 TB IVF recipe (fit on a sample, transform everything) made the
+    only path. The sample is the ``fit_sample`` lowest rows by
+    xxhash64(id, seed) — deterministic regardless of partitioning — so at
+    any corpus size the fit sees a bounded, reproducible subset; k-means
+    over ≤ a few thousand × dim doubles is numpy-trivial, and the cluster
+    only pays ONE corpus scan (TakeOrdered) instead of 2 Spark jobs per
+    KMeans iteration. ANN cells need a reasonable space partition, not a
+    converged clustering (see cosine_topk_ivf)."""
+    rows = (
+        emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .withColumn("__h", F.xxhash64(F.col("i").cast("string"), F.lit(seed)))
+        .sort("__h", "i").limit(fit_sample).collect()
+    )
+    X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    # k-means++ init: random-row init measurably costs recall (0.533 vs
+    # 0.933 on the fixture corpus — same gap as halving n_probe)
+    k_eff = min(n_cells, len(X))
+    idx = [int(rng.randint(len(X)))]
+    d2min = ((X - X[idx[0]]) ** 2).sum(axis=1)
+    for _ in range(1, k_eff):
+        tot = d2min.sum()
+        if tot <= 0:
+            idx.append(int(rng.randint(len(X))))
+        else:
+            idx.append(int(rng.choice(len(X), p=d2min / tot)))
+        d2min = np.minimum(d2min, ((X - X[idx[-1]]) ** 2).sum(axis=1))
+    cent = X[idx].copy()
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        new = np.array([
+            X[lab == j].mean(axis=0) if (lab == j).any() else cent[j]
+            for j in range(len(cent))
+        ])
+        if np.allclose(new, cent):
+            break
+        cent = new
+    return cent
+
+
+def _cell_id(vec: Column, centroids: np.ndarray) -> Column:
+    """argmin-distance cell assignment as a vectorized Arrow-batched
+    pandas UDF: one narrow projection over the corpus, no shuffle, no
+    iterative job. A pure-HOF version (n_cells × dim literal tree) was
+    measured 2.9s of Catalyst ANALYSIS time at 16×64 — expression-size
+    cost, not data cost — so this is the sanctioned vectorized-UDF case:
+    routing needs deterministic float math, not the oracle-exact decimal
+    accumulators. Squared distances sum per-row over a fixed axis order
+    (no BLAS reduction reordering), ties break to the lowest cell_id
+    (argmin finds the first min)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = centroids.astype(np.float64)
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        out = np.empty(len(vs), dtype=np.int32)
+        X = np.array(vs.tolist(), dtype=np.float64)
+        for lo in range(0, len(X), 1024):  # bound the (chunk, cells, dim) temp
+            chunk = X[lo:lo + 1024]
+            d2 = ((chunk[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            out[lo:lo + len(chunk)] = d2.argmin(axis=1)
+        return pd.Series(out)
+
+    return assign(vec)
+
+
+def _probe_cells(vec: Column, centroids: np.ndarray, n_probe: int) -> Column:
+    """Top-``n_probe`` nearest centroid ids per query vector as one narrow
+    vectorized projection — replaces a crossJoin + HOF distance + ranking
+    window (three first-compile stage shapes, ~6s of fixed cost on a cold
+    session) with a single Arrow batch pass over the (small) query side.
+    Stable argsort: ties break to the lowest cell_id."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = centroids.astype(np.float64)
+    take = min(n_probe, len(cent))
+
+    @pandas_udf("array<int>")
+    def probes(vs: pd.Series) -> pd.Series:
+        out: list = []
+        X = np.array(vs.tolist(), dtype=np.float64)
+        for lo in range(0, len(X), 1024):
+            chunk = X[lo:lo + 1024]
+            d2 = ((chunk[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :take]
+            out.extend(idx.astype(np.int32).tolist())
+        return pd.Series(out)
+
+    return probes(vec)
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -182,62 +301,59 @@ def cosine_topk_ivf(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
-    max_iter: int = 10,
+    max_iter: int = 20,
+    fit_sample: int = 4096,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: seeded KMeans centroids partition the
+    """IVF (inverted-file) ANN: sample-fit k-means centroids partition the
     corpus into cells; each query probes only its ``n_probe`` nearest
     cells and ranks candidates by exact cosine.
 
-    Scale shape: the corpus is assigned once (one model.transform pass,
-    narrow), candidates come from an equi-join on cell_id — per-query work
-    is corpus × n_probe/n_cells instead of the full broadcast. The
-    centroid table is n_cells rows (broadcast, never shuffled). Recall
-    rises with n_probe (n_probe == n_cells degenerates to brute force);
-    tests/test_recall.py pins a floor on the fixture corpus.
+    Scale shape: centroids are fit driver-side on a deterministic
+    ``fit_sample``-row sample (see _fit_centroids_sample — one corpus
+    scan, zero iterative Spark jobs; this replaced an MLlib fit whose
+    per-iteration job overhead dominated the r02 bench at 4.4s), the
+    corpus is assigned once via a narrow argmin projection, and candidates
+    come from a broadcast equi-join on cell_id (probes side is queries ×
+    n_probe rows; the corpus side is never shuffled) — per-query work is
+    corpus × n_probe/n_cells instead of the full broadcast. Centroids ride
+    into both vectorized projections as plain numpy closures (tiny:
+    n_cells × dim floats). Recall rises with n_probe
+    (n_probe == n_cells degenerates to brute force); tests/test_recall.py
+    pins a floor on the fixture corpus. Cells only need to be a
+    reasonable partition of the space, not a converged clustering.
 
-    The KMeans fit is iterative (driver-coordinated, like llm_cluster) —
-    at 100 TB fit on a sample, then transform the full corpus. Cells only
-    need to be a reasonable partition, not a converged clustering —
-    max_iter=10 matches max_iter=20's recall on the fixture (0.933) at
-    roughly half the fit cost; 5 iterations drops recall to 0.80."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    Recall vs pruning honesty: on a corpus with real cluster structure,
+    neighbors concentrate in few cells and small n_probe gives high
+    recall. The fixture embeddings are weakly clustered, so recall ≈
+    probed corpus fraction (measured: 0.4/0.6/0.73/0.87 at n_probe
+    4/6/8/10 of 16 with balanced cells). The old MLlib fit scored 0.933
+    at n_probe=4 only because its unbalanced cells (3 singletons, largest
+    = 13% of corpus) made 4 probes cover half the corpus — an artifact,
+    not better ANN. Balanced cells + explicit n_probe is the tunable,
+    honest trade."""
     from pyspark.sql import Window
 
-    feats = emb.select(
+    cent = _fit_centroids_sample(
+        emb, id_col, vec_col, n_cells, seed, fit_sample, max_iter
+    )
+    # No checkpoint needed: the query-side filter evaluates BEFORE the
+    # assignment UDF (predicate pushdown), so the corpus pays exactly one
+    # assignment pass; the probe side re-runs scan+UDF on queries only.
+    assigned = emb.select(
         F.col(id_col), F.col(vec_col),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        _cell_id(F.col(vec_col), cent).alias("cell_id"),
+        _norm2_double(F.col(vec_col)).alias("nrm2"),
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
-    assigned = model.transform(feats).select(
-        F.col(id_col), F.col(vec_col), F.col("prediction").alias("cell_id"),
-        _norm2_dec(F.col(vec_col)).alias("nrm2"),
-    )
-    spark = emb.sparkSession
-    centroids = spark.createDataFrame(
-        [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())],
-        schema="cell_id int, centroid array<double>",
-    )
-    # queries probe their n_probe nearest cells (tiny frames: queries ×
-    # n_cells rows)
-    q = assigned.filter(F.col(id_col) % query_mod == 0).select(
+    # queries probe their n_probe nearest cells: one narrow projection +
+    # explode on the small query side, broadcast into the candidate join —
+    # the corpus side is never shuffled
+    probes = emb.filter(F.col(id_col) % query_mod == 0).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-        F.col("nrm2").alias("q_nrm2"),
+        _norm2_double(F.col(vec_col)).alias("q_nrm2"),
+        F.explode(_probe_cells(F.col(vec_col), cent, n_probe)).alias("cell_id"),
     )
-    qc = q.crossJoin(F.broadcast(centroids)).select(
-        "q_id", "q_vec", "q_nrm2", "cell_id",
-        F.aggregate(
-            F.zip_with(F.col("q_vec"), F.col("centroid"),
-                       lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0), lambda acc, v: acc + v,
-        ).alias("dist2"),
-    )
-    wp = Window.partitionBy("q_id").orderBy(F.col("dist2"), F.col("cell_id"))
-    probes = qc.withColumn("pr", F.row_number().over(wp)) \
-               .filter(F.col("pr") <= n_probe) \
-               .select("q_id", "q_vec", "q_nrm2", "cell_id")
     cands = (
-        assigned.join(probes, "cell_id")
+        assigned.join(F.broadcast(probes), "cell_id")
         .filter(F.col(id_col) != F.col("q_id"))
         .select(
             "q_id", F.col(id_col).alias("c_id"), "q_vec", "q_nrm2",
@@ -246,7 +362,7 @@ def cosine_topk_ivf(
     )
     scored = cands.select(
         "q_id", "c_id",
-        (_dot_dec(F.col("q_vec"), F.col("c_vec"))
+        (_dot_double(F.col("q_vec"), F.col("c_vec"))
          / F.sqrt(F.col("q_nrm2") * F.col("c_nrm2"))).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
@@ -309,7 +425,8 @@ def cosine_topk_ann(
     sig = emb.select(
         F.col(id_col), F.col(vec_col),
         srp_signature(F.col(vec_col), planes).alias("sig"),
-        _norm2_dec(F.col(vec_col)).alias("nrm2"),
+        _norm2_double(F.col(vec_col)).alias("nrm2"),  # rows-only path:
+        # double math (see _dot_double) — no SQL oracle to stay exact with
     )
     band_structs = F.array(*[
         F.struct(
@@ -335,7 +452,7 @@ def cosine_topk_ann(
     )
     scored = cands.select(
         "q_id", "c_id",
-        (_dot_dec(F.col("q_vec"), F.col("c_vec"))
+        (_dot_double(F.col("q_vec"), F.col("c_vec"))
          / F.sqrt(F.col("q_nrm2") * F.col("c_nrm2"))).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))

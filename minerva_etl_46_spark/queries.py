@@ -1238,15 +1238,17 @@ def llm_sim_ann(spark, sf_dir):
 
 @register("llm_sim_ivf")  # rows-only: iterative KMeans fit, no SQL oracle
 def llm_sim_ivf(spark, sf_dir):
-    """X3 (second scale path): IVF — seeded-KMeans cells partition the
-    corpus; queries probe their n_probe nearest cells, exact cosine ranks
-    candidates. Per-query work is corpus × n_probe/n_cells instead of the
-    LSH band-collision set; recall floor asserted in tests/test_recall.py
-    (0.933 measured at cells=16, probe=4)."""
+    """X3 (second scale path): IVF — sample-fit k-means cells partition
+    the corpus; queries probe their n_probe nearest cells, exact cosine
+    ranks candidates. Per-query work is corpus × n_probe/n_cells instead
+    of the LSH band-collision set; recall floor asserted in
+    tests/test_recall.py (0.87 measured at cells=16, probe=10 — the
+    fixture corpus is weakly clustered, so recall tracks probed fraction;
+    see cosine_topk_ivf's docstring)."""
     from minerva_etl_46_spark.operators.similarity import cosine_topk_ivf
 
     emb = load(spark, sf_dir, "embeddings")
-    return cosine_topk_ivf(emb, query_mod=200, k=5, n_cells=16, n_probe=4)
+    return cosine_topk_ivf(emb, query_mod=200, k=5, n_cells=16, n_probe=10)
 
 
 @register(
@@ -1528,36 +1530,36 @@ def agg_approx(spark, sf_dir):
     generous). The oracle asserts the same exact count and literal trues —
     a full rows+schema+hash check instead of rows-only.
 
-    Bench note: cold time is plan-compile-bound (~5s for the three
-    aggregate plans; warm run ≈1.3s at sf0.1) — the invariant costs
-    compile time, not data-scale time."""
+    Bench note: cold time is plan-compile-bound (warm run ≈1.3s at sf0.1)
+    — the invariant costs compile time, not data-scale time. Two aggregate
+    plans, not three (r02 shape): the exact DISTINCT rides in the rank
+    pass, whose join side is the 5-row sketch frame."""
     e = load(spark, sf_dir, "events")
-    # two separate aggregations joined on the tiny key: mixing DISTINCT and
+    # sketch aggregates in their own aggregation: mixing DISTINCT and
     # sketch aggregates in ONE agg triggers a pathological ~5s codegen
-    # compile (measured; each alone compiles in <0.5s), and the join side
-    # is 5 rows
+    # compile (measured; each alone compiles in <0.5s)
     sketches = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("q"),
-    )
-    exact = e.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("exact_users"),
-    )
-    stats = sketches.join(F.broadcast(exact), "event_type") \
-        .localCheckpoint(eager=True)  # 5 rows; referenced twice below
-    # realized rank of each approx quantile: one more pass over events with
-    # the 5-row stats frame broadcast (no extra shuffle of the fact side)
+    ).localCheckpoint(eager=True)  # 5 rows; referenced twice below
+    # realized rank of each approx quantile + the exact distinct, in one
+    # more pass over events with the 5-row sketch frame broadcast (no
+    # extra shuffle of the fact side; DISTINCT expand is fine here — the
+    # codegen trap is only DISTINCT *alongside sketch* aggregates)
     ranks = (
-        e.join(F.broadcast(stats.select("event_type", "q")), "event_type")
+        e.join(F.broadcast(sketches.select("event_type", "q")), "event_type")
         .groupBy("event_type")
-        .agg(*[
-            (F.count(F.when(F.col("value") <= F.col("q")[i], 1))
-             / F.count("value")).alias(f"f{p}")
-            for i, p in enumerate((50, 95, 99))
-        ])
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            *[
+                (F.count(F.when(F.col("value") <= F.col("q")[i], 1))
+                 / F.count("value")).alias(f"f{p}")
+                for i, p in enumerate((50, 95, 99))
+            ],
+        )
     )
     return (
-        stats.join(F.broadcast(ranks), "event_type")
+        sketches.join(F.broadcast(ranks), "event_type")
         .select(
             "event_type",
             "exact_users",

@@ -87,3 +87,109 @@ def test_append_mode_tumbling_equals_batch_oracle(spark, tmp_path):
     log_before = target.modified_log(spark).count()
     tumbling_rollup_append(spark, src_dir, SCHEMA, target, ckpt)
     assert target.modified_log(spark).count() == log_before
+
+
+def test_late_beyond_watermark_dropped_then_batch_recovered(spark, tmp_path):
+    """VERDICT r02 item 6: the T2/T3 division of labor, proven end-to-end
+    on ONE late batch. (a) Rows arriving beyond the watermark are dropped
+    from the append stream's store; (b) the same rows, landed in the raw
+    store, flip the window's source fingerprint and the batch materializer
+    (plans/materialize.py) recovers them — the reference's daemon split."""
+    from minerva_etl_46_spark.catalog import Trend
+    from minerva_etl_46_spark.functions.timestamps import G_1H
+    from minerva_etl_46_spark.operators.rollup import time_rollup
+    from minerva_etl_46_spark.plans.materialize import (
+        MaterializationEngine,
+        MaterializationSpec,
+    )
+
+    events = _events(spark).localCheckpoint(eager=True)
+    h1 = F.lit("2024-01-01 01:00:00").cast("timestamp")
+    late = events.filter(
+        (F.col("ts") < h1) & (F.col("event_id") % 5 == 0)
+    ).localCheckpoint(eager=True)
+    on_time = events.join(
+        late.select("event_id"), "event_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    assert late.count() > 0
+
+    def rollup(df):
+        out = (
+            df.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(38,4)"))
+                 .cast("double").alias("sum_value"))
+            .select("event_type", F.col("win.start").cast("long").alias("bucket"),
+                    "n", "sum_value")
+            .toPandas()
+        )
+        key = ["event_type", "bucket"]
+        return out.sort_values(key).reset_index(drop=True)
+
+    # ---- (a) stream: the late chunk arrives AFTER the sentinel pushed the
+    # watermark a day ahead — its hour-0 windows are finalized and evicted,
+    # so Spark must drop the rows entirely
+    src_dir = os.path.join(str(tmp_path), "incoming")
+    _write_chunk(on_time, src_dir, 1000)
+    sentinel = spark.createDataFrame(
+        [(10**9, SENTINEL_TS, 0, "__flush__", 0.0)],
+        schema="event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    _write_chunk(sentinel, src_dir, 2000)
+    _write_chunk(late, src_dir, 3000)
+
+    stream_store = TrendStorePartStorage(str(tmp_path), "stream_1h",
+                                         partition_size_s=3600)
+    tumbling_rollup_append(spark, src_dir, SCHEMA, stream_store,
+                           os.path.join(str(tmp_path), "ckpt"))
+    got_stream = (
+        stream_store.read(spark)
+        .filter(F.col("event_type") != "__flush__")
+        .select("event_type", "bucket", "n", "sum_value")
+        .toPandas().sort_values(["event_type", "bucket"]).reset_index(drop=True)
+    )
+    want_on_time = rollup(on_time)
+    assert got_stream[want_on_time.columns.tolist()].equals(want_on_time), \
+        "stream output should equal the on-time rollup exactly (late dropped)"
+
+    # ---- (b) batch: land the SAME late batch in the raw store; the
+    # modified-log fingerprint flips and the affected windows re-materialize
+    trends = {"n": Trend("n", time_aggregation="count"),
+              "sum_value": Trend("sum_value", time_aggregation="sum")}
+    raw = TrendStorePartStorage(str(tmp_path), "raw", partition_size_s=3600)
+    target = TrendStorePartStorage(str(tmp_path), "batch_1h", partition_size_s=3600)
+    engine = MaterializationEngine(str(tmp_path))
+
+    def src_fn(spark_, w_start, w_end):
+        rows = raw.read_window(spark_, w_start, w_end).filter(
+            (F.col("ts").cast("long") >= w_start) & (F.col("ts").cast("long") < w_end)
+        )
+        src = rows.select("event_type", "ts", F.col("value").alias("n"),
+                          F.col("value").alias("sum_value"))
+        return time_rollup(src, "event_type", "ts", G_1H, trends,
+                           bucket_col="bucket")
+
+    spec = MaterializationSpec(
+        name="batch_1h", granularity=G_1H, target=target, src_fn=src_fn,
+        sources=[raw], ts_col="bucket", reprocessing_period_s=10**12,
+    )
+    raw.upsert(on_time, keys=["event_id"], version_cols=["event_id"])
+    for w, fp in engine.candidates(spark, spec, now=4e9):
+        engine.run_window(spark, spec, w, fp, now=4e9)
+    first = target.read(spark).drop("p_bucket").toPandas()
+    first = first.sort_values(["event_type", "bucket"]).reset_index(drop=True)
+    assert first[want_on_time.columns.tolist()].equals(want_on_time)
+
+    raw.upsert(late, keys=["event_id"], version_cols=["event_id"])
+    dirty = engine.candidates(spark, spec, now=4e9)
+    assert dirty, "late rows must dirty their windows via the fingerprint"
+    # only the hour the late rows touch (plus the boundary-extension
+    # neighbor) may re-run — not the whole day
+    assert {w for w, _ in dirty} <= {1704063600, 1704067200}
+    for w, fp in dirty:
+        engine.run_window(spark, spec, w, fp, now=4e9)
+    want_full = rollup(events)
+    got_batch = target.read(spark).drop("p_bucket").toPandas()
+    got_batch = got_batch.sort_values(["event_type", "bucket"]).reset_index(drop=True)
+    assert got_batch[want_full.columns.tolist()].equals(want_full), \
+        "batch reprocessing must recover the late rows the stream dropped"
