@@ -253,3 +253,41 @@ def connected_components(edges: DataFrame, a_col: str = "a_id",
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("group_id"))
+
+
+def contamination_scores(docs: DataFrame, id_col: str, text_col: str,
+                         bench_pred, gram_n: int = 5,
+                         flag_threshold: float = 0.2) -> DataFrame:
+    """Benchmark decontamination (the eval-leakage gate a training corpus
+    runs before export): for every candidate doc, the fraction of its
+    distinct word n-grams that appear anywhere in the benchmark set.
+
+    ``bench_pred`` is a Column predicate selecting benchmark docs (e.g. an
+    eval-set membership flag). Scale shape: benchmark n-grams are a
+    distinct-projected SMALL side (eval suites are MBs, corpora are TBs)
+    joined against the corpus's exploded distinct grams on the gram string
+    — an equi-join Catalyst broadcasts when the side fits, never a cross
+    product; then one hash-agg per doc. Docs with < gram_n tokens have no
+    grams and are absent from the output (same contract as the MinHash
+    path: gram-less docs can't leak n-grams).
+    """
+    d = spread(docs)
+    grams = d.select(
+        F.col(id_col), bench_pred.alias("__bench"),
+        F.explode(F.array_distinct(shingles(text_col, gram_n))).alias("g"),
+    ).localCheckpoint(eager=False)  # both join sides below
+    bench = grams.filter(F.col("__bench")).select("g").distinct()
+    scored = (
+        grams.filter(~F.col("__bench"))
+        .join(bench.withColumn("__hit", F.lit(1)), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_hit"),
+        )
+    )
+    return scored.select(
+        id_col, "n_grams", "n_hit",
+        (F.col("n_hit") / F.col("n_grams")).alias("contamination"),
+        (F.col("n_hit") / F.col("n_grams") >= flag_threshold).alias("contaminated"),
+    )

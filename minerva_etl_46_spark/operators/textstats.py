@@ -96,3 +96,29 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
     canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
     return df.select(F.col(id_col), F.md5(canon).alias("fingerprint"))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Repetition-ratio quality signal (boilerplate / degenerate-generation
+    filter): per doc, 1 − distinct/total tokens plus the most-frequent
+    token's share. Explode + two hash-aggs keyed by (doc, token) then doc —
+    partial aggregation absorbs the per-doc fan-out map-side, so the
+    shuffle carries one row per distinct (doc, token)."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(text_col), " ")).alias("tk")
+    )
+    freq = tok.groupBy(id_col, "tk").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        freq.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_n"),
+        )
+        .select(
+            id_col,
+            "n_tok", "n_distinct",
+            (F.lit(1.0) - F.col("n_distinct") / F.col("n_tok")).alias("repetition"),
+            (F.col("top_n") / F.col("n_tok")).alias("top_tok_ratio"),
+        )
+    )

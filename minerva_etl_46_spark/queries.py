@@ -1911,6 +1911,126 @@ def win_cume(spark, sf_dir):
     )
 
 
+@register(
+    "llm_decontaminate",
+    oracle="""
+    with tok as (select doc_id, string_split(lower(text), ' ') as t from documents),
+    dg as (select distinct doc_id, array_to_string(t[u.i:u.i+4], ' ') as g
+           from tok, unnest(generate_series(1, greatest(len(t)-4, 0))) as u(i)),
+    bench as (select distinct g from dg where doc_id % 97 = 0),
+    scored as (
+      select d.doc_id,
+             count(*) as n_grams,
+             count(b.g) as n_hit
+      from dg d left join bench b using (g)
+      where d.doc_id % 97 <> 0
+      group by 1)
+    select doc_id, n_grams, n_hit,
+           n_hit / n_grams as contamination,
+           n_hit / n_grams >= 0.2 as contaminated
+    from scored
+    """,
+)
+def llm_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: 5-gram overlap of every candidate doc
+    against the benchmark set (here: doc_id % 97 == 0 stands in for the
+    eval suite). The benchmark gram set is tiny next to the corpus —
+    distinct-projected and joined on the gram string; see
+    operators.dedup.contamination_scores for the 100 TB shape."""
+    from minerva_etl_46_spark.operators.dedup import contamination_scores
+
+    d = load(spark, sf_dir, "documents")
+    return contamination_scores(
+        d, "doc_id", "text", bench_pred=F.col("doc_id") % 97 == 0, gram_n=5,
+    )
+
+
+@register(
+    "llm_shard",
+    oracle="""
+    select cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 8))
+                as bigint) % 16 as shard,
+           count(*) as n_docs,
+           cast(sum(len(string_split(text, ' '))) as bigint) as total_tokens,
+           cast(sum(len(text)) as bigint) as total_chars
+    from documents group by 1
+    """,
+)
+def llm_shard(spark, sf_dir):
+    """Training-export sharding: md5-deterministic shard assignment (the
+    llm_split convention) + per-shard balance stats — the skew check a
+    100 TB export runs before writing shard files. One hash-agg."""
+    from minerva_etl_46_spark.operators.export import shard_stats
+
+    d = load(spark, sf_dir, "documents")
+    return shard_stats(d, "doc_id", "text", n_shards=16)
+
+
+@register(
+    "llm_repetition",
+    oracle="""
+    with tok as (select doc_id, unnest(string_split(lower(text), ' ')) as tk
+                 from documents),
+    freq as (select doc_id, tk, count(*) as c from tok group by 1, 2)
+    select doc_id,
+           cast(sum(c) as bigint) as n_tok,
+           count(*) as n_distinct,
+           1 - count(*) / cast(sum(c) as double) as repetition,
+           max(c) / cast(sum(c) as double) as top_tok_ratio
+    from freq group by doc_id
+    """,
+)
+def llm_repetition(spark, sf_dir):
+    """Repetition-ratio quality signal (boilerplate / degenerate-generation
+    filter): 1 − distinct/total tokens + the top token's share. Two
+    hash-aggs; partial aggregation eats the fan-out map-side."""
+    from minerva_etl_46_spark.operators.textstats import repetition_stats
+
+    d = load(spark, sf_dir, "documents")
+    return repetition_stats(d, "doc_id", "text")
+
+
+@register(
+    "llm_pack",
+    oracle="""
+    with recursive docs as (
+      select doc_id,
+             cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 8))
+                  as bigint) % 8 as shard,
+             len(string_split(text, ' ')) as tokens
+      from documents),
+    seq as (select doc_id, shard, tokens,
+                   row_number() over (partition by shard order by doc_id) as rn
+            from docs),
+    rec as (
+      select shard, rn, tokens, tokens as fill, cast(0 as bigint) as bin
+      from seq where rn = 1
+      union all
+      select s.shard, s.rn, s.tokens,
+             case when r.fill + s.tokens > 512 then s.tokens
+                  else r.fill + s.tokens end as fill,
+             cast(case when r.fill + s.tokens > 512 then r.bin + 1
+                       else r.bin end as bigint) as bin
+      from rec r join seq s on s.shard = r.shard and s.rn = r.rn + 1
+    )
+    select shard, bin, count(*) as n_docs,
+           cast(sum(tokens) as bigint) as total_tokens
+    from rec group by 1, 2
+    """,
+)
+def llm_pack(spark, sf_dir):
+    """Greedy sequence packing into 512-token bins, per md5-deterministic
+    shard in doc_id order — the trainer-side packing contract. Bin
+    assignment is inherently sequential state, the canonical
+    applyInPandas case (operators/export.py::pack_sequences); the DuckDB
+    oracle replays the same greedy walk as a recursive CTE, keeping a
+    non-window op inside the full value-hash gate."""
+    from minerva_etl_46_spark.operators.export import pack_sequences
+
+    d = load(spark, sf_dir, "documents")
+    return pack_sequences(d, "doc_id", "text", n_shards=8, max_tokens=512)
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -1948,7 +2068,11 @@ _ROTATED_OUT_R03 = [
     "llm_fingerprint", "llm_sim_topk", "llm_sim_ann", "llm_sim_ivf",
     "llm_text_stats", "llm_tokens", "llm_quality", "llm_lang_id", "mm_meta",
 ]
-_EXPORT_ORDER = _NEVER_DRIVER_CHECKED + _CORE_KEEP_GREEN + _ROTATED_OUT_R03
+_NEW_R03 = [  # registered r03, never sampled yet: front of the r04 rotation
+    "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
+]
+_EXPORT_ORDER = (_NEVER_DRIVER_CHECKED + _CORE_KEEP_GREEN
+                 + _ROTATED_OUT_R03 + _NEW_R03)
 
 assert set(_EXPORT_ORDER) == set(QUERIES), (
     sorted(set(_EXPORT_ORDER) ^ set(QUERIES))

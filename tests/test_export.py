@@ -1,0 +1,46 @@
+"""Training-export verbs: packing edge cases the oracle parity run can't
+isolate (oversized docs, bin-boundary exactness, determinism across
+partitionings)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from minerva_etl_46_spark.operators.export import pack_sequences, shard_assign
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_greedy_boundaries(spark):
+    # one shard (n_shards=1); token counts: 3, 4, 2, 10, 1 with limit 6:
+    # [3] -> fill 3; +4 > 6 -> bin1 fill 4; +2 = 6 (NOT > limit) stays bin1;
+    # +10 > 6 -> bin2 alone (oversized doc occupies its own bin); +1 > 6
+    # (fill 10) -> bin3.
+    rows = [(1, "a a a"), (2, "b b b b"), (3, "c c"),
+            (4, " ".join(["d"] * 10)), (5, "e")]
+    out = pack_sequences(_docs(spark, rows), "doc_id", "text",
+                         n_shards=1, max_tokens=6).toPandas()
+    got = out.sort_values("bin")[["bin", "n_docs", "total_tokens"]].values.tolist()
+    assert got == [[0, 1, 3], [1, 2, 6], [2, 1, 10], [3, 1, 1]]
+
+
+def test_pack_deterministic_across_partitionings(spark):
+    rows = [(i, " ".join(["w"] * (i % 17 + 1))) for i in range(200)]
+    d1 = _docs(spark, rows).repartition(1)
+    d2 = _docs(spark, rows).repartition(16)
+    a = pack_sequences(d1, "doc_id", "text").toPandas() \
+        .sort_values(["shard", "bin"]).reset_index(drop=True)
+    b = pack_sequences(d2, "doc_id", "text").toPandas() \
+        .sort_values(["shard", "bin"]).reset_index(drop=True)
+    assert a.equals(b), "packing must not depend on input partitioning"
+
+
+def test_shard_assign_stable_and_bounded(spark):
+    d = shard_assign(_docs(spark, [(i, "x") for i in range(100)]),
+                     "doc_id", n_shards=16)
+    vals = [r["shard"] for r in d.select("shard").collect()]
+    assert all(0 <= v < 16 for v in vals)
+    again = [r["shard"] for r in d.select("shard").collect()]
+    assert vals == again
