@@ -31,9 +31,18 @@ NOTES = {
     "llm_dedup_near": "Candidate generation is an equi-join on "
                       "(band_id, band_hash) — no cross product; exact "
                       "Jaccard touches only candidates.",
-    "llm_sim_ivf": "Corpus joins centroids by cell_id equi-join after a "
-                   "one-pass assignment; queries probe n_probe cells — "
-                   "the corpus is never broadcast or cross-joined.",
+    "llm_sim_ivf": "Sample-fit centroids ride as numpy closures into two "
+                   "vectorized projections (assign / probe-cells); the "
+                   "probe side BROADCASTS into the cell_id equi-join — "
+                   "the corpus is never shuffled, broadcast or "
+                   "cross-joined.",
+    "llm_decontaminate": "Benchmark gram set is the distinct-projected "
+                         "small side; the corpus gram explode is narrow "
+                         "and the per-doc count collapses map-side "
+                         "(partial HashAggregate) before its exchange.",
+    "llm_pack": "ONE exchange on the shard key feeding applyInPandas; "
+                "per-group state is one shard's docs — n_shards is the "
+                "parallelism/skew knob at 100 TB.",
 }
 
 

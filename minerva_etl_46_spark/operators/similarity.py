@@ -264,7 +264,12 @@ def _cell_id(vec: Column, centroids: np.ndarray) -> Column:
             out[lo:lo + len(chunk)] = d2.argmin(axis=1)
         return pd.Series(out)
 
-    return assign(vec)
+    # nondeterministic-marking is a planner fence, not a semantics claim
+    # (the function IS deterministic): without it the downstream join's
+    # isnotnull(cell_id) filter makes Catalyst evaluate the UDF TWICE on
+    # the corpus side (one ArrowEvalPython for the filter, one for the
+    # projection — seen in PLANS.md); the fence forces evaluate-once.
+    return assign.asNondeterministic()(vec)
 
 
 def _probe_cells(vec: Column, centroids: np.ndarray, n_probe: int) -> Column:
