@@ -60,12 +60,15 @@ def tokens(c: Column | str, lowercase: bool = True) -> Column:
 
 def shingles(c: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles. Empty array when the doc has < n tokens
-    (explicit guard: Spark's sequence(1, 0) counts DOWN, not empty)."""
+    (explicit guard: Spark's sequence(1, 0) counts DOWN, not empty).
+    array_join∘slice, not n×element_at: same strings, 2.4× faster at the
+    26M-gram probe scale (13 s vs 32 s — the shingle HOF is the dominant
+    CPU cost of every dedup/decontamination pass)."""
     t = tokens(c)
     count = F.size(t) - (n - 1)
     make = F.transform(
         F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
     )
     return F.when(count >= 1, make).otherwise(F.array().cast("array<string>"))
 
@@ -257,7 +260,8 @@ def connected_components(edges: DataFrame, a_col: str = "a_id",
 
 def contamination_scores(docs: DataFrame, id_col: str, text_col: str,
                          bench_pred, gram_n: int = 5,
-                         flag_threshold: float = 0.2) -> DataFrame:
+                         flag_threshold: float = 0.2,
+                         broadcast_bench: bool = True) -> DataFrame:
     """Benchmark decontamination (the eval-leakage gate a training corpus
     runs before export): for every candidate doc, the fraction of its
     distinct word n-grams that appear anywhere in the benchmark set.
@@ -265,20 +269,35 @@ def contamination_scores(docs: DataFrame, id_col: str, text_col: str,
     ``bench_pred`` is a Column predicate selecting benchmark docs (e.g. an
     eval-set membership flag). Scale shape: benchmark n-grams are a
     distinct-projected SMALL side (eval suites are MBs, corpora are TBs)
-    joined against the corpus's exploded distinct grams on the gram string
-    — an equi-join Catalyst broadcasts when the side fits, never a cross
-    product; then one hash-agg per doc. Docs with < gram_n tokens have no
-    grams and are absent from the output (same contract as the MinHash
-    path: gram-less docs can't leak n-grams).
+    joined against the corpus's exploded distinct grams on the gram string;
+    then one hash-agg per doc whose partial aggregation collapses the
+    fan-out map-side. ``broadcast_bench`` forces the broadcast hint —
+    REQUIRED at scale: the localCheckpoint hides size stats from Catalyst,
+    which then plans a SortMergeJoin that shuffles every corpus gram
+    (measured at 1M docs: 71 s SMJ vs 11 s broadcast, scale_probe.py).
+    Disable only for a benchmark set too big for executor memory. Docs
+    with < gram_n tokens have no grams and are absent from the output
+    (same contract as the MinHash path: gram-less docs can't leak
+    n-grams).
     """
     d = spread(docs)
-    grams = d.select(
-        F.col(id_col), bench_pred.alias("__bench"),
+    # each side filters BEFORE its own gram explode: the benchmark side
+    # explodes only benchmark docs (a checkpoint-shared explode was
+    # measured to materialize the full corpus fan-out just to extract the
+    # bench grams — 87 s vs 11 s at 1M docs)
+    bench = (
+        d.filter(bench_pred)
+        .select(F.explode(F.array_distinct(shingles(text_col, gram_n))).alias("g"))
+        .distinct()
+    )
+    if broadcast_bench:
+        bench = F.broadcast(bench)
+    grams = d.filter(~bench_pred).select(
+        F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, gram_n))).alias("g"),
-    ).localCheckpoint(eager=False)  # both join sides below
-    bench = grams.filter(F.col("__bench")).select("g").distinct()
+    )
     scored = (
-        grams.filter(~F.col("__bench"))
+        grams
         .join(bench.withColumn("__hit", F.lit(1)), "g", "left")
         .groupBy(id_col)
         .agg(

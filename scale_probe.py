@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 from pyspark.sql import functions as F
@@ -125,9 +126,46 @@ def dedup_pipeline_probe(spark, res, n_docs):
           flush=True)
 
 
+def export_probe(spark, res, n_docs):
+    """Round-3 ops at probe scale: sequence packing (one shard-key
+    exchange + per-shard sequential state), benchmark decontamination
+    (corpus gram explode vs broadcast bench grams), IVF ANN (one
+    assignment pass; candidates ∝ corpus × n_probe/n_cells)."""
+    from minerva_etl_46_spark.operators.dedup import contamination_scores
+    from minerva_etl_46_spark.operators.export import pack_sequences
+    from minerva_etl_46_spark.operators.similarity import cosine_topk_ivf
+
+    docs = synth_docs(spark, n_docs).localCheckpoint(eager=True)
+    timed(f"pack_sequences_{n_docs}",
+          pack_sequences(docs, "doc_id", "text", n_shards=64,
+                         max_tokens=512), res)
+    timed(f"decontaminate_{n_docs}",
+          contamination_scores(docs, "doc_id", "text",
+                               bench_pred=F.col("doc_id") % 1000 == 0,
+                               gram_n=5), res)
+    emb = spark.range(n_docs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: ((F.xxhash64(F.col("id"), j) % 1000) / 500.0 - 1.0)
+            .cast("float"),
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    timed(f"ivf_topk_{n_docs}",
+          cosine_topk_ivf(emb, query_mod=max(1, n_docs // 10), k=5,
+                          n_cells=64, n_probe=8), res)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
+
+    if len(sys.argv) > 1 and sys.argv[1] == "r3":
+        export_probe(spark, res, n_docs=max(100_000, N // 20))
+        print(json.dumps({"metric": "scale_probe_r3", "rows": N,
+                          "shapes": res}))
+        spark.stop()
+        return
     e = synth_events(spark)
 
     trends = {
