@@ -49,6 +49,25 @@ def shard_stats(docs: DataFrame, id_col: str, text_col: str,
     )
 
 
+def greedy_bins(token_counts: list[int], max_tokens: int) -> list[int]:
+    """The greedy walk itself, pure and property-testable
+    (tests/test_export.py): bin i+1 opens when adding the next doc would
+    exceed ``max_tokens``; the first doc always lands in bin 0, and an
+    oversized doc occupies a bin alone. Mirrored 1:1 by the recursive-CTE
+    oracle in queries.llm_pack."""
+    bins: list[int] = []
+    b, fill, first = 0, 0, True
+    for t in token_counts:
+        if first:
+            fill, first = t, False
+        elif fill + t > max_tokens:
+            b, fill = b + 1, t
+        else:
+            fill += t
+        bins.append(b)
+    return bins
+
+
 def pack_sequences(docs: DataFrame, id_col: str, text_col: str,
                    n_shards: int = 8, max_tokens: int = 512) -> DataFrame:
     """Greedy sequence packing: within each shard, walk docs in id order
@@ -70,18 +89,8 @@ def pack_sequences(docs: DataFrame, id_col: str, text_col: str,
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
-        bins: list[int] = []
-        b, fill, first = 0, 0, True
-        for t in pdf["tokens"]:
-            t = int(t)
-            if first:
-                fill, first = t, False
-            elif fill + t > max_tokens:
-                b, fill = b + 1, t
-            else:
-                fill += t
-            bins.append(b)
-        pdf = pdf.assign(bin=bins)
+        pdf = pdf.assign(bin=greedy_bins(
+            [int(t) for t in pdf["tokens"]], max_tokens))
         out = (
             pdf.groupby(["shard", "bin"], as_index=False)
             .agg(n_docs=("doc_id", "size"), total_tokens=("tokens", "sum"))

@@ -44,3 +44,34 @@ def test_shard_assign_stable_and_bounded(spark):
     assert all(0 <= v < 16 for v in vals)
     again = [r["shard"] for r in d.select("shard").collect()]
     assert vals == again
+
+
+# ---- pure greedy-walk properties (no Spark) ----
+
+from hypothesis import given, strategies as st
+
+from minerva_etl_46_spark.operators.export import greedy_bins
+
+
+@given(st.lists(st.integers(min_value=1, max_value=100), max_size=200),
+       st.integers(min_value=1, max_value=64))
+def test_greedy_bins_invariants(tokens, limit):
+    bins = greedy_bins(tokens, limit)
+    assert len(bins) == len(tokens)
+    if not tokens:
+        return
+    # bins are 0-based, contiguous, non-decreasing
+    assert bins[0] == 0
+    assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+    # a bin's total exceeds the limit ONLY when it is a single oversized doc
+    from collections import defaultdict
+    totals, sizes = defaultdict(int), defaultdict(int)
+    for t, b in zip(tokens, bins):
+        totals[b] += t
+        sizes[b] += 1
+    for b, tot in totals.items():
+        assert tot <= limit or sizes[b] == 1
+    # no unnecessary bin break: consecutive bins can't be merged
+    starts = {b: i for i, b in reversed(list(enumerate(bins)))}
+    for b in range(1, max(bins) + 1):
+        assert totals[b - 1] + tokens[starts[b]] > limit
