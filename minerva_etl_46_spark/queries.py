@@ -2031,6 +2031,86 @@ def llm_pack(spark, sf_dir):
     return pack_sequences(d, "doc_id", "text", n_shards=8, max_tokens=512)
 
 
+@register(
+    "win_gap_fill",
+    oracle=f"""
+    with e as (select * from {EV}),
+    hourly as (
+      select user_id, {sql_bucket_epoch('ts', G_1H)} as bucket,
+             count(value) as n, {sql_dsum('value')} as sum_value
+      from e group by 1, 2),
+    bounds as (select user_id, min(bucket) as lo, max(bucket) as hi
+               from hourly group by 1),
+    grid as (select user_id, unnest(generate_series(lo, hi, 3600)) as bucket
+             from bounds),
+    j as (select g.user_id, g.bucket, h.n, h.sum_value
+          from grid g left join hourly h using (user_id, bucket))
+    select user_id, bucket,
+           coalesce(n, 0) as n,
+           last_value(sum_value ignore nulls) over
+             (partition by user_id order by bucket
+              rows unbounded preceding) as sum_value_ff,
+           n is null as was_gap
+    from j
+    """,
+)
+def win_gap_fill(spark, sf_dir):
+    """Time-series gap filling — the trend-store repair pass a telecom KPI
+    pipeline runs before ratio/delta math (a missing sample otherwise
+    silently shortens windows): per entity, materialize the full hourly
+    grid over its observed span and forward-fill the last known value.
+
+    Scale shape: the grid explode is ∝ span/granularity per entity (rows
+    comparable to the rollup's own output), the fill is one window sort —
+    no self-join, no driver loop. DuckDB mirrors with generate_series +
+    last_value IGNORE NULLS."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", bucket_epoch("ts", G_1H).alias("bucket")
+    ).agg(
+        F.count("value").alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.lit(3600).cast("long"))).alias("bucket"),
+    )
+    j = grid.join(hourly, ["user_id", "bucket"], "left")
+    w = Window.partitionBy("user_id").orderBy("bucket") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return j.select(
+        "user_id", "bucket",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_ff"),
+        F.col("n").isNull().alias("was_gap"),
+    )
+
+
+@register(
+    "fn_variant",
+    oracle=f"""
+    select event_id,
+           cast(json_extract_string(props, '$.k') as integer) as k_val,
+           json_extract_string(props, '$.missing') as missing_val
+    from {EV}
+    """,
+)
+def fn_variant(spark, sf_dir):
+    """F6 on the Spark 4 VARIANT path: parse_json once, then typed
+    variant_get accessors — the open-schema semi-structured story (the
+    reference's jsonb columns) without string re-parsing per field.
+    Missing paths yield NULL, matching jsonb ``->>`` semantics."""
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_val"),
+        F.variant_get(v, "$.missing", "string").alias("missing_val"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -2070,6 +2150,7 @@ _ROTATED_OUT_R03 = [
 ]
 _NEW_R03 = [  # registered r03, never sampled yet: front of the r04 rotation
     "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
+    "win_gap_fill", "fn_variant",
 ]
 _EXPORT_ORDER = (_NEVER_DRIVER_CHECKED + _CORE_KEEP_GREEN
                  + _ROTATED_OUT_R03 + _NEW_R03)
