@@ -73,18 +73,34 @@ def shingles(c: Column | str, n: int = 3) -> Column:
     return F.when(count >= 1, make).otherwise(F.array().cast("array<string>"))
 
 
+def _seeded_hash(sh: Column, seed: int, family: str) -> Column:
+    """One member of the seeded hash family behind MinHash.
+
+    - "xx": xxhash64(shingle, seed) — the production default (fastest,
+      Spark-internal; no oracle crosses the value).
+    - "md5": 60-bit md5-derived long — cross-engine reproducible, so a
+      DuckDB oracle can replay the ENTIRE minhash→band→verify pipeline
+      (queries.llm_dedup_near). Mirror SQL:
+      cast(concat('0x', substr(md5(concat(seed, '|', g)), 1, 15)) as bigint)
+      (15 hex digits = 60 bits: stays inside signed BIGINT)."""
+    if family == "xx":
+        return F.xxhash64(sh, F.lit(seed))
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), sh)), 1, 15), 16, 10
+    ).cast("long")
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = 32,
-                      shingle_n: int = 3) -> DataFrame:
+                      shingle_n: int = 3, hash_family: str = "xx") -> DataFrame:
     """Per-doc MinHash signature: for each of k seeded hash functions, the
     min over the doc's shingle set. One explode + one hash-agg.
-
-    xxhash64 is Spark-internal here (no oracle crosses this value)."""
+    ``hash_family`` picks xxhash64 (production) or md5 (oracle-replayable)
+    — see _seeded_hash."""
     sh = spread(df).select(
         F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh")
     )
-    # seeded family via the multi-arg form (cheaper than string concat)
     mins = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}")
+        F.min(_seeded_hash(F.col("sh"), i, hash_family)).alias(f"mh{i}")
         for i in range(k)
     ]
     return sh.groupBy(id_col).agg(*mins)
@@ -92,7 +108,8 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = 32,
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str, k: int = 32,
                         bands: int = 8,
-                        max_bucket_size: int | None = None) -> DataFrame:
+                        max_bucket_size: int | None = None,
+                        hash_family: str = "xx") -> DataFrame:
     """Band the signature and emit candidate pairs (a < b) that share at
     least one band bucket. The join key is (band_id, band_hash): only
     same-bucket docs ever meet — no quadratic blowup at corpus scale for
@@ -112,10 +129,20 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, k: int = 32,
     # pipeline TWICE (once per side) — materialize the signature once
     sig = sig.localCheckpoint(eager=False)
     r = k // bands
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias(f"band{b}")
-        for b in range(bands)
-    ]
+    if hash_family == "xx":
+        band_cols = [
+            F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias(f"band{b}")
+            for b in range(bands)
+        ]
+    else:
+        # md5 over the pipe-joined decimal strings — DuckDB mirror:
+        # md5(string_agg(cast(mh as varchar), '|' order by seed)) per band
+        band_cols = [
+            F.md5(F.concat_ws("|", *[
+                F.col(f"mh{b * r + j}").cast("string") for j in range(r)
+            ])).alias(f"band{b}")
+            for b in range(bands)
+        ]
     banded = sig.select(F.col(id_col), *band_cols)
     long_ = banded.select(
         F.col(id_col),

@@ -1090,11 +1090,53 @@ def llm_dedup_exact(spark, sf_dir):
     return exact_dedup(_dup_corpus(spark, sf_dir), id_col="doc_id", text_col="text")
 
 
-@register("llm_dedup_near")  # rows-only: LSH recall is probabilistic by design
+@register(
+    "llm_dedup_near",
+    oracle="""
+    with corpus as (
+      select doc_id, text from documents
+      union all
+      select doc_id + 2000000 as doc_id,
+             text || ' extra near dup tail token' as text
+      from documents where doc_id % 11 = 0),
+    tok as (select doc_id, string_split(lower(text), ' ') as t from corpus),
+    sh as (select distinct doc_id, array_to_string(t[u.i:u.i+2], ' ') as g
+           from tok, unnest(generate_series(1, greatest(len(t)-2, 0))) as u(i)),
+    mh as (select doc_id, s.seed,
+                  min(cast(concat('0x', substr(md5(concat(s.seed, '|', g)), 1, 15))
+                           as bigint)) as mh
+           from sh cross join (select unnest(generate_series(0, 31)) as seed) s
+           group by 1, 2),
+    bandh as (select doc_id, seed // 2 as band,
+                     md5(string_agg(cast(mh as varchar), '|' order by seed)) as bh
+              from mh group by 1, 2),
+    cand as (select distinct a.doc_id as a_id, b.doc_id as b_id
+             from bandh a join bandh b using (band, bh)
+             where a.doc_id < b.doc_id),
+    sizes as (select doc_id, count(*) as n_sh from sh group by 1),
+    inter as (select c.a_id, c.b_id, count(*) as n_inter
+              from cand c join sh sa on sa.doc_id = c.a_id
+                          join sh sb on sb.doc_id = c.b_id and sb.g = sa.g
+              group by 1, 2)
+    select i.a_id, i.b_id, i.n_inter,
+           i.n_inter / cast(za.n_sh + zb.n_sh - i.n_inter as double) as jaccard
+    from inter i join sizes za on za.doc_id = i.a_id
+                 join sizes zb on zb.doc_id = i.b_id
+    where i.n_inter / cast(za.n_sh + zb.n_sh - i.n_inter as double) >= 0.5
+    """,
+)
 def llm_dedup_near(spark, sf_dir):
     """X2: MinHash+LSH near-duplicate pairs (shingle→minhash→band→bucket
     join→exact-Jaccard verify). Candidate generation never materializes the
-    cross product. Near-dups injected: every 11th doc + a mutated tail."""
+    cross product. Near-dups injected: every 11th doc + a mutated tail.
+
+    FULL oracle (upgraded r3 from rows-only): the keyed query runs the
+    SAME pipeline with the md5 hash family (operators.dedup._seeded_hash),
+    which DuckDB replays end-to-end — minhash mins, band hashes, bucket
+    join, exact-Jaccard verify — so the driver value-hashes the exact LSH
+    candidate set, not just row counts. The production scale path keeps
+    xxhash64 (recall-floored in tests/test_recall.py; 1M-doc composition
+    in SCALE.md)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     near = (
         d.filter(F.col("doc_id") % 11 == 0)
@@ -1104,10 +1146,12 @@ def llm_dedup_near(spark, sf_dir):
         )
     )
     corpus = d.unionByName(near)
-    sig = minhash_signature(corpus, id_col="doc_id", text_col="text", k=32)
+    sig = minhash_signature(corpus, id_col="doc_id", text_col="text", k=32,
+                            hash_family="md5")
     # bands=16 (r=2, s50=0.25) matches the 0.5 verify threshold — see
     # SCALE.md's S-curve measurements (bands=8 loses J≈0.65 pairs)
-    pairs = lsh_candidate_pairs(sig, id_col="doc_id", k=32, bands=16)
+    pairs = lsh_candidate_pairs(sig, id_col="doc_id", k=32, bands=16,
+                                hash_family="md5")
     return jaccard_verify(corpus, pairs, id_col="doc_id", text_col="text", threshold=0.5)
 
 

@@ -33,7 +33,7 @@ def test_entry_smoke(spark):
 def test_all_keys_have_oracle_or_are_documented():
     missing = set(_QUERIES) - set(_ORACLES)
     # rows-only keys must be a deliberate, named choice
-    allowed_rows_only = {"llm_dedup_near", "llm_sim_ann", "llm_sim_ivf",
+    allowed_rows_only = {"llm_sim_ann", "llm_sim_ivf",
                          "mm_extract", "llm_cluster", "mm_frames"}
     assert missing <= allowed_rows_only, f"undocumented rows-only keys: {missing}"
 
