@@ -1733,21 +1733,26 @@ def llm_split(spark, sf_dir):
     )
 
 
-@register("llm_cluster")  # rows-only: iterative MLlib fit, no SQL oracle
+@register("llm_cluster")  # rows-only: k-means fit is not SQL-expressible
 def llm_cluster(spark, sf_dir):
     """Embedding clustering (corpus organization / stratified sampling):
-    seeded KMeans over the embedding column via spark.ml. Deterministic
-    with a fixed seed but iterative — no SQL oracle; rows-only check.
-    Output: vec_id, cluster, plus squared distance to the centroid."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    seeded k-means++ fit on a deterministic driver-side sample, then one
+    vectorized assignment pass — the same 100 TB recipe as the IVF path
+    (operators.similarity._fit_centroids_sample: zero iterative Spark
+    jobs; replaced an MLlib fit that cost 2 jobs × 20 iterations).
+    Deterministic in the input bytes, but the fit itself has no SQL
+    oracle; rows-only check. Output: vec_id, cluster."""
+    from minerva_etl_46_spark.operators.similarity import (
+        _cell_id,
+        _fit_centroids_sample,
     )
-    model = KMeans(k=8, seed=42, maxIter=20).fit(emb)
-    return model.transform(emb).select(
-        "vec_id", F.col("prediction").alias("cluster")
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = _fit_centroids_sample(emb, "vec_id", "embedding",
+                                 n_cells=8, seed=42, fit_sample=4096,
+                                 max_iter=20)
+    return emb.select(
+        "vec_id", _cell_id(F.col("embedding"), cent).alias("cluster")
     )
 
 
