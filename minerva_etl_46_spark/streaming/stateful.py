@@ -68,3 +68,98 @@ def run_running_totals(spark: SparkSession, source_dir: str, schema: str,
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas twin (Spark 4 StatefulProcessor API)
+# ---------------------------------------------------------------------------
+# Same operator as running_totals, on the modern state API: typed named
+# state variables (ValueState/ListState/MapState), timers, TTL, and a
+# RocksDB-only state store — the long-term home for custom stateful ops.
+# Kept alongside applyInPandasWithState because the two APIs have different
+# cluster requirements (transformWithState REQUIRES the RocksDB provider;
+# the GroupState API runs on the default HDFS-backed store too). The test
+# suite asserts both converge to the identical batch ground truth.
+
+try:  # pragma: no cover - import shape varies across 4.x point releases
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    # the TWS driver worker speaks protobuf to the JVM; without the Python
+    # protobuf package the query crashes at state-schema validation
+    # (measured: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE from
+    # StateMessage_pb2), so gate on BOTH imports
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object
+    StatefulProcessorHandle = None
+    HAS_TWS = False
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-user running (n, total) in a named ValueState."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._totals.update((n, total))
+        yield pd.DataFrame([{"user_id": key[0], "n": n, "total": total}])
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """running_totals on transformWithStateInPandas. The session must run
+    the RocksDB state store provider (ROCKSDB_PROVIDER) — set it before
+    starting the query; local sessions default to HDFS-backed and Spark
+    rejects transformWithState on it."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def run_running_totals_tws(spark: SparkSession, source_dir: str, schema: str,
+                           name: str = "stateful_totals_tws") -> DataFrame:
+    """Drive the transformWithState twin like run_running_totals (one file
+    per micro-batch; memory sink of per-batch updates)."""
+    tune(spark)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   ROCKSDB_PROVIDER)
+    try:
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        src = (
+            spark.readStream.format("parquet").schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(source_dir)
+        )
+        out = running_totals_tws(src.select("user_id", "value"))
+        q = (
+            out.writeStream.outputMode("update").format("memory")
+            .queryName(name).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

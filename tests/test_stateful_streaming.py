@@ -42,3 +42,44 @@ def test_running_totals_converge_to_batch(spark, tmp_path):
     for uid in want.index:
         assert final.loc[uid, "n"] == want.loc[uid, "n"]
         assert abs(final.loc[uid, "total"] - want.loc[uid, "total"]) < 1e-6
+
+
+def test_tws_twin_matches_groupstate_and_batch(spark, tmp_path):
+    """transformWithStateInPandas twin (Spark 4 StatefulProcessor +
+    RocksDB state store): same per-user final state as the GroupState
+    implementation AND the batch ground truth."""
+    import pytest
+
+    from minerva_etl_46_spark.streaming.stateful import (
+        HAS_TWS,
+        run_running_totals_tws,
+    )
+
+    if not HAS_TWS:
+        pytest.skip("transformWithState runtime deps absent (needs the python protobuf package for the TWS driver worker)")
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    events = df.select("event_id", "ts", "user_id", "value").filter(
+        F.col("user_id") < 10
+    )
+    src = os.path.join(str(tmp_path), "tws_src")
+    for i in range(3):
+        events.filter(F.col("event_id") % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    updates = run_running_totals_tws(spark, src, SCHEMA).toPandas()
+    assert updates.groupby("user_id").size().max() > 1, \
+        "state did not carry across micro-batches"
+    final = updates.sort_values("n").groupby("user_id").tail(1) \
+        .set_index("user_id")
+    want = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .toPandas().set_index("user_id")
+    )
+    assert set(final.index) == set(want.index)
+    for uid in want.index:
+        assert final.loc[uid, "n"] == want.loc[uid, "n"]
+        assert abs(final.loc[uid, "total"] - want.loc[uid, "total"]) < 1e-6
