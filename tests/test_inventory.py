@@ -46,6 +46,8 @@ def test_no_bare_first_last_aggregates():
 
     allowed = {
         ("operators/asof.py", "F.last"),  # last(ignorenulls) OVER ordered window
+        ("queries.py", "F.last"),  # win_gap_fill forward-fill: same shape,
+        # last(ignorenulls) OVER (ordered, unbounded-preceding) window
     }
     pkg = pathlib.Path("minerva_etl_46_spark")
     offenders = []
@@ -59,6 +61,9 @@ def test_no_bare_first_last_aggregates():
 
 
 def test_oracle_coverage_is_total_minus_documented_rows_only():
+    # llm_dedup_near left this set in r3 (md5 hash family gave it a full
+    # pipeline-replay oracle); the five left are genuinely non-SQL:
+    # probabilistic ANN recall, stubbed media codecs, iterative k-means fit
     rows_only = set(queries()) - set(oracle_sql())
-    assert rows_only == {"llm_dedup_near", "llm_sim_ann", "llm_sim_ivf",
+    assert rows_only == {"llm_sim_ann", "llm_sim_ivf",
                          "mm_extract", "llm_cluster", "mm_frames"}
