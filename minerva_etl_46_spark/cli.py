@@ -151,6 +151,33 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_corpus(args) -> int:
+    """End-to-end training-corpus build (plans/corpus.py): dedup →
+    decontaminate → quality → split/shard → partitioned parquet."""
+    from pyspark.sql import functions as F
+
+    from minerva_etl_46_spark.plans.corpus import (
+        CorpusConfig,
+        build_training_corpus,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs).select(args.id_col, args.text_col)
+    bench_pred = F.expr(args.bench_pred)
+    cfg = CorpusConfig(
+        contamination_max=args.contamination_max,
+        repetition_max=args.repetition_max,
+        min_tokens=args.min_tokens,
+        n_shards=args.shards,
+    )
+    _, stats = build_training_corpus(
+        docs, bench_pred=bench_pred, out_dir=args.out, cfg=cfg,
+        id_col=args.id_col, text_col=args.text_col,
+    )
+    print(json.dumps({"stages": stats.counts, "out": args.out}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="minerva-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -200,6 +227,22 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--part", required=True)
     cp.add_argument("--target-files", type=int, default=1)
     cp.set_defaults(fn=cmd_compact)
+
+    co = sub.add_parser("corpus", help="build a training corpus "
+                        "(dedup → decontaminate → quality → shard)")
+    co.add_argument("--docs", required=True, help="input documents parquet")
+    co.add_argument("--out", required=True, help="output dir "
+                    "(parquet partitioned by split, shard)")
+    co.add_argument("--bench-pred", required=True,
+                    help="SQL predicate selecting benchmark docs, "
+                         "e.g. 'doc_id %% 97 = 0'")
+    co.add_argument("--id-col", default="doc_id")
+    co.add_argument("--text-col", default="text")
+    co.add_argument("--contamination-max", type=float, default=0.2)
+    co.add_argument("--repetition-max", type=float, default=0.6)
+    co.add_argument("--min-tokens", type=int, default=5)
+    co.add_argument("--shards", type=int, default=16)
+    co.set_defaults(fn=cmd_corpus)
     return p
 
 

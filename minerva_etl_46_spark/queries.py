@@ -2160,6 +2160,35 @@ def fn_variant(spark, sf_dir):
     )
 
 
+@register(
+    "llm_sample_stratified",
+    oracle="""
+    with ranked as (
+      select doc_id, lang,
+             row_number() over (partition by lang
+                                order by md5(cast(doc_id as varchar)), doc_id)
+               as rn
+      from documents)
+    select doc_id, lang, rn from ranked where rn <= 20
+    """,
+)
+def llm_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (curation / eval-set carving):
+    top-20 docs per language stratum ranked by md5(doc_id) — an unbiased,
+    reproducible pseudo-random order shared by both engines (never
+    rand(), never row position). WindowGroupLimit keeps it a streaming
+    per-partition top-k, not a full sort (same plan property as
+    topk_per_group, verified in PLANS.md)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -2199,7 +2228,7 @@ _ROTATED_OUT_R03 = [
 ]
 _NEW_R03 = [  # registered r03, never sampled yet: front of the r04 rotation
     "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
-    "win_gap_fill", "fn_variant",
+    "win_gap_fill", "fn_variant", "llm_sample_stratified",
 ]
 _EXPORT_ORDER = (_NEVER_DRIVER_CHECKED + _CORE_KEEP_GREEN
                  + _ROTATED_OUT_R03 + _NEW_R03)

@@ -175,3 +175,23 @@ def test_cli_compact_rewrites_multifile_partitions(spark, tmp_path, capsys):
     assert before.sort_values(key).reset_index(drop=True).equals(
         after.sort_values(key).reset_index(drop=True)[before.columns.tolist()]
     ), "compaction changed data"
+
+
+def test_cli_corpus(spark, tmp_path, capsys):
+    out_dir = str(tmp_path / "corpus_out")
+    rc = main([
+        "corpus",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out_dir,
+        "--bench-pred", "doc_id % 97 = 0",
+        "--shards", "4",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    st = report["stages"]
+    assert st["input"] >= st["after_exact_dedup"] >= st["after_near_dedup"] \
+        >= st["after_decontamination"] >= st["after_quality"] > 0
+    written = spark.read.parquet(out_dir)
+    assert written.count() == st["after_quality"]
+    assert set(written.select("shard").distinct().toPandas()["shard"]) \
+        <= set(range(4))
