@@ -80,9 +80,14 @@ def _seeded_hash(sh: Column, seed: int, family: str) -> Column:
       Spark-internal; no oracle crosses the value).
     - "md5": 60-bit md5-derived long — cross-engine reproducible, so a
       DuckDB oracle can replay the ENTIRE minhash→band→verify pipeline
-      (queries.llm_dedup_near). Mirror SQL:
-      cast(concat('0x', substr(md5(concat(seed, '|', g)), 1, 15)) as bigint)
-      (15 hex digits = 60 bits: stays inside signed BIGINT)."""
+      (queries.llm_dedup_near). The seeded hash runs over md5(g) (a
+      fixed 32-char digest) rather than the raw gram: grams are ~100
+      chars = two md5 blocks, so pre-digesting once and seeding over the
+      one-block digest nearly halves the 32-seed family's cost. Mirror
+      SQL: cast(concat('0x', substr(md5(concat(seed, '|', md5(g))), 1, 15))
+      as bigint) (15 hex digits = 60 bits: stays inside signed BIGINT).
+      minhash_signature passes the pre-computed digest as ``sh`` so the
+      inner md5 runs once per gram, not once per seed."""
     if family == "xx":
         return F.xxhash64(sh, F.lit(seed))
     return F.conv(
@@ -99,6 +104,10 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = 32,
     sh = spread(df).select(
         F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh")
     )
+    if hash_family == "md5":
+        # digest each gram once; the 32-seed family hashes the one-block
+        # digest instead of the ~two-block raw gram (see _seeded_hash)
+        sh = sh.select(id_col, F.md5("sh").alias("sh"))
     mins = [
         F.min(_seeded_hash(F.col("sh"), i, hash_family)).alias(f"mh{i}")
         for i in range(k)

@@ -1103,7 +1103,8 @@ def llm_dedup_exact(spark, sf_dir):
     sh as (select distinct doc_id, array_to_string(t[u.i:u.i+2], ' ') as g
            from tok, unnest(generate_series(1, greatest(len(t)-2, 0))) as u(i)),
     mh as (select doc_id, s.seed,
-                  min(cast(concat('0x', substr(md5(concat(s.seed, '|', g)), 1, 15))
+                  min(cast(concat('0x',
+                           substr(md5(concat(s.seed, '|', md5(g))), 1, 15))
                            as bigint)) as mh
            from sh cross join (select unnest(generate_series(0, 31)) as seed) s
            group by 1, 2),
