@@ -31,6 +31,19 @@ def read_csv_harvest(spark: SparkSession, path: str, schema: str,
     return reader.csv(path, schema=schema)
 
 
+def read_jsonl_harvest(spark: SparkSession, path: str, schema: str,
+                       timestamp_format: str | None = None) -> DataFrame:
+    """S1 sibling: schema-declared JSON-lines read (one object per line —
+    the other common vendor drop format). Same inference ban as CSV: a
+    declared schema keeps types stable across files and lets corrupt rows
+    surface instead of silently widening columns (PERMISSIVE mode parks
+    them in _corrupt_record when the schema declares it)."""
+    reader = spark.read
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    return reader.json(path, schema=schema)
+
+
 def resolve_entities(
     package: DataFrame,
     entities: DataFrame,

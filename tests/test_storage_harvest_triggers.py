@@ -143,3 +143,41 @@ def test_compact_partitions(spark, tmp_path):
     assert after == 1
     # data intact post-compaction
     assert st.read(spark).count() == 3
+
+
+def test_jsonl_harvest_equals_csv_harvest(spark, tmp_path):
+    """S1 sibling format: a JSON-lines drop of the same vendor rows must
+    resolve/align identically to the CSV path (format equivalence), and a
+    schema-violating line must surface, not silently widen types."""
+    from minerva_etl_46_spark.sources.harvest import read_jsonl_harvest
+
+    jl = os.path.join(str(tmp_path), "pm.jsonl")
+    with open(jl, "w") as f:
+        f.write('{"dn": "Network=NL,Cell=1", "ts": "2024-01-01 00:05:00", "counter_a": 10.5}\n')
+        f.write('{"dn": "Network=NL,Cell=2", "ts": "2024-01-01 00:20:00", "counter_a": 11.5}\n')
+    pkg = read_jsonl_harvest(
+        spark, jl, schema="dn string, ts timestamp, counter_a double"
+    )
+    entities = spark.createDataFrame(
+        [(100, "Network=NL,Cell=1")], schema="entity_id long, name string"
+    )
+    resolved, new_ents = resolve_entities(pkg, entities)
+    rows = {r["dn"]: r["entity_id"] for r in resolved.collect()}
+    assert rows["Network=NL,Cell=1"] == 100
+    assert new_ents.count() == 1
+    aligned = align_package(resolved, "ts", G_1H)
+    assert {str(r["ts"]) for r in aligned.collect()} == {"2024-01-01 01:00:00"}
+
+    # corrupt line parks in _corrupt_record when the schema declares it
+    with open(jl, "a") as f:
+        f.write('{"dn": 12, "ts": "not-a-ts", "counter_a": "x"\n')  # broken json
+    # Spark requires caching the parsed frame before querying only the
+    # corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    bad = read_jsonl_harvest(
+        spark, jl,
+        schema="dn string, ts timestamp, counter_a double, _corrupt_record string",
+    ).cache()
+    try:
+        assert bad.filter(bad["_corrupt_record"].isNotNull()).count() == 1
+    finally:
+        bad.unpersist()
