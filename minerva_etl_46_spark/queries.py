@@ -2190,6 +2190,68 @@ def llm_sample_stratified(spark, sf_dir):
     )
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d -]{7,}\d"
+
+
+@register(
+    "llm_redact",
+    oracle=f"""
+    with corpus as (
+      select doc_id, text from documents
+      union all
+      select doc_id + 3000000 as doc_id,
+             text || ' contact bob@example.com or +31 6 1234 5678 at 10.0.0.1'
+               as text
+      from documents where doc_id % 13 = 0)
+    select doc_id,
+           cast(len(regexp_extract_all(text, '{_PII_EMAIL}')) as bigint)
+             as n_emails,
+           cast(len(regexp_extract_all(text, '{_PII_IP}')) as bigint) as n_ips,
+           cast(len(regexp_extract_all(
+             regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                            '{_PII_IP}', '<IP>', 'g'),
+             '{_PII_PHONE}')) as bigint) as n_phones,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') as clean_text
+    from corpus
+    """,
+)
+def llm_redact(spark, sf_dir):
+    """PII redaction (the scrub pass a training corpus runs before
+    export): emails → IPs → phones replaced with typed placeholders, plus
+    per-doc match counts. Injected PII rows (every 13th doc + a contact
+    tail) prove the rewrite actually fires. Order matters and is part of
+    the contract: IPs are masked before the phone pass so digit runs
+    inside an address can never half-match as a phone number — the phone
+    count is therefore measured on the email/IP-masked text in BOTH
+    engines. Pure regexp_replace/regexp_count — JVM codegen, no UDF; the
+    value hash covers the full rewritten text, so the two engines' regex
+    semantics are proven identical, not assumed."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact bob@example.com or +31 6 1234 5678 at 10.0.0.1"),
+        ).alias("text"),
+    )
+    corpus = d.unionByName(injected)
+    no_email = F.regexp_replace("text", _PII_EMAIL, "<EMAIL>")
+    no_ip = F.regexp_replace(no_email, _PII_IP, "<IP>")
+    return corpus.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_IP)).cast("long").alias("n_ips"),
+        F.regexp_count(no_ip, F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_replace(no_ip, _PII_PHONE, "<PHONE>").alias("clean_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -2229,7 +2291,7 @@ _ROTATED_OUT_R03 = [
 ]
 _NEW_R03 = [  # registered r03, never sampled yet: front of the r04 rotation
     "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
-    "win_gap_fill", "fn_variant", "llm_sample_stratified",
+    "win_gap_fill", "fn_variant", "llm_sample_stratified", "llm_redact",
 ]
 _EXPORT_ORDER = (_NEVER_DRIVER_CHECKED + _CORE_KEEP_GREEN
                  + _ROTATED_OUT_R03 + _NEW_R03)
