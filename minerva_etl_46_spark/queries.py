@@ -2252,6 +2252,138 @@ def llm_redact(spark, sf_dir):
     )
 
 
+@register(
+    "llm_mix_weights",
+    oracle="""
+    with per_src as (
+      select source, count(*) as n_docs,
+             cast(sum(len(string_split(text, ' '))) as bigint) as tokens
+      from documents group by 1),
+    tot as (
+      select cast(sum(tokens) as double) as all_tokens,
+             cast(count(*) as double) as n_sources
+      from per_src)
+    select source, n_docs, tokens,
+           cast(tokens as double) / all_tokens as share,
+           (cast(1 as double) / n_sources)
+             / (cast(tokens as double) / all_tokens) as weight,
+           (cast(tokens as double) / all_tokens)
+             < (cast(1 as double) / n_sources) as undersampled
+    from per_src, tot
+    """,
+)
+def llm_mix_weights(spark, sf_dir):
+    """Mixture balancing (the data-mix step before a training export):
+    per-source token mass → share of corpus → per-source sampling weight
+    that would flatten the mix to uniform, plus an undersampled flag.
+    One hash-agg over the corpus; the share/weight math runs on the
+    |sources|-row aggregate joined to its broadcast 1-row total, so the
+    fact table is touched exactly once at any scale. Double division
+    order is identical in both engines (share computed before weight)."""
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("tokens").cast("double").alias("all_tokens"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    share = F.col("tokens").cast("double") / F.col("all_tokens")
+    target = F.lit(1).cast("double") / F.col("n_sources")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "tokens",
+        share.alias("share"),
+        (target / share).alias("weight"),
+        (share < target).alias("undersampled"),
+    )
+
+
+@register(
+    "llm_normalize",
+    oracle=r"""
+    select doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) as norm_text,
+           cast(len(text) - len(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g'))) as bigint) as n_removed,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g'))) as norm_hash
+    from documents
+    """,
+)
+def llm_normalize(spark, sf_dir):
+    """Text canonicalization (the normalize pass feeding exact dedup):
+    lowercase → strip non-alphanumerics → collapse runs of spaces → trim,
+    plus removed-char count and the md5 of the canonical form (the key
+    exact dedup would group on). Pure regexp codegen, narrow (no
+    shuffle); the value hash covers the full normalized text so both
+    engines' regex semantics are proven identical."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +", " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (F.length("text") - F.length(norm)).cast("long").alias("n_removed"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
+@register(
+    "llm_dupe_stats",
+    oracle="""
+    with corpus as (
+      select doc_id, text from documents
+      union all
+      select doc_id + 5000000, text from documents where doc_id % 7 = 0
+      union all
+      select doc_id + 6000000, text from documents where doc_id % 21 = 0),
+    clusters as (
+      select md5(text) as h, count(*) as cluster_size
+      from corpus group by 1)
+    select cluster_size,
+           count(*) as n_clusters,
+           cast(cluster_size * count(*) as bigint) as n_docs,
+           cast(cluster_size * count(*) - count(*) as bigint) as n_redundant
+    from clusters group by 1
+    """,
+)
+def llm_dupe_stats(spark, sf_dir):
+    """Duplicate-cluster histogram (the dedup planning report): exact
+    clusters by content hash, then the distribution of cluster sizes and
+    the redundant-doc count a dedup pass would delete. Injected copies
+    (every 7th doc once, every 21st twice) plant clusters of size 2 and
+    3 so the histogram is non-trivial. Two hash-aggs, both with map-side
+    partial aggregation; the second runs on the cluster frame (≤ one row
+    per distinct text), so the histogram is metadata-cheap at any corpus
+    scale."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        d.filter(F.col("doc_id") % 21 == 0).select(
+            (F.col("doc_id") + 6000000).alias("doc_id"), "text"
+        )
+    )
+    clusters = corpus.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+        (F.col("cluster_size") * F.count(F.lit(1)) - F.count(F.lit(1)))
+        .alias("n_redundant"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -2292,6 +2424,7 @@ _ROTATED_OUT_R03 = [
 _NEW_R03 = [  # registered r03, never sampled yet: front of the r04 rotation
     "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
     "win_gap_fill", "fn_variant", "llm_sample_stratified", "llm_redact",
+    "llm_mix_weights", "llm_normalize", "llm_dupe_stats",
 ]
 _EXPORT_ORDER = (_NEVER_DRIVER_CHECKED + _CORE_KEEP_GREEN
                  + _ROTATED_OUT_R03 + _NEW_R03)
