@@ -2384,6 +2384,159 @@ def llm_dupe_stats(spark, sf_dir):
     )
 
 
+@register(
+    "llm_hot_ngrams",
+    oracle="""
+    with tok as (select doc_id, string_split(lower(text), ' ') as t from documents),
+    grams as (select doc_id, array_to_string(t[u.i:u.i+2], ' ') as g
+              from tok, unnest(generate_series(1, greatest(len(t)-2, 0))) as u(i)),
+    stats as (
+      select g, count(distinct doc_id) as doc_freq, count(*) as n_occ
+      from grams group by 1)
+    select g as gram, doc_freq, n_occ,
+           cast(doc_freq as double)
+             / (select cast(count(*) as double) from documents) as doc_share
+    from stats where doc_freq >= 5
+    """,
+)
+def llm_hot_ngrams(spark, sf_dir):
+    """Boilerplate n-gram detection (the template/header scrub list a web
+    corpus builds before training): corpus-wide word 3-gram document
+    frequency, keeping grams that appear in ≥5 distinct docs. One explode
+    feeding one hash-agg — count(distinct doc_id) partials collapse the
+    fan-out map-side; the ≥5 filter projects the result down to the hot
+    tail, so the output is vocabulary-sized, never corpus-sized. The
+    corpus doc count joins in as a broadcast 1-row aggregate."""
+    from minerva_etl_46_spark.operators.dedup import shingles
+
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    stats = (
+        d.select("doc_id", F.explode(shingles("text", 3)).alias("g"))
+        .groupBy("g")
+        .agg(
+            F.count_distinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("doc_freq") >= 5)
+    )
+    return stats.crossJoin(F.broadcast(n_docs)).select(
+        F.col("g").alias("gram"), "doc_freq", "n_occ",
+        (F.col("doc_freq").cast("double") / F.col("n_total")).alias("doc_share"),
+    )
+
+
+@register(
+    "llm_concat",
+    oracle="""
+    select source, lang,
+           count(*) as n_docs,
+           string_agg(text, chr(10) || chr(10) order by doc_id) as packed_text,
+           cast(len(string_agg(text, chr(10) || chr(10) order by doc_id))
+                as bigint) as n_chars
+    from documents group by 1, 2
+    """,
+)
+def llm_concat(spark, sf_dir):
+    """Ordered context concatenation (the doc → training-context join
+    pass): per (source, lang) group, all docs concatenated in doc_id
+    order with a blank-line separator. collect_list alone is
+    shuffle-order-nondeterministic — the sort happens INSIDE the row via
+    array_sort on (doc_id, text) structs after the hash-agg, so the
+    output is deterministic without a global sort. Group payloads stay
+    executor-side until the final projection; at 100 TB the same shape
+    packs per-shard files (group = shard) instead of whole sources."""
+    d = load(spark, sf_dir, "documents")
+    packed = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda x: x["text"],
+        ),
+        "\n\n",
+    )
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        packed.alias("packed_text"),
+        F.length(packed).cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "win_pattern",
+    oracle="""
+    with seq as (
+      select user_id, event_id, value,
+             lag(value) over (partition by user_id
+                              order by cast(ts as timestamp), event_id) as prev
+      from events),
+    flags as (
+      select user_id, event_id,
+             case when prev is not null and value > prev then 1 else 0 end
+               as is_rise
+      from seq),
+    runs as (
+      select user_id, is_rise,
+             sum(case when is_rise = 0 then 1 else 0 end)
+               over (partition by user_id order by event_id
+                     rows between unbounded preceding and current row) as grp
+      from flags),
+    streaks as (
+      select user_id, grp, cast(sum(is_rise) as bigint) as streak
+      from runs group by 1, 2)
+    select user_id,
+           cast(count(*) + sum(streak) as bigint) as n_events,
+           cast(sum(streak) as bigint) as n_rises,
+           cast(max(streak) as bigint) as max_run,
+           cast(sum(case when streak >= 2 then 1 else 0 end) as bigint)
+             as n_runs3
+    from streaks
+    group by 1
+    """,
+)
+def win_pattern(spark, sf_dir):
+    """Event-sequence pattern detection (the MATCH_RECOGNIZE-shaped op):
+    per-user runs of strictly increasing values, via the gaps-and-islands
+    decomposition — lag flags each rise, a running count of non-rises
+    numbers the islands, and one hash-agg per island yields streak
+    lengths. n_runs3 counts runs of ≥3 increasing values (≥2 consecutive
+    rises); max_run is the longest rise streak. Two windows over the same
+    (user_id, ts, event_id) ordering — one sort, both windows reuse it —
+    then two hash-aggs on the collapsed island frame.
+
+    The island group-key trick uses event_id for the second window's
+    ordering: event_ids are assigned in ts order per the fixture contract,
+    and the oracle's streaks CTE aggregates per (user, grp) so only the
+    grouping — not any intra-group order — must agree across engines."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rise = F.when(
+        F.lag("value").over(w).isNotNull()
+        & (F.col("value") > F.lag("value").over(w)),
+        1,
+    ).otherwise(0)
+    flagged = e.select("user_id", "event_id", rise.alias("is_rise"))
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = flagged.select(
+        "user_id", "is_rise",
+        F.sum(F.when(F.col("is_rise") == 0, 1).otherwise(0)).over(w2).alias("grp"),
+    )
+    streaks = runs.groupBy("user_id", "grp").agg(
+        F.sum("is_rise").cast("long").alias("streak")
+    )
+    return streaks.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + F.sum("streak")).cast("long").alias("n_events"),
+        F.sum("streak").cast("long").alias("n_rises"),
+        F.max("streak").cast("long").alias("max_run"),
+        F.sum(F.when(F.col("streak") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_runs3"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -2425,6 +2578,7 @@ _NEW_R03 = [  # registered r03, never sampled yet: front of the r04 rotation
     "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
     "win_gap_fill", "fn_variant", "llm_sample_stratified", "llm_redact",
     "llm_mix_weights", "llm_normalize", "llm_dupe_stats",
+    "llm_hot_ngrams", "llm_concat", "win_pattern",
 ]
 _EXPORT_ORDER = (_NEVER_DRIVER_CHECKED + _CORE_KEEP_GREEN
                  + _ROTATED_OUT_R03 + _NEW_R03)
