@@ -2537,6 +2537,202 @@ def win_pattern(spark, sf_dir):
     )
 
 
+@register(
+    "llm_chunk",
+    oracle="""
+    with starts as (
+      select doc_id, text,
+             unnest(generate_series(1, greatest(len(text) - 50, 1), 150)) as s
+      from documents)
+    select doc_id,
+           cast((s - 1) // 150 as bigint) as chunk_idx,
+           cast(s as bigint) as chunk_start,
+           substr(text, s, 200) as chunk_text,
+           cast(len(substr(text, s, 200)) as bigint) as chunk_len
+    from starts
+    """,
+)
+def llm_chunk(spark, sf_dir):
+    """Context-window chunking (the RAG / pretraining-sequence splitter):
+    each doc becomes overlapping 200-char chunks at stride 150 (50-char
+    overlap so no boundary-spanning content is lost). The chunk starts are
+    a ``sequence`` column exploded in place — a narrow per-row fan-out with
+    no shuffle at all; chunk extraction is one codegen'd ``substring``.
+    At 100 TB this is the shape that feeds tokenization: output rows carry
+    (doc_id, chunk_idx) so provenance survives the split, and downstream
+    repartitioning happens on the already-chunked (smaller-rowed) frame."""
+    d = load(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length("text") - F.lit(50), F.lit(1)),
+        F.lit(150),
+    )
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.expr("(s - 1) div 150").cast("long").alias("chunk_idx"),
+            F.col("s").cast("long").alias("chunk_start"),
+            F.expr("substring(text, s, 200)").alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("long"))
+    )
+
+
+@register(
+    "llm_keywords",
+    oracle="""
+    with tok as (select doc_id, unnest(string_split(lower(text), ' ')) as term
+                 from documents),
+    tfs as (select doc_id, term, count(*) as tf from tok group by 1, 2),
+    dfs as (select term, count(distinct doc_id) as df from tok group by 1),
+    scored as (
+      select doc_id, t.term, tf, df,
+             (tf * (select count(*) from documents) * 10000) // df as score
+      from tfs t join dfs using (term)),
+    ranked as (
+      select *, row_number() over (partition by doc_id
+                                   order by score desc, term) as rk
+      from scored)
+    select doc_id, term, cast(tf as bigint) as tf, cast(df as bigint) as df,
+           cast(score as bigint) as score, cast(rk as bigint) as rk
+    from ranked where rk <= 3
+    """,
+)
+def llm_keywords(spark, sf_dir):
+    """Distinctive-term extraction (tf-idf-shaped, used for topic tagging /
+    quality audits of a training mix): per-doc top-3 terms by
+    ``tf * N / df`` — same ordering as tf-idf for a fixed doc, but kept in
+    exact integer arithmetic (score = tf * N * 10000 div df) so the oracle
+    matches bit-for-bit; a float idf would differ across engines' libm.
+    df is a hash-agg OVER the tf frame (one row per (doc, term) already,
+    so row-count == distinct-doc count); partial combine keeps stopword
+    terms skew-safe, unlike a count window over term partitions which
+    would hot-spot on 'the'. The vocabulary-sized df frame broadcasts
+    back onto tf — the tf side is never reshuffled on term — and
+    WindowGroupLimit prunes to the per-doc top-3 before the final
+    projection. Ties break on the term string, so the ranking is
+    deterministic in both engines. Catalyst prunes the two branches into
+    different subtrees, so the corpus is tokenized twice; the 100 TB
+    recipe is to persist the (doc, term, tf) frame — text-free, ~an order
+    smaller than the corpus — and derive both sides from it."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    tfs = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # df derives from the tf frame (one row per (doc, term) already) — the
+    # two branches share an identical Exchange subtree, so ReuseExchange
+    # tokenizes and scans the corpus ONCE; count_distinct over tok would
+    # scan and explode it a second time.
+    dfs = tfs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tfs.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.expr("(tf * n_docs * 10000) div df").alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id", "term", "tf", "df", "score",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+@register(
+    "llm_overlap",
+    oracle="""
+    with h as (
+      select doc_id, source,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                            ' '))), ' ')) as fp
+      from documents)
+    select a.source as source_a, b.source as source_b,
+           cast(count(*) as bigint) as n_pairs,
+           cast(count(distinct a.fp) as bigint) as n_contents
+    from h a join h b on a.fp = b.fp and a.source < b.source
+    group by 1, 2
+    """,
+)
+def llm_overlap(spark, sf_dir):
+    """Cross-source contamination matrix (which feeds share content — the
+    report that decides inter-source dedup priority before a training
+    export): docs keyed by the order-insensitive token-set fingerprint
+    ([X4e]), self-joined across distinct sources, aggregated to a
+    source-pair matrix. The join key is the fingerprint hash, so the join
+    is a plain shuffle-hash equi-join whose fan-out is bounded by
+    duplicate-cluster sizes — pair-scale, never corpus²; the output is
+    |sources|²-bounded (tiny at any corpus size)."""
+    from minerva_etl_46_spark.operators.textstats import fingerprint
+
+    d = load(spark, sf_dir, "documents")
+    h = fingerprint(d, id_col="doc_id", text_col="text").join(
+        d.select("doc_id", "source"), "doc_id"
+    ).select(F.col("fingerprint").alias("fp"), "source")
+    a, b = h.alias("a"), h.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")),
+    )
+    return pairs.groupBy(
+        F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct(F.col("a.fp")).alias("n_contents"),
+    )
+
+
+@register(
+    "llm_len_buckets",
+    oracle="""
+    with t as (select source, len(string_split(text, ' ')) as n_tok
+               from documents),
+    b as (select source, n_tok,
+                 case when n_tok <= 32 then 32 when n_tok <= 64 then 64
+                      when n_tok <= 128 then 128 when n_tok <= 256 then 256
+                      when n_tok <= 512 then 512 else 1024 end as bucket
+          from t)
+    select source, cast(bucket as bigint) as bucket,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_tok) as bigint) as total_tokens,
+           cast(bucket * count(*) - sum(n_tok) as bigint) as padding_waste
+    from b group by source, bucket
+    """,
+)
+def llm_len_buckets(spark, sf_dir):
+    """Sequence-length bucketing report (the batch-packing planner: group
+    sequences of similar length so per-batch padding waste is bounded):
+    docs bucketed by whitespace-token count into power-of-two caps, then
+    per (source, bucket) doc count, token mass, and the padding waste a
+    pad-to-bucket batcher would spend. A CASE ladder (not log2) keeps the
+    bucket edges integer-exact across engines. One narrow projection and
+    one hash-agg — the report is |sources|×|buckets| rows at any scale."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    bucket = (
+        F.when(n_tok <= 32, 32).when(n_tok <= 64, 64).when(n_tok <= 128, 128)
+        .when(n_tok <= 256, 256).when(n_tok <= 512, 512).otherwise(1024)
+    )
+    return (
+        d.select("source", n_tok.alias("n_tok"), bucket.cast("long").alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+        .withColumn(
+            "padding_waste",
+            (F.col("bucket") * F.col("n_docs") - F.col("total_tokens")).cast("long"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -2579,6 +2775,7 @@ _NEW_R03 = [  # registered r03, never sampled yet: front of the r04 rotation
     "win_gap_fill", "fn_variant", "llm_sample_stratified", "llm_redact",
     "llm_mix_weights", "llm_normalize", "llm_dupe_stats",
     "llm_hot_ngrams", "llm_concat", "win_pattern",
+    "llm_chunk", "llm_keywords", "llm_overlap", "llm_len_buckets",
 ]
 _EXPORT_ORDER = (_NEVER_DRIVER_CHECKED + _CORE_KEEP_GREEN
                  + _ROTATED_OUT_R03 + _NEW_R03)
