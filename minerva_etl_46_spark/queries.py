@@ -2741,9 +2741,13 @@ def llm_len_buckets(spark, sf_dir):
 # positions 1-50, and inserting ``llm_sim_ivf`` at position 45 in r02 pushed
 # ``mm_extract`` from 50 to 51 and out of the sample — the only set change).
 # Registration order above stays in SURVEY.md §2 reading order; the exported
-# dict below front-loads the 17 keys that have never received a driver row
-# (r01-r02 positions 51-67), then the §2 core, rotating 17 twice-green keys
-# (r01+r02 artifacts both have their rows) to the tail for round 4.
+# dict below front-loads ALL 35 keys that have never received a driver row
+# (the 17 at r01-r02 positions 51-67 plus the 18 registered this round), then
+# 15 semantically-tricky core keys as regression canaries — filling the
+# 50-key sample exactly. After this round every key in the registry has a
+# driver row in at least one CORRECTNESS_r*.json. The 18 twice-green keys
+# rotated to the tail (r01+r02 artifacts both carry their rows) come back in
+# round 4.
 _NEVER_DRIVER_CHECKED = [
     # full-oracle keys first, rows-only-by-design (mm_*, llm_cluster) last
     "agg_time_local", "agg_entity_chain", "agg_pivot", "agg_approx",
@@ -2752,33 +2756,32 @@ _NEVER_DRIVER_CHECKED = [
     "llm_dedup_groups", "llm_vocab", "llm_split",
     "llm_cluster", "mm_extract", "mm_frames",
 ]
-_CORE_KEEP_GREEN = [
-    "scan_parquet", "scan_csv", "upsert_latest", "project_select",
-    "filter_ts_range", "filter_threshold",
-    "join_dim", "join_parts", "join_left", "join_semi", "join_anti",
-    "join_range", "join_asof",
-    "agg_time", "agg_entity", "agg_weighted_avg", "agg_count_distinct",
-    "agg_last_by", "agg_rollup",
-    "win_latest", "win_intervals", "win_change_detect", "win_delta",
-    "win_rank", "win_moving_avg",
-    "sort_order", "sort_limit", "topk_per_group", "set_except",
-    "fn_safe_div", "fn_ts_align", "fn_string_dn", "fn_hash",
-]
-_ROTATED_OUT_R03 = [
-    "fn_json_extract", "fn_case", "fn_date_parts", "fn_array",
-    "llm_dedup_exact", "llm_dedup_near", "llm_ngram_jaccard", "llm_simhash",
-    "llm_fingerprint", "llm_sim_topk", "llm_sim_ann", "llm_sim_ivf",
-    "llm_text_stats", "llm_tokens", "llm_quality", "llm_lang_id", "mm_meta",
-]
-_NEW_R03 = [  # registered r03, never sampled yet: front of the r04 rotation
+_NEW_R03 = [  # registered r03, never sampled: must land inside the first 50
     "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
     "win_gap_fill", "fn_variant", "llm_sample_stratified", "llm_redact",
     "llm_mix_weights", "llm_normalize", "llm_dupe_stats",
     "llm_hot_ngrams", "llm_concat", "win_pattern",
     "llm_chunk", "llm_keywords", "llm_overlap", "llm_len_buckets",
 ]
-_EXPORT_ORDER = (_NEVER_DRIVER_CHECKED + _CORE_KEEP_GREEN
-                 + _ROTATED_OUT_R03 + _NEW_R03)
+_CORE_CANARIES = [  # 15 trickiest previously-green keys: regression guard
+    "scan_parquet", "upsert_latest", "filter_ts_range", "join_dim",
+    "join_range", "join_asof", "agg_time", "agg_count_distinct",
+    "agg_last_by", "win_latest", "win_intervals", "win_delta",
+    "topk_per_group", "fn_ts_align", "fn_string_dn",
+]
+_ROTATED_OUT_R03 = [  # twice-green (r01+r02 rows); return in round 4
+    "scan_csv", "project_select", "filter_threshold",
+    "join_parts", "join_left", "join_semi", "join_anti",
+    "agg_entity", "agg_weighted_avg", "agg_rollup",
+    "win_change_detect", "win_rank", "win_moving_avg",
+    "sort_order", "sort_limit", "set_except", "fn_safe_div", "fn_hash",
+    "fn_json_extract", "fn_case", "fn_date_parts", "fn_array",
+    "llm_dedup_exact", "llm_dedup_near", "llm_ngram_jaccard", "llm_simhash",
+    "llm_fingerprint", "llm_sim_topk", "llm_sim_ann", "llm_sim_ivf",
+    "llm_text_stats", "llm_tokens", "llm_quality", "llm_lang_id", "mm_meta",
+]
+_EXPORT_ORDER = (_NEVER_DRIVER_CHECKED + _NEW_R03 + _CORE_CANARIES
+                 + _ROTATED_OUT_R03)
 
 assert set(_EXPORT_ORDER) == set(QUERIES), (
     sorted(set(_EXPORT_ORDER) ^ set(QUERIES))
