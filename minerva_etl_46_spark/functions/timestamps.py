@@ -52,13 +52,64 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def ensure_timestamp(c: Column | str) -> Column:
+    """Coerce a timestamp-like column to plain TIMESTAMP (LTZ).
+
+    TIMESTAMP_NTZ → TIMESTAMP is legal and an identity under the pinned UTC
+    session timezone (session.RUNTIME_CONFS); TIMESTAMP → TIMESTAMP is a
+    no-op Catalyst folds away. Spark 4 refuses NTZ→numeric casts outright,
+    so every epoch-arithmetic helper routes through this first.
+    """
+    return _col(c).cast("timestamp")
+
+
+def epoch_seconds(c: Column | str) -> Column:
+    """Epoch seconds (floored) of a timestamp-like column, NTZ-proof."""
+    return ensure_timestamp(c).cast("long")
+
+
+def normalize_ts_columns(df, cols, table: str = "<frame>"):
+    """Normalize timestamp-like columns to TIMESTAMP (LTZ) at a frame
+    entry boundary — parquet load, stream source, staged upsert input.
+
+    The fixture shape has changed across rounds (``events.ts``: ns-long →
+    ns-timestamp → µs TIMESTAMP_NTZ), so every shape any round has produced
+    is handled; anything else fails fast with the observed dtype instead of
+    surfacing nine scattered DATATYPE_MISMATCH analysis errors downstream.
+
+    - ``bigint``: ns-since-epoch under the nanosAsLong legacy read → µs
+      timestamp (floor), matching DuckDB's CAST(ts_ns AS TIMESTAMP).
+    - ``timestamp_ntz``: cast to LTZ (identity under UTC session tz).
+    - ``timestamp``: already canonical.
+    """
+    dtypes = dict(df.dtypes)
+    for name in cols:
+        dt = dtypes.get(name)
+        if dt is None:
+            raise TypeError(
+                f"{table}: expected timestamp column {name!r} is missing "
+                f"(present: {sorted(dtypes)}) — fixture schema changed?"
+            )
+        if dt == "bigint":
+            df = df.withColumn(name, F.expr(f"timestamp_micros({name} div 1000)"))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
+        elif dt != "timestamp":
+            raise TypeError(
+                f"{table}.{name}: unhandled timestamp dtype {dt!r} — the "
+                "test fixtures were regenerated with a new shape; extend "
+                "normalize_ts_columns (functions/timestamps.py)."
+            )
+    return df
+
+
 def align_floor(ts: Column | str, g: Granularity, tz: str = "UTC") -> Column:
     """Floor a timestamp to the start of its granularity period.
 
     Second-based: pure integer epoch arithmetic (stays in codegen).
     Calendar: date_trunc in the instance-local timezone (SURVEY §1.2).
     """
-    c = _col(ts)
+    c = ensure_timestamp(ts)
     if not g.is_calendar:
         secs = g.seconds
         return F.timestamp_seconds(F.floor(c.cast("long") / secs) * secs)
@@ -82,7 +133,7 @@ def align_end(ts: Column | str, g: Granularity, tz: str = "UTC") -> Column:
     local month start (e.g. Feb 29 23:00 UTC + 1 month in UTC would yield
     Mar 29 23:00 — a non-boundary — instead of Mar 31 22:00, the local
     Apr 1 midnight after a DST shift)."""
-    c = _col(ts)
+    c = ensure_timestamp(ts)
     if not g.is_calendar:
         secs = g.seconds
         return F.timestamp_seconds(F.ceil(c.cast("long") / secs) * secs)
@@ -104,7 +155,7 @@ def bucket_epoch_end(ts: Column | str, g: Granularity) -> Column:
     """
     if g.is_calendar:
         raise NotImplementedError("END-labeled calendar buckets: use align_end")
-    c = _col(ts)
+    c = ensure_timestamp(ts)
     return (F.ceil(c.cast("long") / g.seconds) * g.seconds).cast("long")
 
 
@@ -118,7 +169,7 @@ def bucket_epoch(ts: Column | str, g: Granularity) -> Column:
     """
     if g.is_calendar:
         return align_floor(ts, g).cast("long")
-    return (F.floor(_col(ts).cast("long") / g.seconds) * g.seconds).cast("long")
+    return (F.floor(epoch_seconds(ts) / g.seconds) * g.seconds).cast("long")
 
 
 def sql_bucket_epoch(ts_expr: str, g: Granularity) -> str:

@@ -34,8 +34,10 @@ def bucketed_range_join(
     if not lower_s < upper_s:
         raise ValueError("lower_s must be < upper_s")
     bsize = upper_s - lower_s
-    l_epoch = F.col(left_ts).cast("long")
-    r_epoch = F.col(right_ts).cast("long")
+    # TIMESTAMP hop first: Spark 4 refuses NTZ→numeric, and NTZ→LTZ is an
+    # identity under the engine's pinned UTC session timezone
+    l_epoch = F.col(left_ts).cast("timestamp").cast("long")
+    r_epoch = F.col(right_ts).cast("timestamp").cast("long")
 
     lb = left.withColumn(
         "__bucket",

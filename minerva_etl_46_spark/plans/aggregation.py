@@ -54,9 +54,9 @@ def generate_time_rollup(
     def src_fn(spark: SparkSession, w_start: int, w_end: int) -> DataFrame:
         # period-END convention: the partition AT w_end holds the boundary
         # rows, and [start, end) pruning would drop it — read through w_end
+        ts_epoch = F.col(ts_col).cast("timestamp").cast("long")  # NTZ-proof
         rows = raw.read_window(spark, w_start, w_end + 1).filter(
-            (F.col(ts_col).cast("long") > w_start)
-            & (F.col(ts_col).cast("long") <= w_end)
+            (ts_epoch > w_start) & (ts_epoch <= w_end)
         )
         return time_rollup(rows, entity_col, ts_col, g_to, trends,
                            bucket_col="bucket", exact=exact, label="end")
@@ -94,10 +94,10 @@ def generate_entity_rollup(
     )
 
     def src_fn(spark: SparkSession, w_start: int, w_end: int) -> DataFrame:
+        ts_epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ-proof
         rows = raw.read_window(spark, w_start, w_end + 1).filter(
-            (F.col("ts").cast("long") > w_start)
-            & (F.col("ts").cast("long") <= w_end)
-        ).withColumn("bucket", F.col("ts").cast("long"))
+            (ts_epoch > w_start) & (ts_epoch <= w_end)
+        ).withColumn("bucket", ts_epoch)
         rolled = entity_rollup(
             rows, relation_df_fn(spark), entity_col=entity_col,
             bucket_col="bucket", trends=trends,

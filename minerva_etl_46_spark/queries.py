@@ -5,9 +5,11 @@ here; ``__spark_entry__.py`` re-exports the registry. Builder and oracle are
 colocated so semantics can't drift apart.
 
 Oracle-parity rules (FIXTURES.md, SURVEY.md §5 — learned from the fixtures):
-- ``events.ts`` is ns-precision parquet; Spark reads µs (floor). Every
-  oracle wraps events with CAST(ts AS TIMESTAMP) so DuckDB sees the same
-  µs values, including in ORDER BY keys of window functions.
+- ``events.ts`` parquet precision has varied across fixture regenerations
+  (ns-long, ns-timestamp, µs TIMESTAMP_NTZ); ``load()`` normalizes every
+  shape to µs TIMESTAMP (LTZ). Every oracle wraps events with
+  CAST(ts AS TIMESTAMP) so DuckDB sees the same µs values, including in
+  ORDER BY keys of window functions.
 - No double ever hits ROUND in an output: aggregates go through exact
   DECIMAL accumulators (functions/kpi.py), then element-wise double ops.
 - Sub-second timestamps in outputs travel as epoch MICROsecond BIGINTs
@@ -47,6 +49,7 @@ from minerva_etl_46_spark.functions.timestamps import (
     G_1MONTH,
     align_floor,
     bucket_epoch,
+    normalize_ts_columns,
     sql_bucket_epoch,
 )
 from minerva_etl_46_spark.operators.asof import asof_join
@@ -76,14 +79,27 @@ EV = (
 OPEN_END_US = -1
 
 
+#: Timestamp-bearing fixture columns, normalized to TIMESTAMP (LTZ) at load.
+#: The fixture shape has changed every few rounds (ns-long → ns-timestamp →
+#: µs TIMESTAMP_NTZ); normalize_ts_columns handles each known shape and
+#: fails fast with the observed dtype on anything new.
+_TS_COLS = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Fixture loader. ns-precision timestamp columns arrive as long (see
-    session.RUNTIME_CONFS nanosAsLong) and are floor-converted to µs
-    timestamps — exactly what DuckDB's CAST(ts_ns AS TIMESTAMP) yields, so
-    oracles stay aligned."""
+    """Fixture loader. Timestamp columns are normalized to plain TIMESTAMP
+    (LTZ) whatever precision/type the parquet carries — ns arrives as long
+    (session.RUNTIME_CONFS nanosAsLong) and floor-converts to µs exactly
+    like DuckDB's CAST(ts_ns AS TIMESTAMP); µs NTZ casts to LTZ (identity
+    under the pinned UTC session tz) — so oracles stay aligned."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    cols = _TS_COLS.get(name)
+    if cols:
+        df = normalize_ts_columns(df, cols, table=name)
     return df
 
 

@@ -42,7 +42,7 @@ class TrendQuery:
     def run(self, spark: SparkSession, entity_col: str = "entity_id",
             ts_col: str = "ts") -> DataFrame:
         df = self.part.read_window(spark, self.start_epoch, self.end_epoch)
-        ts_epoch = F.col(ts_col).cast("long")
+        ts_epoch = F.col(ts_col).cast("timestamp").cast("long")  # NTZ-proof
         df = df.filter((ts_epoch >= self.start_epoch) & (ts_epoch < self.end_epoch))
         if self.entity_ids is not None:
             df = df.filter(F.col(entity_col).isin([int(e) for e in self.entity_ids]))
@@ -52,7 +52,7 @@ class TrendQuery:
             df = df.select(entity_col, ts_col, *self.columns)
         else:
             df = df.drop("p_bucket")
-        ts_us = F.unix_micros(F.col(ts_col))
+        ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
         if self.after is not None:
             a_us, a_ent = self.after
             df = df.filter(

@@ -23,6 +23,14 @@ RUNTIME_CONFS = {
     # Spark 4 rejects parquet INT64 TIMESTAMP(NANOS) outright; read ns as
     # long and convert to µs timestamps in the loader (sources/parquet.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet TIMESTAMP(isAdjustedToUTC=0) would surface as TIMESTAMP_NTZ,
+    # which Spark 4 refuses to cast to numeric (every epoch-bucket helper
+    # would break). Read it as plain TIMESTAMP instead — an identity under
+    # the pinned UTC session timezone, and exactly what DuckDB sees.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # In-process frames (createDataFrame from naive datetimes) must surface
+    # LTZ too, so trendstore/materialize see one timestamp type everywhere.
+    "spark.sql.timestampType": "TIMESTAMP_LTZ",
     "spark.sql.ansi.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -31,7 +31,9 @@ MODIFIED_LOG = "_modified_log"
 
 
 def bucket_of(ts_col: str, partition_size_s: int):
-    return (F.floor(F.col(ts_col).cast("long") / partition_size_s)
+    # route through TIMESTAMP first: NTZ-typed in-process frames can't cast
+    # straight to long in Spark 4 (see functions/timestamps.ensure_timestamp)
+    return (F.floor(F.col(ts_col).cast("timestamp").cast("long") / partition_size_s)
             * partition_size_s).cast("long")
 
 

@@ -9,26 +9,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from minerva_etl_46_spark.functions.kpi import DEC
+from minerva_etl_46_spark.functions.timestamps import normalize_ts_columns
 from minerva_etl_46_spark.session import tune
 
 EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
 )
 
 
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a stream source. ts arrives as ns-long
-    (nanosAsLong) and converts to µs timestamps exactly like the batch
-    loader — streaming and batch share one timestamp semantics."""
+    """events.parquet as a stream source. File-stream sources require an
+    explicit schema; take it from a batch read of the same file so the
+    stream survives fixture-precision changes (ts has shipped as ns-long,
+    ns-timestamp, and µs NTZ across regenerations), then route ts through
+    the SAME normalizer as the batch loader — streaming and batch share
+    one timestamp semantics."""
     tune(spark)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_STREAM_SCHEMA)
+        .schema(batch_schema)
         # file-stream sources require a directory; glob-filter to the table
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_ts_columns(raw, ["ts"], table="events(stream)")
 
 
 def _run_to_memory(agg: DataFrame, name: str, spark: SparkSession) -> DataFrame:
@@ -106,6 +111,7 @@ def tumbling_rollup_append(
         .option("maxFilesPerTrigger", 1)
         .load(stream_dir)
     )
+    raw = normalize_ts_columns(raw, ["ts"], table="stream")
     agg = (
         raw.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "event_type")
