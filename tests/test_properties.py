@@ -185,3 +185,41 @@ def test_alignment_invariants(spark, epochs):
             assert hi == e, "on-grid ts must close its own period (end)"
         else:
             assert hi - lo == g, "off-grid period must be exactly one granule"
+
+
+@SLOW
+@given(epochs=ts_strategy)
+def test_bucket_helpers_invariant_across_fixture_shapes(spark, epochs):
+    """The test fixtures have shipped ``ts`` as ns-long, ns-timestamp, and
+    µs TIMESTAMP_NTZ across regenerations (the round-3 breakage class).
+    normalize_ts_columns + the bucket helpers must yield IDENTICAL buckets
+    from every shape: ns-since-epoch BIGINT, µs TIMESTAMP_NTZ, TIMESTAMP."""
+    from minerva_etl_46_spark.functions.timestamps import (
+        G_1H,
+        bucket_epoch,
+        bucket_epoch_end,
+        normalize_ts_columns,
+    )
+
+    base = spark.createDataFrame([(e,) for e in epochs], "epoch long")
+    shapes = {
+        "ltz": base.select(F.timestamp_seconds("epoch").alias("ts")),
+        "ntz": base.select(
+            F.timestamp_seconds("epoch").cast("timestamp_ntz").alias("ts")
+        ),
+        "ns_long": base.select(
+            (F.col("epoch") * F.lit(1_000_000_000)).alias("ts")
+        ),
+    }
+    got = {}
+    for shape, df in shapes.items():
+        norm = normalize_ts_columns(df, ["ts"], table=shape)
+        assert dict(norm.dtypes)["ts"] == "timestamp", shape
+        got[shape] = sorted(
+            (r["lo"], r["hi"])
+            for r in norm.select(
+                bucket_epoch("ts", G_1H).alias("lo"),
+                bucket_epoch_end("ts", G_1H).alias("hi"),
+            ).collect()
+        )
+    assert got["ltz"] == got["ntz"] == got["ns_long"]
