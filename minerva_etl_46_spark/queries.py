@@ -267,13 +267,16 @@ def project_select(spark, sf_dir):
 def filter_ts_range(spark, sf_dir):
     """P2: one materialization period's timestamp-range filter.
 
-    Filters on the RAW ns-long column before the µs conversion: a range
-    predicate over timestamp_micros(ts div 1000) is an expression Catalyst
-    cannot push into the parquet scan (only IsNotNull survives), which at
-    100 TB means no row-group pruning. The raw-long bounds are pushable,
-    and floor-conversion is monotonic with second-aligned bounds, so the
-    semantics are identical — verify via .explain: PushedFilters carries
-    GreaterThanOrEqual/LessThan on ts."""
+    The predicate must land in the parquet scan's PushedFilters (row-group
+    pruning — at 100 TB the difference between reading two days and the
+    whole table). Two pushable shapes, picked by the fixture's dtype:
+    - µs TIMESTAMP (current fixtures): compare the bare column against
+      timestamp LITERALS — no cast on the column side, so Catalyst pushes
+      GreaterThanOrEqual/LessThan into the scan (verified in PLANS.md).
+    - legacy ns-long: compare the raw bigint against ns bounds BEFORE any
+      µs conversion (a predicate over timestamp_micros(ts div 1000) would
+      only push IsNotNull); floor-conversion is monotonic with
+      second-aligned bounds, so semantics are identical."""
     import datetime as _dt
 
     lo = int(_dt.datetime(2024, 1, 2, tzinfo=_dt.timezone.utc).timestamp()) * 10**9
@@ -281,7 +284,7 @@ def filter_ts_range(spark, sf_dir):
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(raw.dtypes).get("ts") == "bigint":
         raw = raw.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
-    else:  # pragma: no cover — µs-precision fixture variant
+    else:
         raw = load(spark, sf_dir, "events").filter(
             (F.col("ts") >= F.lit("2024-01-02 00:00:00").cast("timestamp"))
             & (F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp"))

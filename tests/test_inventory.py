@@ -12,6 +12,7 @@ from __spark_entry__ import oracle_sql, queries
 KEY_PREFIXES = (
     "scan_", "upsert_", "project_", "filter_", "join_", "agg_", "win_",
     "sort_", "topk_", "set_", "fn_", "stream_", "llm_", "mm_", "kpi_",
+    "xml_",
 )
 
 
@@ -67,3 +68,30 @@ def test_oracle_coverage_is_total_minus_documented_rows_only():
     rows_only = set(queries()) - set(oracle_sql())
     assert rows_only == {"llm_sim_ann", "llm_sim_ivf",
                          "mm_extract", "llm_cluster", "mm_frames"}
+
+
+def test_driver_sampled_the_intended_first_50():
+    """The export-order rotation plan (queries.py tail) relies on the
+    driver sampling the FIRST 50 exported keys. driver_samples.json
+    snapshots the intended sample per round at rotation time; when the
+    matching CORRECTNESS_r{N}.json lands, this test catches a silent
+    driver sampling-behavior change (random/hash-ordered sampling would
+    break the coverage plan without any other symptom)."""
+    import json
+    import pathlib
+
+    samples_path = pathlib.Path("driver_samples.json")
+    if not samples_path.exists():
+        return
+    samples = json.loads(samples_path.read_text())
+    for round_tag, expected in samples.items():
+        artifact = pathlib.Path(f"CORRECTNESS_{round_tag}.json")
+        if not artifact.exists():
+            continue  # that round hasn't run yet
+        got = set(json.loads(artifact.read_text()))
+        assert got == set(expected), (
+            f"{artifact}: driver sample != intended first-50 "
+            f"(missing={sorted(set(expected) - got)}, "
+            f"extra={sorted(got - set(expected))}) — "
+            "driver sampling behavior changed; rework the rotation plan"
+        )
