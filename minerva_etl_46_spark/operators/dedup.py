@@ -115,6 +115,62 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = 32,
     return sh.groupBy(id_col).agg(*mins)
 
 
+def _banded_long(sig: DataFrame, id_col: str, k: int, bands: int,
+                 hash_family: str) -> DataFrame:
+    """Signature frame → long (id, band_id, bh) band-bucket rows."""
+    r = k // bands
+    if hash_family == "xx":
+        band_cols = [
+            F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias(f"band{b}")
+            for b in range(bands)
+        ]
+    else:
+        # md5 over the pipe-joined decimal strings — DuckDB mirror:
+        # md5(string_agg(cast(mh as varchar), '|' order by seed)) per band
+        band_cols = [
+            F.md5(F.concat_ws("|", *[
+                F.col(f"mh{b * r + j}").cast("string") for j in range(r)
+            ])).alias(f"band{b}")
+            for b in range(bands)
+        ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select(id_col, "e.band_id", "e.bh")
+
+
+def lsh_candidates_against(query_sig: DataFrame, index_sig: DataFrame,
+                           id_col: str, k: int = 32, bands: int = 8,
+                           hash_family: str = "xx") -> DataFrame:
+    """Asymmetric LSH: candidate (query, index) pairs for NEW docs against
+    an EXISTING corpus — the incremental-ingest shape. A batch of new
+    documents lands; instead of re-running pairwise dedup over the whole
+    corpus (the full self-join re-shuffles corpus-scale band rows every
+    batch), only the new docs' band rows probe the corpus's band rows on
+    (band_id, band_hash). Work ∝ |new| × bands + matched buckets —
+    independent of corpus size given stored signatures. At 100 TB the
+    index side is a materialized signature table (computed once per doc at
+    ingest, exactly like this function's input); the probe side is the
+    day's arrivals. Returns (q_id, i_id) distinct candidate pairs."""
+    qb = _banded_long(query_sig.localCheckpoint(eager=False), id_col, k,
+                      bands, hash_family)
+    ib = _banded_long(index_sig.localCheckpoint(eager=False), id_col, k,
+                      bands, hash_family)
+    return (
+        qb.select(F.col(id_col).alias("q_id"), "band_id", "bh")
+        .join(ib.select(F.col(id_col).alias("i_id"), "band_id", "bh"),
+              ["band_id", "bh"])
+        .select("q_id", "i_id")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(sig: DataFrame, id_col: str, k: int = 32,
                         bands: int = 8,
                         max_bucket_size: int | None = None,
@@ -137,31 +193,7 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, k: int = 32,
     # the self-join below would otherwise evaluate the full minhash
     # pipeline TWICE (once per side) — materialize the signature once
     sig = sig.localCheckpoint(eager=False)
-    r = k // bands
-    if hash_family == "xx":
-        band_cols = [
-            F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias(f"band{b}")
-            for b in range(bands)
-        ]
-    else:
-        # md5 over the pipe-joined decimal strings — DuckDB mirror:
-        # md5(string_agg(cast(mh as varchar), '|' order by seed)) per band
-        band_cols = [
-            F.md5(F.concat_ws("|", *[
-                F.col(f"mh{b * r + j}").cast("string") for j in range(r)
-            ])).alias(f"band{b}")
-            for b in range(bands)
-        ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    long_ = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bh"))
-                for b in range(bands)
-            ])
-        ).alias("e"),
-    ).select(id_col, "e.band_id", "e.bh")
+    long_ = _banded_long(sig, id_col, k, bands, hash_family)
     if max_bucket_size is not None:
         sizes = long_.groupBy("band_id", "bh").agg(
             F.count(F.lit(1)).alias("__n"))

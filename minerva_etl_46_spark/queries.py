@@ -1231,6 +1231,86 @@ def llm_dedup_near(spark, sf_dir):
 
 
 @register(
+    "llm_dedup_incremental",
+    oracle="""
+    with corpus as (select doc_id, text from documents),
+    nw as (select doc_id + 3000000 as doc_id,
+                  text || ' incremental ingest tail token' as text
+           from documents where doc_id % 13 = 0),
+    u as (select * from corpus union all select * from nw),
+    tok as (select doc_id, string_split(lower(text), ' ') as t from u),
+    sh as (select distinct doc_id, array_to_string(t[u2.i:u2.i+2], ' ') as g
+           from tok, unnest(generate_series(1, greatest(len(t)-2, 0))) as u2(i)),
+    mh as (select doc_id, s.seed,
+                  min(cast(concat('0x',
+                           substr(md5(concat(s.seed, '|', md5(g))), 1, 15))
+                           as bigint)) as mh
+           from sh cross join (select unnest(generate_series(0, 31)) as seed) s
+           group by 1, 2),
+    bandh as (select doc_id, seed // 2 as band,
+                     md5(string_agg(cast(mh as varchar), '|' order by seed)) as bh
+              from mh group by 1, 2),
+    cand as (select distinct q.doc_id as new_id, i.doc_id as src_id
+             from bandh q join bandh i using (band, bh)
+             where q.doc_id >= 3000000 and i.doc_id < 3000000),
+    sizes as (select doc_id, count(*) as n_sh from sh group by 1),
+    inter as (select c.new_id, c.src_id, count(*) as n_inter
+              from cand c join sh sa on sa.doc_id = c.new_id
+                          join sh sb on sb.doc_id = c.src_id and sb.g = sa.g
+              group by 1, 2)
+    select i.new_id, i.src_id, i.n_inter,
+           i.n_inter / cast(za.n_sh + zb.n_sh - i.n_inter as double) as jaccard
+    from inter i join sizes za on za.doc_id = i.new_id
+                 join sizes zb on zb.doc_id = i.src_id
+    where i.n_inter / cast(za.n_sh + zb.n_sh - i.n_inter as double) >= 0.5
+    """,
+)
+def llm_dedup_incremental(spark, sf_dir):
+    """X2 incremental-ingest shape: near-dup detection of a NEW batch
+    against the EXISTING corpus (operators.dedup.lsh_candidates_against).
+
+    The full pairwise pass (llm_dedup_near) re-shuffles corpus-scale band
+    rows every run; a production corpus instead stores per-doc minhash
+    signatures at ingest and each arriving batch probes them — work ∝
+    batch × bands, independent of corpus size. New docs here are mutated
+    tails of every 13th doc (one appended token → Jaccard ≈ 0.9 against
+    their source). md5 hash family end-to-end so the oracle replays
+    signatures, band buckets, the asymmetric candidate join, and the
+    exact-Jaccard verify."""
+    from minerva_etl_46_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidates_against,
+        minhash_signature,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") % 13 == 0)
+        .select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" incremental ingest tail token"))
+            .alias("text"),
+        )
+    )
+    q_sig = minhash_signature(new, id_col="doc_id", text_col="text", k=32,
+                              hash_family="md5")
+    i_sig = minhash_signature(d, id_col="doc_id", text_col="text", k=32,
+                              hash_family="md5")
+    cand = lsh_candidates_against(q_sig, i_sig, id_col="doc_id", k=32,
+                                  bands=16, hash_family="md5")
+    union = d.unionByName(new)
+    verified = jaccard_verify(
+        union,
+        cand.select(F.col("q_id").alias("a_id"), F.col("i_id").alias("b_id")),
+        id_col="doc_id", text_col="text", threshold=0.5,
+    )
+    return verified.select(
+        F.col("a_id").alias("new_id"), F.col("b_id").alias("src_id"),
+        "n_inter", "jaccard",
+    )
+
+
+@register(
     "llm_ngram_jaccard",
     oracle="""
     with d as (select doc_id, lower(text) as text from documents where doc_id % 20 = 0),
@@ -1689,6 +1769,89 @@ def agg_approx(spark, sf_dir):
             F.col("f50").between(0.49, 0.51).alias("q50_ok"),
             F.col("f95").between(0.94, 0.96).alias("q95_ok"),
             F.col("f99").between(0.98, 1.0).alias("q99_ok"),
+        )
+    )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle=f"""
+    select event_type, cast(count(distinct user_id) as bigint) as n_users
+    from {EV}
+    group by event_type
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """A4 scale path, EXACT flavor: mergeable-bitmap distinct counting.
+
+    COUNT(DISTINCT) at 100 TB either expands+reshuffles every row
+    (exact) or loses exactness (HLL). Roaring-style bitmaps are the third
+    option: per (group, bucket-of-4096-values) bitmaps built map-side
+    (bitmap_construct_agg), OR-mergeable across partitions/partials, summed
+    per group — exact, one value per (group, bucket) after the first
+    partial agg, and REUSABLE: a stored per-day bitmap column rolls up to
+    weeks/months without touching raw data (the Minerva reaggregation
+    story, exactly like time_rollup does for sums). Two hash-aggs, both
+    with map-side partials; no expand operator in the plan."""
+    e = load(spark, sf_dir, "events")
+    per_bucket = (
+        e.groupBy("event_type", F.bitmap_bucket_number("user_id").alias("bkt"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("n_users"))
+    )
+
+
+@register(
+    "agg_hll_rollup",
+    oracle=f"""
+    select event_type,
+           cast(count(distinct cast(ts as date)) as bigint) as n_days,
+           cast(count(distinct user_id) as bigint) as exact_users,
+           true as merge_consistent,
+           true as est_ok
+    from {EV}
+    group by event_type
+    """,
+)
+def agg_hll_rollup(spark, sf_dir):
+    """A9 at scale: mergeable HLL sketch ROLLUP — build per-day DataSketches
+    HLL sketches once, union them to coarser granularities without
+    re-reading raw data (sketch reaggregation: the approximate twin of
+    agg_bitmap_distinct's exact bitmaps, for when distinct cardinalities
+    are too large for bitmap memory).
+
+    Approximate estimates have no exact oracle; their ALGEBRA does (the
+    agg_approx recipe): the output asserts (a) merge-consistency — the
+    union of per-day sketches estimates EXACTLY what one whole-corpus
+    sketch estimates (DataSketches union is deterministic), and (b) the
+    5%-band error invariant vs the exact count. The oracle replays the
+    exact columns and literal trues — full rows+schema+hash check."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    daily = (
+        e.groupBy("event_type", day.alias("day"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"),
+    )
+    direct = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14)))
+        .alias("est_direct"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return (
+        merged.join(F.broadcast(direct), "event_type")
+        .select(
+            "event_type", "n_days", "exact_users",
+            (F.col("est_merged") == F.col("est_direct"))
+            .alias("merge_consistent"),
+            (F.abs(F.col("est_merged") - F.col("exact_users"))
+             <= 0.05 * F.col("exact_users")).alias("est_ok"),
         )
     )
 
@@ -2848,12 +3011,17 @@ _STALE_GREEN = [  # last driver row r01/r02 = OLD fixtures; re-prove on new
     "llm_fingerprint", "llm_sim_topk", "llm_sim_ann", "llm_sim_ivf",
     "llm_text_stats", "llm_tokens", "llm_quality", "llm_lang_id", "mm_meta",
 ]
-_NEW_R04 = ["xml_harvest"]  # S2's first driver key (full oracle)
+_NEW_R04 = [  # registered r4, need their first driver rows
+    "xml_harvest",        # S2's first driver key (full oracle)
+    "agg_bitmap_distinct",  # exact mergeable-bitmap distinct (full oracle)
+    "agg_hll_rollup",     # HLL sketch rollup, invariant-style full oracle
+    "llm_dedup_incremental",  # asymmetric LSH vs corpus (full md5 oracle)
+]
 _TS_CANARIES = [  # r3-green ts-heavy keys: guard against re-regeneration
-    "scan_parquet", "upsert_latest", "filter_ts_range", "join_asof",
-    "agg_time_local",
+    "scan_parquet", "filter_ts_range",
 ]
 _R03_GREEN_TAIL = [  # green in CORRECTNESS_r03.json on the NEW fixtures
+    "upsert_latest", "join_asof", "agg_time_local",
     "agg_entity_chain", "agg_pivot", "agg_approx", "fn_regexp", "win_cume",
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",
     "topk_per_group", "fn_string_dn", "join_dim",
