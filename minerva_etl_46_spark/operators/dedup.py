@@ -171,6 +171,46 @@ def lsh_candidates_against(query_sig: DataFrame, index_sig: DataFrame,
     )
 
 
+def incremental_near_dup(corpus: DataFrame, batch: DataFrame, id_col: str,
+                         text_col: str, k: int = 32, bands: int = 16,
+                         shingle_n: int = 3, threshold: float = 0.5,
+                         hash_family: str = "xx",
+                         corpus_sig: DataFrame | None = None) -> DataFrame:
+    """X2f: near-dup pairs of a NEW batch against an EXISTING corpus —
+    the production incremental-ingest composition:
+
+    1. corpus signatures come from a STORED table (``corpus_sig``,
+       computed once per doc at ingest; recomputed here only when None —
+       fixture/oracle mode);
+    2. the batch's band rows probe the corpus band rows
+       (lsh_candidates_against) — never a corpus self-join;
+    3. exact-Jaccard verify runs over ONLY the docs appearing in candidate
+       pairs (semi-join restriction): the shingle explode — the dominant
+       CPU cost — is candidate-bounded, not corpus-bounded.
+
+    Per-batch work ∝ |batch| + |candidates|, independent of corpus size.
+    Returns (a_id = batch doc, b_id = corpus doc, n_inter, jaccard)."""
+    if corpus_sig is None:
+        corpus_sig = minhash_signature(corpus, id_col, text_col, k=k,
+                                       shingle_n=shingle_n,
+                                       hash_family=hash_family)
+    q_sig = minhash_signature(batch, id_col, text_col, k=k,
+                              shingle_n=shingle_n, hash_family=hash_family)
+    cand = lsh_candidates_against(q_sig, corpus_sig, id_col, k=k,
+                                  bands=bands, hash_family=hash_family)
+    pairs = cand.select(
+        F.col("q_id").alias("a_id"), F.col("i_id").alias("b_id")
+    ).localCheckpoint(eager=False)  # consumed twice: id set + verify join
+    ids = (
+        pairs.select(F.col("a_id").alias(id_col))
+        .unionByName(pairs.select(F.col("b_id").alias(id_col)))
+        .distinct()
+    )
+    relevant = corpus.unionByName(batch).join(ids, id_col, "left_semi")
+    return jaccard_verify(relevant, pairs, id_col, text_col,
+                          shingle_n=shingle_n, threshold=threshold)
+
+
 def lsh_candidate_pairs(sig: DataFrame, id_col: str, k: int = 32,
                         bands: int = 8,
                         max_bucket_size: int | None = None,

@@ -1277,11 +1277,7 @@ def llm_dedup_incremental(spark, sf_dir):
     their source). md5 hash family end-to-end so the oracle replays
     signatures, band buckets, the asymmetric candidate join, and the
     exact-Jaccard verify."""
-    from minerva_etl_46_spark.operators.dedup import (
-        jaccard_verify,
-        lsh_candidates_against,
-        minhash_signature,
-    )
+    from minerva_etl_46_spark.operators.dedup import incremental_near_dup
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     new = (
@@ -1292,17 +1288,9 @@ def llm_dedup_incremental(spark, sf_dir):
             .alias("text"),
         )
     )
-    q_sig = minhash_signature(new, id_col="doc_id", text_col="text", k=32,
-                              hash_family="md5")
-    i_sig = minhash_signature(d, id_col="doc_id", text_col="text", k=32,
-                              hash_family="md5")
-    cand = lsh_candidates_against(q_sig, i_sig, id_col="doc_id", k=32,
-                                  bands=16, hash_family="md5")
-    union = d.unionByName(new)
-    verified = jaccard_verify(
-        union,
-        cand.select(F.col("q_id").alias("a_id"), F.col("i_id").alias("b_id")),
-        id_col="doc_id", text_col="text", threshold=0.5,
+    verified = incremental_near_dup(
+        d, new, id_col="doc_id", text_col="text", k=32, bands=16,
+        threshold=0.5, hash_family="md5",
     )
     return verified.select(
         F.col("a_id").alias("new_id"), F.col("b_id").alias("src_id"),

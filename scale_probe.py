@@ -126,6 +126,47 @@ def dedup_pipeline_probe(spark, res, n_docs):
           flush=True)
 
 
+def incremental_dedup_probe(spark, res, n_docs, batch_frac=100):
+    """Round-4 X2f: asymmetric LSH ingest — a new batch (n_docs/batch_frac
+    mutated copies) probes STORED corpus signatures. The claim under test:
+    per-batch wall-clock is batch-bounded, i.e. a small fraction of the
+    full self-join pass (dedup_pipeline_probe) on the same corpus, because
+    neither the corpus text (verify is candidate-restricted) nor a corpus
+    self-join is touched — only the one-off signature build (excluded:
+    production stores it at ingest) scans the corpus."""
+    from minerva_etl_46_spark.operators.dedup import (
+        incremental_near_dup,
+        minhash_signature,
+    )
+
+    docs = synth_docs(spark, n_docs).localCheckpoint(eager=True)
+    sig = minhash_signature(docs, "doc_id", "text", k=32)
+    sig = sig.localCheckpoint(eager=True)  # the stored signature table
+    # batch: mutated copies of every batch_frac-th doc (2 of 30 words →
+    # Jaccard ≈ 0.65, same planted recipe as synth_docs)
+    src = synth_docs(spark, n_docs).filter(F.col("doc_id") % batch_frac == 0)
+    batch = src.select(
+        (F.col("doc_id") + n_docs).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail mutation token")).alias("text"),
+    ).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    verified = incremental_near_dup(docs, batch, "doc_id", "text", k=32,
+                                    bands=16, corpus_sig=sig)
+    verified = verified.localCheckpoint(eager=True)
+    dt = round(time.perf_counter() - t0, 2)
+    truth = batch.count()
+    found = (
+        verified.filter(F.col("b_id") == F.col("a_id") - n_docs).count()
+    )
+    res["incremental_dedup_lsh"] = {
+        "sec": dt, "docs": n_docs, "batch": truth,
+        "matched_to_source": found,
+        "recall": round(found / truth, 4) if truth else 1.0,
+    }
+    print(json.dumps({"shape": "incremental_dedup_lsh",
+                      **res["incremental_dedup_lsh"]}), flush=True)
+
+
 def export_probe(spark, res, n_docs):
     """Round-3 ops at probe scale: sequence packing (one shard-key
     exchange + per-shard sequential state), benchmark decontamination
@@ -163,6 +204,14 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "r3":
         export_probe(spark, res, n_docs=max(100_000, N // 20))
         print(json.dumps({"metric": "scale_probe_r3", "rows": N,
+                          "shapes": res}))
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "r4":
+        n_docs = max(100_000, N // 20)
+        dedup_pipeline_probe(spark, res, n_docs)       # full pass, same corpus
+        incremental_dedup_probe(spark, res, n_docs)    # batch-bounded twin
+        print(json.dumps({"metric": "scale_probe_r4", "rows": N,
                           "shapes": res}))
         spark.stop()
         return
