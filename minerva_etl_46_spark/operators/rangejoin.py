@@ -58,3 +58,57 @@ def bucketed_range_join(
         (F.col(right_ts) > lo) & (F.col(right_ts) <= hi)
     )
     return joined.drop("__bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_s: int,
+) -> DataFrame:
+    """Inner overlap join of half-open intervals: pairs (l, r) sharing
+    ``key`` where [l_start, l_end) ∩ [r_start, r_end) ≠ ∅.
+
+    Scale shape: each interval explodes onto the time buckets it spans
+    and the join runs on (key, bucket) — per-task pair counts bounded by
+    intervals-per-(key, bucket), like the range join. An interval pair
+    can share MANY buckets; instead of a corpus-scale ``distinct`` to
+    dedup the multi-bucket matches, each pair is emitted exactly once by
+    BUCKET OWNERSHIP: only the bucket containing max(l_start, r_start)
+    emits. That instant lies inside both intervals whenever they overlap,
+    so both sides exploded its bucket — one emission, no dedup pass, no
+    second shuffle.
+
+    ``bucket_s`` trades explode fan-out (long intervals → many buckets)
+    against bucket population; size it near the typical interval length.
+    Timestamps are compared at µs precision; inputs may be TIMESTAMP,
+    TIMESTAMP_NTZ, or epoch-second longs (normalized via the TIMESTAMP
+    hop, see functions/timestamps.ensure_timestamp)."""
+    bus = bucket_s * 1_000_000  # bucket width in µs
+
+    def us(col: str):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            # half-open end: the bucket of (end − 1µs) is the last spanned
+            F.sequence(F.floor(us(l_start) / bus),
+                       F.floor((us(l_end) - 1) / bus))
+        ),
+    )
+    rb = right.withColumn("__bucket", F.explode(
+        F.sequence(F.floor(us(r_start) / bus),
+                   F.floor((us(r_end) - 1) / bus))
+    ))
+    overlap = (us(l_start) < us(r_end)) & (us(r_start) < us(l_end))
+    owner = F.floor(F.greatest(us(l_start), us(r_start)) / bus)
+    return (
+        lb.join(rb, [key, "__bucket"], "inner")
+        .filter(overlap & (F.col("__bucket") == owner))
+        .drop("__bucket")
+    )

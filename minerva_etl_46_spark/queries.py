@@ -1762,6 +1762,59 @@ def agg_approx(spark, sf_dir):
 
 
 @register(
+    "join_interval",
+    oracle=f"""
+    with e as (select * from {EV}),
+    l as (select event_id as l_id, user_id, ts as l_start,
+                 ts + interval 1 hour as l_end
+          from e where event_type = 'login' or event_type = 'signup'),
+    r as (select event_id as r_id, user_id,
+                 ts - interval 30 minute as r_start,
+                 ts + interval 30 minute as r_end
+          from e where event_type = 'purchase')
+    select l.l_id, r.r_id, l.user_id,
+           epoch_us(least(l.l_end, r.r_end))
+             - epoch_us(greatest(l.l_start, r.r_start)) as overlap_us
+    from l join r on l.user_id = r.user_id
+                 and l.l_start < r.r_end and r.r_start < l.l_end
+    """,
+)
+def join_interval(spark, sf_dir):
+    """J8b: interval OVERLAP join (operators/rangejoin.py::
+    interval_overlap_join) — session validity windows [signup, +1h) paired
+    with purchase attribution windows [ts−30m, ts+30m) per user, emitting
+    the overlap duration. Distinct semantics from the point-in-range join
+    (J8): BOTH sides are intervals. Bucket-ownership dedup: a pair
+    spanning many shared buckets is emitted exactly once by the bucket
+    containing max(start, start) — no corpus-scale distinct, no second
+    shuffle (see operator docstring for the 100 TB rationale)."""
+    from minerva_etl_46_spark.operators.rangejoin import interval_overlap_join
+
+    e = load(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type").isin("login", "signup")).select(
+        F.col("event_id").alias("l_id"), "user_id",
+        F.col("ts").alias("l_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("l_end"),
+    )
+    right = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("r_id"), "user_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("r_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("r_end"),
+    )
+    joined = interval_overlap_join(
+        left, right, key="user_id",
+        l_start="l_start", l_end="l_end", r_start="r_start", r_end="r_end",
+        bucket_s=3600,
+    )
+    return joined.select(
+        "l_id", "r_id", "user_id",
+        (F.least(F.unix_micros(F.col("l_end")), F.unix_micros(F.col("r_end")))
+         - F.greatest(F.unix_micros(F.col("l_start")),
+                      F.unix_micros(F.col("r_start")))).alias("overlap_us"),
+    )
+
+
+@register(
     "agg_bitmap_distinct",
     oracle=f"""
     select event_type, cast(count(distinct user_id) as bigint) as n_users
@@ -3004,12 +3057,13 @@ _NEW_R04 = [  # registered r4, need their first driver rows
     "agg_bitmap_distinct",  # exact mergeable-bitmap distinct (full oracle)
     "agg_hll_rollup",     # HLL sketch rollup, invariant-style full oracle
     "llm_dedup_incremental",  # asymmetric LSH vs corpus (full md5 oracle)
+    "join_interval",      # interval overlap join, bucket-ownership dedup
 ]
-_TS_CANARIES = [  # r3-green ts-heavy keys: guard against re-regeneration
-    "scan_parquet", "filter_ts_range",
+_TS_CANARIES = [  # r3-green ts-heavy key: guard against re-regeneration
+    "scan_parquet",
 ]
 _R03_GREEN_TAIL = [  # green in CORRECTNESS_r03.json on the NEW fixtures
-    "upsert_latest", "join_asof", "agg_time_local",
+    "filter_ts_range", "upsert_latest", "join_asof", "agg_time_local",
     "agg_entity_chain", "agg_pivot", "agg_approx", "fn_regexp", "win_cume",
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",
     "topk_per_group", "fn_string_dn", "join_dim",

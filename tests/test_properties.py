@@ -148,6 +148,56 @@ def test_bucketed_range_join_matches_naive(spark, lefts, rights):
     assert sorted(map(tuple, got)) == sorted(map(tuple, naive))
 
 
+@SLOW
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 7200),
+                  st.integers(1, 5400)),
+        min_size=1, max_size=15,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 7200),
+                  st.integers(1, 5400)),
+        min_size=1, max_size=15,
+    ),
+)
+def test_interval_overlap_join_matches_naive(spark, lefts, rights):
+    """interval_overlap_join must equal the naive conditional overlap join
+    on arbitrary (key, start, duration) half-open intervals — including
+    bucket-boundary starts/ends and intervals spanning many buckets (the
+    bucket-ownership dedup must emit each pair exactly once)."""
+    from pyspark.sql import functions as F
+
+    from minerva_etl_46_spark.operators.rangejoin import interval_overlap_join
+
+    l = spark.createDataFrame(
+        [(i, k, base_ts(t), base_ts(t + d)) for i, (k, t, d) in enumerate(lefts)],
+        schema="lid long, k long, ls long, le long",
+    ).select("lid", "k", F.timestamp_seconds("ls").alias("lstart"),
+             F.timestamp_seconds("le").alias("lend"))
+    r = spark.createDataFrame(
+        [(j, k, base_ts(t), base_ts(t + d)) for j, (k, t, d) in enumerate(rights)],
+        schema="rid long, rk long, rs long, re long",
+    ).select("rid", F.col("rk").alias("k"),
+             F.timestamp_seconds("rs").alias("rstart"),
+             F.timestamp_seconds("re").alias("rend"))
+
+    got = interval_overlap_join(
+        l, r, key="k", l_start="lstart", l_end="lend",
+        r_start="rstart", r_end="rend", bucket_s=900,
+    ).select("lid", "rid").collect()
+    naive = l.join(
+        r.withColumnRenamed("k", "rk"),
+        (l.k == F.col("rk"))
+        & (F.col("lstart") < F.col("rend"))
+        & (F.col("rstart") < F.col("lend")),
+        "inner",
+    ).select("lid", "rid").collect()
+    got_s, naive_s = sorted(map(tuple, got)), sorted(map(tuple, naive))
+    assert got_s == naive_s
+    assert len(got_s) == len(set(got_s)), "bucket-ownership emitted a dup"
+
+
 ts_strategy = st.lists(
     st.integers(1577836800, 1735689600),  # 2020..2025 epoch range
     min_size=1, max_size=20,
