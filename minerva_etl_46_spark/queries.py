@@ -164,6 +164,28 @@ def scan_csv(spark, sf_dir):
     )
 
 
+@register("scan_jsonl",
+          oracle="select n_nationkey, n_name, n_regionkey from nation")
+def scan_jsonl(spark, sf_dir):
+    """S1b: JSON-lines harvest (sources/harvest.py::read_jsonl_harvest) —
+    the other common vendor drop format, schema-declared like the CSV
+    path (inference ban, SURVEY §1.1). Round-trips `nation` through a
+    scratch .jsonl so the oracle checks the full parse path."""
+    import os
+    import tempfile
+
+    from minerva_etl_46_spark.sources.harvest import read_jsonl_harvest
+
+    scratch = os.path.join(tempfile.gettempdir(), "minerva_etl_46_scratch",
+                           os.path.basename(sf_dir.rstrip("/")), "nation_jsonl")
+    nation = load(spark, sf_dir, "nation")
+    nation.coalesce(1).write.mode("overwrite").json(scratch)
+    return read_jsonl_harvest(
+        spark, scratch,
+        schema="n_nationkey int, n_name string, n_regionkey int",
+    )
+
+
 @register(
     "xml_harvest",
     oracle="""
@@ -1608,6 +1630,37 @@ def stream_sliding(spark, sf_dir):
 
 
 @register(
+    "stream_session",
+    oracle=f"""
+    with e as (select * from {EV}),
+    b as (select user_id, ts, event_id, value,
+                 case when lag(ts) over w is null
+                      or ts >= lag(ts) over w + interval 30 minute
+                      then 1 else 0 end as brk
+          from e window w as (partition by user_id order by ts, event_id)),
+    s as (select user_id, ts, value,
+                 sum(brk) over (partition by user_id order by ts, event_id
+                                rows unbounded preceding) as sid
+          from b)
+    select user_id,
+           epoch_us(min(ts)) as session_start_us,
+           epoch_us(max(ts) + interval 30 minute) as session_end_us,
+           count(*) as n, {sql_dsum('value')} as sum_value
+    from s group by user_id, sid
+    """,
+)
+def stream_session(spark, sf_dir):
+    """T5b: NATIVE session windows via Structured Streaming
+    (F.session_window — dynamic, data-driven window extents merged in the
+    state store; streaming/jobs.py::session_counts). The oracle replays
+    the gap semantics batch-side as gaps-and-islands (an event exactly
+    gap-after its predecessor starts a NEW session — session end is
+    exclusive), proving stream/batch session parity the same way
+    stream_tumbling proves it for fixed windows."""
+    return streaming_jobs.session_counts(spark, sf_dir)
+
+
+@register(
     "llm_dedup_embed",
     oracle="""
     with q as (select vec_id, embedding from embeddings where vec_id % 10 = 0),
@@ -1894,6 +1947,31 @@ def agg_hll_rollup(spark, sf_dir):
             (F.abs(F.col("est_merged") - F.col("exact_users"))
              <= 0.05 * F.col("exact_users")).alias("est_ok"),
         )
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+    select event_type, cast(floor(value / 25.0) as bigint) as bin,
+           cast(floor(value / 25.0) as bigint) * 25.0 as bin_lo,
+           count(*) as n
+    from {EV}
+    group by 1, 2
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """A12: fixed-width value histogram per event_type — the distribution
+    report monitoring dashboards pull per KPI. ONE hash-agg on
+    (event_type, bin); output is |types| × |bins| rows at any scale.
+    floor(value/width) is IEEE-deterministic cross-engine, so the full
+    frame hash-checks (no approximate binning needed)."""
+    e = load(spark, sf_dir, "events")
+    b = F.floor(F.col("value") / 25.0).cast("long")
+    return (
+        e.groupBy("event_type", b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", "bin", (F.col("bin") * 25.0).alias("bin_lo"), "n")
     )
 
 
@@ -3042,27 +3120,34 @@ _FIXED_R04 = [  # broken in CORRECTNESS_r03.json, repaired this round
     "win_gap_fill", "win_sessionize", "stream_tumbling", "stream_sliding",
 ]
 _STALE_GREEN = [  # last driver row r01/r02 = OLD fixtures; re-prove on new
-    "scan_csv", "project_select", "filter_threshold",
+    # (scan_csv, fn_case, fn_array — twice-green and ts-FREE, so the µs
+    # regeneration cannot have touched them — wait in the tail to make
+    # room for the r4 keys; every ts-touching stale key is re-proven here)
+    "project_select", "filter_threshold",
     "join_parts", "join_left", "join_semi", "join_anti",
     "agg_entity", "agg_weighted_avg", "agg_rollup",
     "win_change_detect", "win_rank", "win_moving_avg",
     "sort_order", "sort_limit", "set_except", "fn_safe_div", "fn_hash",
-    "fn_json_extract", "fn_case", "fn_date_parts", "fn_array",
+    "fn_json_extract", "fn_date_parts",
     "llm_dedup_exact", "llm_dedup_near", "llm_ngram_jaccard", "llm_simhash",
     "llm_fingerprint", "llm_sim_topk", "llm_sim_ann", "llm_sim_ivf",
     "llm_text_stats", "llm_tokens", "llm_quality", "llm_lang_id", "mm_meta",
 ]
 _NEW_R04 = [  # registered r4, need their first driver rows
     "xml_harvest",        # S2's first driver key (full oracle)
+    "scan_jsonl",         # S1b's first driver key (full oracle)
     "agg_bitmap_distinct",  # exact mergeable-bitmap distinct (full oracle)
     "agg_hll_rollup",     # HLL sketch rollup, invariant-style full oracle
+    "agg_histogram",      # fixed-width KPI histogram (full oracle)
     "llm_dedup_incremental",  # asymmetric LSH vs corpus (full md5 oracle)
     "join_interval",      # interval overlap join, bucket-ownership dedup
+    "stream_session",     # native session_window streaming (full oracle)
 ]
 _TS_CANARIES = [  # r3-green ts-heavy key: guard against re-regeneration
     "scan_parquet",
 ]
 _R03_GREEN_TAIL = [  # green in CORRECTNESS_r03.json on the NEW fixtures
+    "scan_csv", "fn_case", "fn_array",  # ts-free twice-green (see above)
     "filter_ts_range", "upsert_latest", "join_asof", "agg_time_local",
     "agg_entity_chain", "agg_pivot", "agg_approx", "fn_regexp", "win_cume",
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",

@@ -147,6 +147,38 @@ def tumbling_rollup_append(
     q.awaitTermination(30)
 
 
+def session_counts(spark: SparkSession, sf_dir: str,
+                   gap: str = "30 minutes") -> DataFrame:
+    """T5b: native session windows via Structured Streaming —
+    ``F.session_window`` merges events per user into gap-bounded sessions
+    in the STATE STORE (windows with dynamic, data-driven extents; the
+    state-shape tumbling windows can't express). Output: (user_id,
+    session_start_us, session_end_us = last event + gap, n, sum_value).
+
+    Gate harness runs complete mode into a memory sink like T1/T4; the
+    production twin adds a watermark so closed sessions finalize and
+    leave state (same append+foreachBatch shape as
+    tumbling_rollup_append). The batch gaps-and-islands twin is
+    win_sessionize — the oracle replays THIS operator's semantics
+    (session end exclusive: an event exactly gap-after the previous one
+    starts a NEW session)."""
+    e = _read_events_stream(spark, sf_dir)
+    agg = (
+        e.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("win.start")).alias("session_start_us"),
+            F.unix_micros(F.col("win.end")).alias("session_end_us"),
+            "n", "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "stream_session_out", spark)
+
+
 def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 (bonus): sliding 2-hour windows every 1 hour — each event lands
     in two windows. Output: (win_start epoch-s, n)."""
