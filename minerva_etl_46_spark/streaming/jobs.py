@@ -179,6 +179,70 @@ def session_counts(spark: SparkSession, sf_dir: str,
     return _run_to_memory(agg, "stream_session_out", spark)
 
 
+def session_rollup_append(
+    spark: SparkSession,
+    stream_dir: str,
+    schema: str,
+    target,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    gap: str = "30 minutes",
+) -> None:
+    """T5b production shape: watermarked session windows in append mode,
+    sunk into a partitioned trend store via foreachBatch (the session twin
+    of tumbling_rollup_append).
+
+    State is O(OPEN sessions): a session finalizes — and is evicted from
+    the state store — once the watermark passes its end (last event +
+    gap). Append emits each finalized (user, session) exactly once; the
+    keyed upsert makes micro-batch retries idempotent. Late rows beyond
+    the watermark are dropped; the batch materializer's reprocessing
+    horizon recovers them, as with tumbling windows."""
+    tune(spark)
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(stream_dir)
+    )
+    raw = normalize_ts_columns(raw, ["ts"], table="stream")
+    agg = (
+        raw.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("win.start")).alias("session_start_us"),
+            F.unix_micros(F.col("win.end")).alias("session_end_us"),
+            "n", "sum_value",
+        )
+    )
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.withColumn(
+            "ts", F.timestamp_micros("session_start_us"))
+        target.upsert(batch, keys=["user_id", "session_start_us"],
+                      version_cols=["session_end_us"], ts_col="ts")
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+        .queryName("stream_session_append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+
+
 def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 (bonus): sliding 2-hour windows every 1 hour — each event lands
     in two windows. Output: (win_start epoch-s, n)."""
