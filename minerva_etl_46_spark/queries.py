@@ -919,9 +919,50 @@ def q_topk_per_group(spark, sf_dir):
     )
 
 
+@register(
+    "join_salted",
+    oracle="""
+    select o_orderkey, c_custkey, c_acctbal
+    from orders join customer on o_custkey = c_custkey
+    """,
+)
+def join_salted(spark, sf_dir):
+    """J9: explicitly SALTED fact⋈dim equi-join (operators/skew.py) — the
+    hot-key fallback when the build side exceeds broadcast size and AQE
+    can't pre-split (skew known a priori / deterministic partitioning
+    required). Salt = xxhash64 of the fact row key: deterministic, so
+    task retries route identically. Results must equal the plain join —
+    the oracle IS the unsalted join."""
+    from minerva_etl_46_spark.operators.skew import salted_join
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_custkey", "c_acctbal")
+    return salted_join(
+        o, c, on="o_custkey", salt=F.xxhash64("o_orderkey"), n_salt=8,
+    ).select("o_orderkey", "c_custkey", "c_acctbal")
+
+
 # ---------------------------------------------------------------------------
 # §2.7 set operations
 # ---------------------------------------------------------------------------
+
+@register(
+    "set_union",
+    oracle="""
+    select c_custkey as k from customer
+    union
+    select o_custkey as k from orders
+    """,
+)
+def set_union(spark, sf_dir):
+    """U1: set union (distinct) — entity-universe assembly across sources
+    (customers ∪ ordering customers). Spark: unionByName + ONE hash-agg
+    distinct; partial aggregation dedups map-side before the shuffle."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return c.unionByName(o).distinct()
+
 
 @register(
     "set_except",
@@ -3127,7 +3168,7 @@ _STALE_GREEN = [  # last driver row r01/r02 = OLD fixtures; re-prove on new
     "join_parts", "join_left", "join_semi", "join_anti",
     "agg_entity", "agg_weighted_avg", "agg_rollup",
     "win_change_detect", "win_rank", "win_moving_avg",
-    "sort_order", "sort_limit", "set_except", "fn_safe_div", "fn_hash",
+    "sort_order", "sort_limit", "set_except",
     "fn_json_extract", "fn_date_parts",
     "llm_dedup_exact", "llm_dedup_near", "llm_ngram_jaccard", "llm_simhash",
     "llm_fingerprint", "llm_sim_topk", "llm_sim_ann", "llm_sim_ivf",
@@ -3142,12 +3183,15 @@ _NEW_R04 = [  # registered r4, need their first driver rows
     "llm_dedup_incremental",  # asymmetric LSH vs corpus (full md5 oracle)
     "join_interval",      # interval overlap join, bucket-ownership dedup
     "stream_session",     # native session_window streaming (full oracle)
+    "join_salted",        # deterministic-salt hot-key join (full oracle)
+    "set_union",          # U1 set union (full oracle)
 ]
 _TS_CANARIES = [  # r3-green ts-heavy key: guard against re-regeneration
     "scan_parquet",
 ]
 _R03_GREEN_TAIL = [  # green in CORRECTNESS_r03.json on the NEW fixtures
-    "scan_csv", "fn_case", "fn_array",  # ts-free twice-green (see above)
+    # ts-free twice-green keys displaced by r4 additions (see above):
+    "scan_csv", "fn_case", "fn_array", "fn_safe_div", "fn_hash",
     "filter_ts_range", "upsert_latest", "join_asof", "agg_time_local",
     "agg_entity_chain", "agg_pivot", "agg_approx", "fn_regexp", "win_cume",
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",

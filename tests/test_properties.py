@@ -198,6 +198,32 @@ def test_interval_overlap_join_matches_naive(spark, lefts, rights):
     assert len(got_s) == len(set(got_s)), "bucket-ownership emitted a dup"
 
 
+@SLOW
+@given(
+    facts=st.lists(st.integers(0, 5), min_size=1, max_size=30),
+    dims=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)),
+                  min_size=0, max_size=12),
+)
+def test_salted_join_matches_plain_join(spark, facts, dims):
+    """salted_join must be result-identical to the plain equi-join on
+    arbitrary data — including duplicate build-side keys (multiset join
+    semantics: each fact row must meet each matching dim row exactly once,
+    across every salt replica)."""
+    from pyspark.sql import functions as F
+
+    from minerva_etl_46_spark.operators.skew import salted_join
+
+    f = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(facts)], schema="fid long, k long")
+    d = spark.createDataFrame(
+        dims or [(99, 0)], schema="k long, v long")
+    got = salted_join(f, d, on="k", salt=F.xxhash64("fid"), n_salt=4)
+    want = f.join(d, "k", "inner")
+    g = sorted(map(tuple, got.select("fid", "k", "v").collect()))
+    w = sorted(map(tuple, want.select("fid", "k", "v").collect()))
+    assert g == w
+
+
 ts_strategy = st.lists(
     st.integers(1577836800, 1735689600),  # 2020..2025 epoch range
     min_size=1, max_size=20,
