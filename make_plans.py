@@ -49,6 +49,19 @@ NOTES = {
     "llm_sample_stratified": "WindowGroupLimit before the sort: streaming "
                              "per-stratum top-k on the md5 rank, never a "
                              "full per-stratum sort.",
+    "agg_bitmap_distinct": "Exact distinct with NO Expand operator: two "
+                           "hash-aggs (bitmap partials then bitmap_count "
+                           "sum), both with map-side partial aggregation.",
+    "join_interval": "Interval×interval overlap as ONE (key, bucket) "
+                     "equi-join; bucket-ownership filter dedups in the "
+                     "join filter — no Distinct/second exchange.",
+    "join_salted": "The (key, salt) equi-join: probe side scatters, build "
+                   "side replicates — per-task rows capped at "
+                   "hot-share/n_salt.",
+    "llm_dedup_incremental": "Batch-bounded: batch band rows probe stored "
+                             "corpus signatures; the verify's shingle "
+                             "explode is semi-join-restricted to "
+                             "candidate docs only.",
 }
 
 
