@@ -1362,6 +1362,73 @@ def llm_dedup_incremental(spark, sf_dir):
 
 
 @register(
+    "llm_minhash_est",
+    oracle="""
+    with corpus as (select doc_id, text from documents
+                    union all
+                    select doc_id + 2000000 as doc_id,
+                           text || ' extra near dup tail token' as text
+                    from documents where doc_id % 11 = 0),
+    tok as (select doc_id, string_split(lower(text), ' ') as t from corpus),
+    sh as (select distinct doc_id, array_to_string(t[u.i:u.i+2], ' ') as g
+           from tok, unnest(generate_series(1, greatest(len(t)-2, 0))) as u(i)),
+    mh as (select doc_id, s.seed,
+                  min(cast(concat('0x',
+                           substr(md5(concat(s.seed, '|', md5(g))), 1, 15))
+                           as bigint)) as mh
+           from sh cross join (select unnest(generate_series(0, 31)) as seed) s
+           group by 1, 2),
+    pairs as (select doc_id as a_id, doc_id + 2000000 as b_id
+              from documents where doc_id % 11 = 0)
+    select p.a_id, p.b_id,
+           sum(case when ma.mh = mb.mh then 1 else 0 end) / 32.0 as est_jaccard
+    from pairs p
+    join mh ma on ma.doc_id = p.a_id
+    join mh mb on mb.doc_id = p.b_id and mb.seed = ma.seed
+    group by 1, 2
+    """,
+)
+def llm_minhash_est(spark, sf_dir):
+    """X2g: signature-only Jaccard ESTIMATE — mean minhash agreement over
+    k=32 seeds for the planted near-dup pairs. This is the scale
+    substitute for exact verification: at 100 TB the verify stage's
+    shingle explode over candidate text dominates; when candidates are
+    plentiful and the threshold coarse, estimating from STORED signatures
+    (32 longs/doc, no text touch, E[est] = true Jaccard, σ ≈ 0.09 at
+    k=32) prunes candidates before — or replaces — the exact pass. md5
+    family end-to-end: the oracle replays signatures and the estimate."""
+    from minerva_etl_46_spark.operators.dedup import minhash_signature
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = (
+        d.filter(F.col("doc_id") % 11 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra near dup tail token"))
+            .alias("text"),
+        )
+    )
+    sig = minhash_signature(d.unionByName(near), id_col="doc_id",
+                            text_col="text", k=32, hash_family="md5")
+    a = sig.select(F.col("doc_id").alias("a_id"),
+                   *[F.col(f"mh{i}").alias(f"a{i}") for i in range(32)])
+    b = sig.select(F.col("doc_id").alias("b_id"),
+                   *[F.col(f"mh{i}").alias(f"b{i}") for i in range(32)])
+    pairs = d.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("a_id"),
+        (F.col("doc_id") + 2000000).alias("b_id"),
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(32)
+    )
+    return (
+        pairs.join(a, "a_id").join(b, "b_id")
+        .select("a_id", "b_id", (agree / 32.0).alias("est_jaccard"))
+    )
+
+
+@register(
     "llm_ngram_jaccard",
     oracle="""
     with d as (select doc_id, lower(text) as text from documents where doc_id % 20 = 0),
@@ -3168,8 +3235,7 @@ _STALE_GREEN = [  # last driver row r01/r02 = OLD fixtures; re-prove on new
     "join_parts", "join_left", "join_semi", "join_anti",
     "agg_entity", "agg_weighted_avg", "agg_rollup",
     "win_change_detect", "win_rank", "win_moving_avg",
-    "sort_order", "sort_limit", "set_except",
-    "fn_json_extract", "fn_date_parts",
+    "sort_order", "sort_limit", "set_except", "fn_date_parts",
     "llm_dedup_exact", "llm_dedup_near", "llm_ngram_jaccard", "llm_simhash",
     "llm_fingerprint", "llm_sim_topk", "llm_sim_ann", "llm_sim_ivf",
     "llm_text_stats", "llm_tokens", "llm_quality", "llm_lang_id", "mm_meta",
@@ -3185,6 +3251,7 @@ _NEW_R04 = [  # registered r4, need their first driver rows
     "stream_session",     # native session_window streaming (full oracle)
     "join_salted",        # deterministic-salt hot-key join (full oracle)
     "set_union",          # U1 set union (full oracle)
+    "llm_minhash_est",    # signature-only Jaccard estimate (full oracle)
 ]
 _TS_CANARIES = [  # r3-green ts-heavy key: guard against re-regeneration
     "scan_parquet",
@@ -3192,6 +3259,7 @@ _TS_CANARIES = [  # r3-green ts-heavy key: guard against re-regeneration
 _R03_GREEN_TAIL = [  # green in CORRECTNESS_r03.json on the NEW fixtures
     # ts-free twice-green keys displaced by r4 additions (see above):
     "scan_csv", "fn_case", "fn_array", "fn_safe_div", "fn_hash",
+    "fn_json_extract",
     "filter_ts_range", "upsert_latest", "join_asof", "agg_time_local",
     "agg_entity_chain", "agg_pivot", "agg_approx", "fn_regexp", "win_cume",
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",

@@ -109,3 +109,42 @@ def test_calendar_end_label_rollup_local_tz_across_dst(spark):
                                 label="end", tz="Europe/Amsterdam").collect()}
     assert out[mar31_end] == 30.0        # both in-day rows close at 4/1 local
     assert out[mar31_start] == 5.0       # on-grid row closes its own (prev) day
+
+
+def test_bitmap_distinct_reaggregates_across_granularities(spark):
+    """Round-4 A10 claim: stored per-DAY bitmap partials OR-merge to
+    coarser granularities (month) and still count EXACTLY — the
+    reaggregation path never touches raw rows. Overlapping user sets
+    across days must not double-count."""
+    rows = []
+    # day 0: users 0..9; day 1: users 5..14 (overlap 5..9); day 40 (next
+    # month): users 0..4 — month-1 distinct = 15, month-2 distinct = 5
+    for u in range(10):
+        rows.append((1704067200 + u, u))
+    for u in range(5, 15):
+        rows.append((1704067200 + 86400 + u, u))
+    for u in range(5):
+        rows.append((1704067200 + 40 * 86400 + u, u))
+    df = spark.createDataFrame(rows, schema="epoch long, user_id long").select(
+        F.timestamp_seconds("epoch").alias("ts"), "user_id"
+    )
+    day = F.date_trunc("day", "ts").alias("day")
+    per_day = (
+        df.groupBy(day, F.bitmap_bucket_number("user_id").alias("bkt"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    )
+    # the stored-partial rollup: OR the day bitmaps up to month, then count
+    month = F.date_trunc("month", "day").alias("month")
+    rolled = (
+        per_day.groupBy(month, "bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("month")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+    )
+    got = {str(r["month"])[:7]: r["n_users"] for r in rolled.collect()}
+    direct = {
+        str(r["month"])[:7]: r["n"]
+        for r in df.groupBy(F.date_trunc("month", "ts").alias("month"))
+        .agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    assert got == direct == {"2024-01": 15, "2024-02": 5}
