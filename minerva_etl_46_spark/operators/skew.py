@@ -35,7 +35,20 @@ def salted_join(
     retry that re-rolls the salt would route rows to a different
     replica and double- or zero-count them under speculative execution.
     The salt never appears in the output; results are identical to the
-    unsalted join (property-tested in tests/test_properties.py)."""
+    unsalted join (property-tested in tests/test_properties.py).
+
+    Probe-sided join types only: each LEFT row carries exactly one salt,
+    so inner/left/left_semi/left_anti semantics are preserved. right/full
+    outer would emit every unmatched BUILD row once per salt replica —
+    rejected (swap the sides instead)."""
+    if how not in ("inner", "left", "leftouter", "left_outer",
+                   "semi", "left_semi", "leftsemi",
+                   "anti", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join: join type {how!r} would duplicate unmatched "
+            "build-side rows across salt replicas; use a probe-sided type "
+            "or swap the inputs"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     l = left.withColumn("__salt", F.pmod(salt, F.lit(n_salt)).cast("int"))
     # generators can't nest inside expressions (no cast around explode):
