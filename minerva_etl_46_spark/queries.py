@@ -965,6 +965,46 @@ def set_union(spark, sf_dir):
 
 
 @register(
+    "diff_keyed",
+    oracle=f"""
+    with e as (select * from {EV}),
+    a as (select event_id, user_id, value from e where event_id % 7 <> 0),
+    b as (select event_id, user_id,
+                 case when event_id % 5 = 0 then value + 1.0
+                      else value end as value
+          from e where event_id % 11 <> 0)
+    select coalesce(a.event_id, b.event_id) as event_id,
+           case when a.event_id is null then 'I'
+                when b.event_id is null then 'D'
+                else 'U' end as op,
+           a.value as old_value, b.value as new_value
+    from a full outer join b on a.event_id = b.event_id
+    where a.event_id is null or b.event_id is null or a.value <> b.value
+    """,
+)
+def diff_keyed(spark, sf_dir):
+    """U2b: keyed snapshot diff (operators/diff.py) — `minerva diff` at
+    row granularity: classify inserts/updates/deletes between two store
+    snapshots with old/new values side by side. Snapshots are derived
+    from events (old drops %7 keys; new drops %11 keys and bumps %5
+    values), so every op class appears. One full-outer key join; output
+    is change-sized."""
+    from minerva_etl_46_spark.operators.diff import keyed_diff
+
+    e = load(spark, sf_dir, "events")
+    old = e.filter(F.col("event_id") % 7 != 0).select(
+        "event_id", "user_id", "value")
+    new = e.filter(F.col("event_id") % 11 != 0).select(
+        "event_id", "user_id",
+        F.when(F.col("event_id") % 5 == 0, F.col("value") + 1.0)
+        .otherwise(F.col("value")).alias("value"),
+    )
+    return keyed_diff(old, new, keys=["event_id"],
+                      compare_cols=["value"]).select(
+        "event_id", "op", "old_value", "new_value")
+
+
+@register(
     "set_except",
     oracle="""
     select c_custkey from customer
@@ -3231,7 +3271,7 @@ _STALE_GREEN = [  # last driver row r01/r02 = OLD fixtures; re-prove on new
     # (scan_csv, fn_case, fn_array — twice-green and ts-FREE, so the µs
     # regeneration cannot have touched them — wait in the tail to make
     # room for the r4 keys; every ts-touching stale key is re-proven here)
-    "project_select", "filter_threshold",
+    "filter_threshold",
     "join_parts", "join_left", "join_semi", "join_anti",
     "agg_entity", "agg_weighted_avg", "agg_rollup",
     "win_change_detect", "win_rank", "win_moving_avg",
@@ -3252,6 +3292,7 @@ _NEW_R04 = [  # registered r4, need their first driver rows
     "join_salted",        # deterministic-salt hot-key join (full oracle)
     "set_union",          # U1 set union (full oracle)
     "llm_minhash_est",    # signature-only Jaccard estimate (full oracle)
+    "diff_keyed",         # keyed snapshot diff I/U/D (full oracle)
 ]
 _TS_CANARIES = [  # r3-green ts-heavy key: guard against re-regeneration
     "scan_parquet",
@@ -3259,7 +3300,7 @@ _TS_CANARIES = [  # r3-green ts-heavy key: guard against re-regeneration
 _R03_GREEN_TAIL = [  # green in CORRECTNESS_r03.json on the NEW fixtures
     # ts-free twice-green keys displaced by r4 additions (see above):
     "scan_csv", "fn_case", "fn_array", "fn_safe_div", "fn_hash",
-    "fn_json_extract",
+    "fn_json_extract", "project_select",
     "filter_ts_range", "upsert_latest", "join_asof", "agg_time_local",
     "agg_entity_chain", "agg_pivot", "agg_approx", "fn_regexp", "win_cume",
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",
