@@ -965,6 +965,54 @@ def set_union(spark, sf_dir):
 
 
 @register(
+    "trigger_notify",
+    oracle=f"""
+    with e as (select * from {EV}),
+    kpi as (select user_id, {sql_bucket_epoch('ts', G_1H)} as bucket,
+                   count(*) as n, {sql_dsum('value')} as sum_value,
+                   count(case when event_type = 'error' then 1 end) as n_errors
+            from e group by 1, 2)
+    select user_id as entity_id, bucket as ts, 'value_surge' as rule,
+           10 as weight,
+           cast(json_object('n', n, 'bucket', bucket) as varchar) as details
+    from kpi where sum_value > 400.0
+    union all
+    select user_id as entity_id, bucket as ts, 'error_burst' as rule,
+           5 as weight,
+           cast(json_object('n_errors', n_errors, 'bucket', bucket) as varchar)
+             as details
+    from kpi where n_errors >= 3
+    """,
+)
+def trigger_notify(spark, sf_dir):
+    """D10: the trigger/notification engine (plans/triggers.py) — rules
+    are DATA (catalog.TriggerRule: predicate SQL + weight + details
+    columns), evaluated as filter(expr) → select(struct) so Catalyst
+    fuses every rule into the one KPI rollup scan. Two rules over the
+    hourly per-user rollup: a value surge and an error burst; details
+    pack integer columns into JSON (integer-only so the JSON text is
+    byte-identical cross-engine). Notification ts is the bucket epoch."""
+    from minerva_etl_46_spark.catalog import TriggerRule
+    from minerva_etl_46_spark.plans.triggers import evaluate_rules
+
+    e = load(spark, sf_dir, "events")
+    kpi = e.groupBy(
+        "user_id", bucket_epoch("ts", G_1H).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("sum_value"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+    rules = [
+        TriggerRule(name="value_surge", predicate_sql="sum_value > 400.0",
+                    weight_sql="10", details_cols=("n", "bucket")),
+        TriggerRule(name="error_burst", predicate_sql="n_errors >= 3",
+                    weight_sql="5", details_cols=("n_errors", "bucket")),
+    ]
+    return evaluate_rules(kpi, rules, entity_col="user_id", ts_col="bucket")
+
+
+@register(
     "diff_keyed",
     oracle=f"""
     with e as (select * from {EV}),
@@ -3268,10 +3316,9 @@ _FIXED_R04 = [  # broken in CORRECTNESS_r03.json, repaired this round
     "win_gap_fill", "win_sessionize", "stream_tumbling", "stream_sliding",
 ]
 _STALE_GREEN = [  # last driver row r01/r02 = OLD fixtures; re-prove on new
-    # (scan_csv, fn_case, fn_array — twice-green and ts-FREE, so the µs
-    # regeneration cannot have touched them — wait in the tail to make
-    # room for the r4 keys; every ts-touching stale key is re-proven here)
-    "filter_threshold",
+    # (the ts-FREE twice-green keys — which the µs regeneration cannot
+    # have touched — wait in the tail to make room for the r4 keys;
+    # every ts-TOUCHING stale key is re-proven here)
     "join_parts", "join_left", "join_semi", "join_anti",
     "agg_entity", "agg_weighted_avg", "agg_rollup",
     "win_change_detect", "win_rank", "win_moving_avg",
@@ -3293,14 +3340,17 @@ _NEW_R04 = [  # registered r4, need their first driver rows
     "set_union",          # U1 set union (full oracle)
     "llm_minhash_est",    # signature-only Jaccard estimate (full oracle)
     "diff_keyed",         # keyed snapshot diff I/U/D (full oracle)
+    "trigger_notify",     # D10 trigger->notification engine (full oracle)
 ]
 _TS_CANARIES = [  # r3-green ts-heavy key: guard against re-regeneration
     "scan_parquet",
 ]
 _R03_GREEN_TAIL = [  # green in CORRECTNESS_r03.json on the NEW fixtures
-    # ts-free twice-green keys displaced by r4 additions (see above):
+    # ts-free twice-green keys displaced by r4 additions (see above);
+    # all re-proven locally at sf0.01 AND sf0.1 on the new fixtures
+    # (tests/test_oracle_parity.py full sweeps this round); return in r5:
     "scan_csv", "fn_case", "fn_array", "fn_safe_div", "fn_hash",
-    "fn_json_extract", "project_select",
+    "fn_json_extract", "project_select", "filter_threshold",
     "filter_ts_range", "upsert_latest", "join_asof", "agg_time_local",
     "agg_entity_chain", "agg_pivot", "agg_approx", "fn_regexp", "win_cume",
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",

@@ -12,7 +12,7 @@ from __spark_entry__ import oracle_sql, queries
 KEY_PREFIXES = (
     "scan_", "upsert_", "project_", "filter_", "join_", "agg_", "win_",
     "sort_", "topk_", "set_", "fn_", "stream_", "llm_", "mm_", "kpi_",
-    "xml_", "diff_",
+    "xml_", "diff_", "trigger_",
 )
 
 
