@@ -975,13 +975,13 @@ def set_union(spark, sf_dir):
     select user_id as entity_id, bucket as ts, 'value_surge' as rule,
            10 as weight,
            cast(json_object('n', n, 'bucket', bucket) as varchar) as details
-    from kpi where sum_value > 400.0
+    from kpi where sum_value > 200.0
     union all
     select user_id as entity_id, bucket as ts, 'error_burst' as rule,
            5 as weight,
            cast(json_object('n_errors', n_errors, 'bucket', bucket) as varchar)
              as details
-    from kpi where n_errors >= 3
+    from kpi where n_errors >= 2
     """,
 )
 def trigger_notify(spark, sf_dir):
@@ -1004,9 +1004,9 @@ def trigger_notify(spark, sf_dir):
         F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
     )
     rules = [
-        TriggerRule(name="value_surge", predicate_sql="sum_value > 400.0",
+        TriggerRule(name="value_surge", predicate_sql="sum_value > 200.0",
                     weight_sql="10", details_cols=("n", "bucket")),
-        TriggerRule(name="error_burst", predicate_sql="n_errors >= 3",
+        TriggerRule(name="error_burst", predicate_sql="n_errors >= 2",
                     weight_sql="5", details_cols=("n_errors", "bucket")),
     ]
     return evaluate_rules(kpi, rules, entity_col="user_id", ts_col="bucket")
