@@ -62,6 +62,12 @@ NOTES = {
                              "corpus signatures; the verify's shingle "
                              "explode is semi-join-restricted to "
                              "candidate docs only.",
+    "diff_keyed": "ONE full-outer key join (inherent — both snapshots "
+                  "must meet); null-safe compare in the filter, "
+                  "change-sized output, no second pass.",
+    "trigger_notify": "Every rule fuses into the ONE KPI-rollup scan "
+                      "(filter+project per rule, union on top) — no "
+                      "per-rule re-read of the source.",
 }
 
 
