@@ -1517,6 +1517,82 @@ def llm_minhash_est(spark, sf_dir):
 
 
 @register(
+    "llm_url_parse",
+    oracle="""
+    with d as (select doc_id, lang, source,
+                      'https://' || lang || '.example.com/' || source ||
+                      '/doc/' || doc_id || '?ref=corpus' as url
+               from documents)
+    select doc_id, url,
+           regexp_extract(url, 'https?://([^/]+)', 1) as host,
+           regexp_extract(url, 'https?://[^/]+(/[^?#]*)', 1) as path,
+           regexp_extract(host, '([^.]+)', 1) as subdomain
+    from (select doc_id, url,
+                 regexp_extract(url, 'https?://([^/]+)', 1) as host
+          from d)
+    """,
+)
+def llm_url_parse(spark, sf_dir):
+    """X4f: URL decomposition — the first step of domain-based corpus
+    filtering/mixing (allowlists, per-domain caps, subdomain heuristics).
+    Spark's parse_url is JVM-side codegen; the oracle mirrors it with
+    regexps over the same synthesized URLs (the fixture has no URL
+    column, so one is derived deterministically from lang/source/id).
+    Narrow projection, no shuffle — linear at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("lang"), F.lit(".example.com/"),
+        F.col("source"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.lit("?ref=corpus"),
+    )
+    out = d.select("doc_id", url.alias("url"))
+    return out.select(
+        "doc_id", "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.regexp_extract(F.parse_url("url", F.lit("HOST")), r"([^.]+)", 1)
+        .alias("subdomain"),
+    )
+
+
+@register(
+    "llm_edit_distance",
+    oracle="""
+    with pairs as (select doc_id as a_id, doc_id + 2000000 as b_id,
+                          text as a_text,
+                          text || ' extra near dup tail token' as b_text
+                   from documents where doc_id % 11 = 0)
+    select a_id, b_id,
+           levenshtein(substr(a_text, 1, 80), substr(b_text, 1, 80)) as lev80,
+           levenshtein(a_text, a_text) as lev_self
+    from pairs
+    """,
+)
+def llm_edit_distance(spark, sf_dir):
+    """X4g: Levenshtein edit distance on candidate pairs — the
+    fuzzy-match verifier for short fields (titles, URLs, names) where
+    n-gram Jaccard is too coarse. Classic DP both engines implement
+    identically → exact oracle. Cost is O(len²) per pair: bound the
+    operand (here an 80-char prefix) and apply AFTER candidate
+    generation, never corpus×corpus — same discipline as the LSH
+    verify stage."""
+    d = load(spark, sf_dir, "documents")
+    pairs = d.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("a_id"),
+        (F.col("doc_id") + 2000000).alias("b_id"),
+        F.col("text").alias("a_text"),
+        F.concat(F.col("text"), F.lit(" extra near dup tail token"))
+        .alias("b_text"),
+    )
+    return pairs.select(
+        "a_id", "b_id",
+        F.levenshtein(F.substring("a_text", 1, 80),
+                      F.substring("b_text", 1, 80)).alias("lev80"),
+        F.levenshtein("a_text", "a_text").alias("lev_self"),
+    )
+
+
+@register(
     "llm_ngram_jaccard",
     oracle="""
     with d as (select doc_id, lower(text) as text from documents where doc_id % 20 = 0),
@@ -3363,8 +3439,13 @@ _R03_GREEN_TAIL = [  # green in CORRECTNESS_r03.json on the NEW fixtures
     "llm_hot_ngrams", "llm_concat", "win_pattern",
     "llm_chunk", "llm_keywords", "llm_overlap", "llm_len_buckets",
 ]
+_NEW_R04_TAIL = [  # registered r4 AFTER the 50-key sample filled; locally
+    # parity-proven at sf0.01 (tests/test_oracle_parity.py); first driver
+    # row lands in r5's rotation
+    "llm_url_parse", "llm_edit_distance",
+]
 _EXPORT_ORDER = (_FIXED_R04 + _STALE_GREEN + _NEW_R04 + _TS_CANARIES
-                 + _R03_GREEN_TAIL)
+                 + _R03_GREEN_TAIL + _NEW_R04_TAIL)
 assert len(_FIXED_R04 + _STALE_GREEN + _NEW_R04 + _TS_CANARIES) == 50, (
     "driver samples exactly the first 50 exported keys"
 )
