@@ -810,6 +810,33 @@ WIN_RANK_HOURLY = f"""
 
 
 @register(
+    "win_ntile",
+    oracle=f"""
+    with h as ({WIN_RANK_HOURLY})
+    select bucket, user_id, sum_value,
+           ntile(4) over (partition by bucket
+                          order by sum_value desc, user_id) as quartile
+    from h
+    """,
+)
+def win_ntile(spark, sf_dir):
+    """W11: quantile bucketing per window — ntile(4) assigns each entity
+    its per-bucket load quartile (the 'which tier is this cell in this
+    hour' report). Total order (value desc, entity tiebreak) makes the
+    assignment deterministic cross-engine. Same WindowExec shuffle-sort
+    as ranking; no extra pass."""
+    e = load(spark, sf_dir, "events")
+    h = (
+        e.groupBy("user_id", bucket_epoch("ts", G_1H).alias("bucket"))
+        .agg(dsum("value").alias("sum_value"))
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("sum_value").desc(), "user_id")
+    return h.select("bucket", "user_id", "sum_value",
+                    F.ntile(4).over(w).alias("quartile"))
+
+
+@register(
     "win_rank",
     oracle=f"""
     with h as ({WIN_RANK_HOURLY})
@@ -3442,7 +3469,7 @@ _R03_GREEN_TAIL = [  # green in CORRECTNESS_r03.json on the NEW fixtures
 _NEW_R04_TAIL = [  # registered r4 AFTER the 50-key sample filled; locally
     # parity-proven at sf0.01 (tests/test_oracle_parity.py); first driver
     # row lands in r5's rotation
-    "llm_url_parse", "llm_edit_distance",
+    "llm_url_parse", "llm_edit_distance", "win_ntile",
 ]
 _EXPORT_ORDER = (_FIXED_R04 + _STALE_GREEN + _NEW_R04 + _TS_CANARIES
                  + _R03_GREEN_TAIL + _NEW_R04_TAIL)
