@@ -79,9 +79,20 @@ def normalize_ts_columns(df, cols, table: str = "<frame>"):
 
     - ``bigint``: ns-since-epoch under the nanosAsLong legacy read → µs
       timestamp (floor), matching DuckDB's CAST(ts_ns AS TIMESTAMP).
+      Guarded by an executor-side magnitude check: ns longs for any
+      plausible instant (1995–2100) sit in [7.9e17, 4.1e18]; epoch µs
+      (~1.7e15 for 2024), ms (~1.7e12) or s (~1.7e9) longs all fall far
+      below, so a fixture regeneration that silently switches scale —
+      the shape has already changed three times — fails loudly with the
+      observed value instead of misreading every timestamp by 10³–10⁹
+      (ADVICE r4). assert_true returns NULL when the predicate holds, so
+      the filter is a plan-visible no-op: no extra Spark job at load,
+      zero cost until a row actually violates it.
     - ``timestamp_ntz``: cast to LTZ (identity under UTC session tz).
     - ``timestamp``: already canonical.
     """
+    ns_lo = 789_000_000_000_000_000      # 1995-01-01 as ns-since-epoch
+    ns_hi = 4_102_444_800_000_000_000    # 2100-01-01 as ns-since-epoch
     dtypes = dict(df.dtypes)
     for name in cols:
         dt = dtypes.get(name)
@@ -91,6 +102,21 @@ def normalize_ts_columns(df, cols, table: str = "<frame>"):
                 f"(present: {sorted(dtypes)}) — fixture schema changed?"
             )
         if dt == "bigint":
+            df = df.filter(
+                F.assert_true(
+                    F.col(name).isNull()
+                    | F.col(name).between(ns_lo, ns_hi),
+                    F.concat(
+                        F.lit(f"{table}.{name}: bigint value "),
+                        F.col(name).cast("string"),
+                        F.lit(
+                            " is not plausible ns-since-epoch (1995-2100)"
+                            " - epoch us/ms/s scale instead? extend"
+                            " normalize_ts_columns (functions/timestamps.py)"
+                        ),
+                    ),
+                ).isNull()
+            )
             df = df.withColumn(name, F.expr(f"timestamp_micros({name} div 1000)"))
         elif dt == "timestamp_ntz":
             df = df.withColumn(name, F.col(name).cast("timestamp"))

@@ -147,7 +147,8 @@ def _banded_long(sig: DataFrame, id_col: str, k: int, bands: int,
 
 def lsh_candidates_against(query_sig: DataFrame, index_sig: DataFrame,
                            id_col: str, k: int = 32, bands: int = 8,
-                           hash_family: str = "xx") -> DataFrame:
+                           hash_family: str = "xx",
+                           max_bucket_size: int | None = None) -> DataFrame:
     """Asymmetric LSH: candidate (query, index) pairs for NEW docs against
     an EXISTING corpus — the incremental-ingest shape. A batch of new
     documents lands; instead of re-running pairwise dedup over the whole
@@ -157,15 +158,30 @@ def lsh_candidates_against(query_sig: DataFrame, index_sig: DataFrame,
     independent of corpus size given stored signatures. At 100 TB the
     index side is a materialized signature table (computed once per doc at
     ingest, exactly like this function's input); the probe side is the
-    day's arrivals. Returns (q_id, i_id) distinct candidate pairs."""
+    day's arrivals. Returns (q_id, i_id) distinct candidate pairs.
+
+    ``max_bucket_size`` is the same hot-bucket guard as the symmetric
+    lsh_candidate_pairs (ADVICE r4): one template/boilerplate band bucket
+    in the STORED corpus would otherwise fan every matching new doc out
+    against the whole bucket on every batch, unbounded in corpus size —
+    exactly the degenerate case the cap exists for. Oversized index-side
+    buckets are dropped before the probe join (recall on boilerplate
+    buckets is the documented trade, as in the symmetric path)."""
     qb = _banded_long(query_sig.localCheckpoint(eager=False), id_col, k,
                       bands, hash_family)
     ib = _banded_long(index_sig.localCheckpoint(eager=False), id_col, k,
                       bands, hash_family)
+    ibl = ib.select(F.col(id_col).alias("i_id"), "band_id", "bh")
+    if max_bucket_size is not None:
+        sizes = ibl.groupBy("band_id", "bh").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        ibl = ibl.join(
+            sizes.filter(F.col("__n") <= max_bucket_size), ["band_id", "bh"]
+        ).drop("__n")
     return (
         qb.select(F.col(id_col).alias("q_id"), "band_id", "bh")
-        .join(ib.select(F.col(id_col).alias("i_id"), "band_id", "bh"),
-              ["band_id", "bh"])
+        .join(ibl, ["band_id", "bh"])
         .select("q_id", "i_id")
         .distinct()
     )
@@ -175,7 +191,8 @@ def incremental_near_dup(corpus: DataFrame, batch: DataFrame, id_col: str,
                          text_col: str, k: int = 32, bands: int = 16,
                          shingle_n: int = 3, threshold: float = 0.5,
                          hash_family: str = "xx",
-                         corpus_sig: DataFrame | None = None) -> DataFrame:
+                         corpus_sig: DataFrame | None = None,
+                         max_bucket_size: int | None = None) -> DataFrame:
     """X2f: near-dup pairs of a NEW batch against an EXISTING corpus —
     the production incremental-ingest composition:
 
@@ -197,7 +214,8 @@ def incremental_near_dup(corpus: DataFrame, batch: DataFrame, id_col: str,
     q_sig = minhash_signature(batch, id_col, text_col, k=k,
                               shingle_n=shingle_n, hash_family=hash_family)
     cand = lsh_candidates_against(q_sig, corpus_sig, id_col, k=k,
-                                  bands=bands, hash_family=hash_family)
+                                  bands=bands, hash_family=hash_family,
+                                  max_bucket_size=max_bucket_size)
     pairs = cand.select(
         F.col("q_id").alias("a_id"), F.col("i_id").alias("b_id")
     ).localCheckpoint(eager=False)  # consumed twice: id set + verify join

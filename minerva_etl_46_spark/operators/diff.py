@@ -31,22 +31,30 @@ def keyed_diff(old: DataFrame, new: DataFrame, keys: list[str],
 
     Unchanged keys are filtered out in the join output — the result is
     change-sized, not snapshot-sized. Returns keys + ``op`` +
-    ``old_<c>`` / ``new_<c>`` for each compare column."""
+    ``old_<c>`` / ``new_<c>`` for each compare column.
+
+    NULL key columns: equi-join semantics — a null key never matches
+    (SQL standard), so a null-keyed old row reports as ``D`` and a
+    null-keyed new row as ``I``; they are never paired into a ``U``.
+    Row presence is tracked via explicit flag columns, NOT key
+    null-ness, so this classification stays correct for null keys."""
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("__o_present"),
     )
     n = new.select(
         *[F.col(k).alias(f"__nk_{k}") for k in keys],
         *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("__n_present"),
     )
     cond = reduce(
         lambda a, b: a & b,
         [o[f"__ok_{k}"] == n[f"__nk_{k}"] for k in keys],
     )
     j = o.join(n, cond, "full_outer")
-    in_old = o[f"__ok_{keys[0]}"].isNotNull()
-    in_new = n[f"__nk_{keys[0]}"].isNotNull()
+    in_old = o["__o_present"].isNotNull()
+    in_new = n["__n_present"].isNotNull()
     changed = reduce(
         lambda a, b: a | b,
         [~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))

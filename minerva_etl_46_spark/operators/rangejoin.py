@@ -87,11 +87,24 @@ def interval_overlap_join(
     against bucket population; size it near the typical interval length.
     Timestamps are compared at µs precision; inputs may be TIMESTAMP,
     TIMESTAMP_NTZ, or epoch-second longs (normalized via the TIMESTAMP
-    hop, see functions/timestamps.ensure_timestamp)."""
+    hop, see functions/timestamps.ensure_timestamp).
+
+    Degenerate intervals: an EMPTY half-open interval [t, t) intersects
+    nothing — [a,b)∩[c,d)≠∅ ⟺ max(a,c) < min(b,d), and the simplified
+    two-comparison predicate used after the bucket join assumes non-empty
+    operands (an empty [t,t) would otherwise phantom-match any interval
+    spanning t). Inverted intervals (end < start) would additionally make
+    the bucket F.sequence descend and explode garbage buckets. Both are
+    filtered out up front, making the operator's semantics exactly
+    max(start) < min(end) for every input."""
     bus = bucket_s * 1_000_000  # bucket width in µs
 
     def us(col: str):
         return F.unix_micros(F.col(col).cast("timestamp"))
+
+    # empty/inverted intervals overlap nothing; drop before the explode
+    left = left.filter(us(l_start) < us(l_end))
+    right = right.filter(us(r_start) < us(r_end))
 
     lb = left.withColumn(
         "__bucket",

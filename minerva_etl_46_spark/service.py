@@ -23,6 +23,11 @@ from pyspark.sql import functions as F
 
 from minerva_etl_46_spark.sources.trendstore import TrendStorePartStorage
 
+#: hard ceiling on one page's driver-side collect — a misconfigured
+#: page_size cannot OOM the driver; callers wanting more rows page
+#: through the keyset cursor (page_through), each page a bounded job.
+MAX_PAGE_SIZE = 10_000
+
 
 @dataclass
 class TrendQuery:
@@ -38,6 +43,15 @@ class TrendQuery:
     #: keyset cursor (epoch MICROseconds, entity_id) — µs so sub-second
     #: rows can never be skipped between pages
     after: tuple[int, int] | None = None
+
+    def __post_init__(self):
+        if self.page_size < 1:
+            raise ValueError(f"page_size must be >= 1, got {self.page_size}")
+        if self.page_size > MAX_PAGE_SIZE:
+            raise ValueError(
+                f"page_size {self.page_size} exceeds MAX_PAGE_SIZE "
+                f"{MAX_PAGE_SIZE}; page through the keyset cursor instead"
+            )
 
     def run(self, spark: SparkSession, entity_col: str = "entity_id",
             ts_col: str = "ts") -> DataFrame:
