@@ -2637,6 +2637,53 @@ def agg_time_local(spark, sf_dir):
     )
 
 
+#: 89 days in µs: slides the Jan-2024 events fixture onto Mar 30–Apr 28,
+#: provably spanning the 2024-03-31 Europe/Amsterdam spring-forward
+_DST_SHIFT_US = 89 * 86_400 * 1_000_000
+
+
+@register(
+    "agg_time_dst",
+    oracle=f"""
+    with e as (select * from {EV}),
+    shifted as (select user_id, value,
+                       make_timestamp(epoch_us(ts) + {_DST_SHIFT_US}) as ts
+                from e),
+    loc as (select user_id, value,
+                   timezone('UTC', timezone('Europe/Amsterdam',
+                     date_trunc('day',
+                       timezone('Europe/Amsterdam', timezone('UTC', ts)))))
+                     as day_start
+            from shifted)
+    select cast(epoch(day_start) as bigint) as day_epoch,
+           count(*) as n, {sql_dsum('value')} as sum_value
+    from loc group by 1
+    """,
+)
+def agg_time_dst(spark, sf_dir):
+    """A1b across a DST transition (SURVEY §7 hard-part (a); VERDICT r4
+    next-6): the events fixture spans only Jan 2024, so the input is
+    slid forward 89 days — identical integer-µs arithmetic in BOTH
+    engines — onto Mar 30–Apr 28 2024, which crosses the Europe/Amsterdam
+    spring-forward (2024-03-31 02:00→03:00). The local-calendar day
+    rollup must then produce the 23-hour day: bucket 2024-03-31 runs
+    local-midnight CET (23:00 UTC Mar 30) → local-midnight CEST
+    (22:00 UTC Mar 31). tests/test_tz_alignment.py asserts that bucket
+    width; this key drives the same semantics through the driver's
+    hash gate."""
+    from minerva_etl_46_spark.functions.timestamps import align_floor
+
+    e = load(spark, sf_dir, "events")
+    shifted = e.withColumn(
+        "ts", F.timestamp_micros(F.unix_micros(F.col("ts")) + _DST_SHIFT_US)
+    )
+    day = align_floor("ts", G_1D, tz="Europe/Amsterdam")
+    return (
+        shifted.groupBy(day.cast("long").alias("day_epoch"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )
+
+
 @register(
     "agg_entity_chain",
     oracle=f"""
@@ -3518,81 +3565,56 @@ def llm_len_buckets(spark, sf_dir):
 # order; the exported dict below decides who gets an official driver row
 # THIS round.
 #
-# Round-4 situation: the sf fixtures were regenerated between r2 and r3
-# (events.ts ns→µs), which (a) broke 9 keys in r3 — fixed this round via
-# the load()-boundary timestamp normalization — and (b) invalidated the
-# "green" status of every key whose last driver row predates the
-# regeneration. The front 50 therefore re-verifies everything not yet
-# proven on the NEW data:
-#   - 9 keys broken in r3 (regressions + first-ever failures), now fixed;
-#   - 35 keys rotated out for r3, last verified on the OLD fixtures
-#     (includes llm_dedup_near, whose r3 md5-family full oracle has never
-#     been driver-run);
-#   - xml_harvest, new this round (S2's first driver key);
-#   - 5 ts-heavy r3 greens as canaries against a second regeneration.
-# The 36 tail keys all went green in r3 ON the new data — their rows are
-# current, so rotating them out loses nothing. Last-verified ledger:
-# CORRECTNESS_r03.json for the tail, r01/r02 for _STALE_GREEN.
-_FIXED_R04 = [  # broken in CORRECTNESS_r03.json, repaired this round
-    "agg_time", "fn_ts_align", "win_intervals", "join_range", "kpi_expr",
-    "win_gap_fill", "win_sessionize", "stream_tumbling", "stream_sliding",
+# Round-5 situation: r4 closed the fixture-regeneration recovery (47/50
+# sampled keys green; the r4 tail was all r3-green on the CURRENT
+# fixtures). The front 50 now (a) lands the first driver row for every
+# key that has never had one, (b) re-proves every key whose code or
+# oracle changed this round, and (c) refreshes the keys whose last green
+# row is r03 — the stalest rows on current fixtures. Ledger:
+# CORRECTNESS_r04.json for the r4 greens, r03 for _R03_STALE.
+_R05_PRIORITY = [  # changed/new this round, or never driver-sampled
+    "win_sessionize",    # r4's only red: oracle HUGEINT→bigint cast fixed
+    "llm_url_parse", "llm_edit_distance", "win_ntile",  # registered after
+                                                        # r4's sample filled
+    "agg_time_dst",      # NEW: local-day rollup across the 2024-03-31
+                         # Europe/Amsterdam spring-forward (SURVEY §7a)
+    "llm_sim_ann", "llm_sim_ivf", "llm_cluster",  # invariant oracles now
+                                                  # (were rows-only)
+    "mm_extract", "mm_frames",  # stub-replay FULL oracles (were rows-only)
+    "llm_dedup_embed",   # now routed through the banded production path
+    "join_interval", "diff_keyed",  # operators hardened (degenerate
+                                    # intervals; null-key presence flags)
 ]
-_STALE_GREEN = [  # last driver row r01/r02 = OLD fixtures; re-prove on new
-    # (the ts-FREE twice-green keys — which the µs regeneration cannot
-    # have touched — wait in the tail to make room for the r4 keys;
-    # every ts-TOUCHING stale key is re-proven here)
-    "join_parts", "join_left", "join_semi", "join_anti",
-    "agg_entity", "agg_weighted_avg", "agg_rollup",
-    "win_change_detect", "win_rank", "win_moving_avg",
-    "sort_order", "sort_limit", "set_except", "fn_date_parts",
-    "llm_dedup_exact", "llm_dedup_near", "llm_ngram_jaccard", "llm_simhash",
-    "llm_fingerprint", "llm_sim_topk", "llm_sim_ann", "llm_sim_ivf",
+_R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
+    "scan_csv", "project_select", "filter_threshold", "filter_ts_range",
+    "upsert_latest", "join_asof", "agg_time_local", "agg_entity_chain",
+    "agg_pivot", "agg_approx", "win_cume", "agg_count_distinct",
+    "agg_last_by", "win_latest", "win_delta", "topk_per_group",
+    "fn_string_dn", "join_dim", "llm_dedup_groups", "llm_vocab", "llm_split",
+    "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
+    "llm_sample_stratified", "llm_redact", "llm_mix_weights",
+    "llm_normalize", "llm_dupe_stats", "llm_hot_ngrams", "llm_concat",
+    "win_pattern", "llm_chunk", "llm_keywords", "llm_overlap",
+    "llm_len_buckets",
+]
+_R05_TAIL = [  # 7 pure-scalar fn keys (r03-green, untouched since) wait one
+    # round to make room, then every r4-green key in its r4 sample order
+    "fn_safe_div", "fn_case", "fn_array", "fn_hash", "fn_json_extract",
+    "fn_regexp", "fn_variant", "agg_time", "fn_ts_align", "win_intervals",
+    "join_range", "kpi_expr", "win_gap_fill", "stream_tumbling",
+    "stream_sliding", "join_parts", "join_left", "join_semi", "join_anti",
+    "agg_entity", "agg_weighted_avg", "agg_rollup", "win_change_detect",
+    "win_rank", "win_moving_avg", "sort_order", "sort_limit", "set_except",
+    "fn_date_parts", "llm_dedup_exact", "llm_dedup_near",
+    "llm_ngram_jaccard", "llm_simhash", "llm_fingerprint", "llm_sim_topk",
     "llm_text_stats", "llm_tokens", "llm_quality", "llm_lang_id", "mm_meta",
-]
-_NEW_R04 = [  # registered r4, need their first driver rows
-    "xml_harvest",        # S2's first driver key (full oracle)
-    "scan_jsonl",         # S1b's first driver key (full oracle)
-    "agg_bitmap_distinct",  # exact mergeable-bitmap distinct (full oracle)
-    "agg_hll_rollup",     # HLL sketch rollup, invariant-style full oracle
-    "agg_histogram",      # fixed-width KPI histogram (full oracle)
-    "llm_dedup_incremental",  # asymmetric LSH vs corpus (full md5 oracle)
-    "join_interval",      # interval overlap join, bucket-ownership dedup
-    "stream_session",     # native session_window streaming (full oracle)
-    "join_salted",        # deterministic-salt hot-key join (full oracle)
-    "set_union",          # U1 set union (full oracle)
-    "llm_minhash_est",    # signature-only Jaccard estimate (full oracle)
-    "diff_keyed",         # keyed snapshot diff I/U/D (full oracle)
-    "trigger_notify",     # D10 trigger->notification engine (full oracle)
-]
-_TS_CANARIES = [  # r3-green ts-heavy key: guard against re-regeneration
+    "xml_harvest", "scan_jsonl", "agg_bitmap_distinct", "agg_hll_rollup",
+    "agg_histogram", "llm_dedup_incremental", "stream_session",
+    "join_salted", "set_union", "llm_minhash_est", "trigger_notify",
     "scan_parquet",
 ]
-_R03_GREEN_TAIL = [  # green in CORRECTNESS_r03.json on the NEW fixtures
-    # ts-free twice-green keys displaced by r4 additions (see above);
-    # all re-proven locally at sf0.01 AND sf0.1 on the new fixtures
-    # (tests/test_oracle_parity.py full sweeps this round); return in r5:
-    "scan_csv", "fn_case", "fn_array", "fn_safe_div", "fn_hash",
-    "fn_json_extract", "project_select", "filter_threshold",
-    "filter_ts_range", "upsert_latest", "join_asof", "agg_time_local",
-    "agg_entity_chain", "agg_pivot", "agg_approx", "fn_regexp", "win_cume",
-    "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",
-    "topk_per_group", "fn_string_dn", "join_dim",
-    "llm_dedup_embed", "llm_dedup_groups", "llm_vocab", "llm_split",
-    "llm_cluster", "mm_extract", "mm_frames",
-    "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
-    "fn_variant", "llm_sample_stratified", "llm_redact",
-    "llm_mix_weights", "llm_normalize", "llm_dupe_stats",
-    "llm_hot_ngrams", "llm_concat", "win_pattern",
-    "llm_chunk", "llm_keywords", "llm_overlap", "llm_len_buckets",
-]
-_NEW_R04_TAIL = [  # registered r4 AFTER the 50-key sample filled; locally
-    # parity-proven at sf0.01 (tests/test_oracle_parity.py); first driver
-    # row lands in r5's rotation
-    "llm_url_parse", "llm_edit_distance", "win_ntile",
-]
-_EXPORT_ORDER = (_FIXED_R04 + _STALE_GREEN + _NEW_R04 + _TS_CANARIES
-                 + _R03_GREEN_TAIL + _NEW_R04_TAIL)
-assert len(_FIXED_R04 + _STALE_GREEN + _NEW_R04 + _TS_CANARIES) == 50, (
+_EXPORT_ORDER = _R05_PRIORITY + _R03_STALE + _R05_TAIL
+assert len(_R05_PRIORITY + _R03_STALE) == 50, (
     "driver samples exactly the first 50 exported keys"
 )
 
