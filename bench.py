@@ -18,6 +18,19 @@ import time
 from minerva_etl_46_spark.queries import QUERIES
 from minerva_etl_46_spark.session import get_spark
 
+#: FIXED round-over-round tracking subset (VERDICT r4 next-8): the registry
+#: grows every round, so the all-keys total is not comparable across
+#: rounds; this 20-key set is frozen (do NOT edit when adding keys) and its
+#: subtotal lands in the "headline" block. Mix: sources/harvest, joins,
+#: rollups, windows, streaming, and the heaviest LLM-pipeline ops.
+HEADLINE_20 = [
+    "agg_time", "agg_entity", "kpi_expr", "join_dim", "join_asof",
+    "join_range", "upsert_latest", "win_intervals", "win_gap_fill",
+    "topk_per_group", "scan_csv", "xml_harvest", "stream_tumbling",
+    "llm_dedup_exact", "llm_dedup_near", "llm_dedup_incremental",
+    "llm_dedup_groups", "llm_sim_topk", "llm_hot_ngrams", "llm_pack",
+]
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -71,11 +84,18 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
     }
+    out["headline"] = {
+        "keys": len(HEADLINE_20),
+        "value": round(sum(timings[k] for k in HEADLINE_20
+                           if timings.get(k, -1) >= 0), 3),
+    }
     if len(passes) > 1:
         qmin = {k: min(p[k] for p in passes if p[k] >= 0) if any(p[k] >= 0 for p in passes) else -1.0
                 for k in timings}
         out["queries_min"] = qmin
         out["value_min"] = round(sum(t for t in qmin.values() if t >= 0), 3)
+        out["headline"]["value_min"] = round(
+            sum(qmin[k] for k in HEADLINE_20 if qmin.get(k, -1) >= 0), 3)
     print(json.dumps(out))
     spark.stop()
 

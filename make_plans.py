@@ -68,6 +68,13 @@ NOTES = {
     "trigger_notify": "Every rule fuses into the ONE KPI-rollup scan "
                       "(filter+project per rule, union on top) — no "
                       "per-rule re-read of the source.",
+    "llm_dedup_embed": "The banded production path (r5): SRP band buckets "
+                       "equi-join on (band_id, band_hash) — the pair "
+                       "cross-product never materializes; exact decimal "
+                       "cosine scores candidates only.",
+    "agg_time_dst": "Same ONE-exchange rollup as agg_time_local; the µs "
+                    "shift is a narrow projection folded into the scan — "
+                    "DST handling adds no operator.",
 }
 
 

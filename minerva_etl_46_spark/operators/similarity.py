@@ -376,21 +376,59 @@ def cosine_topk_ivf(
 
 def srp_signature(vec: Column, planes: np.ndarray) -> Column:
     """Signed-random-projection bit signature as a long. planes: (nbits,
-    dim) from a fixed seed — shipped as literals (tiny), evaluated
-    JVM-side per row."""
-    bits = []
-    for j in range(planes.shape[0]):
-        plane = F.array(*[F.lit(float(v)) for v in planes[j]])
-        d = F.aggregate(
-            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
+    dim) from a fixed seed. Supports the full nbits=64: bit 63 is the
+    long's sign bit (two's complement −2⁶³ sets exactly that bit, and
+    summing disjoint bit values equals bitwise OR), so wide-band tunings
+    like nbits=64/bands=4 (r=16 → 65k buckets per band, the
+    100 TB-friendly bucket count — r must satisfy corpus/2^r ≈ target
+    bucket size, see cosine_near_dup_pairs) pack into one long.
+
+    Two implementations, switched on nbits×dim:
+
+    - small (≤1024 literals): planes ship as literals into a pure
+      Catalyst expression — stays in whole-stage codegen, zero Python.
+    - wide: the literal expression tree grows as nbits×dim and its
+      codegen compile dominates wall-clock (measured: nbits=64, dim=64 →
+      4096 literals, minutes to compile), so the signature becomes ONE
+      Arrow-batched pandas_udf doing a numpy (batch, dim) @ (dim, nbits)
+      matmul — constant compile cost, vectorized math, the sanctioned
+      pandas-UDF case. Bit values near a plane (dot ≈ 0) could differ
+      between the two paths' summation orders; SRP tolerates either sign
+      there by construction (both are valid signatures of the SAME
+      planes), and all oracle-exact paths use the small/codegen route."""
+    nbits, dim = planes.shape
+    if nbits > 64:
+        raise ValueError(f"srp_signature packs into one long: nbits "
+                         f"{nbits} > 64")
+    if nbits * dim <= 1024:
+        bits = []
+        for j in range(nbits):
+            plane = F.array(*[F.lit(float(v)) for v in planes[j]])
+            d = F.aggregate(
+                F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bit_val = (1 << j) if j < 63 else -(1 << 63)
+            bits.append(F.when(d >= 0, F.lit(bit_val)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out.cast("long")
+
+    from pyspark.sql.functions import pandas_udf
+
+    P = planes.T.astype("float64")          # (dim, nbits)
+    w = 1 << np.arange(nbits, dtype=np.uint64)  # uint64: bit 63 is fine
+
+    @pandas_udf("long")
+    def sig(s: pd.Series) -> pd.Series:
+        M = np.stack(s.to_numpy()).astype("float64")   # (batch, dim)
+        bits = (M @ P) >= 0.0                          # (batch, nbits)
+        packed = (bits.astype(np.uint64) * w).sum(axis=1, dtype=np.uint64)
+        return pd.Series(packed.view(np.int64))
+
+    return sig(vec)
 
 
 def cosine_topk_ann(

@@ -197,10 +197,64 @@ def export_probe(spark, res, n_docs):
                           n_cells=64, n_probe=8), res)
 
 
+def embed_neardup_probe(spark, res, n_vec):
+    """Round-5 probe: the banded embedding near-dup path
+    (cosine_near_dup_pairs — since r5 the llm_dedup_embed production
+    route) at a scale where the all-pairs alternative is impossible:
+    n_vec=1M → 5·10¹¹ candidate pairs all-pairs, vs bands×n_vec band
+    rows here. Embeddings are synthetic 64-dim; every id ≡ 1 (mod 20)
+    is a copy of id−1 with 2 of 64 dims perturbed (cos ≈ 0.997), so
+    ground truth is the planted set and recall is checkable without any
+    exact pass. Production tuning for a high-similarity threshold:
+    nbits=64, bands=4 → r=16, because BUCKET COUNT is the binding
+    constraint at scale: a band has 2^r distinct buckets, so r must
+    satisfy corpus/2^r ≈ target bucket size (r=4 → 16 buckets/band →
+    at 100k vectors EVERY bucket exceeds any sane cap and recall
+    collapses — measured 0.13 before this tuning; r=16 → 65k
+    buckets/band → recall 0.9998 measured). Wide signatures route
+    srp_signature's Arrow/numpy path automatically (the 4096-literal
+    codegen alternative takes minutes to compile)."""
+    from minerva_etl_46_spark.operators.similarity import cosine_near_dup_pairs
+
+    is_dup = F.col("id") % 20 == 1
+    base = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))
+    emb = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                ((F.xxhash64(base, j) % 1000) / 500.0 - 1.0)
+                + F.when(is_dup & (j < 2),
+                         (F.xxhash64(F.col("id"), j, F.lit(1)) % 100) / 500.0)
+                .otherwise(F.lit(0.0))
+            ).cast("float"),
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    pairs = cosine_near_dup_pairs(emb, threshold=0.9, nbits=64, bands=4,
+                                  max_bucket_size=2000)
+    timed(f"cosine_near_dup_{n_vec}", pairs, res)
+    n_planted = n_vec // 20
+    n_planted_found = pairs.filter(
+        (F.col("b_id") == F.col("a_id") + 1) & (F.col("b_id") % 20 == 1)
+    ).count()
+    res[f"cosine_near_dup_{n_vec}"]["planted_recall"] = round(
+        n_planted_found / n_planted, 4
+    )
+    print(json.dumps({"shape": f"cosine_near_dup_{n_vec}",
+                      "planted": n_planted, "found": n_planted_found}),
+          flush=True)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r5":
+        embed_neardup_probe(spark, res, n_vec=max(100_000, N // 20))
+        print(json.dumps({"metric": "scale_probe_r5", "rows": N,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r3":
         export_probe(spark, res, n_docs=max(100_000, N // 20))
         print(json.dumps({"metric": "scale_probe_r3", "rows": N,

@@ -62,12 +62,11 @@ def test_no_bare_first_last_aggregates():
 
 
 def test_oracle_coverage_is_total_minus_documented_rows_only():
-    # llm_dedup_near left this set in r3 (md5 hash family gave it a full
-    # pipeline-replay oracle); the five left are genuinely non-SQL:
-    # probabilistic ANN recall, stubbed media codecs, iterative k-means fit
+    # r5: the rows-only set is EMPTY — the last five gained oracles
+    # (mm_*: full stub-replay byte math; ann/ivf/cluster: exact invariant
+    # contracts). Every key is now driver-hash-checked.
     rows_only = set(queries()) - set(oracle_sql())
-    assert rows_only == {"llm_sim_ann", "llm_sim_ivf",
-                         "mm_extract", "llm_cluster", "mm_frames"}
+    assert rows_only == set()
 
 
 def test_driver_sampled_the_intended_first_50():

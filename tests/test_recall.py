@@ -186,3 +186,38 @@ def test_srp_dim_inferred_and_mismatch_raises(spark):
     )
     with pytest.raises(Exception, match="SRP plane dim"):
         cosine_near_dup_pairs(mixed, threshold=0.0).collect()
+
+
+def test_srp_signature_paths_match_numpy_reference(spark):
+    """srp_signature has two implementations (codegen literals vs
+    Arrow/numpy matmul for wide nbits×dim — r5). Both must produce the
+    bit pattern of sign(planes @ v) per the SAME planes; pinned here
+    against an independent numpy computation, including bit 63 (the
+    long's sign bit) on the wide path."""
+    import numpy as np
+
+    from minerva_etl_46_spark.operators.similarity import srp_signature
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((20, 32)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+    for nbits in (8, 64):  # 8×32=256 → codegen path; 64×32=2048 → wide/numpy
+        planes = rng.standard_normal((nbits, 32))
+        got = {
+            r["vec_id"]: r["sig"]
+            for r in emb.select(
+                "vec_id",
+                srp_signature(F.col("embedding"), planes).alias("sig"),
+            ).collect()
+        }
+        dots = vecs.astype("float64") @ planes.T          # (20, nbits)
+        w = 1 << np.arange(nbits, dtype=np.uint64)
+        want = ((dots >= 0).astype(np.uint64) * w).sum(
+            axis=1, dtype=np.uint64
+        ).view(np.int64)
+        for i in range(len(vecs)):
+            assert got[i] == int(want[i]), (nbits, i)
