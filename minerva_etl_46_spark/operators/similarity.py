@@ -133,6 +133,7 @@ def cosine_near_dup_pairs(
     seed: int = 42,
     max_bucket_size: int | None = None,
     dim: int | None = None,
+    exact: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS at corpus scale (the semantic
     dedup flavor — the scale twin of the exact all-pairs baseline in
@@ -147,7 +148,19 @@ def cosine_near_dup_pairs(
     range. max_bucket_size guards degenerate buckets exactly like
     lsh_candidate_pairs (e.g. zero-vector or template embeddings).
     ``dim`` defaults to the first row's vector length; a mismatched row
-    fails loudly (see _dim_guard)."""
+    fails loudly (see _dim_guard).
+
+    ``exact`` picks the verify arithmetic. True (default) = DECIMAL
+    accumulators: engine-portable bit-exact cosine, what the oracle-keyed
+    llm_dedup_embed path needs. False = plain-double fold: the PRODUCTION
+    verify — interpreted BigDecimal is ~an order of magnitude slower per
+    element, and at corpus scale the verify touches
+    corpus × bucket_size × dim elements (measured: 1M vecs × ~15/bucket
+    × 64 dims stalls the decimal path for tens of minutes where double
+    finishes in ~2 — scale_probe.py r5). Double cosine is deterministic
+    (fixed fold order), just not cross-engine bit-identical; a pair
+    within one ulp of the threshold may differ — irrelevant for dedup,
+    disqualifying only for the hash-checked oracle twin."""
     if dim is None:
         dim = _infer_dim(emb, vec_col)
     emb = _dim_guard(emb, vec_col, dim)
@@ -155,11 +168,13 @@ def cosine_near_dup_pairs(
     planes = rng.standard_normal((nbits, dim))
     r = nbits // bands
     mask = (1 << r) - 1
+    norm2 = _norm2_dec if exact else _norm2_double
+    dot = _dot_dec if exact else _dot_double
 
     sig = emb.select(
         F.col(id_col), F.col(vec_col),
         srp_signature(F.col(vec_col), planes).alias("sig"),
-        _norm2_dec(F.col(vec_col)).alias("nrm2"),
+        norm2(F.col(vec_col)).alias("nrm2"),
     ).localCheckpoint(eager=False)  # self-joined below: hash the vectors once
     band_structs = F.array(*[
         F.struct(
@@ -188,7 +203,7 @@ def cosine_near_dup_pairs(
                     F.col("nrm2").alias("b_nrm2"))
     scored = cand.join(av, "a_id").join(bv, "b_id").select(
         "a_id", "b_id",
-        (_dot_dec(F.col("a_vec"), F.col("b_vec"))
+        (dot(F.col("a_vec"), F.col("b_vec"))
          / F.sqrt(F.col("a_nrm2") * F.col("b_nrm2"))).alias("cos"),
     )
     return scored.filter(F.col("cos") >= threshold)

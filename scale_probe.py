@@ -230,8 +230,12 @@ def embed_neardup_probe(spark, res, n_vec):
             ).cast("float"),
         ).alias("embedding"),
     ).localCheckpoint(eager=True)
+    # exact=False: the production double-fold verify. The decimal twin is
+    # for the oracle-keyed fixture path only — at this probe's candidate
+    # volume (~corpus × bucket_size pairs × 64 dims) interpreted
+    # BigDecimal arithmetic ran >30 min where double finishes in minutes.
     pairs = cosine_near_dup_pairs(emb, threshold=0.9, nbits=64, bands=4,
-                                  max_bucket_size=2000)
+                                  max_bucket_size=2000, exact=False)
     timed(f"cosine_near_dup_{n_vec}", pairs, res)
     n_planted = n_vec // 20
     n_planted_found = pairs.filter(
