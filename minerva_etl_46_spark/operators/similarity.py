@@ -461,6 +461,14 @@ def cosine_topk_ann(
     them. At 100 TB the bucket join replaces the corpus broadcast —
     each query only meets its band-collision set.
 
+    Scale caveat (measured, SCALE.md r5): a band has 2^r distinct
+    buckets, so the collision set is ~corpus/2^r per band. The fixture
+    tuning r=2 (4 buckets/band) prunes little — correct for recall on
+    the weakly-similar fixture corpus, but a real corpus needs
+    corpus/2^r ≈ an affordable rerank size (e.g. nbits=64, bands=4 →
+    r=16 → 65k buckets/band; wide signatures take srp_signature's
+    Arrow/numpy path automatically).
+
     Band width r = nbits/bands sets the recall/pruning trade: collision
     probability per band is (1 − θ/π)^r. The default r=2 is tuned for
     weakly-similar corpora like the fixture embeddings (top-5 neighbors at

@@ -221,3 +221,48 @@ def test_srp_signature_paths_match_numpy_reference(spark):
         ).view(np.int64)
         for i in range(len(vecs)):
             assert got[i] == int(want[i]), (nbits, i)
+
+
+def test_asymmetric_lsh_bucket_cap_bounds_stored_template(spark):
+    """ADVICE r4: the incremental-ingest probe path needs the same
+    hot-bucket guard as the symmetric path — a template band bucket in
+    the STORED corpus signatures would otherwise fan every matching new
+    doc out against the whole bucket on every batch. The cap must crush
+    template fan-out while keeping organic batch→corpus candidates."""
+    from pyspark.sql import functions as F
+
+    from minerva_etl_46_spark.operators.dedup import lsh_candidates_against
+    from scale_probe import synth_docs
+
+    organic = synth_docs(spark, 2000)
+    common = " ".join(f"t{i}" for i in range(29))
+    template = spark.range(64).select(
+        (F.col("id") + 100_000).alias("doc_id"),
+        F.concat(F.lit(common + " v"), F.col("id").cast("string")).alias("text"),
+    )
+    corpus = organic.unionByName(template).localCheckpoint(eager=True)
+    # batch: the planted near-dups (id % 10 == 1 copies id-1) + one
+    # fresh template instance that collides with the stored cluster
+    batch = organic.filter(F.col("doc_id") % 10 == 1).unionByName(
+        spark.range(1).select(
+            F.lit(200_000).alias("doc_id"),
+            F.lit(common + " vNEW").alias("text"),
+        )
+    ).localCheckpoint(eager=True)
+
+    c_sig = minhash_signature(corpus, "doc_id", "text", k=32)
+    b_sig = minhash_signature(batch, "doc_id", "text", k=32)
+    uncapped = lsh_candidates_against(b_sig, c_sig, "doc_id", k=32, bands=16)
+    capped = lsh_candidates_against(b_sig, c_sig, "doc_id", k=32, bands=16,
+                                    max_bucket_size=16)
+
+    tpl_unc = uncapped.filter(F.col("q_id") == 200_000).count()
+    tpl_cap = capped.filter(F.col("q_id") == 200_000).count()
+    assert tpl_unc >= 60, f"template probe not colliding? {tpl_unc}"
+    assert tpl_cap < tpl_unc / 10, f"cap ineffective: {tpl_cap} vs {tpl_unc}"
+
+    planted = {(i, i - 1) for i in range(1, 2000, 10)}
+    got = {(r["q_id"], r["i_id"])
+           for r in capped.filter(F.col("q_id") < 100_000).collect()}
+    found = len(planted & got) / len(planted)
+    assert found >= 0.99, f"cap damaged organic candidate recall: {found:.3f}"
