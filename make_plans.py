@@ -92,7 +92,11 @@ def main() -> None:
     ]
     for key, note in NOTES.items():
         df = QUERIES[key](spark, SF)
-        df.write.format("noop").mode("overwrite").save()  # resolve AQE plan
+        # Execute the DataFrame's OWN QueryExecution (collect path) so AQE
+        # finalizes THIS plan object — a noop write would run a separate
+        # execution and leave df's plan at isFinalPlan=false. Result sizes
+        # at sf0.01 are bounded (≤105k rows), driver-safe.
+        df.toPandas()
         plan = df._jdf.queryExecution().executedPlan().toString()
         lines = [ln.rstrip() for ln in plan.splitlines() if ln.strip()]
         lines = [ln if len(ln) <= 150 else ln[:147] + "..." for ln in lines][:40]
