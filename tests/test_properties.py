@@ -322,3 +322,56 @@ def test_normalize_ts_rejects_non_ns_scale_longs(spark):
     ns_longs = spark.createDataFrame([(1704067200 * 1_000_000_000,)], "ts long")
     ok = normalize_ts_columns(ns_longs, ["ts"], table="events").collect()
     assert str(ok[0]["ts"]).startswith("2024-01-01")
+
+
+@SLOW
+@given(
+    old_rows=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 5)),
+                  st.one_of(st.none(), st.floats(-10, 10, allow_nan=False,
+                                                 width=32))),
+        min_size=0, max_size=12, unique_by=lambda t: t[0],
+    ),
+    new_rows=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 5)),
+                  st.one_of(st.none(), st.floats(-10, 10, allow_nan=False,
+                                                 width=32))),
+        min_size=0, max_size=12, unique_by=lambda t: t[0],
+    ),
+)
+def test_keyed_diff_matches_naive_dict_diff(spark, old_rows, new_rows):
+    """keyed_diff must classify arbitrary snapshots — including NULL keys
+    and NULL values — exactly like the naive dict-based reference:
+    matched keys with equal values are silent, value changes are U,
+    one-sided keys are D/I, and null keys never match (each side's
+    null-keyed row reports independently as D or I)."""
+    from minerva_etl_46_spark.operators.diff import keyed_diff
+
+    old = spark.createDataFrame(old_rows, "id long, v double") \
+        if old_rows else spark.createDataFrame([], "id long, v double")
+    new = spark.createDataFrame(new_rows, "id long, v double") \
+        if new_rows else spark.createDataFrame([], "id long, v double")
+    got = {
+        (r["op"], r["id"], r["old_v"], r["new_v"])
+        for r in keyed_diff(old, new, keys=["id"],
+                            compare_cols=["v"]).collect()
+    }
+
+    o = {k: v for k, v in old_rows if k is not None}
+    n = {k: v for k, v in new_rows if k is not None}
+    want = set()
+    for k in o.keys() - n.keys():
+        want.add(("D", k, o[k], None))
+    for k in n.keys() - o.keys():
+        want.add(("I", k, None, n[k]))
+    for k in o.keys() & n.keys():
+        if o[k] != n[k] and not (o[k] is None and n[k] is None):
+            want.add(("U", k, o[k], n[k]))
+    # null keys never equi-match: each side reports independently
+    for k, v in old_rows:
+        if k is None:
+            want.add(("D", None, v, None))
+    for k, v in new_rows:
+        if k is None:
+            want.add(("I", None, None, v))
+    assert got == want
