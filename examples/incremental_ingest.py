@@ -71,8 +71,11 @@ def main() -> int:
 
     # batch signatures: cache-aware (re-ingested content costs nothing)
     batch_sig = store.signatures(batch, "doc_id", "text")
+    # max_bucket_size: production guard — one template/boilerplate band
+    # bucket in the STORED signatures would otherwise fan every matching
+    # batch doc out against the whole bucket, every single day
     cand = lsh_candidates_against(batch_sig, corpus_sig, id_col="doc_id",
-                                  k=32, bands=16)
+                                  k=32, bands=16, max_bucket_size=1000)
     pairs = cand.select(F.col("q_id").alias("a_id"),
                         F.col("i_id").alias("b_id"))
     ids = (pairs.select(F.col("a_id").alias("doc_id"))

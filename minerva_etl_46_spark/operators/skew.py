@@ -41,6 +41,10 @@ def salted_join(
     so inner/left/left_semi/left_anti semantics are preserved. right/full
     outer would emit every unmatched BUILD row once per salt replica —
     rejected (swap the sides instead)."""
+    if n_salt < 1:
+        # sequence(0, n_salt-1) would DESCEND for n_salt <= 0, silently
+        # replicating the build side under negative phantom salts
+        raise ValueError(f"salted_join: n_salt must be >= 1, got {n_salt}")
     if how not in ("inner", "left", "leftouter", "left_outer",
                    "semi", "left_semi", "leftsemi",
                    "anti", "left_anti", "leftanti"):
