@@ -28,6 +28,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query key; keys absent here get the
-    weaker rows-only check (non-SQL-expressible ops)."""
+    """DuckDB-equivalent SQL per query key. Since r5 EVERY key has an
+    oracle (non-SQL-expressible ops carry invariant/stub-replay oracles
+    instead of the weaker rows-only check)."""
     return dict(_q.ORACLES)

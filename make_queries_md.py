@@ -10,9 +10,10 @@ def main() -> None:
         "# QUERIES — the implemented operator surface "
         "(generated: `python make_queries_md.py`)",
         "",
-        f"{len(QUERIES)} query keys, {len(ORACLES)} with DuckDB oracles "
-        "(the rest are",
-        "documented rows-only checks). Each key is one entry in",
+        f"{len(QUERIES)} query keys, {len(ORACLES)} with DuckDB oracles"
+        + ("" if len(ORACLES) == len(QUERIES)
+           else " (the rest are documented rows-only checks)")
+        + ". Each key is one entry in",
         "`__spark_entry__.queries()` mapped to SURVEY.md §2's inventory.",
         "",
         "| key | check | what it proves |",
