@@ -91,8 +91,8 @@ def normalize_ts_columns(df, cols, table: str = "<frame>"):
     - ``timestamp_ntz``: cast to LTZ (identity under UTC session tz).
     - ``timestamp``: already canonical.
     """
-    ns_lo = 789_000_000_000_000_000      # 1995-01-01 as ns-since-epoch
-    ns_hi = 4_102_444_800_000_000_000    # 2100-01-01 as ns-since-epoch
+    ns_lo = 788_918_400_000_000_000      # 1995-01-01T00:00Z as ns-since-epoch
+    ns_hi = 4_102_444_800_000_000_000    # 2100-01-01T00:00Z as ns-since-epoch
     dtypes = dict(df.dtypes)
     for name in cols:
         dt = dtypes.get(name)

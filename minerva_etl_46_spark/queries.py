@@ -1736,13 +1736,18 @@ def llm_sim_topk(spark, sf_dir):
     return cosine_topk_bruteforce(emb, query_mod=200, k=5)
 
 
-def _topk_invariants(res, k: int):
+def _topk_invariants(res, k: int, queries):
     """Reduce a probabilistic top-k result (q_id, c_id, cos, rn) to the
     per-query invariant row the driver CAN hash-check even though which
     neighbors were retrieved is tunable/probabilistic (VERDICT r4 §missing
     3): ranks contiguous 1..n with n ≤ k, cos ∈ [-1,1] (ε for float
-    roundoff), cos non-increasing in rank, and — via the oracle's row set —
-    every query id answered. Exact neighbor quality is pinned separately by
+    roundoff), cos non-increasing in rank, and every query id answered.
+    ``queries`` enumerates the EXPECTED query ids: an unanswered query
+    (possible in principle — ANN band isolation / empty probed cells are
+    parametrization-dependent, self-matches excluded) emits (q_id, false)
+    rather than silently vanishing, so the driver reports a legible value
+    mismatch instead of a row-count drop, and the completeness contract is
+    explicit in the output. Exact neighbor quality is pinned separately by
     tests/test_recall.py; the exact twin llm_sim_topk is full-oracle."""
     w = Window.partitionBy("q_id").orderBy("rn")
     lagcos = F.lag("cos").over(w)
@@ -1761,7 +1766,11 @@ def _topk_invariants(res, k: int):
         & (F.col("n_rn") == F.col("n")) & (F.col("n") <= k)
         & (F.col("max_abs_cos") <= 1.0 + 1e-9) & (F.col("n_viol") == 0)
     )
-    return per.select("q_id", ok.alias("ok"))
+    # left join from the expected query set: absent aggregate → ok NULL →
+    # coalesce false (unanswered query fails the check, visibly)
+    return queries.join(per, "q_id", "left").select(
+        "q_id", F.coalesce(ok, F.lit(False)).alias("ok")
+    )
 
 
 #: every query vector must come back answered, with all invariants true
@@ -1777,9 +1786,12 @@ def llm_sim_ann(spark, sf_dir):
     prunes candidates, exact cosine ranks survivors. Driver-checked via
     the invariant reduction (_topk_invariants): WHICH neighbors is
     probabilistic-by-parametrization, but rank shape, cos range,
-    monotonicity, and query completeness are exact contracts."""
+    monotonicity, and query completeness are the checked contracts."""
     emb = load(spark, sf_dir, "embeddings")
-    return _topk_invariants(cosine_topk_ann(emb, query_mod=200, k=5), k=5)
+    qset = emb.filter(F.col("vec_id") % 200 == 0) \
+        .select(F.col("vec_id").alias("q_id"))
+    return _topk_invariants(cosine_topk_ann(emb, query_mod=200, k=5), k=5,
+                            queries=qset)
 
 
 @register("llm_sim_ivf", oracle=_TOPK_INVARIANT_ORACLE)
@@ -1795,8 +1807,10 @@ def llm_sim_ivf(spark, sf_dir):
     from minerva_etl_46_spark.operators.similarity import cosine_topk_ivf
 
     emb = load(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") % 200 == 0) \
+        .select(F.col("vec_id").alias("q_id"))
     res = cosine_topk_ivf(emb, query_mod=200, k=5, n_cells=16, n_probe=10)
-    return _topk_invariants(res, k=5)
+    return _topk_invariants(res, k=5, queries=qset)
 
 
 @register(
@@ -2479,9 +2493,10 @@ def llm_cluster(spark, sf_dir):
         _fit_centroids_sample,
     )
 
+    n_cells = 8  # ONE constant: both the fit and the invariant bound below
     emb = load(spark, sf_dir, "embeddings")
     cent = _fit_centroids_sample(emb, "vec_id", "embedding",
-                                 n_cells=8, seed=42, fit_sample=4096,
+                                 n_cells=n_cells, seed=42, fit_sample=4096,
                                  max_iter=20)
     asg = emb.select(
         "vec_id", _cell_id(F.col("embedding"), cent).alias("cluster")
@@ -2493,7 +2508,7 @@ def llm_cluster(spark, sf_dir):
     )
     ok = (
         (F.col("n") == 1) & F.col("mn").isNotNull()
-        & (F.col("mn") >= 0) & (F.col("mx") < 8)
+        & (F.col("mn") >= 0) & (F.col("mx") < n_cells)
     )
     return per.select("vec_id", ok.alias("ok"))
 

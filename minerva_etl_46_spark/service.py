@@ -29,9 +29,11 @@ from minerva_etl_46_spark.sources.trendstore import TrendStorePartStorage
 MAX_PAGE_SIZE = 10_000
 
 
-@dataclass
+@dataclass(frozen=True)
 class TrendQuery:
-    """One data-service request."""
+    """One data-service request. Frozen: the page_size cap is validated at
+    construction, so post-construction mutation must be impossible or the
+    driver-OOM guard could be assigned away."""
 
     part: TrendStorePartStorage
     start_epoch: int

@@ -236,6 +236,9 @@ def embed_neardup_probe(spark, res, n_vec):
     # BigDecimal arithmetic ran >30 min where double finishes in minutes.
     pairs = cosine_near_dup_pairs(emb, threshold=0.9, nbits=64, bands=4,
                                   max_bucket_size=2000, exact=False)
+    # persist so the recall count below reuses the timed materialization
+    # instead of re-running the whole signature+join+verify pipeline
+    pairs = pairs.persist()
     timed(f"cosine_near_dup_{n_vec}", pairs, res)
     n_planted = n_vec // 20
     n_planted_found = pairs.filter(
@@ -247,6 +250,7 @@ def embed_neardup_probe(spark, res, n_vec):
     print(json.dumps({"shape": f"cosine_near_dup_{n_vec}",
                       "planted": n_planted, "found": n_planted_found}),
           flush=True)
+    pairs.unpersist()
 
 
 def main():
