@@ -3570,6 +3570,415 @@ def llm_len_buckets(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2 r5-B additions — PM monitoring + trend analytics + corpus search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_availability",
+    oracle=f"""
+    with e as (select * from {EV}),
+    b as (select user_id,
+                 {sql_bucket_epoch('ts', G_1D)} as day_epoch,
+                 {sql_bucket_epoch('ts', G_1H)} as hour_epoch
+          from e)
+    select user_id, day_epoch,
+           cast(count(distinct hour_epoch) as bigint) as n_present,
+           cast(24 as bigint) as expected,
+           cast(count(distinct hour_epoch) as double) / 24 as avail_pct
+    from b group by 1, 2
+    """,
+)
+def agg_availability(spark, sf_dir):
+    """A13: data-availability / completeness report — the Minerva-core
+    monitoring query ("which entities have gaps in their PM feed?"):
+    per (entity, UTC day), how many of the 24 expected hourly sample
+    buckets actually contain data. One narrow projection + one hash-agg
+    with a distinct-on-bucket (Catalyst expands to two-stage partial
+    distinct) — linear, no window, no join; report is |entities|×days
+    rows. The 1/24 division is a single element-wise double op, IEEE-
+    identical in both engines."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            "user_id",
+            bucket_epoch("ts", G_1D).alias("day_epoch"),
+            bucket_epoch("ts", G_1H).alias("hour_epoch"),
+        )
+        .groupBy("user_id", "day_epoch")
+        .agg(F.count_distinct("hour_epoch").alias("n_present"))
+        .withColumn("expected", F.lit(24).cast("long"))
+        .withColumn(
+            "avail_pct", F.col("n_present").cast("double") / F.lit(24)
+        )
+    )
+
+
+@register(
+    "agg_busy_hour",
+    oracle=f"""
+    with e as (select * from {EV}),
+    hourly as (select user_id,
+                      {sql_bucket_epoch('ts', G_1D)} as day_epoch,
+                      {sql_bucket_epoch('ts', G_1H)} as hour_epoch,
+                      {sql_dsum('value')} as traffic
+               from e group by 1, 2, 3),
+    ranked as (select *,
+                      row_number() over (partition by user_id, day_epoch
+                                         order by traffic desc, hour_epoch asc)
+                        as rn
+               from hourly)
+    select user_id, day_epoch,
+           cast((hour_epoch - day_epoch) / 3600 as bigint) as busy_hour,
+           traffic
+    from ranked where rn = 1
+    """,
+)
+def agg_busy_hour(spark, sf_dir):
+    """A14: busy-hour detection — the classic telecom PM report (the hour
+    of day carrying peak traffic per entity per day, the basis of
+    capacity planning and busy-hour KPIs). Hourly rollup (exact decimal
+    sums so the ordering key is bit-identical cross-engine) → per
+    (entity, day) rank with a deterministic tie-break (earlier hour
+    wins). Catalyst rewrites the rn=1 filter into WindowGroupLimit, so
+    only each partition's top row survives the shuffle — the window
+    never materializes the full ranking at scale."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "user_id",
+            bucket_epoch("ts", G_1D).alias("day_epoch"),
+            bucket_epoch("ts", G_1H).alias("hour_epoch"),
+            "value",
+        )
+        .groupBy("user_id", "day_epoch", "hour_epoch")
+        .agg(dsum("value").alias("traffic"))
+    )
+    w = Window.partitionBy("user_id", "day_epoch").orderBy(
+        F.desc("traffic"), F.asc("hour_epoch")
+    )
+    return (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "day_epoch",
+            ((F.col("hour_epoch") - F.col("day_epoch")) / 3600)
+            .cast("long")
+            .alias("busy_hour"),
+            "traffic",
+        )
+    )
+
+
+@register(
+    "win_zscore",
+    oracle=f"""
+    with e as (select * from {EV}),
+    stats as (
+      select event_id, user_id, value,
+             count(value) over w as n_window,
+             cast(sum(cast(value as decimal(18,6))) over w as double) as s1,
+             cast(sum(cast(value as decimal(18,6))
+                      * cast(value as decimal(18,6))) over w as double) as s2
+      from e
+      window w as (partition by user_id order by ts asc, event_id asc
+                   rows between 20 preceding and 1 preceding))
+    select event_id, user_id, value, cast(n_window as bigint) as n_window,
+           (value - s1 / n_window)
+             / sqrt((s2 - cast(n_window as double) * (s1 / n_window)
+                          * (s1 / n_window))
+                    / (n_window - 1)) as zscore
+    from stats
+    where n_window >= 10
+      and (s2 - cast(n_window as double) * (s1 / n_window) * (s1 / n_window))
+            / (n_window - 1) > 0
+    """,
+)
+def win_zscore(spark, sf_dir):
+    """W12: trailing z-score anomaly detection — the trigger-engine
+    companion (flag a counter that deviates from ITS OWN recent
+    behaviour, not a fixed threshold): per entity, each value scored
+    against the mean/stddev of its previous ≤20 samples. The moments
+    come from exact decimal frame-sums (Σv, Σv²) over a fully-ordered
+    window (ts, event_id tie-break), so both engines see bit-identical
+    s1/s2; mean/variance/sqrt are then element-wise IEEE double ops —
+    no engine-dependent accumulation anywhere, hence no rounding in the
+    output. One shuffle on entity; frame state is O(21) rows."""
+    dec = F.col("value").cast("decimal(18,6)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-20, -1)
+    )
+    e = load(spark, sf_dir, "events")
+    stats = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count("value").over(w).alias("n_window"),
+        F.sum(dec).over(w).cast("double").alias("s1"),
+        F.sum(dec * dec).over(w).cast("double").alias("s2"),
+    )
+    n_d = F.col("n_window").cast("double")
+    mean = F.col("s1") / F.col("n_window")
+    var = (F.col("s2") - n_d * mean * mean) / (F.col("n_window") - 1)
+    return (
+        stats.filter((F.col("n_window") >= 10) & (var > 0))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.col("n_window").cast("long").alias("n_window"),
+            ((F.col("value") - mean) / F.sqrt(var)).alias("zscore"),
+        )
+    )
+
+
+#: regression time origin: 2024-01-01 00:00:00 UTC in epoch µs (rebasing
+#: keeps x small enough for overflow-free decimal products)
+_REGR_BASE_US = 1_704_067_200 * 1_000_000
+
+
+@register(
+    "agg_regr_slope",
+    oracle=f"""
+    with e as (select * from {EV}),
+    xy as (select user_id,
+                  cast((epoch_us(ts) - {_REGR_BASE_US}) // 1000000
+                       as decimal(12,0)) as x,
+                  cast(value as decimal(18,6)) as y
+           from e),
+    s as (select user_id, count(*) as n,
+                 cast(sum(x) as double) as sx, cast(sum(y) as double) as sy,
+                 cast(sum(x * y) as double) as sxy,
+                 cast(sum(x * x) as double) as sxx
+          from xy group by 1)
+    select user_id, cast(n as bigint) as n,
+           (cast(n as double) * sxy - sx * sy)
+             / (cast(n as double) * sxx - sx * sx) as slope_per_sec,
+           (sy - (cast(n as double) * sxy - sx * sy)
+                   / (cast(n as double) * sxx - sx * sx) * sx)
+             / cast(n as double) as intercept
+    from s
+    where n >= 2 and (cast(n as double) * sxx - sx * sx) <> 0
+    """,
+)
+def agg_regr_slope(spark, sf_dir):
+    """A15: per-entity KPI trend slope — least-squares value-vs-time
+    regression (the "is this counter degrading?" report feeding capacity
+    forecasts and trend triggers). Built from the four classic moment
+    sums, NOT the built-in regr_slope: Σx, Σy, Σxy, Σx² accumulate in
+    exact decimals (x rebased to integer seconds since 2024-01-01 so
+    every product fits decimal(38)), and only the final slope/intercept
+    arithmetic runs in double — element-wise, so cross-engine exact
+    where the builtin's double accumulation order would drift. One
+    hash-agg, map-side partial — linear at any scale."""
+    e = load(spark, sf_dir, "events")
+    x = (
+        F.expr(f"(unix_micros(ts) - {_REGR_BASE_US}) div 1000000")
+        .cast("decimal(12,0)")
+    )
+    y = F.col("value").cast("decimal(18,6)")
+    s = (
+        e.select("user_id", x.alias("x"), y.alias("y"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    den = n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    return (
+        s.filter((F.col("n") >= 2) & (den != 0))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            slope.alias("slope_per_sec"),
+            ((F.col("sy") - slope * F.col("sx")) / n_d).alias("intercept"),
+        )
+    )
+
+
+@register(
+    "agg_time_dst_fall",
+    oracle=f"""
+    with e as (select * from {EV}),
+    shifted as (select user_id, value,
+                       make_timestamp(epoch_us(ts) + {299 * 86_400 * 1_000_000})
+                         as ts
+                from e),
+    loc as (select user_id, value,
+                   timezone('UTC', timezone('Europe/Amsterdam',
+                     date_trunc('day',
+                       timezone('Europe/Amsterdam', timezone('UTC', ts)))))
+                     as day_start
+            from shifted)
+    select cast(epoch(day_start) as bigint) as day_epoch,
+           count(*) as n, {sql_dsum('value')} as sum_value
+    from loc group by 1
+    """,
+)
+def agg_time_dst_fall(spark, sf_dir):
+    """A1c autumn twin of agg_time_dst: the events fixture slid forward
+    299 days — identical integer-µs arithmetic in both engines — onto
+    Oct 26–Nov 24 2024, crossing the Europe/Amsterdam FALL-BACK
+    (2024-10-27 03:00→02:00, the ambiguous repeated hour). The
+    local-day rollup must produce the 25-hour day: bucket 2024-10-27
+    runs local-midnight CEST (22:00 UTC Oct 26) → local-midnight CET
+    (23:00 UTC Oct 27). Spring-forward skips an hour (agg_time_dst);
+    fall-back REPLAYS one — the two failure modes of naive tz math."""
+    e = load(spark, sf_dir, "events")
+    shifted = e.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts")) + 299 * 86_400 * 1_000_000
+        ),
+    )
+    day = align_floor("ts", G_1D, tz="Europe/Amsterdam")
+    return (
+        shifted.groupBy(day.cast("long").alias("day_epoch"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )
+
+
+@register(
+    "llm_domain_cap",
+    oracle="""
+    with d as (select doc_id, n_chars, lang || '.example.com' as domain
+               from documents),
+    ranked as (select *,
+                      row_number() over (partition by domain
+                                         order by n_chars desc, doc_id asc)
+                        as rnk
+               from d)
+    select doc_id, domain, n_chars, cast(rnk as bigint) as rnk
+    from ranked where rnk <= 20
+    """,
+)
+def llm_domain_cap(spark, sf_dir):
+    """X4h: per-domain document capping — the standard web-corpus
+    rebalancing step after URL decomposition ([X4f]): no single domain
+    may contribute more than K documents, and within a domain the
+    longest documents win (quality-proxy ordering, doc_id tie-break).
+    Window rank + rank≤K filter; Catalyst's WindowGroupLimit pushes the
+    cap below the shuffle so each partition forwards at most K rows per
+    domain — the output is |domains|×K-bounded regardless of corpus
+    size, and no full ranking ever materializes."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("domain").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.concat(F.col("lang"), F.lit(".example.com")).alias("domain"),
+            "n_chars",
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", "domain", "n_chars", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+#: BM25 shape parameters (Robertson et al.); rational idf (no log) keeps
+#: every arithmetic op element-wise double — monotone in the classic idf,
+#: so ranking is preserved while staying engine-exact.
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "llm_bm25",
+    oracle=f"""
+    with toks as (select doc_id,
+                         unnest(string_split(lower(text), ' ')) as tok
+                  from documents),
+    dl as (select doc_id, cast(count(*) as bigint) as dl
+           from toks group by 1),
+    corpus as (select cast(count(*) as bigint) as n_docs,
+                      cast(sum(dl) as bigint) as total_len
+               from dl),
+    docfreq as (select tok, cast(count(distinct doc_id) as bigint) as df
+                from toks group by 1),
+    qterms as (select tok, df from docfreq
+               order by df desc, tok asc limit 3),
+    tf as (select t.doc_id, t.tok, q.df,
+                  cast(count(*) as bigint) as tf
+           from toks t join qterms q on t.tok = q.tok
+           group by 1, 2, 3),
+    scored as (select tf.doc_id,
+                      cast((cast(c.n_docs as double) - df + 0.5) / (df + 0.5)
+                           * (tf * ({_BM25_K1} + 1))
+                           / (tf + {_BM25_K1}
+                              * (1 - {_BM25_B} + {_BM25_B} * dl.dl
+                                 / (cast(c.total_len as double) / c.n_docs)))
+                           as decimal(38,6)) as term_score
+               from tf
+               join dl on tf.doc_id = dl.doc_id
+               cross join corpus c),
+    agg as (select doc_id, cast(sum(term_score) as double) as bm25
+            from scored group by 1)
+    select doc_id, bm25 from agg
+    order by bm25 desc, doc_id asc limit 20
+    """,
+)
+def llm_bm25(spark, sf_dir):
+    """X25: BM25 keyword retrieval over the corpus — the lexical leg of
+    similarity search (the dense legs are [X3]/[X3b]/[X3c]). The query
+    is self-contained: the 3 highest-document-frequency tokens (df
+    desc, token tie-break) score every document. Cross-engine-exact by
+    construction: tf/df/dl are integers, avgdl enters as one double
+    division, the per-term score is pure element-wise double math with
+    a RATIONAL idf ((N−df+0.5)/(df+0.5) — monotone in the log idf, so
+    the ranking is the classic one), and the ≤3-term per-doc sum snaps
+    to decimal(38,6) before summing so accumulation order can't drift.
+    Scale shape: two token hash-aggs (explode → linear), the tf join is
+    broadcast (3 terms), the final top-20 is TakeOrdered — no global
+    sort, no window over the corpus."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    docfreq = toks.distinct().groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    qterms = docfreq.orderBy(F.desc("df"), F.asc("tok")).limit(3)
+    tf = (
+        toks.join(F.broadcast(qterms), "tok")
+        .groupBy("doc_id", "tok", "df")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    k1, b = _BM25_K1, _BM25_B
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    term_score = (
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", term_score.cast("decimal(38,6)").alias("term_score"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_score").cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
 # The driver samples the FIRST 50 keys of ``queries()`` in dict-insertion
@@ -3599,21 +4008,32 @@ _R05_PRIORITY = [  # changed/new this round, or never driver-sampled
     "llm_dedup_embed",   # now routed through the banded production path
     "join_interval", "diff_keyed",  # operators hardened (degenerate
                                     # intervals; null-key presence flags)
+    # r5-B: registered THIS round — each needs its first driver row now
+    # (the r4 verdict's top structural complaint was keys registered after
+    # the sample filled; never repeat that)
+    "agg_availability", "agg_busy_hour", "win_zscore", "agg_regr_slope",
+    "agg_time_dst_fall", "llm_domain_cap", "llm_bm25",
 ]
 _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
+    # (7 of the original 36 refreshes — the simplest keys, green since r01:
+    # agg_count_distinct, agg_last_by, win_latest, win_delta, topk_per_group,
+    # fn_string_dn, join_dim — moved to the tail head to make room for the
+    # r5-B keys above; a renewal defers, a first row cannot)
     "scan_csv", "project_select", "filter_threshold", "filter_ts_range",
     "upsert_latest", "join_asof", "agg_time_local", "agg_entity_chain",
-    "agg_pivot", "agg_approx", "win_cume", "agg_count_distinct",
-    "agg_last_by", "win_latest", "win_delta", "topk_per_group",
-    "fn_string_dn", "join_dim", "llm_dedup_groups", "llm_vocab", "llm_split",
+    "agg_pivot", "agg_approx", "win_cume",
+    "llm_dedup_groups", "llm_vocab", "llm_split",
     "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
     "llm_sample_stratified", "llm_redact", "llm_mix_weights",
     "llm_normalize", "llm_dupe_stats", "llm_hot_ngrams", "llm_concat",
     "win_pattern", "llm_chunk", "llm_keywords", "llm_overlap",
     "llm_len_buckets",
 ]
-_R05_TAIL = [  # 7 pure-scalar fn keys (r03-green, untouched since) wait one
-    # round to make room, then every r4-green key in its r4 sample order
+_R05_TAIL = [  # displaced r03-green refreshes first, then 7 pure-scalar fn
+    # keys (r03-green, untouched since), then every r4-green key in its r4
+    # sample order
+    "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",
+    "topk_per_group", "fn_string_dn", "join_dim",
     "fn_safe_div", "fn_case", "fn_array", "fn_hash", "fn_json_extract",
     "fn_regexp", "fn_variant", "agg_time", "fn_ts_align", "win_intervals",
     "join_range", "kpi_expr", "win_gap_fill", "stream_tumbling",

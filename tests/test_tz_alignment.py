@@ -89,3 +89,29 @@ def test_fifteen_minute_alignment_is_tz_free(spark):
 
     assert _align(spark, "2024-03-31 00:52:11", G_15M, TZ) == "2024-03-31 00:45:00"
     assert _align(spark, "2024-03-31 00:52:11", G_15M, "UTC") == "2024-03-31 00:45:00"
+
+
+def test_dst_driver_keys_produce_the_23h_and_25h_days(spark):
+    # The two DST driver keys (agg_time_dst / agg_time_dst_fall) slide the
+    # events fixture onto the 2024 Amsterdam transitions. The local-day
+    # bucket sequence must then contain exactly one short/long day:
+    # spring-forward 2024-03-31 is 23 h, fall-back 2024-10-27 is 25 h.
+    from minerva_etl_46_spark.queries import QUERIES
+
+    for key, day_utc_start, width_h in (
+        ("agg_time_dst", "2024-03-30 23:00:00", 23),
+        ("agg_time_dst_fall", "2024-10-26 22:00:00", 25),
+    ):
+        rows = sorted(
+            r["day_epoch"]
+            for r in QUERIES[key](spark, "/root/testdata/sf0.001").collect()
+        )
+        widths = {b - a for a, b in zip(rows, rows[1:])}
+        # every interior day is 24 h except the single transition day
+        assert widths == {24 * 3600, width_h * 3600}, (key, widths)
+        start = [b - a for a, b in zip(rows, rows[1:])].index(width_h * 3600)
+        import datetime as dt
+
+        assert dt.datetime.fromtimestamp(
+            rows[start], dt.timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S") == day_utc_start, key
