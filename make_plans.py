@@ -75,6 +75,24 @@ NOTES = {
     "agg_time_dst": "Same ONE-exchange rollup as agg_time_local; the µs "
                     "shift is a narrow projection folded into the scan — "
                     "DST handling adds no operator.",
+    "agg_availability": "ONE logical hash-agg with distinct-on-bucket "
+                        "(partial_merge expansion) — no join, no window; "
+                        "linear in rows at any scale.",
+    "agg_busy_hour": "Decimal-exact hourly rollup, then WindowGroupLimit "
+                     "before the rank sort: each partition forwards only "
+                     "its per-(entity,day) top row.",
+    "win_zscore": "ONE window exchange+sort; both decimal frame-sums and "
+                  "the count share the same frame — single Window "
+                  "operator, O(21)-row frame state.",
+    "agg_regr_slope": "All four moment sums in ONE hash-agg with map-side "
+                      "partials; slope/intercept are post-agg projections "
+                      "over |entities| rows.",
+    "llm_domain_cap": "WindowGroupLimit under the rank filter: at most K "
+                      "rows per domain cross the exchange, output "
+                      "domains×K-bounded.",
+    "llm_bm25": "Two token hash-aggs (dl, df); the 3-term tf join and the "
+                "1-row corpus stats are BroadcastHashJoins; final top-20 "
+                "is TakeOrderedAndProject — no global sort or window.",
 }
 
 
