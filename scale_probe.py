@@ -253,10 +253,101 @@ def embed_neardup_probe(spark, res, n_vec):
     pairs.unpersist()
 
 
+def monitoring_probe(spark, res, n_events, n_docs):
+    """r5-B shapes at probe scale: the PM monitoring reports (availability,
+    busy-hour, trailing z-score, trend slope) on the 20M-event frame and
+    the corpus search/caps (BM25, domain cap) on the 1M-doc corpus —
+    evidence the new keys keep their PLANS.md shapes when data grows 200×
+    past the fixtures."""
+    from pyspark.sql import Window
+
+    e = synth_events(spark, n_events)
+    day = (F.unix_seconds("ts") / 86400).cast("long") * 86400
+    hour = (F.unix_seconds("ts") / 3600).cast("long") * 3600
+
+    avail = (
+        e.select("user_id", day.alias("day_epoch"), hour.alias("hour_epoch"))
+        .groupBy("user_id", "day_epoch")
+        .agg(F.count_distinct("hour_epoch").alias("n_present"))
+    )
+    timed("availability_report", avail, res)
+
+    hourly = (
+        e.select("user_id", day.alias("day_epoch"), hour.alias("hour_epoch"),
+                 "value")
+        .groupBy("user_id", "day_epoch", "hour_epoch")
+        .agg(F.sum("value").alias("traffic"))
+    )
+    wbh = Window.partitionBy("user_id", "day_epoch").orderBy(
+        F.desc("traffic"), F.asc("hour_epoch"))
+    timed("busy_hour",
+          hourly.withColumn("rn", F.row_number().over(wbh))
+          .filter(F.col("rn") == 1).drop("rn"), res)
+
+    dec = F.col("value").cast("decimal(18,6)")
+    wz = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-20, -1))
+    stats = e.select(
+        "event_id", "user_id", "value",
+        F.count("value").over(wz).alias("n"),
+        F.sum(dec).over(wz).cast("double").alias("s1"),
+        F.sum(dec * dec).over(wz).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("n").cast("double") * mean * mean) / (F.col("n") - 1)
+    timed("zscore_window",
+          stats.filter((F.col("n") >= 10) & (var > 0))
+          .select("event_id", ((F.col("value") - mean) / F.sqrt(var))
+                  .alias("z")), res)
+
+    x = F.unix_seconds("ts").cast("decimal(12,0)")
+    timed("regr_slope",
+          e.select("user_id", x.alias("x"), dec.alias("y"))
+          .groupBy("user_id")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum("x").cast("double").alias("sx"),
+               F.sum("y").cast("double").alias("sy"),
+               F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+               F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx")),
+          res)
+
+    d = synth_docs(spark, n_docs)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("total_len"))
+    qterms = (toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+              .orderBy(F.desc("df"), F.asc("tok")).limit(3))
+    tf = (toks.join(F.broadcast(qterms), "tok")
+          .groupBy("doc_id", "tok", "df").agg(F.count(F.lit(1)).alias("tf")))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    score = ((F.col("n_docs").cast("double") - F.col("df") + 0.5)
+             / (F.col("df") + 0.5) * (F.col("tf") * 2.2)
+             / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)))
+    timed("bm25_top20",
+          tf.join(dl, "doc_id").crossJoin(F.broadcast(corpus))
+          .select("doc_id", score.cast("decimal(38,6)").alias("s"))
+          .groupBy("doc_id").agg(F.sum("s").cast("double").alias("bm25"))
+          .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20), res)
+
+    dom = d.withColumn("domain", (F.col("doc_id") % 1000).cast("string"))
+    wd = Window.partitionBy("domain").orderBy(
+        F.desc(F.length("text")), F.asc("doc_id"))
+    timed("domain_cap",
+          dom.withColumn("rnk", F.row_number().over(wd))
+          .filter(F.col("rnk") <= 20).select("doc_id", "domain", "rnk"), res)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r5b":
+        monitoring_probe(spark, res, n_events=N, n_docs=max(100_000, N // 20))
+        print(json.dumps({"metric": "scale_probe_r5b", "rows": N,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r5":
         embed_neardup_probe(spark, res, n_vec=max(100_000, N // 20))
         print(json.dumps({"metric": "scale_probe_r5", "rows": N,
