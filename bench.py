@@ -38,9 +38,15 @@ def materialize(df) -> None:
 
 def warmup(spark, sf_dir: str) -> None:
     """Absorb session-level one-time costs so per-query numbers measure the
-    query: first-job/JIT startup (flagship shape) and Python-worker fork —
-    the first pandas-UDF query otherwise gets charged ~2-3s of interpreter
-    startup at local[32] that belongs to the session, not the query."""
+    query, not the JVM bootstrap: first-job/JIT startup (flagship shape),
+    Python-worker fork (the first pandas-UDF query otherwise gets charged
+    ~2-3s of interpreter startup at local[32]), and the shared operator
+    machinery — BroadcastExchange/Window/TakeOrdered class-loading+JIT
+    that belongs to the session, not to whichever query alphabetically
+    hits it first. All warmup frames are synthetic few-row ranges; no
+    bench query's own work is pre-run."""
+    from pyspark.sql import Window, functions as F
+
     materialize(QUERIES["agg_time"](spark, sf_dir))
     par = spark.sparkContext.defaultParallelism
     materialize(
@@ -48,6 +54,14 @@ def warmup(spark, sf_dir: str) -> None:
             lambda it: it, schema="id long"
         )
     )
+    a = spark.range(1000).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    b = spark.range(7).select(F.col("id").alias("k"), F.lit(1.0).alias("w"))
+    materialize(a.join(F.broadcast(b), "k"))                  # broadcast infra
+    w = Window.partitionBy("k").orderBy("id")
+    materialize(a.select(F.row_number().over(w).alias("rn"),  # window infra
+                         F.sum("id").over(w).alias("s")))
+    materialize(a.orderBy(F.desc("id")).limit(5))             # TakeOrdered
+    materialize(a.join(b.hint("merge"), "k"))                 # sort-merge infra
 
 
 def run_pass(spark, sf_dir: str) -> dict[str, float]:
