@@ -3912,16 +3912,18 @@ _BM25_K1, _BM25_B = 1.2, 0.75
            from toks t join qterms q on t.tok = q.tok
            group by 1, 2, 3),
     scored as (select tf.doc_id,
-                      cast((cast(c.n_docs as double) - df + 0.5) / (df + 0.5)
-                           * (tf * ({_BM25_K1} + 1))
-                           / (tf + {_BM25_K1}
-                              * (1 - {_BM25_B} + {_BM25_B} * dl.dl
-                                 / (cast(c.total_len as double) / c.n_docs)))
-                           as decimal(38,6)) as term_score
+                      cast(floor(
+                        (cast(c.n_docs as double) - df + 0.5) / (df + 0.5)
+                        * (tf * ({_BM25_K1} + 1))
+                        / (tf + {_BM25_K1}
+                           * (1 - {_BM25_B} + {_BM25_B} * dl.dl
+                              / (cast(c.total_len as double) / c.n_docs)))
+                        * 1000000) as bigint) as term_score_u
                from tf
                join dl on tf.doc_id = dl.doc_id
                cross join corpus c),
-    agg as (select doc_id, cast(sum(term_score) as double) as bm25
+    agg as (select doc_id,
+                   cast(sum(term_score_u) as double) / 1000000 as bm25
             from scored group by 1)
     select doc_id, bm25 from agg
     order by bm25 desc, doc_id asc limit 20
@@ -3935,8 +3937,11 @@ def llm_bm25(spark, sf_dir):
     construction: tf/df/dl are integers, avgdl enters as one double
     division, the per-term score is pure element-wise double math with
     a RATIONAL idf ((N−df+0.5)/(df+0.5) — monotone in the log idf, so
-    the ranking is the classic one), and the ≤3-term per-doc sum snaps
-    to decimal(38,6) before summing so accumulation order can't drift.
+    the ranking is the classic one), and each term score snaps to
+    µ-units via floor(score·1e6) BIGINT before the per-doc sum — floor
+    of an identical double is identical in both engines (a double→
+    DECIMAL cast is NOT: Spark rounds the shortest repr HALF_UP, DuckDB
+    rounds the exact binary value), and integer sums are order-free.
     Scale shape: two token hash-aggs (explode → linear), the tf join is
     broadcast (3 terms), the final top-20 is TakeOrdered — no global
     sort, no window over the corpus."""
@@ -3968,11 +3973,15 @@ def llm_bm25(spark, sf_dir):
     scored = (
         tf.join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
-        .select("doc_id", term_score.cast("decimal(38,6)").alias("term_score"))
+        .select(
+            "doc_id",
+            F.floor(term_score * 1_000_000).cast("long")
+            .alias("term_score_u"),
+        )
     )
     return (
         scored.groupBy("doc_id")
-        .agg(F.sum("term_score").cast("double").alias("bm25"))
+        .agg((F.sum("term_score_u").cast("double") / 1_000_000).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )

@@ -32,9 +32,19 @@ def test_busy_hour_matches_pandas_argmax(spark):
     epoch = pdf["ts"].astype("int64") // 1_000_000
     pdf["day_epoch"] = epoch // 86_400 * 86_400
     pdf["hour"] = epoch % 86_400 // 3600
+    # the operator orders hours by the decimal(38,4)-snapped sum (dsum);
+    # mirror the snap exactly (shortest-repr HALF_UP, like Spark's
+    # double→decimal cast) so near-tie hours can't rank differently here
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.0001")
+    pdf["value"] = [
+        Decimal(repr(v)).quantize(q, ROUND_HALF_UP) for v in pdf["value"]
+    ]
     hourly = (
         pdf.groupby(["user_id", "day_epoch", "hour"])["value"]
         .sum()
+        .astype(float)
         .reset_index()
     )
     # argmax with the operator's tie-break: max traffic, then earliest hour
@@ -72,6 +82,9 @@ def test_zscore_matches_pandas_rolling(spark):
         .apply(score)
         .dropna()
     )
+    # the operator's var > 0 filter drops zero-variance frames, where the
+    # pandas ref yields ±inf (not NaN) — mirror that filter here
+    ref = ref[np.isfinite(ref["z"])]
     ref = ref[ref["n_window"] >= 10].set_index("event_id")
     got = out.set_index("event_id").sort_index()
     ref = ref.sort_index()

@@ -97,6 +97,7 @@ def test_dst_driver_keys_produce_the_23h_and_25h_days(spark):
     # bucket sequence must then contain exactly one short/long day:
     # spring-forward 2024-03-31 is 23 h, fall-back 2024-10-27 is 25 h.
     from minerva_etl_46_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
 
     for key, day_utc_start, width_h in (
         ("agg_time_dst", "2024-03-30 23:00:00", 23),
@@ -104,7 +105,7 @@ def test_dst_driver_keys_produce_the_23h_and_25h_days(spark):
     ):
         rows = sorted(
             r["day_epoch"]
-            for r in QUERIES[key](spark, "/root/testdata/sf0.001").collect()
+            for r in QUERIES[key](spark, SF_SMOKE).collect()
         )
         widths = {b - a for a, b in zip(rows, rows[1:])}
         # every interior day is 24 h except the single transition day
