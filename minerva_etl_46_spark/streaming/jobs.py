@@ -253,3 +253,68 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("win.start").cast("long").alias("win_start"), "n")
     )
     return _run_to_memory(agg, "stream_sliding_out", spark)
+
+
+def interval_join_pairs(spark: SparkSession, sf_dir: str,
+                        lookback_s: int = 3600) -> DataFrame:
+    """T6 (extension; streaming twin of the batch J8 range join): a real
+    STREAM-STREAM interval self-join — each purchase correlated with the
+    same user's error events in the preceding ``lookback_s`` seconds.
+
+    Both sides carry watermarks, which is what makes the join state
+    BOUNDED on a cluster: once the watermark passes ``p_ts - lookback``
+    (resp. ``e_ts + lookback``) Spark evicts the buffered rows, so state
+    is O(traffic within the interval), not O(stream history). Watermarks
+    bound STATE, not emission — inner joins emit eagerly on match — so
+    the synchronous memory-sink run returns every pair. Stream-stream
+    joins support append output only; batch parity is proven in
+    tests/test_streaming_append.py against the identical batch join.
+
+    Output: (p_id, user_id, p_us, e_us) with epoch-µs BIGINT timestamps.
+    """
+    p = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    r = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "2 hours")
+    )
+    j = p.join(
+        r,
+        F.expr(
+            f"p_user = e_user AND e_ts >= p_ts - interval {lookback_s} seconds"
+            " AND e_ts <= p_ts"
+        ),
+        "inner",
+    )
+    out = j.select(
+        "p_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("p_ts").alias("p_us"),
+        F.unix_micros("e_ts").alias("e_us"),
+    )
+    name = "stream_interval_join_out"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        out.writeStream.outputMode("append")  # the only mode joins support
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    return spark.table(name)

@@ -242,3 +242,44 @@ def test_late_beyond_watermark_dropped_then_batch_recovered(spark, tmp_path):
     got_batch = got_batch.sort_values(["event_type", "bucket"]).reset_index(drop=True)
     assert got_batch[want_full.columns.tolist()].equals(want_full), \
         "batch reprocessing must recover the late rows the stream dropped"
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """T6: the stream-stream interval self-join (purchases x same-user
+    errors in the trailing hour, bounded state via two watermarks) must
+    produce exactly the batch join's pair set."""
+    from minerva_etl_46_spark.streaming.jobs import interval_join_pairs
+
+    got = interval_join_pairs(spark, "/root/testdata/sf0.001")
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if dict(e.dtypes).get("ts") == "bigint":
+        e = e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    r = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    ref = (
+        p.join(
+            r,
+            F.expr(
+                "p_user = e_user AND e_ts >= p_ts - interval 3600 seconds"
+                " AND e_ts <= p_ts"
+            ),
+        )
+        .select(
+            "p_id",
+            F.col("p_user").alias("user_id"),
+            F.unix_micros("p_ts").alias("p_us"),
+            F.unix_micros("e_ts").alias("e_us"),
+        )
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    ref_rows = sorted(map(tuple, ref.collect()))
+    assert len(got_rows) > 0
+    assert got_rows == ref_rows
