@@ -3987,6 +3987,102 @@ def llm_bm25(spark, sf_dir):
     )
 
 
+@register(
+    "llm_containment",
+    oracle="""
+    with d as (select doc_id, lower(text) as text from documents
+               where doc_id % 20 = 0),
+    t as (select doc_id, string_split(text, ' ') as toks from d),
+    sh as (select distinct doc_id,
+                  unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                         i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) as sh
+           from t),
+    sizes as (select doc_id, count(*) as n_sh from sh group by 1),
+    inter as (select a.doc_id as a_id, b.doc_id as b_id,
+                     cast(count(*) as bigint) as n_inter
+              from sh a join sh b on a.sh = b.sh and a.doc_id < b.doc_id
+              group by 1, 2)
+    select a_id, b_id, n_inter,
+           cast(n_inter as double) / least(sa.n_sh, sb.n_sh) as containment
+    from inter
+    join sizes sa on sa.doc_id = a_id
+    join sizes sb on sb.doc_id = b_id
+    """,
+)
+def llm_containment(spark, sf_dir):
+    """X2h: n-gram CONTAINMENT — |A∩B| / min(|A|,|B|) over 3-gram shingle
+    sets. The asymmetric complement of Jaccard ([X2b]): a short document
+    embedded verbatim inside a long one scores near 1.0 here but low on
+    Jaccard (the union is dominated by the long doc), so this is the
+    metric that catches quote-inclusion / doc-in-doc duplication in a
+    dedup pipeline. Same shuffle shape as the Jaccard key: shingle
+    explode → equi-join on the shingle → one hash-agg; the division is
+    one element-wise double op on exact integer counts."""
+    sh = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles("text", 3))).alias("sh"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.select(F.col("doc_id").alias("a_id"), "sh")
+        .join(sh.select(F.col("doc_id").alias("b_id"), "sh"), "sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "a_id").join(sb, "b_id")
+        .select(
+            "a_id", "b_id", "n_inter",
+            (F.col("n_inter").cast("double") / F.least("na", "nb"))
+            .alias("containment"),
+        )
+    )
+
+
+@register(
+    "win_share",
+    oracle=f"""
+    with e as (select * from {EV}),
+    hourly as (select user_id,
+                      {sql_bucket_epoch('ts', G_1H)} as bucket,
+                      {sql_dsum('value')} as traffic
+               from e group by 1, 2)
+    select user_id, bucket, traffic,
+           traffic / cast(sum(cast(traffic as decimal(38,4)))
+                          over (partition by bucket) as double) as share
+    from hourly
+    """,
+)
+def win_share(spark, sf_dir):
+    """W13: ratio-to-report — each entity's share of the period total
+    (contribution analysis: "which cells carry this hour's traffic?").
+    The per-entity traffic is the decimal-exact hourly rollup; the window
+    denominator sums those already-snapped doubles per bucket — but
+    summed as decimals again so the window accumulation order can't
+    drift — and the share is one element-wise double division. One
+    hash-agg plus one window exchange on the bucket key."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "user_id", bucket_epoch("ts", G_1H).alias("bucket")
+        )
+        .agg(dsum("value").alias("traffic"))
+    )
+    wb = Window.partitionBy("bucket")
+    total = F.sum(F.col("traffic").cast(DEC)).over(wb).cast("double")
+    return hourly.select(
+        "user_id", "bucket", "traffic",
+        (F.col("traffic") / total).alias("share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -4022,6 +4118,7 @@ _R05_PRIORITY = [  # changed/new this round, or never driver-sampled
     # the sample filled; never repeat that)
     "agg_availability", "agg_busy_hour", "win_zscore", "agg_regr_slope",
     "agg_time_dst_fall", "llm_domain_cap", "llm_bm25",
+    "llm_containment", "win_share",
 ]
 _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     # (7 of the original 36 refreshes — the simplest keys, green since r01:
@@ -4030,7 +4127,7 @@ _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     # r5-B keys above; a renewal defers, a first row cannot)
     "scan_csv", "project_select", "filter_threshold", "filter_ts_range",
     "upsert_latest", "join_asof", "agg_time_local", "agg_entity_chain",
-    "agg_pivot", "agg_approx", "win_cume",
+    "agg_approx",
     "llm_dedup_groups", "llm_vocab", "llm_split",
     "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
     "llm_sample_stratified", "llm_redact", "llm_mix_weights",
@@ -4042,7 +4139,7 @@ _R05_TAIL = [  # displaced r03-green refreshes first, then 7 pure-scalar fn
     # keys (r03-green, untouched since), then every r4-green key in its r4
     # sample order
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",
-    "topk_per_group", "fn_string_dn", "join_dim",
+    "topk_per_group", "fn_string_dn", "join_dim", "agg_pivot", "win_cume",
     "fn_safe_div", "fn_case", "fn_array", "fn_hash", "fn_json_extract",
     "fn_regexp", "fn_variant", "agg_time", "fn_ts_align", "win_intervals",
     "join_range", "kpi_expr", "win_gap_fill", "stream_tumbling",
