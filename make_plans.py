@@ -93,6 +93,13 @@ NOTES = {
     "llm_bm25": "Two token hash-aggs (dl, df); the 3-term tf join and the "
                 "1-row corpus stats are BroadcastHashJoins; final top-20 "
                 "is TakeOrderedAndProject — no global sort or window.",
+    "llm_containment": "Same shuffle shape as the Jaccard ground truth: "
+                       "shingle explode → equi-join on the shingle → one "
+                       "hash-agg; fan-out bounded by shared-shingle "
+                       "frequency, never corpus².",
+    "win_share": "One hash-agg (hourly rollup) + one window exchange on "
+                 "the bucket key; the denominator is a decimal window "
+                 "sum over already-snapped doubles.",
 }
 
 
