@@ -59,9 +59,11 @@ def main() -> int:
         print(f"  {r.busy_hour:02d}:00  ({r['count']} entity-days)")
 
     z = QUERIES["win_zscore"](spark, sf_dir)
-    anomalies = z.filter(F.abs(F.col("zscore")) > 3)
-    print(f"anomalies (|z| > 3 vs trailing 20 samples): {anomalies.count()}")
-    for r in anomalies.orderBy(F.desc(F.abs(F.col("zscore")))).limit(3).collect():
+    # one execution of the priciest plan: collect the (small) anomaly set,
+    # then count and rank locally rather than re-running the window sort
+    anomalies = z.filter(F.abs(F.col("zscore")) > 3).collect()
+    print(f"anomalies (|z| > 3 vs trailing 20 samples): {len(anomalies)}")
+    for r in sorted(anomalies, key=lambda r: -abs(r.zscore))[:3]:
         print(f"  event {r.event_id} entity {r.user_id}: value {r.value:.2f}, "
               f"z = {r.zscore:+.1f}")
 

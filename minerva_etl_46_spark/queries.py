@@ -4025,6 +4025,9 @@ def llm_containment(spark, sf_dir):
             "doc_id",
             F.explode(F.array_distinct(shingles("text", 3))).alias("sh"),
         )
+        # consumed 3× below (sizes + both join sides): pin the explode —
+        # the dominant CPU cost — like jaccard_verify does for this shape
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
@@ -4121,10 +4124,11 @@ _R05_PRIORITY = [  # changed/new this round, or never driver-sampled
     "llm_containment", "win_share",
 ]
 _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
-    # (7 of the original 36 refreshes — the simplest keys, green since r01:
+    # (9 of the original 36 refreshes — the simplest keys, green since r01:
     # agg_count_distinct, agg_last_by, win_latest, win_delta, topk_per_group,
-    # fn_string_dn, join_dim — moved to the tail head to make room for the
-    # r5-B keys above; a renewal defers, a first row cannot)
+    # fn_string_dn, join_dim, agg_pivot, win_cume — moved to the tail head
+    # to make room for the r5-B keys above; a renewal defers, a first row
+    # cannot)
     "scan_csv", "project_select", "filter_threshold", "filter_ts_range",
     "upsert_latest", "join_asof", "agg_time_local", "agg_entity_chain",
     "agg_approx",
@@ -4135,9 +4139,9 @@ _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     "win_pattern", "llm_chunk", "llm_keywords", "llm_overlap",
     "llm_len_buckets",
 ]
-_R05_TAIL = [  # displaced r03-green refreshes first, then 7 pure-scalar fn
-    # keys (r03-green, untouched since), then every r4-green key in its r4
-    # sample order
+_R05_TAIL = [  # the 9 displaced r03-green refreshes first, then 7
+    # pure-scalar fn keys (r03-green, untouched since), then every r4-green
+    # key in its r4 sample order
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",
     "topk_per_group", "fn_string_dn", "join_dim", "agg_pivot", "win_cume",
     "fn_safe_div", "fn_case", "fn_array", "fn_hash", "fn_json_extract",

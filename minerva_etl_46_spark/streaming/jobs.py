@@ -36,16 +36,18 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_ts_columns(raw, ["ts"], table="events(stream)")
 
 
-def _run_to_memory(agg: DataFrame, name: str, spark: SparkSession) -> DataFrame:
-    """Drive a streaming aggregation to completion into a memory sink and
-    return the final table. Complete output mode: every trigger rewrites
+def _run_to_memory(agg: DataFrame, name: str, spark: SparkSession,
+                   mode: str = "complete") -> DataFrame:
+    """Drive a streaming frame to completion into a memory sink and return
+    the final table. Default complete output mode: every trigger rewrites
     the full aggregate state (fine for gate-scale; production uses
-    foreachBatch + partition overwrite — plans/materialize.py)."""
+    foreachBatch + partition overwrite — plans/materialize.py).
+    Stream-stream joins pass mode="append" (the only mode they support)."""
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()
@@ -302,19 +304,5 @@ def interval_join_pairs(spark: SparkSession, sf_dir: str,
         F.unix_micros("p_ts").alias("p_us"),
         F.unix_micros("e_ts").alias("e_us"),
     )
-    name = "stream_interval_join_out"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    q = (
-        out.writeStream.outputMode("append")  # the only mode joins support
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    q.awaitTermination(30)
-    return spark.table(name)
+    return _run_to_memory(out, "stream_interval_join_out", spark,
+                          mode="append")

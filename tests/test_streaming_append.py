@@ -252,10 +252,14 @@ def test_stream_stream_interval_join_equals_batch(spark):
 
     got = interval_join_pairs(spark, "/root/testdata/sf0.001")
 
-    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    if dict(e.dtypes).get("ts") == "bigint":
-        e = e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+    # batch reference ts goes through the SAME normalizer as the stream
+    # source, so a future fixture-precision change can't split the paths
+    from minerva_etl_46_spark.functions.timestamps import normalize_ts_columns
+
+    e = normalize_ts_columns(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"),
+        ["ts"], table="events",
+    )
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("p_id"),
         F.col("user_id").alias("p_user"),
