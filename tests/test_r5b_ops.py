@@ -182,3 +182,33 @@ def test_domain_cap_is_a_hard_cap(spark):
         )
         got_ids = set(out[out["domain"] == domain]["doc_id"])
         assert got_ids == ref_ids, domain
+
+
+def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
+    # the operator's purpose: a short doc embedded verbatim in a long one
+    # must score ~1.0 on containment while Jaccard stays low
+    from pyspark.sql import functions as F
+
+    from minerva_etl_46_spark.operators.dedup import shingles
+
+    short = " ".join(f"w{i}" for i in range(30))
+    long_ = short + " " + " ".join(f"x{i}" for i in range(90))
+    d = spark.createDataFrame(
+        [(1, short), (2, long_)], schema="doc_id long, text string"
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles("text", 3))).alias("sh"),
+    )
+    sizes = {r.doc_id: r.n for r in
+             sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    inter = (
+        sh.select(F.col("doc_id").alias("a"), "sh")
+        .join(sh.select(F.col("doc_id").alias("b"), "sh"), "sh")
+        .filter(F.col("a") < F.col("b"))
+        .count()
+    )
+    containment = inter / min(sizes[1], sizes[2])
+    jaccard = inter / (sizes[1] + sizes[2] - inter)
+    assert containment == 1.0, (inter, sizes)
+    assert jaccard < 0.35, jaccard
