@@ -194,3 +194,100 @@ def resize_media(media: DataFrame, target: int = 64,
     from minerva_etl_46_spark.operators.dedup import spread
 
     return spread(media).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+PHASH_BITS = 60  # signed-bigint-safe (2^59 < 2^63); 6 bands x 10 bits
+
+PHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("phash", T.LongType(), True),
+])
+
+
+def phash_stub(payload: bytes, bits: int = PHASH_BITS) -> int:
+    """Deterministic fake perceptual hash — the codec-free stand-in for
+    pHash/aHash over decoded pixels: bytes fold into ``bits`` round-robin
+    chunks and bit c is set iff chunk c's sum is above the per-chunk
+    mean (integer compare ``chunk_sum*bits > total`` — no division, so
+    exactly replayable in SQL). Appending/perturbing a few bytes flips
+    few bits, so near-identical payloads land at small hamming distance
+    — the property the near-dup pipeline needs. A real build swaps in an
+    image pHash (DCT of the decoded luma); signature and banding are
+    codec-independent."""
+    if payload is None:
+        raise NotImplementedError("real codec required for empty payload")
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return 0
+    sums = np.bincount(
+        np.arange(arr.size) % bits, weights=arr, minlength=bits
+    ).astype(np.int64)
+    total = int(sums.sum())
+    h = 0
+    for c in range(bits):
+        if int(sums[c]) * bits > total:
+            h |= 1 << c
+    return h
+
+
+def perceptual_hash(media: DataFrame, hasher=phash_stub) -> DataFrame:
+    """X5: per-media perceptual hash over the same Arrow-batched
+    mapInPandas plumbing as extract_features; ``hasher`` is the codec
+    swap-in point (pass a PIL/DCT pHash in a real deployment)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].values,
+                "phash": [hasher(p) for p in pdf["payload"]],
+            })
+
+    from minerva_etl_46_spark.operators.dedup import spread
+
+    return spread(media).mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 10,
+                         n_bands: int = 6,
+                         band_bits: int = PHASH_BITS // 6) -> DataFrame:
+    """Banded hamming near-dup over perceptual hashes: split each hash
+    into ``n_bands`` contiguous bit bands and equi-join on
+    (band_idx, band_value) — pairs differing in every band are never
+    generated, so the cross-product never materializes (pigeonhole: any
+    pair with hamming < n_bands is guaranteed a clean band; beyond that
+    recall is probabilistic, same contract as the MinHash-LSH path).
+    Exact ``bit_count(xor)`` verifies candidates. Output:
+    (a_id, b_id, hamming), deduped by construction via one distinct on
+    the pair key."""
+    bands = hashes.select(
+        F.col("media_id"),
+        F.col("phash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band_idx"),
+                    F.shiftright("phash", k * band_bits)
+                    .bitwiseAND((1 << band_bits) - 1).alias("band_val"),
+                ) for k in range(n_bands)
+            ])
+        ).alias("band"),
+    ).select("media_id", "phash", "band.band_idx", "band.band_val")
+    a = bands.select(F.col("media_id").alias("a_id"),
+                     F.col("phash").alias("a_hash"),
+                     "band_idx", "band_val")
+    b = bands.select(F.col("media_id").alias("b_id"),
+                     F.col("phash").alias("b_hash"),
+                     "band_idx", "band_val")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_hash", "b_hash")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash")))
+    return (
+        cand.select("a_id", "b_id", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

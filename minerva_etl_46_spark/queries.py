@@ -3988,6 +3988,82 @@ def llm_bm25(spark, sf_dir):
 
 
 @register(
+    "mm_phash_neardup",
+    # The perceptual hash is the stubbed codec's byte arithmetic
+    # (multimodal.py::phash_stub: 60 round-robin byte-chunk sums, bit c
+    # set iff chunk_sum*60 > total) — pure integer math, so DuckDB
+    # replays hash construction, banding, AND the hamming verify exactly
+    # (same discipline as the mm_extract stub-replay oracle).
+    oracle="""
+    with m as (
+      select doc_id as media_id, lower(hex(encode(text))) as h,
+             octet_length(encode(text)) as n
+      from documents where doc_id % 10 = 0
+      union all
+      select doc_id + 1000000, lower(hex(encode(text || ' tail tweak'))),
+             octet_length(encode(text || ' tail tweak'))
+      from documents where doc_id % 10 = 0),
+    b as (select media_id, h, unnest(generate_series(1, n)) as i from m),
+    cs as (select media_id, (i - 1) % 60 as chunk,
+                  sum((strpos('0123456789abcdef', substr(h, 2*i-1, 1)) - 1) * 16
+                    + strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1) as s
+           from b group by 1, 2),
+    tot as (select media_id, sum(s) as total from cs group by 1),
+    ph as (select cs.media_id,
+                  cast(sum(case when s * 60 > total
+                                then cast(1 as bigint) << chunk
+                                else 0 end) as bigint) as phash
+           from cs join tot using (media_id) group by 1),
+    bands as (select media_id, phash, k as band_idx,
+                     (phash >> (k * 10)) & 1023 as band_val
+              from ph, generate_series(0, 5) t(k)),
+    cand as (select distinct a.media_id as a_id, b.media_id as b_id,
+                    a.phash as a_hash, b.phash as b_hash
+             from bands a
+             join bands b on a.band_idx = b.band_idx
+                         and a.band_val = b.band_val
+                         and a.media_id < b.media_id)
+    select a_id, b_id,
+           cast(bit_count(xor(a_hash, b_hash)) as bigint) as hamming
+    from cand where bit_count(xor(a_hash, b_hash)) <= 10
+    """,
+)
+def mm_phash_neardup(spark, sf_dir):
+    """X5d: perceptual-hash near-duplicate detection for multimodal
+    payloads — the image-dedup leg of the pipeline (a real build swaps
+    the stub for a DCT pHash of the decoded luma; hashing runs in the
+    same Arrow-batched mapInPandas plumbing as feature extraction).
+    Banded hamming join (multimodal.py::phash_near_dup_pairs): 6 bands
+    × 10 bits, candidates only on an exact band match — pigeonhole
+    guarantees every pair with hamming < 6 a clean band, and the media×
+    media cross-product never materializes. Planted near-dups (each
+    subset doc + an 11-byte-appended sibling) measure median hamming 8
+    on the sf0.01 fixtures (the append shifts the global mean, flipping
+    borderline chunks — realistic pHash behavior); at max_hamming=10
+    that makes ~70% of planted pairs verify-eligible and banding
+    recovers all but the rare pair dirty in every band. Recall below
+    hamming 6 is exact, above it probabilistic — the same contract as
+    the MinHash-LSH path. The stub's integer byte math lets DuckDB
+    replay hash → bands → verify for a full value-hash oracle."""
+    from minerva_etl_46_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_near_dup_pairs,
+        wrap_as_media,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    sib = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail tweak")).alias("text"),
+    )
+    media = wrap_as_media(
+        d.select("doc_id", "text").unionByName(sib),
+        id_col="doc_id", text_col="text", kind="text",
+    )
+    return phash_near_dup_pairs(perceptual_hash(media), max_hamming=10)
+
+
+@register(
     "llm_containment",
     oracle="""
     with d as (select doc_id, lower(text) as text from documents
@@ -4121,14 +4197,14 @@ _R05_PRIORITY = [  # changed/new this round, or never driver-sampled
     # the sample filled; never repeat that)
     "agg_availability", "agg_busy_hour", "win_zscore", "agg_regr_slope",
     "agg_time_dst_fall", "llm_domain_cap", "llm_bm25",
-    "llm_containment", "win_share",
+    "llm_containment", "win_share", "mm_phash_neardup",
 ]
 _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
-    # (9 of the original 36 refreshes — the simplest keys, green since r01:
+    # (10 of the original 36 refreshes — the simplest keys, green since r01:
     # agg_count_distinct, agg_last_by, win_latest, win_delta, topk_per_group,
-    # fn_string_dn, join_dim, agg_pivot, win_cume — moved to the tail head
-    # to make room for the r5-B keys above; a renewal defers, a first row
-    # cannot)
+    # fn_string_dn, join_dim, agg_pivot, win_cume, llm_len_buckets — moved
+    # to the tail head to make room for the r5-B keys above; a renewal
+    # defers, a first row cannot)
     "scan_csv", "project_select", "filter_threshold", "filter_ts_range",
     "upsert_latest", "join_asof", "agg_time_local", "agg_entity_chain",
     "agg_approx",
@@ -4137,13 +4213,13 @@ _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     "llm_sample_stratified", "llm_redact", "llm_mix_weights",
     "llm_normalize", "llm_dupe_stats", "llm_hot_ngrams", "llm_concat",
     "win_pattern", "llm_chunk", "llm_keywords", "llm_overlap",
-    "llm_len_buckets",
 ]
 _R05_TAIL = [  # the 9 displaced r03-green refreshes first, then 7
     # pure-scalar fn keys (r03-green, untouched since), then every r4-green
     # key in its r4 sample order
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",
     "topk_per_group", "fn_string_dn", "join_dim", "agg_pivot", "win_cume",
+    "llm_len_buckets",
     "fn_safe_div", "fn_case", "fn_array", "fn_hash", "fn_json_extract",
     "fn_regexp", "fn_variant", "agg_time", "fn_ts_align", "win_intervals",
     "join_range", "kpi_expr", "win_gap_fill", "stream_tumbling",
