@@ -100,6 +100,10 @@ NOTES = {
     "win_share": "One hash-agg (hourly rollup) + one window exchange on "
                  "the bucket key; the denominator is a decimal window "
                  "sum over already-snapped doubles.",
+    "mm_phash_neardup": "Arrow-batched hash stage, then the 6-band "
+                        "equi-join — candidates only on an exact band "
+                        "match, exact bit_count(xor) verify; the media "
+                        "cross-product never materializes.",
 }
 
 
