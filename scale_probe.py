@@ -337,6 +337,16 @@ def monitoring_probe(spark, res, n_events, n_docs):
           dom.withColumn("rnk", F.row_number().over(wd))
           .filter(F.col("rnk") <= 20).select("doc_id", "domain", "rnk"), res)
 
+    from minerva_etl_46_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_near_dup_pairs,
+        wrap_as_media,
+    )
+
+    media = wrap_as_media(d, id_col="doc_id", text_col="text")
+    timed("phash_neardup",
+          phash_near_dup_pairs(perceptual_hash(media), max_hamming=10), res)
+
 
 def main():
     spark = get_spark(app_name="scale-probe")

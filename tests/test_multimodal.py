@@ -47,3 +47,36 @@ def test_resize_composes_with_feature_extraction(spark):
     feats = extract_features(resize_media(media, target=64)).collect()
     assert len(feats) == media.count()
     assert all(f["n_bytes"] <= 64 for f in feats)
+
+
+def test_phash_banding_finds_every_pair_below_band_count(spark):
+    """Pigeonhole guarantee of phash_near_dup_pairs: with 6 bands, any
+    pair at hamming < 6 shares a clean band and MUST be emitted; the
+    exact verify must report the planted distance."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from minerva_etl_46_spark.operators.multimodal import (
+        PHASH_BITS,
+        phash_near_dup_pairs,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    planted = {}
+    for i in range(50):
+        base = rng.getrandbits(PHASH_BITS)
+        d = rng.randrange(0, 6)  # hamming < n_bands
+        flipped = base
+        for bit in rng.sample(range(PHASH_BITS), d):
+            flipped ^= 1 << bit
+        rows += [(2 * i, base), (2 * i + 1, flipped)]
+        planted[(2 * i, 2 * i + 1)] = d
+    hashes = spark.createDataFrame(rows, schema="media_id long, phash long")
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in phash_near_dup_pairs(hashes, max_hamming=5).collect()
+    }
+    for pair, d in planted.items():
+        assert got.get(pair) == d, (pair, d, got.get(pair))
