@@ -186,6 +186,37 @@ def scan_jsonl(spark, sf_dir):
     )
 
 
+@register("scan_kv",
+          oracle="select n_nationkey, n_name, n_regionkey from nation")
+def scan_kv(spark, sf_dir):
+    """S1c: key=value line harvest (sources/harvest.py::read_kv_harvest)
+    — the third vendor drop shape (``k=v|k=v`` element logs). Round-trips
+    `nation` through a scratch .kv file; parsing is one JVM-side
+    str_to_map per line (codegen, no Python), fields schema-declared
+    like the CSV/JSONL paths."""
+    import os
+    import tempfile
+
+    from minerva_etl_46_spark.sources.harvest import read_kv_harvest
+
+    scratch = os.path.join(tempfile.gettempdir(), "minerva_etl_46_scratch",
+                           os.path.basename(sf_dir.rstrip("/")), "nation_kv")
+    nation = load(spark, sf_dir, "nation")
+    lines = nation.select(
+        F.concat(
+            F.lit("n_nationkey="), F.col("n_nationkey"),
+            F.lit("|n_name="), F.col("n_name"),
+            F.lit("|n_regionkey="), F.col("n_regionkey"),
+        ).alias("value")
+    )
+    lines.coalesce(1).write.mode("overwrite").text(scratch)
+    return read_kv_harvest(
+        spark, scratch,
+        fields={"n_nationkey": "int", "n_name": "string",
+                "n_regionkey": "int"},
+    )
+
+
 @register(
     "xml_harvest",
     oracle="""
@@ -4197,21 +4228,21 @@ _R05_PRIORITY = [  # changed/new this round, or never driver-sampled
     # the sample filled; never repeat that)
     "agg_availability", "agg_busy_hour", "win_zscore", "agg_regr_slope",
     "agg_time_dst_fall", "llm_domain_cap", "llm_bm25",
-    "llm_containment", "win_share", "mm_phash_neardup",
+    "llm_containment", "win_share", "mm_phash_neardup", "scan_kv",
 ]
 _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
-    # (10 of the original 36 refreshes — the simplest keys, green since r01:
+    # (11 of the original 36 refreshes — the simplest keys, green since r01:
     # agg_count_distinct, agg_last_by, win_latest, win_delta, topk_per_group,
-    # fn_string_dn, join_dim, agg_pivot, win_cume, llm_len_buckets — moved
-    # to the tail head to make room for the r5-B keys above; a renewal
-    # defers, a first row cannot)
+    # fn_string_dn, join_dim, agg_pivot, win_cume, llm_len_buckets,
+    # llm_concat — moved to the tail head to make room for the r5-B keys
+    # above; a renewal defers, a first row cannot)
     "scan_csv", "project_select", "filter_threshold", "filter_ts_range",
     "upsert_latest", "join_asof", "agg_time_local", "agg_entity_chain",
     "agg_approx",
     "llm_dedup_groups", "llm_vocab", "llm_split",
     "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
     "llm_sample_stratified", "llm_redact", "llm_mix_weights",
-    "llm_normalize", "llm_dupe_stats", "llm_hot_ngrams", "llm_concat",
+    "llm_normalize", "llm_dupe_stats", "llm_hot_ngrams",
     "win_pattern", "llm_chunk", "llm_keywords", "llm_overlap",
 ]
 _R05_TAIL = [  # the 9 displaced r03-green refreshes first, then 7
@@ -4219,7 +4250,7 @@ _R05_TAIL = [  # the 9 displaced r03-green refreshes first, then 7
     # key in its r4 sample order
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",
     "topk_per_group", "fn_string_dn", "join_dim", "agg_pivot", "win_cume",
-    "llm_len_buckets",
+    "llm_len_buckets", "llm_concat",
     "fn_safe_div", "fn_case", "fn_array", "fn_hash", "fn_json_extract",
     "fn_regexp", "fn_variant", "agg_time", "fn_ts_align", "win_intervals",
     "join_range", "kpi_expr", "win_gap_fill", "stream_tumbling",

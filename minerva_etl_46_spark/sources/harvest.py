@@ -44,6 +44,25 @@ def read_jsonl_harvest(spark: SparkSession, path: str, schema: str,
     return reader.json(path, schema=schema)
 
 
+def read_kv_harvest(spark: SparkSession, path: str, fields: dict[str, str],
+                    pair_sep: str = r"\|", kv_sep: str = "=") -> DataFrame:
+    """S1c: key=value line harvest — the third common vendor drop shape
+    (``k1=v1|k2=v2|...`` per line, frequent in telecom element logs).
+    Lines parse JVM-side via ``str_to_map`` (no Python, no inference);
+    ``fields`` declares ``{key: spark_type}`` and missing keys surface as
+    NULL rather than shifting columns — the same fail-visible discipline
+    as the CSV/JSONL paths. Separators are regexes (escape ``|``)."""
+    raw = spark.read.text(path)
+    # literal columns, not an F.expr SQL string: the pair separator is a
+    # REGEX ('\|'), and SQL string-literal escaping would strip the
+    # backslash, turning it into the empty-alternative regex "|" that
+    # splits between every character
+    m = F.str_to_map(F.col("value"), F.lit(pair_sep), F.lit(kv_sep))
+    return raw.select(
+        *[m.getItem(k).cast(t).alias(k) for k, t in fields.items()]
+    )
+
+
 def resolve_entities(
     package: DataFrame,
     entities: DataFrame,
