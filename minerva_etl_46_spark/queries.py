@@ -4095,6 +4095,89 @@ def mm_phash_neardup(spark, sf_dir):
 
 
 @register(
+    "llm_semdedup",
+    oracle="""
+    with base as (select vec_id, label, i, embedding[i]::double as x
+                  from embeddings, generate_series(1, 64) t(i)
+                  where i <= len(embedding) and vec_id % 5 = 0),
+    elems as (select * from base
+              union all
+              select vec_id + 1000000, label, i,
+                     case when i = 1 then x + 0.1 else x end
+              from base),
+    norms as (select vec_id,
+                     cast(sum(cast(x * x as decimal(38,12))) as double) as n2
+              from elems group by 1),
+    dots as (select a.vec_id as a_id, b.vec_id as b_id,
+                    cast(sum(cast(a.x * b.x as decimal(38,12))) as double) as dot
+             from elems a
+             join elems b on a.i = b.i and a.label = b.label
+                         and a.vec_id < b.vec_id
+             group by 1, 2),
+    dom as (select distinct b_id as vec_id from dots
+            join norms na on na.vec_id = a_id
+            join norms nb on nb.vec_id = b_id
+            where dot / sqrt(na.n2 * nb.n2) >= 0.9),
+    corpus as (select distinct vec_id, label from elems)
+    select c.vec_id, c.label, (d.vec_id is null) as kept
+    from corpus c left join dom d using (vec_id)
+    """,
+)
+def llm_semdedup(spark, sf_dir):
+    """X8b: SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public): exact-cosine dedup SCOPED TO CLUSTERS — pairwise similarity
+    runs only inside a cluster, so cost is Σ|cluster|², never corpus²
+    (the gate key subsets to vec_id%5==0 — the exact-decimal cosine is
+    interpreted BigDecimal math, priced for the oracle, not the corpus;
+    production uses the double-math cos over k-means cells).
+    Here the fixture's ``label`` plays the cluster (within-label organic
+    cosine tops out at 0.33 on these fixtures; in production the [X8]
+    k-means cell id feeds the same operator). Planted near-dups — each
+    vector plus a sibling with element 0 shifted +0.1, cos ≈ 0.995,
+    constructed identically in both engines — are dropped by the
+    min-id-dominance policy (a vector is dropped iff a smaller-id
+    same-cluster vector has cos ≥ 0.9 with it). Decimal-exact
+    dots/norms (operators/similarity._dot_dec) make the full keep/drop
+    decision value-hash checkable."""
+    from minerva_etl_46_spark.operators.similarity import (
+        _dot_dec,
+        _norm2_dec,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    orig = emb.select("vec_id", "label", as_double.alias("v"))
+    sib = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(i == 0, F.lit(0.1)).otherwise(F.lit(0.0)),
+        ).alias("v"),
+    )
+    corpus = orig.unionByName(sib)
+    with_norm = corpus.withColumn("n2", _norm2_dec(F.col("v")))
+    a = with_norm.select(F.col("vec_id").alias("a_id"), "label",
+                         F.col("v").alias("a_v"), F.col("n2").alias("a_n2"))
+    b = with_norm.select(F.col("vec_id").alias("b_id"), "label",
+                         F.col("v").alias("b_v"), F.col("n2").alias("b_n2"))
+    pairs = a.join(b, "label").filter(F.col("a_id") < F.col("b_id"))
+    cos = _dot_dec(F.col("a_v"), F.col("b_v")) / F.sqrt(
+        F.col("a_n2") * F.col("b_n2")
+    )
+    dom = pairs.filter(cos >= 0.9).select(
+        F.col("b_id").alias("vec_id")
+    ).distinct()
+    return (
+        corpus.join(dom.withColumn("__dropped", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id", "label", F.col("__dropped").isNull().alias("kept")
+        )
+    )
+
+
+@register(
     "llm_containment",
     oracle="""
     with d as (select doc_id, lower(text) as text from documents
@@ -4229,13 +4312,14 @@ _R05_PRIORITY = [  # changed/new this round, or never driver-sampled
     "agg_availability", "agg_busy_hour", "win_zscore", "agg_regr_slope",
     "agg_time_dst_fall", "llm_domain_cap", "llm_bm25",
     "llm_containment", "win_share", "mm_phash_neardup", "scan_kv",
+    "llm_semdedup",
 ]
 _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
-    # (11 of the original 36 refreshes — the simplest keys, green since r01:
+    # (12 of the original 36 refreshes — the simplest keys, green since r01:
     # agg_count_distinct, agg_last_by, win_latest, win_delta, topk_per_group,
     # fn_string_dn, join_dim, agg_pivot, win_cume, llm_len_buckets,
-    # llm_concat — moved to the tail head to make room for the r5-B keys
-    # above; a renewal defers, a first row cannot)
+    # llm_concat, llm_overlap — moved to the tail head to make room for the
+    # r5-B keys above; a renewal defers, a first row cannot)
     "scan_csv", "project_select", "filter_threshold", "filter_ts_range",
     "upsert_latest", "join_asof", "agg_time_local", "agg_entity_chain",
     "agg_approx",
@@ -4243,14 +4327,14 @@ _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
     "llm_sample_stratified", "llm_redact", "llm_mix_weights",
     "llm_normalize", "llm_dupe_stats", "llm_hot_ngrams",
-    "win_pattern", "llm_chunk", "llm_keywords", "llm_overlap",
+    "win_pattern", "llm_chunk", "llm_keywords",
 ]
 _R05_TAIL = [  # the 9 displaced r03-green refreshes first, then 7
     # pure-scalar fn keys (r03-green, untouched since), then every r4-green
     # key in its r4 sample order
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",
     "topk_per_group", "fn_string_dn", "join_dim", "agg_pivot", "win_cume",
-    "llm_len_buckets", "llm_concat",
+    "llm_len_buckets", "llm_concat", "llm_overlap",
     "fn_safe_div", "fn_case", "fn_array", "fn_hash", "fn_json_extract",
     "fn_regexp", "fn_variant", "agg_time", "fn_ts_align", "win_intervals",
     "join_range", "kpi_expr", "win_gap_fill", "stream_tumbling",
