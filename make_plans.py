@@ -104,6 +104,26 @@ NOTES = {
                         "equi-join — candidates only on an exact band "
                         "match, exact bit_count(xor) verify; the media "
                         "cross-product never materializes.",
+    "set_intersect": "Per-side partial+final hash-agg distinct, then AQE "
+                     "broadcasts the smaller post-agg side — the big side "
+                     "shuffles at most once.",
+    "agg_cube": "All four grouping sets in ONE Expand + hash-agg pass "
+                "(4× map-side fan-out collapses in the partial agg) — "
+                "never k separate scans.",
+    "agg_percentile": "ONE exchange on the group key; exact quantiles "
+                      "sort inside the agg buffer per group — the "
+                      "documented trade vs agg_approx's sketch.",
+    "join_scd2": "SCD2 probe rides the as-of union-tag plan: dim "
+                 "compression (window) + ONE shuffle-sort over "
+                 "facts∪versions — no interval cross-product, no "
+                 "end-bound filter needed (periods tile time).",
+    "llm_winnow": "Shingle explode → constant w× window-membership "
+                  "explode → ONE min_by hash-agg (partial map-side) → "
+                  "distinct — linear with constant 5, no join, no "
+                  "window-function sort.",
+    "scan_orc": "The ORC scan carries ReadSchema pruning exactly like "
+                "parquet (same DSv2 path); the rollup is the standard "
+                "partial+final hash-agg pair.",
 }
 
 

@@ -122,3 +122,92 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             (F.col("top_n") / F.col("n_tok")).alias("top_tok_ratio"),
         )
     )
+
+
+def winnow_select(
+    df: DataFrame, id_col: str, text_col: str, k: int = 4, w: int = 5,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — the MOSS algorithm): hash every k-word shingle, slide a window
+    of w consecutive hashes, keep each window's minimum (rightmost wins
+    ties), dedup selected positions. Guarantees a match of length w+k-1
+    tokens between two docs always shares a fingerprint, at ~2/(w+1)
+    selection density — the published local fingerprinting scheme for
+    plagiarism / near-dup detection at corpus scale.
+
+    Plan shape: shingle explode → per-shingle window-membership explode
+    (constant w× fan-out, linear) → ONE hash-agg per (doc, window) taking
+    ``min_by(pos, sortkey)`` → distinct positions. All JVM-side; the
+    shingle hash is md5 (oracle-identical in DuckDB) and the sort key
+    appends an 8-digit inverted position so lexicographic min =
+    (min hash, max pos) — the paper's rightmost tie-break, deterministic
+    across engines. Returns (doc, n_sh, sel_pos, h): one row per selected
+    fingerprint, carrying its shingle hash for cross-doc matching.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_sh = F.greatest(F.lit(0), F.size(toks) - F.lit(k - 1))
+    base = df.select(
+        F.col(id_col).alias("doc"), toks.alias("tk"), n_sh.alias("n_sh")
+    ).filter(F.col("n_sh") > 0)
+    # shingle positions 0..n_sh-1 with md5 hash of the k-token join
+    sh = base.select(
+        "doc", "n_sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_sh")),
+                lambda i: F.md5(F.array_join(F.slice(F.col("tk"), i, k), " ")),
+            )
+        ).alias("pos", "h"),
+    )
+    # windows are runs of w consecutive shingles starting at s in
+    # [0, max(0, n_sh - w)]; shingle pos belongs to s in
+    # [max(0, pos-w+1), min(pos, max(0, n_sh-w))] — upper >= lower always
+    # (pos <= last_start + w - 1 by construction), so F.sequence never
+    # flips into its descending mode. Docs shorter than one full window
+    # form a single clamped window (>=1 fingerprint per non-empty doc).
+    last_start = F.greatest(F.lit(0), F.col("n_sh") - F.lit(w))
+    member = sh.select(
+        "doc", "n_sh", "pos", "h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0), F.col("pos") - F.lit(w - 1)),
+                F.least(F.col("pos"), last_start),
+            )
+        ).alias("win_start"),
+    )
+    # rightmost-min per window: lexicographic min of (h, inverted pos)
+    sortkey = F.concat(
+        F.col("h"),
+        F.lpad((F.lit(99999999) - F.col("pos")).cast("string"), 8, "0"),
+    )
+    return (
+        member.groupBy("doc", "win_start")
+        .agg(
+            F.min_by("pos", sortkey).alias("sel_pos"),
+            F.min_by("h", sortkey).alias("h"),
+            F.first("n_sh").alias("n_sh"),
+        )
+        .select("doc", "n_sh", "sel_pos", "h")
+        .distinct()
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 4, w: int = 5,
+) -> DataFrame:
+    """Per-doc winnowing summary over :func:`winnow_select`:
+    (id, n_shingles, n_fingerprints, density ≈ 2/(w+1))."""
+    selected = winnow_select(df, id_col, text_col, k=k, w=w)
+    return (
+        selected.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.first("n_sh").alias("n_sh"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_sh").alias("n_shingles"),
+            "n_fingerprints",
+            (F.col("n_fingerprints") / F.col("n_sh")).alias("density"),
+        )
+    )

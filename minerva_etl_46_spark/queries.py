@@ -4277,6 +4277,290 @@ def win_share(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r5-C: source-format breadth (ORC, fixed-width), set/agg completeness
+# (INTERSECT, CUBE, exact percentiles, deterministic mode), SCD2
+# point-in-time join, winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    """Deterministic scratch dir for round-trip fixture renders (same
+    pattern as scan_kv/scan_csv: render → re-ingest through the REAL
+    reader so the parse path is what the oracle checks)."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), "minerva_etl_46_scratch",
+        os.path.basename(sf_dir.rstrip("/")), name,
+    )
+
+
+@register(
+    "scan_orc",
+    oracle=f"""
+    with e as (select * from {EV})
+    select event_type, count(*) as n, {sql_dsum('value')} as sum_value,
+           count(distinct user_id) as n_users
+    from e group by 1
+    """,
+)
+def scan_orc(spark, sf_dir):
+    """S8: ORC round-trip — second columnar format besides parquet (Spark
+    ships the ORC reader/writer natively; vendored lakes are frequently
+    ORC). Writes the events projection to scratch ORC, re-reads it, and
+    aggregates; the oracle aggregates the parquet fixture directly, so a
+    hash match proves the ORC write→read path is value-exact. Column
+    pruning + predicate pushdown work through the ORC scan exactly as for
+    parquet (same DataSource V2 path)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    scratch = _scratch(sf_dir, "events_orc")
+    e.write.mode("overwrite").orc(scratch)
+    back = spark.read.orc(scratch)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "scan_fixedwidth",
+    oracle="select s_suppkey, s_name, s_nationkey from supplier",
+)
+def scan_fixedwidth(spark, sf_dir):
+    """S1d: fixed-width record harvest (read_fixed_width_harvest) — the
+    mainframe/legacy-switch export shape with column-position layouts.
+    Renders `supplier` into 12/30/12-char fixed columns, re-parses via
+    substring+trim+cast (JVM codegen, no Python, no inference)."""
+    from minerva_etl_46_spark.sources.harvest import read_fixed_width_harvest
+
+    s = load(spark, sf_dir, "supplier")
+    line = F.concat(
+        F.rpad(F.col("s_suppkey").cast("string"), 12, " "),
+        F.rpad(F.col("s_name"), 30, " "),
+        F.rpad(F.col("s_nationkey").cast("string"), 12, " "),
+    ).alias("value")
+    scratch = _scratch(sf_dir, "supplier_fw")
+    s.select(line).coalesce(1).write.mode("overwrite").text(scratch)
+    return read_fixed_width_harvest(
+        spark, scratch,
+        fields=[("s_suppkey", 12, "bigint"), ("s_name", 30, "string"),
+                ("s_nationkey", 12, "int")],
+    )
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    select c_custkey as k from customer
+    intersect
+    select o_custkey as k from orders
+    """,
+)
+def set_intersect(spark, sf_dir):
+    """U3: set intersection — entities present in BOTH sources (customers
+    who actually ordered). Spark INTERSECT compiles to a distinct
+    hash-agg per side + one co-partitioned join on the full row — both
+    sides shuffle once on the same key; AQE broadcasts the smaller
+    post-agg side when it fits."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return c.intersect(o)
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+    with e0 as (select * from {EV}),
+    e as (select event_type,
+                 cast(dayofweek(ts) as varchar) as dow, value from e0)
+    select event_type, dow, count(*) as n, {sql_dsum('value')} as sum_value,
+           cast(grouping(event_type, dow) as bigint) as gid
+    from e group by cube (event_type, dow)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """A6b: CUBE — all 2^k grouping-set subtotals in ONE pass (df.cube;
+    Catalyst expands to a single Expand + hash-agg, not k separate scans).
+    grouping_id disambiguates a NULL group key from a subtotal row.
+    DuckDB's dayofweek is 0-based (Sun=0) vs Spark's 1-based, hence the
+    -1 on the Spark side."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.dayofweek("ts") - F.lit(1)).cast("string").alias("dow"),
+        "value",
+    )
+    return e.cube("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("sum_value"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle=f"""
+    with e as (select * from {EV})
+    select event_type,
+           quantile_cont(value, 0.25) as p25,
+           quantile_cont(value, 0.5) as p50,
+           quantile_cont(value, 0.9) as p90,
+           count(*) as n
+    from e group by 1
+    """,
+)
+def agg_percentile(spark, sf_dir):
+    """A9b: EXACT interpolated percentiles per group (Spark `percentile`
+    == DuckDB `quantile_cont`: both sort and linearly interpolate
+    (1-d)*lo + d*hd at rank d = p*(n-1) — verified bitwise-identical
+    cross-engine). The exact twin of agg_approx's approx_percentile;
+    exact percentile sorts each group's values (one shuffle on the group
+    key, per-group sort inside the agg buffer) — use the approx sketch
+    when groups are huge; this when sub-ulp exactness matters."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_mode",
+    oracle=f"""
+    with e as (select * from {EV}),
+    counts as (select user_id, event_type, count(*) as n
+               from e group by 1, 2),
+    r as (select *, row_number() over
+            (partition by user_id order by n desc, event_type asc) as rn
+          from counts)
+    select user_id, event_type as mode_type, n as n_mode from r where rn = 1
+    """,
+)
+def agg_mode(spark, sf_dir):
+    """A13: deterministic mode — most frequent value per entity. Native
+    F.mode() leaves ties engine-defined, so both sides use the explicit
+    count + rank formulation with an alphabetic tie-break: semantics are
+    pinned, not inherited. Count shuffle carries one row per distinct
+    (entity, value) thanks to partial aggregation; the rank window
+    re-uses the same partitioning (no second exchange)."""
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"),
+                F.col("n").alias("n_mode"))
+    )
+
+
+@register(
+    "join_scd2",
+    oracle=f"""
+    with e as (select * from {EV}),
+    hist0 as (select user_id, ts, event_type, row_number() over
+                (partition by user_id, ts order by event_id desc) as rn
+              from e),
+    hist as (select user_id, ts, event_type from hist0 where rn = 1),
+    chg as (select *, lag(event_type) over
+              (partition by user_id order by ts) as prev from hist),
+    scd as (select user_id, ts, event_type from chg
+            where prev is null or prev <> event_type),
+    facts as (select event_id, user_id, ts from e where event_id % 7 = 0)
+    select f.event_id, f.user_id,
+           (select s.event_type from scd s
+             where s.user_id = f.user_id and s.ts <= f.ts
+             order by s.ts desc limit 1) as attr_at_ts
+    from facts f
+    """,
+)
+def join_scd2(spark, sf_dir):
+    """J10: SCD-type-2 point-in-time join — probe a slowly-changing
+    dimension for the attribute version in effect at each fact timestamp.
+    Dim build: last value per (entity, ts) → suppress_unchanged compresses
+    runs (SCD2's 'insert only on change') → contiguous validity periods.
+    Probe: asof_join (union-tag + last ignorenulls — ONE shuffle-sort,
+    never a range cross-product); because compressed periods tile time
+    per entity, as-of on the period starts IS the containing period, with
+    no end-bound filter needed. The oracle materializes the same periods
+    with lag() and resolves each probe with a correlated top-1."""
+    from minerva_etl_46_spark.operators.attributes import suppress_unchanged
+
+    e = load(spark, sf_dir, "events")
+    hist = (
+        e.select("user_id", "ts", "event_type", "event_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_type")
+    )
+    scd = suppress_unchanged(hist, "user_id", "ts", ["event_type"]).select(
+        "user_id", "ts", F.col("event_type").alias("attr_at_ts")
+    )
+    facts = e.filter(F.col("event_id") % 7 == 0).select("event_id", "user_id", "ts")
+    return asof_join(
+        facts, scd, on="user_id", fact_ts="ts", attr_ts="ts",
+        value_cols=["attr_at_ts"],
+    ).select("event_id", "user_id", "attr_at_ts")
+
+
+_WINNOW_ORACLE = """
+    with d as (select doc_id, string_split(text, ' ') as tk from documents),
+    b as (select doc_id, tk, cast(greatest(0, len(tk) - 3) as bigint) as n_sh
+          from d where len(tk) >= 4),
+    sh as (select doc_id, n_sh, i - 1 as pos,
+                  md5(array_to_string(tk[i:i+3], ' ')) as h
+           from b, unnest(generate_series(1, n_sh)) as t(i)),
+    mem as (select doc_id, pos, h, s as win_start
+            from sh, unnest(generate_series(
+                greatest(0, pos - 4),
+                least(pos, greatest(0, n_sh - 5)))) as u(s)),
+    sel as (select doc_id,
+                   min_by(pos, h || lpad(cast(99999999 - pos as varchar),
+                                         8, '0')) as sel_pos
+            from mem group by doc_id, win_start),
+    fp as (select distinct doc_id, sel_pos from sel)
+    select f.doc_id, b.n_sh as n_shingles,
+           count(*) as n_fingerprints,
+           count(*) / b.n_sh as density
+    from fp f join b on f.doc_id = b.doc_id
+    group by f.doc_id, b.n_sh
+"""
+
+
+@register("llm_winnow", oracle=_WINNOW_ORACLE)
+def llm_winnow(spark, sf_dir):
+    """X10: winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — MOSS): per-window minimum shingle hashes, rightmost
+    tie-break, ~2/(w+1) density with a guaranteed shared fingerprint for
+    any w+k-1-token overlap. The local-fingerprinting complement to
+    MinHash (llm_dedup_near): winnowing catches CONTIGUOUS matches with
+    position info; MinHash estimates whole-doc set overlap. Plan: shingle
+    explode → constant w× window-membership explode → one hash-agg
+    (min_by) → distinct → per-doc count. md5 shingle hashes keep the
+    oracle engine-identical (operators/textstats.py::winnow_fingerprints)."""
+    from minerva_etl_46_spark.operators.textstats import winnow_fingerprints
+
+    d = load(spark, sf_dir, "documents")
+    out = winnow_fingerprints(d, "doc_id", "text", k=4, w=5)
+    return out.select(
+        "doc_id", F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        "n_fingerprints", "density",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
 # The driver samples the FIRST 50 keys of ``queries()`` in dict-insertion
@@ -4313,6 +4597,9 @@ _R05_PRIORITY = [  # changed/new this round, or never driver-sampled
     "agg_time_dst_fall", "llm_domain_cap", "llm_bm25",
     "llm_containment", "win_share", "mm_phash_neardup", "scan_kv",
     "llm_semdedup",
+    # r5-C: registered in the round-5 continuation — first driver rows
+    "scan_orc", "scan_fixedwidth", "set_intersect", "agg_cube",
+    "agg_percentile", "agg_mode", "join_scd2", "llm_winnow",
 ]
 _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     # (12 of the original 36 refreshes — the simplest keys, green since r01:
@@ -4320,18 +4607,23 @@ _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     # fn_string_dn, join_dim, agg_pivot, win_cume, llm_len_buckets,
     # llm_concat, llm_overlap — moved to the tail head to make room for the
     # r5-B keys above; a renewal defers, a first row cannot)
+    # (8 more renewals displaced to the tail by the r5-C first-rows above:
+    # llm_sample_stratified, llm_redact, llm_mix_weights, llm_normalize,
+    # llm_dupe_stats, llm_hot_ngrams, win_pattern, llm_chunk — a renewal
+    # defers, a first row cannot)
     "scan_csv", "project_select", "filter_threshold", "filter_ts_range",
     "upsert_latest", "join_asof", "agg_time_local", "agg_entity_chain",
     "agg_approx",
     "llm_dedup_groups", "llm_vocab", "llm_split",
     "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
-    "llm_sample_stratified", "llm_redact", "llm_mix_weights",
-    "llm_normalize", "llm_dupe_stats", "llm_hot_ngrams",
-    "win_pattern", "llm_chunk", "llm_keywords",
+    "llm_keywords",
 ]
-_R05_TAIL = [  # the 9 displaced r03-green refreshes first, then 7
+_R05_TAIL = [  # displaced r03-green refreshes first, then 7
     # pure-scalar fn keys (r03-green, untouched since), then every r4-green
     # key in its r4 sample order
+    "llm_sample_stratified", "llm_redact", "llm_mix_weights",
+    "llm_normalize", "llm_dupe_stats", "llm_hot_ngrams",
+    "win_pattern", "llm_chunk",
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",
     "topk_per_group", "fn_string_dn", "join_dim", "agg_pivot", "win_cume",
     "llm_len_buckets", "llm_concat", "llm_overlap",

@@ -63,6 +63,26 @@ def read_kv_harvest(spark: SparkSession, path: str, fields: dict[str, str],
     )
 
 
+def read_fixed_width_harvest(
+    spark: SparkSession, path: str, fields: list[tuple[str, int, str]],
+) -> DataFrame:
+    """S1d: fixed-width record harvest — the fourth vendor drop shape
+    (mainframe/legacy-switch exports with column-position layouts, no
+    delimiters). ``fields`` declares ``[(name, width, spark_type), ...]``
+    in record order; each column slices out JVM-side via ``substring`` +
+    ``trim`` + declared-type cast (codegen, no Python, no inference).
+    Short lines yield NULLs for the missing tail columns (substring past
+    the end is empty → trim '' → NULL via nullif) instead of shifting —
+    the same fail-visible discipline as the CSV/JSONL/kv paths."""
+    raw = spark.read.text(path)
+    cols, start = [], 1  # substring() is 1-based
+    for name, width, typ in fields:
+        sliced = F.trim(F.substring(F.col("value"), start, width))
+        cols.append(F.nullif(sliced, F.lit("")).cast(typ).alias(name))
+        start += width
+    return raw.select(*cols)
+
+
 def resolve_entities(
     package: DataFrame,
     entities: DataFrame,
