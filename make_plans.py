@@ -118,9 +118,11 @@ NOTES = {
                  "facts∪versions — no interval cross-product, no "
                  "end-bound filter needed (periods tile time).",
     "llm_winnow": "Shingle explode → constant w× window-membership "
-                  "explode → ONE min_by hash-agg (partial map-side) → "
-                  "distinct — linear with constant 5, no join, no "
-                  "window-function sort.",
+                  "explode → ONE min(packed h‖inv-pos) SortAggregate "
+                  "with map-side partial_min (string buffers can't "
+                  "hash-agg; one min vs 2×min_by+first cut 3.0→1.0 s "
+                  "min-of-2) → distinct — linear with constant 5, no "
+                  "join, no window-function sort.",
     "scan_orc": "The ORC scan carries ReadSchema pruning exactly like "
                 "parquet (same DSv2 path); the rollup is the standard "
                 "partial+final hash-agg pair.",

@@ -175,19 +175,30 @@ def winnow_select(
             )
         ).alias("win_start"),
     )
-    # rightmost-min per window: lexicographic min of (h, inverted pos)
-    sortkey = F.concat(
+    # rightmost-min per window: lexicographic min of the PACKED key
+    # (32-hex-char h ‖ 8-digit inverted pos). One plain min(string)
+    # replaces two min_by's + a first — still SortAggregate (min over a
+    # var-length string buffer can't hash-agg) but with a single cheap
+    # buffer and map-side partial_min, the measured cost drops 3.0 → 1.0 s
+    # min-of-2 at sf0.1; pos/h unpack from the winning key.
+    packed = F.concat(
         F.col("h"),
         F.lpad((F.lit(99999999) - F.col("pos")).cast("string"), 8, "0"),
     )
-    return (
+    won = (
         member.groupBy("doc", "win_start")
         .agg(
-            F.min_by("pos", sortkey).alias("sel_pos"),
-            F.min_by("h", sortkey).alias("h"),
-            F.first("n_sh").alias("n_sh"),
+            F.min(packed).alias("key"),
+            F.max("n_sh").alias("n_sh"),
         )
-        .select("doc", "n_sh", "sel_pos", "h")
+    )
+    return (
+        won.select(
+            "doc", "n_sh",
+            (F.lit(99999999) - F.substring("key", 33, 8).cast("int"))
+            .alias("sel_pos"),
+            F.substring("key", 1, 32).alias("h"),
+        )
         .distinct()
     )
 
