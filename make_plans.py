@@ -126,6 +126,17 @@ NOTES = {
     "scan_orc": "The ORC scan carries ReadSchema pruning exactly like "
                 "parquet (same DSv2 path); the rollup is the standard "
                 "partial+final hash-agg pair.",
+    "win_funnel": "ONE exchange total: collect_list hash-agg per user, "
+                  "array_sort + the F.aggregate HOF walk are "
+                  "projections — no self-joins, no N stage passes "
+                  "(the oracle's 3-CTE formulation would be 3 joins).",
+    "agg_time_weighted": "One window sort (lead) and one hash-agg on "
+                         "the SAME entity key — the agg reuses the "
+                         "window's partitioning, no second exchange.",
+    "llm_novelty": "Gram explode → distinct → per-gram min hash-agg → "
+                   "gram equi-join back → per-doc agg; every agg has "
+                   "map-side partials, fan-out bounded by gram "
+                   "frequency.",
 }
 
 

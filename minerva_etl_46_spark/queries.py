@@ -4561,6 +4561,338 @@ def llm_winnow(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r5-D: PM-feed analytics (counter-reset delta, time-weighted average,
+# top-N+others report, funnel progression) and corpus signals (n-gram
+# novelty, content-defined chunking)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "win_counter_reset",
+    oracle=f"""
+    with e as (select * from {EV}),
+    d as (select user_id, event_id, value,
+                 value - lag(value) over
+                   (partition by user_id order by ts, event_id) as raw_delta
+          from e)
+    select user_id, event_id, raw_delta,
+           case when raw_delta is null then null
+                when raw_delta < 0 then value else raw_delta end as delta,
+           case when raw_delta < 0 then 1 else 0 end as is_reset
+    from d
+    """,
+)
+def win_counter_reset(spark, sf_dir):
+    """W12: reset-aware counter delta — the PM-data classic. Cumulative
+    counters wrap on overflow or restart from 0 on element reboot; a
+    naive lag-delta (win_delta) goes negative there. Rule: delta < 0 ⇒
+    the counter restarted, so the post-reset reading itself is the best
+    estimate of the increment. One window sort per entity — identical
+    plan shape to win_delta, the reset handling is a projection."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.select("user_id", "event_id", "ts", "value").withColumn(
+        "raw_delta", F.col("value") - F.lag("value").over(w)
+    )
+    return d.select(
+        "user_id", "event_id", "raw_delta",
+        F.when(F.col("raw_delta").isNull(), F.lit(None).cast("double"))
+        .when(F.col("raw_delta") < 0, F.col("value"))
+        .otherwise(F.col("raw_delta")).alias("delta"),
+        F.when(F.col("raw_delta") < 0, F.lit(1)).otherwise(F.lit(0))
+        .alias("is_reset"),
+    )
+
+
+@register(
+    "agg_time_weighted",
+    oracle=f"""
+    with e as (select * from {EV}),
+    d as (select user_id, value, epoch_us(ts) as ts_us,
+                 lead(epoch_us(ts)) over
+                   (partition by user_id order by ts, event_id) as next_us
+          from e)
+    select user_id,
+           {sql_weighted_avg('value', 'floor((next_us - ts_us) / 1000000.0)')}
+             as twa,
+           cast(count(*) as bigint) as n_samples
+    from d where next_us is not null
+    group by 1
+    """,
+)
+def agg_time_weighted(spark, sf_dir):
+    """A17: time-weighted average — the correct mean for irregularly
+    sampled gauges (a reading 'holds' until the next sample, so each
+    value weighs by its holding duration; the arithmetic mean over-counts
+    burst periods). Weights are WHOLE duration seconds (floor(µs/1e6)) — not raw
+    µs: value×µs products reach 1e14 where a double's ulp exceeds the
+    decimal(38,4) snap step and the engines' double→decimal conversions
+    disagree in the last place; an integer-second weight keeps products
+    on the value's own ~2-decimal grid (≤1e6 magnitude) where the
+    weighted_avg/sql_weighted_avg template is exact cross-engine. One
+    window sort + one hash-agg on the entity key."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        e.select("user_id", "value", "event_id", "ts",
+                 F.unix_micros("ts").alias("ts_us"))
+        .withColumn("next_us", F.lead("ts_us").over(w))
+        .filter(F.col("next_us").isNotNull())
+        .withColumn("dur", F.col("next_us") - F.col("ts_us"))
+    )
+    return d.groupBy("user_id").agg(
+        weighted_avg(F.col("value"),
+                     F.floor(F.col("dur") / F.lit(1000000.0)))
+        .alias("twa"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
+@register(
+    "agg_topn_others",
+    oracle=f"""
+    with e as (select * from {EV}),
+    t as (select event_type,
+                 sum(cast(value as decimal(38,4))) as total_dec,
+                 count(*) as n
+          from e group by 1),
+    r as (select *, row_number() over
+            (order by total_dec desc, event_type asc) as rn from t)
+    select case when rn <= 3 then event_type else 'other' end as label,
+           cast(sum(total_dec) as double) as total,
+           cast(sum(n) as bigint) as n
+    from r group by 1
+    """,
+)
+def agg_topn_others(spark, sf_dir):
+    """A18: top-N + 'other' bucket — the standard report shape (show the
+    biggest contributors, collapse the tail so totals still reconcile).
+    Totals stay DECIMAL through both aggregation levels (re-summing
+    doubles would be order-dependent); the rank runs over the tiny
+    per-type frame, so the second agg is vocabulary-sized."""
+    e = load(spark, sf_dir, "events")
+    t = e.groupBy("event_type").agg(
+        F.sum(F.col("value").cast(DEC)).alias("total_dec"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    r = t.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("total_dec").desc(), F.col("event_type").asc())
+        ),
+    )
+    return (
+        r.select(
+            F.when(F.col("rn") <= 3, F.col("event_type"))
+            .otherwise(F.lit("other")).alias("label"),
+            "total_dec", "n",
+        )
+        .groupBy("label")
+        .agg(
+            F.sum("total_dec").cast("double").alias("total"),
+            F.sum("n").alias("n"),
+        )
+    )
+
+
+@register(
+    "win_funnel",
+    oracle=f"""
+    with e as (select * from {EV}),
+    s1 as (select user_id, min(epoch_us(ts)) as s1 from e
+           where event_type = 'signup' group by 1),
+    s2 as (select e.user_id, min(epoch_us(e.ts)) as s2
+           from e join s1 on e.user_id = s1.user_id
+           where e.event_type = 'purchase' and epoch_us(e.ts) > s1.s1
+           group by 1),
+    s3 as (select e.user_id, min(epoch_us(e.ts)) as s3
+           from e join s2 on e.user_id = s2.user_id
+           where e.event_type = 'error' and epoch_us(e.ts) > s2.s2
+           group by 1),
+    u as (select distinct user_id from e)
+    select u.user_id,
+           case when s3.s3 is not null then 3
+                when s2.s2 is not null then 2
+                when s1.s1 is not null then 1 else 0 end as reached,
+           coalesce(s1.s1, {OPEN_END_US}) as s1_us,
+           coalesce(s2.s2, {OPEN_END_US}) as s2_us,
+           coalesce(s3.s3, {OPEN_END_US}) as s3_us
+    from u
+    left join s1 on u.user_id = s1.user_id
+    left join s2 on u.user_id = s2.user_id
+    left join s3 on u.user_id = s3.user_id
+    """,
+)
+def win_funnel(spark, sf_dir):
+    """W13: funnel progression — per user, how far through the ordered
+    signup → purchase → error sequence they got, each stage strictly
+    after the previous one's first completion. ONE shuffle: per-user
+    sorted event array (collect_list + array_sort), then an F.aggregate
+    HOF walks the sequence JVM-side advancing a (stage, ts) accumulator —
+    no self-joins, no N passes; the per-user state is one struct. The
+    oracle states the same semantics declaratively as three chained
+    min-after-previous-stage CTEs."""
+    e = load(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.unix_micros("ts").alias("ts_us"),
+                         F.col("event_type").alias("et"))
+            )
+        ).alias("seq")
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit(OPEN_END_US).cast("bigint").alias("s1"),
+        F.lit(OPEN_END_US).cast("bigint").alias("s2"),
+        F.lit(OPEN_END_US).cast("bigint").alias("s3"),
+    )
+
+    def step(acc, x):
+        adv1 = (acc.stage == 0) & (x.et == F.lit("signup"))
+        adv2 = (acc.stage == 1) & (x.et == F.lit("purchase")) & (x.ts_us > acc.s1)
+        adv3 = (acc.stage == 2) & (x.et == F.lit("error")) & (x.ts_us > acc.s2)
+        return (
+            F.when(adv1, F.struct(F.lit(1).alias("stage"),
+                                  x.ts_us.alias("s1"), acc.s2.alias("s2"),
+                                  acc.s3.alias("s3")))
+            .when(adv2, F.struct(F.lit(2).alias("stage"), acc.s1.alias("s1"),
+                                 x.ts_us.alias("s2"), acc.s3.alias("s3")))
+            .when(adv3, F.struct(F.lit(3).alias("stage"), acc.s1.alias("s1"),
+                                 acc.s2.alias("s2"), x.ts_us.alias("s3")))
+            .otherwise(acc)
+        )
+
+    walked = seq.select(
+        "user_id", F.aggregate("seq", init, step).alias("st")
+    )
+    return walked.select(
+        "user_id",
+        F.col("st.stage").alias("reached"),
+        F.col("st.s1").alias("s1_us"),
+        F.col("st.s2").alias("s2_us"),
+        F.col("st.s3").alias("s3_us"),
+    )
+
+
+@register(
+    "llm_novelty",
+    oracle="""
+    with d as (select doc_id, string_split(text, ' ') as tk from documents),
+    g0 as (select doc_id, array_to_string(tk[i:i+4], ' ') as gram
+           from d, unnest(generate_series(1, len(tk) - 4)) as t(i)),
+    gd as (select distinct doc_id, gram from g0),
+    firstg as (select gram, min(doc_id) as first_doc from gd group by 1),
+    j as (select gd.doc_id,
+                 case when f.first_doc = gd.doc_id then 1 else 0 end as novel
+          from gd join firstg f on gd.gram = f.gram)
+    select doc_id, cast(count(*) as bigint) as n_grams,
+           cast(sum(novel) as bigint) as n_novel,
+           cast(sum(novel) as double) / count(*) as novelty
+    from j group by 1
+    """,
+)
+def llm_novelty(spark, sf_dir):
+    """X11: incremental n-gram novelty — per doc, the fraction of its
+    distinct 5-gram shingles never seen in any earlier (lower-id) doc.
+    The corpus-order quality signal behind 'how much new text does this
+    shard add' (dedup-adjacent; a near-zero score means the doc is
+    assembled from already-seen phrases). Shape: shingle explode →
+    distinct → per-gram min(doc_id) hash-agg → gram equi-join back →
+    per-doc hash-agg. Linear in total grams; the gram join's fan-out is
+    bounded by gram frequency, never corpus²."""
+    d = load(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    grams = (
+        d.filter(F.size(tk) >= 5)  # before the project: guards the
+        # sequence() bounds (stop < start would flip it descending)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - F.lit(4)),
+                    lambda i: F.array_join(F.slice(tk, i, 5), " "),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    firstg = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    j = grams.join(firstg, "gram").select(
+        "doc_id",
+        F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1))
+        .otherwise(F.lit(0)).alias("novel"),
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("novel").alias("n_novel"),
+        (F.sum("novel").cast("double") / F.count(F.lit(1))).alias("novelty"),
+    )
+
+
+@register(
+    "llm_cdc_chunk",
+    oracle="""
+    with d as (select doc_id, string_split(text, ' ') as tk from documents),
+    p as (select doc_id, i as pos,
+                 case when i = 1 or substr(md5(array_to_string(tk[i:i+3], ' ')),
+                                           1, 1) = '0'
+                      then 1 else 0 end as boundary
+          from d, unnest(generate_series(1, len(tk) - 3)) as t(i)),
+    c as (select doc_id, pos,
+                 sum(boundary) over (partition by doc_id order by pos
+                                     rows unbounded preceding) as chunk_id
+          from p),
+    chunks as (select doc_id, chunk_id, count(*) as chunk_len
+               from c group by 1, 2)
+    select doc_id, cast(count(*) as bigint) as n_chunks,
+           cast(max(chunk_len) as bigint) as max_len,
+           cast(sum(chunk_len) as double) / count(*) as mean_len
+    from chunks group by 1
+    """,
+)
+def llm_cdc_chunk(spark, sf_dir):
+    """X12: content-defined chunking — split each doc at positions where
+    the rolling 4-gram hash hits a boundary pattern (md5 hex prefix '0'
+    ⇒ P=1/16 ⇒ ~16-token expected chunks). Unlike fixed-size chunking
+    (llm_chunk), boundaries survive insertions/deletions — the rsync/
+    dedup-storage trick applied to sub-document dedup: a one-token edit
+    reflows only its own chunk, so chunk hashes elsewhere keep matching.
+    Shape: position explode → window cumsum per doc → two hash-aggs.
+    md5-family hash keeps the oracle engine-identical."""
+    d = load(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    p = d.filter(F.size(tk) >= 4).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - F.lit(3)),
+                lambda i: F.md5(F.array_join(F.slice(tk, i, 4), " ")),
+            )
+        ).alias("pos0", "h"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"),
+        F.when(
+            (F.col("pos0") == 0) | (F.substring("h", 1, 1) == "0"), F.lit(1)
+        ).otherwise(F.lit(0)).alias("boundary"),
+    )
+    w = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = p.withColumn("chunk_id", F.sum("boundary").over(w))
+    chunks = c.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("chunk_len")
+    )
+    return chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("chunk_len").alias("max_len"),
+        (F.sum("chunk_len").cast("double") / F.count(F.lit(1)))
+        .alias("mean_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
 # The driver samples the FIRST 50 keys of ``queries()`` in dict-insertion
@@ -4597,9 +4929,11 @@ _R05_PRIORITY = [  # changed/new this round, or never driver-sampled
     "agg_time_dst_fall", "llm_domain_cap", "llm_bm25",
     "llm_containment", "win_share", "mm_phash_neardup", "scan_kv",
     "llm_semdedup",
-    # r5-C: registered in the round-5 continuation — first driver rows
+    # r5-C/r5-D: registered in the round-5 continuation — first driver rows
     "scan_orc", "scan_fixedwidth", "set_intersect", "agg_cube",
     "agg_percentile", "agg_mode", "join_scd2", "llm_winnow",
+    "win_counter_reset", "agg_time_weighted", "agg_topn_others",
+    "win_funnel", "llm_novelty", "llm_cdc_chunk",
 ]
 _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     # (12 of the original 36 refreshes — the simplest keys, green since r01:
@@ -4607,16 +4941,15 @@ _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     # fn_string_dn, join_dim, agg_pivot, win_cume, llm_len_buckets,
     # llm_concat, llm_overlap — moved to the tail head to make room for the
     # r5-B keys above; a renewal defers, a first row cannot)
-    # (8 more renewals displaced to the tail by the r5-C first-rows above:
+    # (14 renewals displaced to the tail by the r5-C/r5-D first-rows above:
     # llm_sample_stratified, llm_redact, llm_mix_weights, llm_normalize,
-    # llm_dupe_stats, llm_hot_ngrams, win_pattern, llm_chunk — a renewal
-    # defers, a first row cannot)
+    # llm_dupe_stats, llm_hot_ngrams, win_pattern, llm_chunk,
+    # llm_decontaminate, llm_shard, llm_repetition, llm_pack,
+    # llm_keywords, llm_split — a renewal defers, a first row cannot)
     "scan_csv", "project_select", "filter_threshold", "filter_ts_range",
     "upsert_latest", "join_asof", "agg_time_local", "agg_entity_chain",
     "agg_approx",
-    "llm_dedup_groups", "llm_vocab", "llm_split",
-    "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
-    "llm_keywords",
+    "llm_dedup_groups", "llm_vocab",
 ]
 _R05_TAIL = [  # displaced r03-green refreshes first, then 7
     # pure-scalar fn keys (r03-green, untouched since), then every r4-green
@@ -4624,6 +4957,8 @@ _R05_TAIL = [  # displaced r03-green refreshes first, then 7
     "llm_sample_stratified", "llm_redact", "llm_mix_weights",
     "llm_normalize", "llm_dupe_stats", "llm_hot_ngrams",
     "win_pattern", "llm_chunk",
+    "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
+    "llm_keywords", "llm_split",
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",
     "topk_per_group", "fn_string_dn", "join_dim", "agg_pivot", "win_cume",
     "llm_len_buckets", "llm_concat", "llm_overlap",
