@@ -163,3 +163,79 @@ def run_running_totals_tws(spark: SparkSession, source_dir: str, schema: str,
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+# ---------------------------------------------------------------------------
+# Stateful funnel progression (streaming twin of queries.win_funnel)
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id long, reached int, s1_us long, s2_us long, s3_us long"
+)
+FUNNEL_STATE_SCHEMA = "stage int, s1 long, s2 long, s3 long"
+FUNNEL_STAGES = ("signup", "purchase", "error")
+
+
+def _funnel_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Per-user funnel state across micro-batches. Each batch's rows sort
+    by ts before the walk, so bounded disorder WITHIN a batch is fine;
+    cross-batch the operator assumes per-entity arrival in event-time
+    order (the upstream ingest contract — same assumption the batch
+    twin's strictly-after semantics make observable: a stage event that
+    arrives after the state already advanced past it is ignored, exactly
+    like a too-early event in the batch walk)."""
+    (user_id,) = key
+    stage, s1, s2, s3 = state.get if state.exists else (0, -1, -1, -1)
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts_us")
+        for ts_us, et in zip(pdf["ts_us"], pdf["event_type"]):
+            ts_us = int(ts_us)
+            if stage == 0 and et == FUNNEL_STAGES[0]:
+                stage, s1 = 1, ts_us
+            elif stage == 1 and et == FUNNEL_STAGES[1] and ts_us > s1:
+                stage, s2 = 2, ts_us
+            elif stage == 2 and et == FUNNEL_STAGES[2] and ts_us > s2:
+                stage, s3 = 3, ts_us
+    state.update((stage, s1, s2, s3))
+    yield pd.DataFrame([{
+        "user_id": user_id, "reached": stage,
+        "s1_us": s1, "s2_us": s2, "s3_us": s3,
+    }])
+
+
+def funnel_progress(events: DataFrame) -> DataFrame:
+    """Streaming funnel: events(user_id, ts_us, event_type) in →
+    per-batch updated (reached, stage timestamps) out. State is one
+    4-field struct per user — constant size per entity at any scale,
+    partitioned by the grouping key in the state store."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_update,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_funnel(spark: SparkSession, source_dir: str, schema: str,
+               name: str = "stateful_funnel") -> DataFrame:
+    """Drive funnel_progress over source_dir (one file per micro-batch)
+    and return the memory-sink table of per-batch updates. The converged
+    per-user row is the column-wise max: `reached` is monotone and each
+    stage timestamp moves exactly once, -1 → final value."""
+    tune(spark)
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    src = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(source_dir)
+    )
+    out = funnel_progress(src.select("user_id", "ts_us", "event_type"))
+    q = (
+        out.writeStream.outputMode("update").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

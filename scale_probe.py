@@ -348,10 +348,123 @@ def monitoring_probe(spark, res, n_events, n_docs):
           phash_near_dup_pairs(perceptual_hash(media), max_hamming=10), res)
 
 
+def text_signals_probe(spark, res, n_events, n_docs):
+    """r5-C/D shapes at probe scale: winnowing fingerprints, CDC chunking
+    and n-gram novelty on the 1M-doc corpus (each linear with a small
+    constant — w× membership, 1× position, gram-frequency-bounded join),
+    plus the funnel HOF walk and time-weighted average on the 20M-event
+    frame (ONE exchange each)."""
+    from pyspark.sql import Window
+
+    from minerva_etl_46_spark.operators.textstats import winnow_fingerprints
+
+    d = synth_docs(spark, n_docs).localCheckpoint(eager=True)
+    timed(f"winnow_{n_docs}",
+          winnow_fingerprints(d, "doc_id", "text", k=4, w=5), res)
+
+    tk = F.split(F.col("text"), " ")
+    p = d.filter(F.size(tk) >= 4).select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.size(tk) - F.lit(3)),
+            lambda i: F.md5(F.array_join(F.slice(tk, i, 4), " ")),
+        )).alias("pos0", "h"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"),
+        F.when((F.col("pos0") == 0) | (F.substring("h", 1, 1) == "0"),
+               F.lit(1)).otherwise(F.lit(0)).alias("boundary"),
+    )
+    wc = (Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    chunks = (p.withColumn("chunk_id", F.sum("boundary").over(wc))
+              .groupBy("doc_id", "chunk_id").agg(F.count(F.lit(1)).alias("len")))
+    timed(f"cdc_chunk_{n_docs}",
+          chunks.groupBy("doc_id").agg(
+              F.count(F.lit(1)).alias("n_chunks"),
+              F.max("len").alias("max_len")), res)
+
+    grams = (
+        d.filter(F.size(tk) >= 5).select(
+            "doc_id",
+            F.explode(F.transform(
+                F.sequence(F.lit(1), F.size(tk) - F.lit(4)),
+                lambda i: F.array_join(F.slice(tk, i, 5), " "),
+            )).alias("gram")).distinct()
+    )
+    firstg = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    nov = grams.join(firstg, "gram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+        .alias("n_novel"))
+    timed(f"novelty_{n_docs}", nov, res)
+    # the planted dup recipe doubles as ground truth here too: every
+    # id ≡ 1 (mod 10) is a near-copy of id−1, so its novelty must be low
+    planted_mean = (nov.filter(F.col("doc_id") % 10 == 1)
+                    .agg(F.avg(F.col("n_novel") / F.col("n_grams"))).first()[0])
+    fresh_mean = (nov.filter(F.col("doc_id") % 10 != 1)
+                  .agg(F.avg(F.col("n_novel") / F.col("n_grams"))).first()[0])
+    res[f"novelty_{n_docs}"]["planted_dup_novelty"] = round(planted_mean, 4)
+    res[f"novelty_{n_docs}"]["fresh_doc_novelty"] = round(fresh_mean, 4)
+    print(json.dumps({"shape": f"novelty_{n_docs}",
+                      "planted_dup_novelty": res[f"novelty_{n_docs}"]["planted_dup_novelty"],
+                      "fresh_doc_novelty": res[f"novelty_{n_docs}"]["fresh_doc_novelty"]}),
+          flush=True)
+
+    e = synth_events(spark, n_events)
+    et = F.element_at(
+        F.array(F.lit("view"), F.lit("click"), F.lit("signup"),
+                F.lit("purchase"), F.lit("error")),
+        (F.pmod(F.xxhash64("event_id", F.lit(3)), F.lit(5)) + 1).cast("int"))
+    ev = e.withColumn("event_type", et)
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("event_type").alias("et")))).alias("seq"))
+    init = F.struct(F.lit(0).alias("stage"),
+                    F.lit(-1).cast("bigint").alias("s1"),
+                    F.lit(-1).cast("bigint").alias("s2"),
+                    F.lit(-1).cast("bigint").alias("s3"))
+
+    def step(acc, x):
+        adv1 = (acc.stage == 0) & (x.et == F.lit("signup"))
+        adv2 = (acc.stage == 1) & (x.et == F.lit("purchase")) & (x.ts_us > acc.s1)
+        adv3 = (acc.stage == 2) & (x.et == F.lit("error")) & (x.ts_us > acc.s2)
+        return (F.when(adv1, F.struct(F.lit(1).alias("stage"), x.ts_us.alias("s1"),
+                                      acc.s2.alias("s2"), acc.s3.alias("s3")))
+                .when(adv2, F.struct(F.lit(2).alias("stage"), acc.s1.alias("s1"),
+                                     x.ts_us.alias("s2"), acc.s3.alias("s3")))
+                .when(adv3, F.struct(F.lit(3).alias("stage"), acc.s1.alias("s1"),
+                                     acc.s2.alias("s2"), x.ts_us.alias("s3")))
+                .otherwise(acc))
+
+    timed(f"funnel_walk_{n_events}",
+          seq.select("user_id", F.aggregate("seq", init, step).alias("st"))
+          .select("user_id", F.col("st.stage").alias("reached")), res)
+
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dtw = (e.select("user_id", "value", "event_id", "ts",
+                    F.unix_micros("ts").alias("ts_us"))
+           .withColumn("next_us", F.lead("ts_us").over(wt))
+           .filter(F.col("next_us").isNotNull())
+           .withColumn("w", F.floor((F.col("next_us") - F.col("ts_us"))
+                                    / F.lit(1000000.0))))
+    num = F.sum((F.col("value") * F.col("w")).cast("decimal(38,4)")).cast("double")
+    den = F.sum(F.col("w").cast("decimal(38,4)")).cast("double")
+    timed(f"time_weighted_avg_{n_events}",
+          dtw.groupBy("user_id").agg(
+              F.when(den != 0, num / den).alias("twa")), res)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r5d":
+        text_signals_probe(spark, res, n_events=N, n_docs=max(100_000, N // 20))
+        print(json.dumps({"metric": "scale_probe_r5d", "rows": N,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r5b":
         monitoring_probe(spark, res, n_events=N, n_docs=max(100_000, N // 20))
         print(json.dumps({"metric": "scale_probe_r5b", "rows": N,

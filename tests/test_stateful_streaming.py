@@ -83,3 +83,42 @@ def test_tws_twin_matches_groupstate_and_batch(spark, tmp_path):
     for uid in want.index:
         assert final.loc[uid, "n"] == want.loc[uid, "n"]
         assert abs(final.loc[uid, "total"] - want.loc[uid, "total"]) < 1e-6
+
+
+def test_stateful_funnel_converges_to_batch_walk(spark, tmp_path):
+    """Feed the real events fixture in three TIME-ORDERED micro-batches
+    (the operator's documented arrival contract) and require the final
+    per-user state to equal the batch win_funnel reference."""
+    from minerva_etl_46_spark.queries import QUERIES
+    from minerva_etl_46_spark.streaming.stateful import run_funnel
+
+    sf = "/root/testdata/sf0.001"
+    df = spark.read.parquet(f"{sf}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ev = df.select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    src = os.path.join(str(tmp_path), "funnel_src")
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    # time-range splits → per-entity event-time-ordered arrival
+    for pred in (F.col("ts_us") <= cut1,
+                 (F.col("ts_us") > cut1) & (F.col("ts_us") <= cut2),
+                 F.col("ts_us") > cut2):
+        ev.filter(pred).coalesce(1).write.mode("append").parquet(src)
+
+    updates = run_funnel(
+        spark, src, "user_id long, ts_us long, event_type string"
+    ).toPandas()
+    assert len(updates) > 0
+    # converged row per user = column-wise max (reached monotone; each
+    # stage ts moves exactly once, -1 -> final)
+    final = updates.groupby("user_id").max()
+
+    want = QUERIES["win_funnel"](spark, sf).toPandas().set_index("user_id")
+    assert set(final.index) == set(want.index)
+    for uid in want.index:
+        for col in ("reached", "s1_us", "s2_us", "s3_us"):
+            assert final.loc[uid, col] == want.loc[uid, col], (uid, col)
