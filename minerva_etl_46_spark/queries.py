@@ -4892,6 +4892,137 @@ def llm_cdc_chunk(spark, sf_dir):
     )
 
 
+@register(
+    "win_dod_change",
+    oracle=f"""
+    with e as (select * from {EV}),
+    hourly as (select user_id,
+                      {sql_bucket_epoch('ts', G_1H)} as bucket,
+                      {sql_dsum('value')} as traffic
+               from e group by 1, 2)
+    select t.user_id, t.bucket, t.traffic,
+           p.traffic as prev_traffic,
+           {sql_safe_div('t.traffic - p.traffic', 'p.traffic')} as change
+    from hourly t
+    left join hourly p
+      on p.user_id = t.user_id and p.bucket = t.bucket - 86400
+    """,
+)
+def win_dod_change(spark, sf_dir):
+    """W14: day-over-day comparison — this hour's traffic vs the same
+    hour yesterday, the standard PM degradation report. ONE rollup
+    hash-agg, then a self equi-join on (entity, bucket-86400): integer
+    bucket arithmetic keeps the join an equi-join (a time-shifted
+    window/lag would need gap-free grids — win_gap_fill territory);
+    hours with no prior-day sample keep NULL change (left join +
+    null-safe divide)."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", bucket_epoch("ts", G_1H).alias("bucket")
+    ).agg(dsum("value").alias("traffic"))
+    prev = hourly.select(
+        "user_id", (F.col("bucket") + 86400).alias("bucket"),
+        F.col("traffic").alias("prev_traffic"),
+    )
+    j = hourly.join(prev, ["user_id", "bucket"], "left")
+    return j.select(
+        "user_id", "bucket", "traffic", "prev_traffic",
+        safe_divide(F.col("traffic") - F.col("prev_traffic"),
+                    F.col("prev_traffic")).alias("change"),
+    )
+
+
+_CHUNK_DEDUP_ORACLE = """
+    with d as (select doc_id, string_split(text, ' ') as tk from documents),
+    p as (select doc_id, i as pos,
+                 case when i = 1 or substr(md5(array_to_string(tk[i:i+3], ' ')),
+                                           1, 1) = '0'
+                      then 1 else 0 end as boundary
+          from d, unnest(generate_series(1, len(tk) - 3)) as t(i)),
+    c as (select doc_id, pos,
+                 sum(boundary) over (partition by doc_id order by pos
+                                     rows unbounded preceding) as chunk_id
+          from p),
+    spans as (select doc_id, chunk_id, min(pos) as a, max(pos) as b
+              from c group by 1, 2),
+    hashed as (select s.doc_id, s.chunk_id,
+                      md5(array_to_string(d.tk[s.a:s.b+3], ' ')) as h
+               from spans s join d on s.doc_id = d.doc_id),
+    freq as (select h, count(distinct doc_id) as n_docs
+             from hashed group by 1)
+    select hd.doc_id, cast(count(*) as bigint) as n_chunks,
+           cast(sum(case when f.n_docs > 1 then 1 else 0 end) as bigint)
+             as n_shared,
+           cast(sum(case when f.n_docs > 1 then 1 else 0 end) as double)
+             / count(*) as shared_frac
+    from hashed hd join freq f on hd.h = f.h
+    group by 1
+"""
+
+
+@register("llm_chunk_dedup", oracle=_CHUNK_DEDUP_ORACLE)
+def llm_chunk_dedup(spark, sf_dir):
+    """X31: sub-document dedup at CDC-chunk granularity — the practical
+    approximation of exact-substring dedup (Lee et al. 2022) without
+    suffix arrays: hash each content-defined chunk (X30's boundaries, so
+    chunk identity survives edits elsewhere in the doc) and report, per
+    doc, the fraction of its chunks that appear verbatim in ANOTHER doc.
+    Shape: position explode → per-doc cumsum window → span agg → ONE
+    join back to docs for the chunk-text hash → chunk-hash frequency
+    hash-agg → per-doc agg. The only join carries one row per chunk;
+    cross-doc matching happens in the frequency hash-agg, never a
+    doc×doc product."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("tk")
+    )
+    p = d.filter(F.size("tk") >= 4).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - F.lit(3)),
+                lambda i: F.md5(F.array_join(F.slice("tk", i, 4), " ")),
+            )
+        ).alias("pos0", "h"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"),
+        F.when(
+            (F.col("pos0") == 0) | (F.substring("h", 1, 1) == "0"), F.lit(1)
+        ).otherwise(F.lit(0)).alias("boundary"),
+    )
+    w = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        p.withColumn("chunk_id", F.sum("boundary").over(w))
+        .groupBy("doc_id", "chunk_id")
+        .agg(F.min("pos").alias("a"), F.max("pos").alias("b"))
+    )
+    hashed = spans.join(d, "doc_id").select(
+        "doc_id", "chunk_id",
+        F.md5(
+            F.array_join(
+                F.slice("tk", F.col("a"), F.col("b") - F.col("a") + F.lit(4)),
+                " ",
+            )
+        ).alias("h"),
+    )
+    freq = hashed.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    jd = hashed.join(freq, "h").select(
+        "doc_id",
+        F.when(F.col("n_docs") > 1, F.lit(1)).otherwise(F.lit(0))
+        .alias("shared"),
+    )
+    return jd.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("shared").alias("n_shared"),
+        (F.sum("shared").cast("double") / F.count(F.lit(1)))
+        .alias("shared_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -4934,6 +5065,7 @@ _R05_PRIORITY = [  # changed/new this round, or never driver-sampled
     "agg_percentile", "agg_mode", "join_scd2", "llm_winnow",
     "win_counter_reset", "agg_time_weighted", "agg_topn_others",
     "win_funnel", "llm_novelty", "llm_cdc_chunk",
+    "win_dod_change", "llm_chunk_dedup",
 ]
 _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     # (12 of the original 36 refreshes — the simplest keys, green since r01:
@@ -4949,7 +5081,6 @@ _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     "scan_csv", "project_select", "filter_threshold", "filter_ts_range",
     "upsert_latest", "join_asof", "agg_time_local", "agg_entity_chain",
     "agg_approx",
-    "llm_dedup_groups", "llm_vocab",
 ]
 _R05_TAIL = [  # displaced r03-green refreshes first, then 7
     # pure-scalar fn keys (r03-green, untouched since), then every r4-green
@@ -4958,7 +5089,7 @@ _R05_TAIL = [  # displaced r03-green refreshes first, then 7
     "llm_normalize", "llm_dupe_stats", "llm_hot_ngrams",
     "win_pattern", "llm_chunk",
     "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
-    "llm_keywords", "llm_split",
+    "llm_keywords", "llm_split", "llm_dedup_groups", "llm_vocab",
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",
     "topk_per_group", "fn_string_dn", "join_dim", "agg_pivot", "win_cume",
     "llm_len_buckets", "llm_concat", "llm_overlap",
