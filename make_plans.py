@@ -137,6 +137,14 @@ NOTES = {
                    "gram equi-join back → per-doc agg; every agg has "
                    "map-side partials, fan-out bounded by gram "
                    "frequency.",
+    "win_dod_change": "One rollup hash-agg; the day-shift compare is a "
+                      "SELF EQUI-JOIN on (entity, bucket-86400) — both "
+                      "sides reuse the rollup's partitioning, no "
+                      "window/grid machinery.",
+    "llm_chunk_dedup": "Chunk spans from one cumsum window; ONE join "
+                       "back to docs (row per chunk) for the hash; "
+                       "cross-doc matching is a chunk-hash frequency "
+                       "hash-agg — never doc×doc.",
 }
 
 

@@ -213,7 +213,8 @@ def winnow_fingerprints(
         selected.groupBy("doc")
         .agg(
             F.count(F.lit(1)).alias("n_fingerprints"),
-            F.first("n_sh").alias("n_sh"),
+            F.max("n_sh").alias("n_sh"),  # constant per doc; max is the
+            # order-insensitive way to say "any" (bare first() is banned)
         )
         .select(
             F.col("doc").alias(id_col),
