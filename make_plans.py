@@ -145,6 +145,13 @@ NOTES = {
                        "back to docs (row per chunk) for the hash; "
                        "cross-doc matching is a chunk-hash frequency "
                        "hash-agg — never doc×doc.",
+    "win_ewma": "ONE exchange (collect_list hash-agg); sort + the "
+                "EWMA recursion are per-row projections over the "
+                "array — no window sort, no self-join.",
+    "join_nearest": "Two union-tag as-of passes (backward, and forward "
+                    "on the negated axis) — 2 window sorts on the "
+                    "entity key, then element-wise pick; no range "
+                    "cross-product anywhere.",
 }
 
 

@@ -5023,6 +5023,137 @@ def llm_chunk_dedup(spark, sf_dir):
     )
 
 
+@register(
+    "win_ewma",
+    oracle=f"""
+    with e as (select * from {EV}),
+    seqs as (select user_id,
+                    list_sort(list({{'ts_us': epoch_us(ts),
+                                     'eid': event_id,
+                                     'v': value}})) as s
+             from e group by 1)
+    select user_id,
+           list_reduce(list_transform(s, x -> x.v),
+                       (acc, x) -> acc * cast(0.5 as double)
+                                   + x * cast(0.5 as double)) as ewma,
+           cast(len(s) as bigint) as n
+    from seqs
+    """,
+)
+def win_ewma(spark, sf_dir):
+    """W15: exponentially-weighted moving average (EWMA smoothing, the PM
+    anomaly-baseline standard) — a RECURSION (s_t = α·x_t + (1−α)·s_{t−1}),
+    not a frame aggregate, so no window function expresses it. Same ONE-
+    shuffle HOF-walk shape as win_funnel: per-entity sorted value array +
+    F.aggregate; the oracle runs the identical recursion through DuckDB's
+    list_reduce. α = 0.5 is DYADIC: both multiplies are exact powers-of-two
+    scalings, so each step is one IEEE addition and the recursion is
+    bit-identical cross-engine (a non-dyadic α still runs but parity would
+    be at libm's mercy). Seed = first value."""
+    e = load(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("ts_us"),
+                    F.col("event_id").alias("eid"),
+                    F.col("value").alias("v"),
+                )
+            )
+        ).alias("s")
+    )
+    walk = F.aggregate(
+        "s",
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x.v)
+        .otherwise(acc * F.lit(0.5) + x.v * F.lit(0.5)),
+    )
+    return seq.select(
+        "user_id", walk.alias("ewma"),
+        F.size("s").cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "join_nearest",
+    oracle=f"""
+    with e as (select * from {EV}),
+    attrs0 as (select user_id, ts, value, event_id from e
+               where event_type = 'signup'),
+    attrs as (select user_id, ts, value from (
+                select *, row_number() over
+                  (partition by user_id, ts order by event_id desc) as rn
+                from attrs0) where rn = 1),
+    facts as (select event_id, user_id, ts from e
+              where event_type = 'purchase')
+    select f.event_id, f.user_id,
+           (select a.value from attrs a where a.user_id = f.user_id
+             order by abs(epoch_us(a.ts) - epoch_us(f.ts)) asc, a.ts asc
+             limit 1) as nearest_val,
+           coalesce((select epoch_us(a.ts) from attrs a
+                      where a.user_id = f.user_id
+                      order by abs(epoch_us(a.ts) - epoch_us(f.ts)) asc,
+                               a.ts asc
+                      limit 1), {OPEN_END_US}) as nearest_ts_us
+    from facts f
+    """,
+)
+def join_nearest(spark, sf_dir):
+    """J11: nearest-in-time join — attach the attribute row CLOSEST to the
+    fact timestamp in either direction (align measurements to the nearest
+    config snapshot; plain as-of only looks backward). Two asof_join
+    passes — backward as-is, forward by negating the µs axis (latest
+    −ts ≤ −fact_ts ⇔ earliest ts ≥ fact_ts) — then an element-wise pick
+    of the smaller |Δt|, ties to the earlier row. Still 2× one
+    shuffle-sort, never a range cross-product; the oracle is the
+    declarative order-by-distance top-1."""
+    e = load(spark, sf_dir, "events")
+    attrs = (
+        e.filter(F.col("event_type") == "signup")
+        .select("user_id", "ts", F.col("value").alias("aval"), "event_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.unix_micros("ts").alias("a_us"), "aval")
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("f_us")
+    )
+    back = asof_join(
+        facts, attrs.select("user_id", F.col("a_us").alias("__ats_src"),
+                            "aval", "a_us"),
+        on="user_id", fact_ts="f_us", attr_ts="__ats_src",
+        value_cols=["aval", "a_us"],
+    ).withColumnRenamed("aval", "b_val").withColumnRenamed("a_us", "b_us")
+    neg = attrs.select(
+        "user_id", (-F.col("a_us")).alias("__ats_src"), "aval", "a_us"
+    )
+    fwd = asof_join(
+        back.withColumn("__neg_f", -F.col("f_us")),
+        neg,
+        on="user_id", fact_ts="__neg_f", attr_ts="__ats_src",
+        value_cols=["aval", "a_us"],
+    ).withColumnRenamed("aval", "f_val").withColumnRenamed("a_us", "fw_us")
+    db = F.abs(F.col("b_us") - F.col("f_us"))
+    df_ = F.abs(F.col("fw_us") - F.col("f_us"))
+    pick_back = F.col("fw_us").isNull() | (
+        F.col("b_us").isNotNull() & (db <= df_)  # tie → earlier (backward)
+    )
+    return fwd.select(
+        "event_id", "user_id",
+        F.when(pick_back, F.col("b_val")).otherwise(F.col("f_val"))
+        .alias("nearest_val"),
+        F.coalesce(
+            F.when(pick_back, F.col("b_us")).otherwise(F.col("fw_us")),
+            F.lit(OPEN_END_US),
+        ).alias("nearest_ts_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -5065,7 +5196,7 @@ _R05_PRIORITY = [  # changed/new this round, or never driver-sampled
     "agg_percentile", "agg_mode", "join_scd2", "llm_winnow",
     "win_counter_reset", "agg_time_weighted", "agg_topn_others",
     "win_funnel", "llm_novelty", "llm_cdc_chunk",
-    "win_dod_change", "llm_chunk_dedup",
+    "win_dod_change", "llm_chunk_dedup", "win_ewma", "join_nearest",
 ]
 _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     # (12 of the original 36 refreshes — the simplest keys, green since r01:
@@ -5079,8 +5210,7 @@ _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     # llm_decontaminate, llm_shard, llm_repetition, llm_pack,
     # llm_keywords, llm_split — a renewal defers, a first row cannot)
     "scan_csv", "project_select", "filter_threshold", "filter_ts_range",
-    "upsert_latest", "join_asof", "agg_time_local", "agg_entity_chain",
-    "agg_approx",
+    "upsert_latest", "join_asof", "agg_time_local",
 ]
 _R05_TAIL = [  # displaced r03-green refreshes first, then 7
     # pure-scalar fn keys (r03-green, untouched since), then every r4-green
@@ -5090,6 +5220,7 @@ _R05_TAIL = [  # displaced r03-green refreshes first, then 7
     "win_pattern", "llm_chunk",
     "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
     "llm_keywords", "llm_split", "llm_dedup_groups", "llm_vocab",
+    "agg_entity_chain", "agg_approx",
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",
     "topk_per_group", "fn_string_dn", "join_dim", "agg_pivot", "win_cume",
     "llm_len_buckets", "llm_concat", "llm_overlap",
