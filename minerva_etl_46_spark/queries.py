@@ -5154,6 +5154,120 @@ def join_nearest(spark, sf_dir):
     )
 
 
+@register(
+    "agg_gini",
+    oracle=f"""
+    with e as (select * from {EV}),
+    c as (select user_id, event_type, count(*) as n
+          from e group by 1, 2)
+    select user_id,
+           cast(sum(n) as bigint) as n_events,
+           cast(count(*) as bigint) as n_types,
+           1.0 - cast(sum(n * n) as double)
+                 / (cast(sum(n) as double) * cast(sum(n) as double))
+             as gini
+    from c group by 1
+    """,
+)
+def agg_gini(spark, sf_dir):
+    """A19: Gini impurity of each entity's event-type mix — the diversity
+    signal (0 = monoculture, →1 = uniform spread) used for traffic-mix
+    drift and corpus source balance. Chosen over Shannon entropy
+    DELIBERATELY: Gini is pure rational arithmetic (1 − Σn_i²/n²) — exact
+    integer sums, ONE double division at the end — where entropy's log()
+    is at the mercy of libm differences across engines. Two chained
+    hash-aggs on the same key."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").cast("double")
+    return c.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        (F.lit(1.0) - F.sum(F.col("n") * F.col("n")).cast("double")
+         / (tot * tot)).alias("gini"),
+    )
+
+
+@register(
+    "win_outlier_mad",
+    oracle=f"""
+    with e as (select * from {EV}),
+    med as (select user_id, quantile_cont(value, 0.5) as med
+            from e group by 1),
+    dev as (select e.user_id, e.event_id, e.value, med.med,
+                   abs(e.value - med.med) as adev
+            from e join med on e.user_id = med.user_id),
+    mad as (select user_id, quantile_cont(adev, 0.5) as mad
+            from dev group by 1)
+    select d.event_id, d.user_id, d.value,
+           case when m.mad > 0 and abs(d.value - d.med) > 5 * m.mad
+                then 1 else 0 end as is_outlier
+    from dev d join mad m on d.user_id = m.user_id
+    """,
+)
+def win_outlier_mad(spark, sf_dir):
+    """W16: median-absolute-deviation outlier flagging — the robust
+    alternative to z-scores (win_zscore): median and MAD ignore the very
+    outliers they hunt, where mean/stddev get dragged by them. Both
+    medians are EXACT interpolated percentiles (verified bitwise-equal to
+    DuckDB quantile_cont); |x−med| > 5·MAD flags. Two grouped percentile
+    aggs + two small joins back — per-entity medians are entity-count
+    sized, so both joins broadcast at any fact scale."""
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("user_id").agg(F.percentile("value", 0.5).alias("med"))
+    dev = e.join(F.broadcast(med), "user_id").select(
+        "event_id", "user_id", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("user_id").agg(F.percentile("adev", 0.5).alias("mad"))
+    return dev.join(F.broadcast(mad), "user_id").select(
+        "event_id", "user_id", "value",
+        F.when(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("value") - F.col("med")) > 5 * F.col("mad")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("is_outlier"),
+    )
+
+
+@register(
+    "agg_retention",
+    oracle=f"""
+    with e as (select * from {EV}),
+    weekly as (select user_id,
+                      cast(floor(epoch_us(ts) / (86400000000 * 7)) as bigint)
+                        as week
+               from e group by 1, 2),
+    cohort as (select user_id, min(week) as cohort_week
+               from weekly group by 1)
+    select c.cohort_week,
+           cast(w.week - c.cohort_week as bigint) as week_offset,
+           cast(count(distinct w.user_id) as bigint) as n_active
+    from weekly w join cohort c on w.user_id = c.user_id
+    group by 1, 2
+    """,
+)
+def agg_retention(spark, sf_dir):
+    """A20: cohort retention — users grouped by first-seen week, counted
+    per activity-week offset (the product-analytics staple; for PM data:
+    element first-commissioning cohort vs reporting continuity). Integer
+    epoch-week arithmetic end to end. Shape: distinct (user, week) →
+    per-user min (cohort) → join back → count-distinct per (cohort,
+    offset); the cohort frame is entity-sized, so the join broadcasts."""
+    e = load(spark, sf_dir, "events")
+    week = F.floor(F.unix_micros("ts") / F.lit(86400000000 * 7)).cast("bigint")
+    weekly = e.select("user_id", week.alias("week")).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -5197,6 +5311,7 @@ _R05_PRIORITY = [  # changed/new this round, or never driver-sampled
     "win_counter_reset", "agg_time_weighted", "agg_topn_others",
     "win_funnel", "llm_novelty", "llm_cdc_chunk",
     "win_dod_change", "llm_chunk_dedup", "win_ewma", "join_nearest",
+    "agg_gini", "win_outlier_mad", "agg_retention",
 ]
 _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     # (12 of the original 36 refreshes — the simplest keys, green since r01:
@@ -5210,7 +5325,6 @@ _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     # llm_decontaminate, llm_shard, llm_repetition, llm_pack,
     # llm_keywords, llm_split — a renewal defers, a first row cannot)
     "scan_csv", "project_select", "filter_threshold", "filter_ts_range",
-    "upsert_latest", "join_asof", "agg_time_local",
 ]
 _R05_TAIL = [  # displaced r03-green refreshes first, then 7
     # pure-scalar fn keys (r03-green, untouched since), then every r4-green
@@ -5220,6 +5334,7 @@ _R05_TAIL = [  # displaced r03-green refreshes first, then 7
     "win_pattern", "llm_chunk",
     "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
     "llm_keywords", "llm_split", "llm_dedup_groups", "llm_vocab",
+    "upsert_latest", "join_asof", "agg_time_local",
     "agg_entity_chain", "agg_approx",
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",
     "topk_per_group", "fn_string_dn", "join_dim", "agg_pivot", "win_cume",
