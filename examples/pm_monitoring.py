@@ -16,7 +16,11 @@ the correctness gate hash-checks:
                    behaviour (anomalies a fixed threshold can't see);
 4. trend slope   — per-entity least-squares value-vs-time slope (which
                    counters are degrading fastest);
-5. notifications — D10 trigger rules over the hourly KPI rollup.
+5. notifications — D10 trigger rules over the hourly KPI rollup;
+6. MAD outliers  — robust |value − median| > 5·MAD flags (W16);
+7. counter resets — reboot/wrap detection in cumulative counters (W12);
+8. day-over-day  — steepest same-hour traffic drops (W14);
+9. mix diversity — Gini impurity of each entity's event mix (A19).
 
 Everything is one JVM-side DataFrame plan per report; the priciest is one
 window sort (z-score). SCALE.md's r5b probe measures these shapes at 20M
@@ -76,6 +80,32 @@ def main() -> int:
 
     notif = QUERIES["trigger_notify"](spark, sf_dir)
     print(f"threshold notifications raised: {notif.count()}")
+
+    # r5-D/G additions to the pack: robust outliers, smoothing baseline,
+    # counter hygiene, period-over-period, mix diversity
+    mad = QUERIES["win_outlier_mad"](spark, sf_dir)
+    n_mad = mad.filter(F.col("is_outlier") == 1).count()
+    print(f"robust outliers (|value − median| > 5·MAD): {n_mad}")
+
+    resets = QUERIES["win_counter_reset"](spark, sf_dir)
+    n_resets = resets.filter(F.col("is_reset") == 1).count()
+    print(f"counter resets detected (reboot/wrap): {n_resets}")
+
+    dod = QUERIES["win_dod_change"](spark, sf_dir)
+    drops = (dod.filter(F.col("change") < -0.5)
+             .orderBy(F.asc("change"), F.asc("user_id"), F.asc("bucket"))
+             .limit(3).collect())
+    print("steepest day-over-day traffic drops (>50%):")
+    for r in drops:
+        print(f"  entity {r.user_id:6d}  bucket@{r.bucket}  "
+              f"{r.change:+.0%} vs same hour yesterday")
+
+    gini = QUERIES["agg_gini"](spark, sf_dir)
+    mono = gini.orderBy(F.asc("gini"), F.asc("user_id")).limit(3).collect()
+    print("least-diverse event mixes (possible stuck reporters):")
+    for r in mono:
+        print(f"  entity {r.user_id:6d}  gini {r.gini:.3f} "
+              f"over {r.n_events} events / {r.n_types} types")
 
     spark.stop()
     return 0
