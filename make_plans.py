@@ -152,13 +152,13 @@ NOTES = {
                     "on the negated axis) — 2 window sorts on the "
                     "entity key, then element-wise pick; no range "
                     "cross-product anywhere.",
-    "win_outlier_mad": "Two grouped percentile aggs; both joins back "
-                       "are BroadcastHashJoin (median frames are "
-                       "entity-sized) — the fact table never "
-                       "re-shuffles.",
-    "agg_retention": "Distinct → per-user min → BROADCAST join back → "
-                     "one count-distinct agg; the cohort frame is "
-                     "entity-sized at any fact scale.",
+    "win_outlier_mad": "Two grouped percentile aggs; the joins back "
+                       "are UNHINTED — AQE broadcasts the entity-sized "
+                       "median frames while they fit (forced broadcast "
+                       "would OOM at ~1e8 entities).",
+    "agg_retention": "Distinct → per-user min → unhinted join back "
+                     "(AQE broadcasts the entity-sized cohort frame "
+                     "while it fits) → one count-distinct agg.",
 }
 
 

@@ -5211,16 +5211,19 @@ def win_outlier_mad(spark, sf_dir):
     outliers they hunt, where mean/stddev get dragged by them. Both
     medians are EXACT interpolated percentiles (verified bitwise-equal to
     DuckDB quantile_cont); |x−med| > 5·MAD flags. Two grouped percentile
-    aggs + two small joins back — per-entity medians are entity-count
-    sized, so both joins broadcast at any fact scale."""
+    aggs + two joins back. The median/MAD frames are entity-sized —
+    small relative to facts at any scale but unbounded in absolute terms,
+    so the joins are left UNHINTED: AQE broadcasts them while they fit
+    its threshold and falls back to a shuffle join beyond (forcing
+    broadcast() here would OOM the build side at ~1e8 entities)."""
     e = load(spark, sf_dir, "events")
     med = e.groupBy("user_id").agg(F.percentile("value", 0.5).alias("med"))
-    dev = e.join(F.broadcast(med), "user_id").select(
+    dev = e.join(med, "user_id").select(
         "event_id", "user_id", "value", "med",
         F.abs(F.col("value") - F.col("med")).alias("adev"),
     )
     mad = dev.groupBy("user_id").agg(F.percentile("adev", 0.5).alias("mad"))
-    return dev.join(F.broadcast(mad), "user_id").select(
+    return dev.join(mad, "user_id").select(
         "event_id", "user_id", "value",
         F.when(
             (F.col("mad") > 0)
@@ -5253,13 +5256,15 @@ def agg_retention(spark, sf_dir):
     element first-commissioning cohort vs reporting continuity). Integer
     epoch-week arithmetic end to end. Shape: distinct (user, week) →
     per-user min (cohort) → join back → count-distinct per (cohort,
-    offset); the cohort frame is entity-sized, so the join broadcasts."""
+    offset). The cohort frame is entity-sized — the join is UNHINTED so
+    AQE broadcasts it while it fits and shuffle-joins beyond (both sides
+    already share the user_id partitioning from their own aggs)."""
     e = load(spark, sf_dir, "events")
     week = F.floor(F.unix_micros("ts") / F.lit(86400000000 * 7)).cast("bigint")
     weekly = e.select("user_id", week.alias("week")).distinct()
     cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
-        weekly.join(F.broadcast(cohort), "user_id")
+        weekly.join(cohort, "user_id")
         .groupBy(
             "cohort_week",
             (F.col("week") - F.col("cohort_week")).alias("week_offset"),
