@@ -359,3 +359,119 @@ def test_novelty_first_doc_is_fully_novel(spark):
     assert nov[1] == (4, 4)      # 8 tokens → 4 distinct 5-grams, all novel
     assert nov[2] == (4, 0)      # exact dup of doc 1
     assert nov[3][1] < nov[3][0]  # partial overlap → some non-novel
+
+
+# ---------------------------------------------------------------------------
+# r5-F: EWMA recursion and nearest-join tie logic vs Python references
+# ---------------------------------------------------------------------------
+
+def test_ewma_hof_matches_python_recursion(spark):
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for u in range(50):
+        n = rng.randint(1, 40)
+        t0 = 1_700_000_000_000_000
+        for i in range(n):
+            rows.append((u * 1000 + i, u, t0 + i * rng.randint(1, 10**7),
+                         round(rng.uniform(-100, 100), 2)))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, value double")
+
+    from pyspark.sql import functions as FF
+
+    seq = df.groupBy("user_id").agg(
+        FF.array_sort(FF.collect_list(FF.struct(
+            FF.col("ts_us"), FF.col("event_id").alias("eid"),
+            FF.col("value").alias("v")))).alias("s"))
+    walk = FF.aggregate(
+        "s", FF.lit(None).cast("double"),
+        lambda acc, x: FF.when(acc.isNull(), x.v)
+        .otherwise(acc * FF.lit(0.5) + x.v * FF.lit(0.5)))
+    got = {r.user_id: r.e for r in seq.select("user_id", walk.alias("e")).collect()}
+
+    import collections
+    by_user = collections.defaultdict(list)
+    for eid, u, ts, v in rows:
+        by_user[u].append((ts, eid, v))
+    for u, evs in by_user.items():
+        acc = None
+        for ts, eid, v in sorted(evs):
+            acc = v if acc is None else acc * 0.5 + v * 0.5
+        assert got[u] == acc, u  # bit-identical: dyadic alpha
+
+
+def test_join_nearest_matches_python_reference(spark):
+    # adversarial: exact ties both directions, facts before/after all
+    # attrs, users with no attrs, duplicate attr ts
+    attrs = [  # (user, a_us, val)
+        (1, 100, "a"), (1, 200, "b"),
+        (2, 500, "c"),
+        (4, 100, "d"), (4, 100, "e"),  # duplicate ts -> dedup rule
+    ]
+    facts = [  # (event_id, user, f_us)
+        (10, 1, 150),   # exact tie 50/50 -> earlier (100, "a")
+        (11, 1, 149),   # nearer backward
+        (12, 1, 151),   # nearer forward
+        (13, 1, 50),    # before all -> forward ("a")
+        (14, 1, 999),   # after all -> backward ("b")
+        (15, 2, 500),   # exact hit
+        (16, 3, 123),   # no attrs -> NULL
+        (17, 4, 400),   # duplicate-ts attrs
+    ]
+
+    def ref(u, f):
+        cand = [(abs(a - f), a, v) for uu, a, v in attrs if uu == u]
+        if not cand:
+            return None, -1
+        # dedup equal-ts attrs: keep the LAST in input order (max event_id
+        # stand-in: here later tuple wins, matching row_number desc rule)
+        best = {}
+        for uu, a, v in attrs:
+            if uu == u:
+                best[a] = v
+        cand = sorted((abs(a - f), a, v) for a, v in best.items())
+        _, a, v = cand[0]
+        return v, a
+
+    from pyspark.sql import functions as FF
+    from minerva_etl_46_spark.operators.asof import asof_join
+
+    a_df = spark.createDataFrame(attrs, "user_id long, a_us long, aval string")
+    # replicate the registered builder's dedup: keep last per (user, ts)
+    from pyspark.sql import Window as W
+
+    a_df = (a_df.withColumn("ord", FF.monotonically_increasing_id())
+            .withColumn("rn", FF.row_number().over(
+                W.partitionBy("user_id", "a_us").orderBy(FF.col("ord").desc())))
+            .filter(FF.col("rn") == 1).select("user_id", "a_us", "aval"))
+    f_df = spark.createDataFrame(facts, "event_id long, user_id long, f_us long")
+
+    back = asof_join(
+        f_df, a_df.select("user_id", FF.col("a_us").alias("__ats_src"),
+                          "aval", "a_us"),
+        on="user_id", fact_ts="f_us", attr_ts="__ats_src",
+        value_cols=["aval", "a_us"],
+    ).withColumnRenamed("aval", "b_val").withColumnRenamed("a_us", "b_us")
+    neg = a_df.select("user_id", (-FF.col("a_us")).alias("__ats_src"),
+                      "aval", "a_us")
+    fwd = asof_join(
+        back.withColumn("__neg_f", -FF.col("f_us")), neg,
+        on="user_id", fact_ts="__neg_f", attr_ts="__ats_src",
+        value_cols=["aval", "a_us"],
+    ).withColumnRenamed("aval", "f_val").withColumnRenamed("a_us", "fw_us")
+    db = FF.abs(FF.col("b_us") - FF.col("f_us"))
+    df_ = FF.abs(FF.col("fw_us") - FF.col("f_us"))
+    pick_back = FF.col("fw_us").isNull() | (
+        FF.col("b_us").isNotNull() & (db <= df_))
+    out = {r.event_id: (r.v, r.t) for r in fwd.select(
+        "event_id",
+        FF.when(pick_back, FF.col("b_val")).otherwise(FF.col("f_val")).alias("v"),
+        FF.coalesce(FF.when(pick_back, FF.col("b_us"))
+                    .otherwise(FF.col("fw_us")), FF.lit(-1)).alias("t"),
+    ).collect()}
+
+    for eid, u, f in facts:
+        v, a = ref(u, f)
+        assert out[eid] == (v, a if v is not None else -1), (eid, out[eid], (v, a))
