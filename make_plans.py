@@ -152,10 +152,10 @@ NOTES = {
                     "on the negated axis) — 2 window sorts on the "
                     "entity key, then element-wise pick; no range "
                     "cross-product anywhere.",
-    "win_outlier_mad": "Two grouped percentile aggs; the joins back "
-                       "are UNHINTED — AQE broadcasts the entity-sized "
-                       "median frames while they fit (forced broadcast "
-                       "would OOM at ~1e8 entities).",
+    "win_outlier_mad": "ONE exchange: both medians are whole-partition "
+                       "window percentiles over the same entity key — "
+                       "no joins (the agg+join-back form shuffled facts "
+                       "3×; 25.6→7.8 s at 20M events).",
     "agg_retention": "Distinct → per-user min → unhinted join back "
                      "(AQE broadcasts the entity-sized cohort frame "
                      "while it fits) → one count-distinct agg.",

@@ -5191,18 +5191,15 @@ def agg_gini(spark, sf_dir):
 @register(
     "win_outlier_mad",
     oracle=f"""
-    with e as (select * from {EV}),
-    med as (select user_id, quantile_cont(value, 0.5) as med
-            from e group by 1),
-    dev as (select e.user_id, e.event_id, e.value, med.med,
-                   abs(e.value - med.med) as adev
-            from e join med on e.user_id = med.user_id),
-    mad as (select user_id, quantile_cont(adev, 0.5) as mad
-            from dev group by 1)
-    select d.event_id, d.user_id, d.value,
-           case when m.mad > 0 and abs(d.value - d.med) > 5 * m.mad
+    with e as (select event_id, user_id, value from {EV}),
+    d as (select *, quantile_cont(value, 0.5)
+                      over (partition by user_id) as med from e),
+    m as (select *, quantile_cont(abs(value - med), 0.5)
+                      over (partition by user_id) as mad from d)
+    select event_id, user_id, value,
+           case when mad > 0 and abs(value - med) > 5 * mad
                 then 1 else 0 end as is_outlier
-    from dev d join mad m on d.user_id = m.user_id
+    from m
     """,
 )
 def win_outlier_mad(spark, sf_dir):
@@ -5210,20 +5207,22 @@ def win_outlier_mad(spark, sf_dir):
     alternative to z-scores (win_zscore): median and MAD ignore the very
     outliers they hunt, where mean/stddev get dragged by them. Both
     medians are EXACT interpolated percentiles (verified bitwise-equal to
-    DuckDB quantile_cont); |x−med| > 5·MAD flags. Two grouped percentile
-    aggs + two joins back. The median/MAD frames are entity-sized —
-    small relative to facts at any scale but unbounded in absolute terms,
-    so the joins are left UNHINTED: AQE broadcasts them while they fit
-    its threshold and falls back to a shuffle join beyond (forcing
-    broadcast() here would OOM the build side at ~1e8 entities)."""
+    DuckDB quantile_cont); |x−med| > 5·MAD flags. Formulated as TWO
+    whole-partition window percentiles over the same entity key — ONE
+    exchange total, no joins (the original agg+join-back form shuffled
+    the fact table three times; measured 25.6 s → this at 20M events,
+    SCALE.md r5g). Per-entity partitions must fit a sort buffer — the
+    same bound every window op here lives with; spills beyond."""
     e = load(spark, sf_dir, "events")
-    med = e.groupBy("user_id").agg(F.percentile("value", 0.5).alias("med"))
-    dev = e.join(med, "user_id").select(
-        "event_id", "user_id", "value", "med",
-        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    w = Window.partitionBy("user_id")
+    d = e.select(
+        "event_id", "user_id", "value",
+        F.percentile("value", 0.5).over(w).alias("med"),
     )
-    mad = dev.groupBy("user_id").agg(F.percentile("adev", 0.5).alias("mad"))
-    return dev.join(mad, "user_id").select(
+    m = d.withColumn(
+        "mad", F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).over(w)
+    )
+    return m.select(
         "event_id", "user_id", "value",
         F.when(
             (F.col("mad") > 0)

@@ -455,10 +455,54 @@ def text_signals_probe(spark, res, n_events, n_docs):
               F.when(den != 0, num / den).alias("twa")), res)
 
 
+def robust_stats_probe(spark, res, n_events):
+    """r5-G shapes at probe scale: exact-percentile MAD outliers (the
+    grouped percentile sorts inside the agg buffer — per-entity rows,
+    not global), Gini (two chained hash-aggs), cohort retention
+    (distinct → min → join back)."""
+    from pyspark.sql import Window
+
+    e = synth_events(spark, n_events)
+    w = Window.partitionBy("user_id")
+    d = e.select("event_id", "user_id", "value",
+                 F.percentile("value", 0.5).over(w).alias("med"))
+    m = d.withColumn(
+        "mad", F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).over(w))
+    timed(f"mad_outliers_{n_events}",
+          m.select(
+              "event_id",
+              F.when((F.col("mad") > 0)
+                     & (F.abs(F.col("value") - F.col("med")) > 5 * F.col("mad")),
+                     F.lit(1)).otherwise(F.lit(0)).alias("is_outlier")), res)
+
+    c = e.withColumn(
+        "etype", (F.pmod(F.xxhash64("event_id"), F.lit(5))).cast("int")
+    ).groupBy("user_id", "etype").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").cast("double")
+    timed(f"gini_{n_events}",
+          c.groupBy("user_id").agg(
+              (F.lit(1.0) - F.sum(F.col("n") * F.col("n")).cast("double")
+               / (tot * tot)).alias("gini")), res)
+
+    week = F.floor(F.unix_seconds("ts") / F.lit(86400 * 7)).cast("bigint")
+    weekly = e.select("user_id", week.alias("week")).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cw"))
+    timed(f"retention_{n_events}",
+          weekly.join(cohort, "user_id")
+          .groupBy("cw", (F.col("week") - F.col("cw")).alias("off"))
+          .agg(F.countDistinct("user_id").alias("n_active")), res)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r5g":
+        robust_stats_probe(spark, res, n_events=N)
+        print(json.dumps({"metric": "scale_probe_r5g", "rows": N,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r5d":
         text_signals_probe(spark, res, n_events=N, n_docs=max(100_000, N // 20))
         print(json.dumps({"metric": "scale_probe_r5d", "rows": N,
