@@ -5272,6 +5272,73 @@ def agg_retention(spark, sf_dir):
     )
 
 
+@register(
+    "trigger_cooldown",
+    oracle=f"""
+    with e as (select * from {EV}),
+    kpi as (select user_id, {sql_bucket_epoch('ts', G_1H)} as bucket,
+                   count(*) as n, {sql_dsum('value')} as sum_value,
+                   count(case when event_type = 'error' then 1 end) as n_errors
+            from e group by 1, 2),
+    notif as (
+      select user_id as entity_id, bucket as ts, 'value_surge' as rule,
+             10 as weight
+      from kpi where sum_value > 200.0
+      union all
+      select user_id as entity_id, bucket as ts, 'error_burst' as rule,
+             5 as weight
+      from kpi where n_errors >= 2),
+    flagged as (
+      select *, case when lag(ts) over
+                       (partition by entity_id, rule order by ts) is null
+                     or ts - lag(ts) over
+                       (partition by entity_id, rule order by ts) >= 259200
+                     then 1 else 0 end as is_new
+      from notif),
+    bursts as (
+      select *, cast(sum(is_new) over
+               (partition by entity_id, rule order by ts
+                rows unbounded preceding) as bigint) as burst
+      from flagged)
+    select entity_id, rule, min(ts) as first_ts,
+           cast(count(*) - 1 as bigint) as n_suppressed,
+           cast(sum(weight) as bigint) as total_weight
+    from bursts group by entity_id, rule, burst
+    """,
+)
+def trigger_cooldown(spark, sf_dir):
+    """D10b: notification cooldown/thinning — the trigger engine's burst
+    suppression: within a (entity, rule) stream, alerts closer than the
+    cooldown (3 days here — sized so the fixture actually exercises the
+    suppression path: 223 alerts → 195 bursts at sf0.01) to the previous
+    alert collapse into one burst; the NOC sees the
+    burst's first firing plus how many repeats it swallowed (the
+    reference pattern of notification thinning to stop alert storms).
+    TRUE cooldown-vs-last-KEPT equals keep-first-of-each-session here
+    because bucket spacing is uniform — so it reuses the exact
+    sessionization shape (gaps-and-islands running flag sum), one window
+    over the (already tiny) notification frame. Weight sums stay integer."""
+    notif = trigger_notify(spark, sf_dir).select(
+        "entity_id", "ts", "rule", "weight"
+    )
+    w = Window.partitionBy("entity_id", "rule").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    flagged = notif.withColumn(
+        "is_new",
+        F.when(prev.isNull() | (F.col("ts") - prev >= 259200), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bursts = flagged.withColumn(
+        "burst", F.sum("is_new").over(wb).cast("bigint")
+    )
+    return bursts.groupBy("entity_id", "rule", "burst").agg(
+        F.min("ts").alias("first_ts"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("n_suppressed"),
+        F.sum("weight").cast("bigint").alias("total_weight"),
+    ).drop("burst")
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -5315,7 +5382,7 @@ _R05_PRIORITY = [  # changed/new this round, or never driver-sampled
     "win_counter_reset", "agg_time_weighted", "agg_topn_others",
     "win_funnel", "llm_novelty", "llm_cdc_chunk",
     "win_dod_change", "llm_chunk_dedup", "win_ewma", "join_nearest",
-    "agg_gini", "win_outlier_mad", "agg_retention",
+    "agg_gini", "win_outlier_mad", "agg_retention", "trigger_cooldown",
 ]
 _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     # (12 of the original 36 refreshes — the simplest keys, green since r01:
@@ -5328,7 +5395,7 @@ _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     # llm_dupe_stats, llm_hot_ngrams, win_pattern, llm_chunk,
     # llm_decontaminate, llm_shard, llm_repetition, llm_pack,
     # llm_keywords, llm_split — a renewal defers, a first row cannot)
-    "scan_csv", "project_select", "filter_threshold", "filter_ts_range",
+    "scan_csv", "project_select", "filter_threshold",
 ]
 _R05_TAIL = [  # displaced r03-green refreshes first, then 7
     # pure-scalar fn keys (r03-green, untouched since), then every r4-green
@@ -5338,6 +5405,7 @@ _R05_TAIL = [  # displaced r03-green refreshes first, then 7
     "win_pattern", "llm_chunk",
     "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
     "llm_keywords", "llm_split", "llm_dedup_groups", "llm_vocab",
+    "filter_ts_range",
     "upsert_latest", "join_asof", "agg_time_local",
     "agg_entity_chain", "agg_approx",
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",
