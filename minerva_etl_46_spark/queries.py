@@ -5339,6 +5339,33 @@ def trigger_cooldown(spark, sf_dir):
     ).drop("burst")
 
 
+@register(
+    "stream_trigger",
+    oracle=f"""
+    with e as (select * from {EV}),
+    kpi as (select user_id, {sql_bucket_epoch('ts', G_1H)} as bucket,
+                   {sql_dsum('value')} as sum_value,
+                   count(case when event_type = 'error' then 1 end) as n_errors
+            from e group by 1, 2)
+    select user_id as entity_id, bucket as ts, 'value_surge' as rule,
+           10 as weight
+    from kpi where sum_value > 200.0
+    union all
+    select user_id as entity_id, bucket as ts, 'error_burst' as rule,
+           5 as weight
+    from kpi where n_errors >= 2
+    """,
+)
+def stream_trigger(spark, sf_dir):
+    """D10 streaming twin (T1×D10): the trigger DAEMON — hourly KPI
+    windows aggregate via Structured Streaming and rules fire per
+    trigger, checked against the exact batch-SQL oracle (stream/batch
+    trigger parity). Rules fuse into the single streaming aggregate via
+    a conditional array + explode (streaming/jobs.py::
+    trigger_notifications_stream)."""
+    return streaming_jobs.trigger_notifications_stream(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -5383,6 +5410,7 @@ _R05_PRIORITY = [  # changed/new this round, or never driver-sampled
     "win_funnel", "llm_novelty", "llm_cdc_chunk",
     "win_dod_change", "llm_chunk_dedup", "win_ewma", "join_nearest",
     "agg_gini", "win_outlier_mad", "agg_retention", "trigger_cooldown",
+    "stream_trigger",
 ]
 _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     # (12 of the original 36 refreshes — the simplest keys, green since r01:
@@ -5395,7 +5423,7 @@ _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     # llm_dupe_stats, llm_hot_ngrams, win_pattern, llm_chunk,
     # llm_decontaminate, llm_shard, llm_repetition, llm_pack,
     # llm_keywords, llm_split — a renewal defers, a first row cannot)
-    "scan_csv", "project_select", "filter_threshold",
+    "scan_csv", "project_select",
 ]
 _R05_TAIL = [  # displaced r03-green refreshes first, then 7
     # pure-scalar fn keys (r03-green, untouched since), then every r4-green
@@ -5405,7 +5433,7 @@ _R05_TAIL = [  # displaced r03-green refreshes first, then 7
     "win_pattern", "llm_chunk",
     "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
     "llm_keywords", "llm_split", "llm_dedup_groups", "llm_vocab",
-    "filter_ts_range",
+    "filter_threshold", "filter_ts_range",
     "upsert_latest", "join_asof", "agg_time_local",
     "agg_entity_chain", "agg_approx",
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",

@@ -306,3 +306,47 @@ def interval_join_pairs(spark: SparkSession, sf_dir: str,
     )
     return _run_to_memory(out, "stream_interval_join_out", spark,
                           mode="append")
+
+
+def trigger_notifications_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 as a STREAMING job — the reference's trigger daemon: hourly
+    KPI windows aggregate continuously, rules fire as notifications per
+    trigger. Both rules fuse into the ONE streaming aggregate via a
+    conditional rule array + explode (a union of two filtered branches
+    would plan two parallel streaming aggregations; this stays a single
+    agg, which every output mode supports). Output:
+    (entity_id, ts, rule, weight) — same shape the batch trigger engine
+    (plans/triggers.py) emits, so sinks are interchangeable."""
+    e = _read_events_stream(spark, sf_dir)
+    kpi = (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            F.count(F.when(F.col("event_type") == "error", 1))
+            .alias("n_errors"),
+        )
+        .select(
+            F.col("user_id").alias("entity_id"),
+            F.col("win.start").cast("long").alias("ts"),
+            "n", "sum_value", "n_errors",
+        )
+    )
+    rules = F.array(
+        F.when(
+            F.col("sum_value") > 200.0,
+            F.struct(F.lit("value_surge").alias("rule"),
+                     F.lit(10).alias("weight")),
+        ),
+        F.when(
+            F.col("n_errors") >= 2,
+            F.struct(F.lit("error_burst").alias("rule"),
+                     F.lit(5).alias("weight")),
+        ),
+    )
+    notif = kpi.select(
+        "entity_id", "ts",
+        F.explode(F.filter(rules, lambda x: x.isNotNull())).alias("r"),
+    ).select("entity_id", "ts", F.col("r.rule").alias("rule"),
+             F.col("r.weight").alias("weight"))
+    return _run_to_memory(notif, "stream_trigger_out", spark)
