@@ -5366,6 +5366,48 @@ def stream_trigger(spark, sf_dir):
     return streaming_jobs.trigger_notifications_stream(spark, sf_dir)
 
 
+@register(
+    "win_seasonal_baseline",
+    oracle=f"""
+    with e as (select * from {EV}),
+    h as (select user_id, event_id, value,
+                 cast((dayofweek(ts) * 24 + hour(ts)) as bigint) as how
+          from e),
+    b as (select *, quantile_cont(value, 0.5)
+                      over (partition by user_id, how) as baseline,
+                 cast(count(*)
+                      over (partition by user_id, how) as bigint) as n_obs
+          from h)
+    select event_id, user_id, how, value, baseline,
+           {sql_safe_div('value - baseline', 'baseline')} as deviation
+    from b where n_obs >= 3
+    """,
+)
+def win_seasonal_baseline(spark, sf_dir):
+    """W17: seasonal baseline deviation — each sample vs the entity's OWN
+    median for that hour-of-week (traffic is weekly-periodic; a 3 a.m.
+    Sunday value is only anomalous vs other 3 a.m. Sundays — W16's global
+    MAD and W7's trailing mean both miss that). Exact window median per
+    (entity, hour-of-week) cell (bitwise cross-engine), cells with <3
+    observations suppressed (a 1-2 sample 'baseline' is noise). ONE
+    exchange on the composite cell key; the median sort is per-cell."""
+    e = load(spark, sf_dir, "events")
+    # DuckDB dayofweek is 0-based (Sun=0) vs Spark's 1-based — align
+    how = ((F.dayofweek("ts") - F.lit(1)) * 24 + F.hour("ts")).cast("bigint")
+    h = e.select("user_id", "event_id", "value", how.alias("how"))
+    w = Window.partitionBy("user_id", "how")
+    b = h.select(
+        "event_id", "user_id", "how", "value",
+        F.percentile("value", 0.5).over(w).alias("baseline"),
+        F.count(F.lit(1)).over(w).alias("n_obs"),
+    )
+    return b.filter(F.col("n_obs") >= 3).select(
+        "event_id", "user_id", "how", "value", "baseline",
+        safe_divide(F.col("value") - F.col("baseline"),
+                    F.col("baseline")).alias("deviation"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -5410,7 +5452,7 @@ _R05_PRIORITY = [  # changed/new this round, or never driver-sampled
     "win_funnel", "llm_novelty", "llm_cdc_chunk",
     "win_dod_change", "llm_chunk_dedup", "win_ewma", "join_nearest",
     "agg_gini", "win_outlier_mad", "agg_retention", "trigger_cooldown",
-    "stream_trigger",
+    "stream_trigger", "win_seasonal_baseline",
 ]
 _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     # (12 of the original 36 refreshes — the simplest keys, green since r01:
@@ -5423,7 +5465,7 @@ _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     # llm_dupe_stats, llm_hot_ngrams, win_pattern, llm_chunk,
     # llm_decontaminate, llm_shard, llm_repetition, llm_pack,
     # llm_keywords, llm_split — a renewal defers, a first row cannot)
-    "scan_csv", "project_select",
+    "scan_csv",
 ]
 _R05_TAIL = [  # displaced r03-green refreshes first, then 7
     # pure-scalar fn keys (r03-green, untouched since), then every r4-green
@@ -5433,7 +5475,7 @@ _R05_TAIL = [  # displaced r03-green refreshes first, then 7
     "win_pattern", "llm_chunk",
     "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
     "llm_keywords", "llm_split", "llm_dedup_groups", "llm_vocab",
-    "filter_threshold", "filter_ts_range",
+    "project_select", "filter_threshold", "filter_ts_range",
     "upsert_latest", "join_asof", "agg_time_local",
     "agg_entity_chain", "agg_approx",
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",
