@@ -5408,6 +5408,60 @@ def win_seasonal_baseline(spark, sf_dir):
     )
 
 
+@register(
+    "win_cusum",
+    oracle=f"""
+    with e as (select * from {EV}),
+    seqs as (select user_id,
+                    list_sort(list({{'ts_us': epoch_us(ts),
+                                     'eid': event_id,
+                                     'v': value}})) as s,
+                    quantile_cont(value, 0.5) as ref_median
+             from e group by 1)
+    select user_id, ref_median,
+           list_reduce(
+             list_prepend(cast(0 as double), list_transform(s, x -> x.v)),
+             (acc, x) -> greatest(cast(0 as double),
+                                  acc + x - ref_median)) as cusum,
+           cast(len(s) as bigint) as n
+    from seqs
+    """,
+)
+def win_cusum(spark, sf_dir):
+    """W18: one-sided CUSUM drift detection (Page 1954 — THE classical
+    sequential change detector): c_t = max(0, c_{{t-1}} + x_t − ref), with
+    the entity's own exact median as the reference level. Like EWMA a
+    true recursion, so the same one-shuffle HOF walk; the oracle replays
+    it through list_reduce with an explicit 0-seed prepended (DuckDB's
+    reduce seeds from the first element). Every step is one IEEE add and
+    an exact max — bit-identical cross-engine. A persistently elevated
+    level drives c up linearly; in-control data pins it near 0."""
+    e = load(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("ts_us"),
+                    F.col("event_id").alias("eid"),
+                    F.col("value").alias("v"),
+                )
+            )
+        ).alias("s"),
+        F.percentile("value", 0.5).alias("ref_median"),
+    )
+    walk = F.aggregate(
+        F.transform("s", lambda x: x.v),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(
+            F.lit(0.0), acc + v - F.col("ref_median")
+        ),
+    )
+    return seq.select(
+        "user_id", "ref_median", walk.alias("cusum"),
+        F.size("s").cast("bigint").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -5452,7 +5506,7 @@ _R05_PRIORITY = [  # changed/new this round, or never driver-sampled
     "win_funnel", "llm_novelty", "llm_cdc_chunk",
     "win_dod_change", "llm_chunk_dedup", "win_ewma", "join_nearest",
     "agg_gini", "win_outlier_mad", "agg_retention", "trigger_cooldown",
-    "stream_trigger", "win_seasonal_baseline",
+    "stream_trigger", "win_seasonal_baseline", "win_cusum",
 ]
 _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     # (12 of the original 36 refreshes — the simplest keys, green since r01:
@@ -5465,7 +5519,6 @@ _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     # llm_dupe_stats, llm_hot_ngrams, win_pattern, llm_chunk,
     # llm_decontaminate, llm_shard, llm_repetition, llm_pack,
     # llm_keywords, llm_split — a renewal defers, a first row cannot)
-    "scan_csv",
 ]
 _R05_TAIL = [  # displaced r03-green refreshes first, then 7
     # pure-scalar fn keys (r03-green, untouched since), then every r4-green
@@ -5475,7 +5528,7 @@ _R05_TAIL = [  # displaced r03-green refreshes first, then 7
     "win_pattern", "llm_chunk",
     "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
     "llm_keywords", "llm_split", "llm_dedup_groups", "llm_vocab",
-    "project_select", "filter_threshold", "filter_ts_range",
+    "scan_csv", "project_select", "filter_threshold", "filter_ts_range",
     "upsert_latest", "join_asof", "agg_time_local",
     "agg_entity_chain", "agg_approx",
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",
