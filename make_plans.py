@@ -159,6 +159,19 @@ NOTES = {
     "agg_retention": "Distinct → per-user min → unhinted join back "
                      "(AQE broadcasts the entity-sized cohort frame "
                      "while it fits) → one count-distinct agg.",
+    "trigger_cooldown": "Sessionization (gaps-and-islands) over the "
+                        "already-tiny notification frame: one window + "
+                        "one hash-agg downstream of the fused trigger "
+                        "scan.",
+    "win_seasonal_baseline": "ONE exchange on the (entity, hour-of-week) "
+                             "cell key; the exact median sorts per cell "
+                             "inside the window buffer.",
+    "win_cusum": "ONE exchange (collect_list + percentile share the "
+                 "entity hash-agg); the CUSUM recursion is a per-row "
+                 "projection over the sorted array.",
+    "agg_gini": "Two chained hash-aggs — the second runs on the "
+                "(entity, type) vocabulary frame; pure integer "
+                "arithmetic until the final divide.",
 }
 
 
