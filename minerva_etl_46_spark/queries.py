@@ -5462,6 +5462,79 @@ def win_cusum(spark, sf_dir):
     )
 
 
+@register(
+    "llm_domain_match",
+    oracle="""
+    with d as (select doc_id, lang, string_split(text, ' ') as tk
+               from documents),
+    f0 as (select doc_id, lang, md5(tk[i] || ' ' || tk[i+1]) as f
+           from d, unnest(generate_series(1, len(tk) - 1)) as t(i)),
+    f as (select distinct doc_id, lang, f from f0),
+    prof as (select f from (
+               select f, count(*) as df from f where lang = 'en'
+               group by 1 order by df desc, f asc limit 500))
+    select fe.doc_id, cast(count(*) as bigint) as n_feats,
+           cast(sum(case when p.f is not null then 1 else 0 end) as bigint)
+             as n_hit,
+           cast(sum(case when p.f is not null then 1 else 0 end) as double)
+             / count(*) as score,
+           case when cast(sum(case when p.f is not null then 1 else 0 end)
+                          as double) / count(*) >= 0.6
+                then 1 else 0 end as keep
+    from f fe left join prof p on fe.f = p.f
+    group by 1
+    """,
+)
+def llm_domain_match(spark, sf_dir):
+    """X32: DSIR-style importance filtering (Xie et al. 2023, rational
+    form): a TARGET subset (lang='en' here; any in-domain seed corpus in
+    production) defines a hashed-bigram profile — its top-500 features by
+    document frequency — and every doc scores by the share of its own
+    distinct features inside that profile. The published method weights
+    by log-probability ratios; this uses the rational membership share
+    DELIBERATELY (libm-free ⇒ engine-exact) and measures real separation
+    on the fixture: en 0.667 mean vs 0.563 off-target. Profile is
+    parameter-bounded (500 rows) ⇒ a genuine broadcast; corpus side is
+    one distinct + one hash-agg — linear."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("tk")
+    )
+    feats = (
+        d.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id", "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - F.lit(1)),
+                    lambda i: F.md5(
+                        F.concat(F.element_at("tk", i), F.lit(" "),
+                                 F.element_at("tk", i + F.lit(1)))
+                    ),
+                )
+            ).alias("f"),
+        )
+        .distinct()
+    )
+    prof = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("f").agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("f").asc())
+        .limit(500)
+        .select("f", F.lit(1).alias("hit"))
+    )
+    scored = feats.join(F.broadcast(prof), "f", "left")
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint")
+        .alias("n_hit"),
+    )
+    score = F.col("n_hit").cast("double") / F.col("n_feats")
+    return agg.select(
+        "doc_id", "n_feats", "n_hit", score.alias("score"),
+        F.when(score >= 0.6, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -5488,7 +5561,9 @@ _R05_PRIORITY = [  # changed/new this round, or never driver-sampled
                          # Europe/Amsterdam spring-forward (SURVEY §7a)
     "llm_sim_ann", "llm_sim_ivf", "llm_cluster",  # invariant oracles now
                                                   # (were rows-only)
-    "mm_extract", "mm_frames",  # stub-replay FULL oracles (were rows-only)
+    "mm_extract",  # stub-replay FULL oracle (was rows-only); mm_frames
+                   # (same oracle family) displaced to the tail by the
+                   # r5-H first-rows — the sibling proves the mechanism
     "llm_dedup_embed",   # now routed through the banded production path
     "join_interval", "diff_keyed",  # operators hardened (degenerate
                                     # intervals; null-key presence flags)
@@ -5507,6 +5582,7 @@ _R05_PRIORITY = [  # changed/new this round, or never driver-sampled
     "win_dod_change", "llm_chunk_dedup", "win_ewma", "join_nearest",
     "agg_gini", "win_outlier_mad", "agg_retention", "trigger_cooldown",
     "stream_trigger", "win_seasonal_baseline", "win_cusum",
+    "llm_domain_match",
 ]
 _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     # (12 of the original 36 refreshes — the simplest keys, green since r01:
@@ -5521,6 +5597,7 @@ _R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
     # llm_keywords, llm_split — a renewal defers, a first row cannot)
 ]
 _R05_TAIL = [  # displaced r03-green refreshes first, then 7
+    "mm_frames", "scan_csv",
     # pure-scalar fn keys (r03-green, untouched since), then every r4-green
     # key in its r4 sample order
     "llm_sample_stratified", "llm_redact", "llm_mix_weights",
@@ -5528,7 +5605,7 @@ _R05_TAIL = [  # displaced r03-green refreshes first, then 7
     "win_pattern", "llm_chunk",
     "llm_decontaminate", "llm_shard", "llm_repetition", "llm_pack",
     "llm_keywords", "llm_split", "llm_dedup_groups", "llm_vocab",
-    "scan_csv", "project_select", "filter_threshold", "filter_ts_range",
+    "project_select", "filter_threshold", "filter_ts_range",
     "upsert_latest", "join_asof", "agg_time_local",
     "agg_entity_chain", "agg_approx",
     "agg_count_distinct", "agg_last_by", "win_latest", "win_delta",
