@@ -172,6 +172,10 @@ NOTES = {
     "agg_gini": "Two chained hash-aggs — the second runs on the "
                 "(entity, type) vocabulary frame; pure integer "
                 "arithmetic until the final divide.",
+    "llm_domain_match": "Corpus side: one distinct + one hash-agg; the "
+                        "500-row profile (parameter-bounded) is the "
+                        "only broadcast — TakeOrdered builds it, no "
+                        "global sort.",
 }
 
 
