@@ -5584,22 +5584,17 @@ _R05_PRIORITY = [  # changed/new this round, or never driver-sampled
     "stream_trigger", "win_seasonal_baseline", "win_cusum",
     "llm_domain_match",
 ]
-_R03_STALE = [  # green in r03 on the current fixtures; stalest rows → renew
-    # (12 of the original 36 refreshes — the simplest keys, green since r01:
-    # agg_count_distinct, agg_last_by, win_latest, win_delta, topk_per_group,
-    # fn_string_dn, join_dim, agg_pivot, win_cume, llm_len_buckets,
-    # llm_concat, llm_overlap — moved to the tail head to make room for the
-    # r5-B keys above; a renewal defers, a first row cannot)
-    # (14 renewals displaced to the tail by the r5-C/r5-D first-rows above:
-    # llm_sample_stratified, llm_redact, llm_mix_weights, llm_normalize,
-    # llm_dupe_stats, llm_hot_ngrams, win_pattern, llm_chunk,
-    # llm_decontaminate, llm_shard, llm_repetition, llm_pack,
-    # llm_keywords, llm_split — a renewal defers, a first row cannot)
+_R03_STALE: list[str] = [
+    # EMPTY this round: the 50-key sample is fully consumed by keys that
+    # NEED a first (or first-after-change) driver row — the 25 r5-A items
+    # plus the 26 r5-B..H registrations (mm_frames yielded its slot to its
+    # stub-replay sibling mm_extract). Every stale-row renewal candidate
+    # is deferred to the tail: a renewal defers, a first row cannot.
 ]
-_R05_TAIL = [  # displaced r03-green refreshes first, then 7
+_R05_TAIL = [  # displaced renewal candidates first (stalest driver rows
+    # lead so any sample-size increase picks them up next), then every
+    # r4-green key in its r4 sample order
     "mm_frames", "scan_csv",
-    # pure-scalar fn keys (r03-green, untouched since), then every r4-green
-    # key in its r4 sample order
     "llm_sample_stratified", "llm_redact", "llm_mix_weights",
     "llm_normalize", "llm_dupe_stats", "llm_hot_ngrams",
     "win_pattern", "llm_chunk",
