@@ -5535,6 +5535,48 @@ def llm_domain_match(spark, sf_dir):
     )
 
 
+@register(
+    "join_bucketed",
+    oracle=f"""
+    select o_orderpriority, count(*) as n, {sql_dsum('l_quantity')} as qty
+    from lineitem join orders on l_orderkey = o_orderkey
+    group by 1
+    """,
+)
+def join_bucketed(spark, sf_dir):
+    """J3b: the recurring KPI join on BUCKETED tables — both sides
+    written bucketed+sorted by the join key (sources/bucketed.py), so the
+    join plans with ZERO Exchange operators and no per-task sort: the
+    shuffle recurring materialization ticks would pay on every run is
+    paid once at write. This key drives the full write→catalog→join path
+    (plan shape asserted separately in tests/test_bucketed.py); the
+    oracle is the identical plain join, proving bucketing changes the
+    PLAN, never the values. Scratch tables are per-sf-named so the
+    sf0.001/sf0.01 gate runs can't collide."""
+    from minerva_etl_46_spark.sources.bucketed import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    sfx = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    li, od = f"bq_lineitem_{sfx}", f"bq_orders_{sfx}"
+    write_bucketed(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+        li, "l_orderkey", 8,
+    )
+    write_bucketed(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        od, "o_orderkey", 8,
+    )
+    j = colocated_join(
+        spark, li, od,
+        on=[F.col("l_orderkey") == F.col("o_orderkey")],
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -5555,7 +5597,7 @@ def llm_domain_match(spark, sf_dir):
 # CORRECTNESS_r04.json for the r4 greens, r03 for _R03_STALE.
 _R05_PRIORITY = [  # changed/new this round, or never driver-sampled
     "win_sessionize",    # r4's only red: oracle HUGEINT→bigint cast fixed
-    "llm_url_parse", "llm_edit_distance", "win_ntile",  # registered after
+    "llm_edit_distance", "win_ntile",  # registered after
                                                         # r4's sample filled
     "agg_time_dst",      # NEW: local-day rollup across the 2024-03-31
                          # Europe/Amsterdam spring-forward (SURVEY §7a)
@@ -5582,7 +5624,7 @@ _R05_PRIORITY = [  # changed/new this round, or never driver-sampled
     "win_dod_change", "llm_chunk_dedup", "win_ewma", "join_nearest",
     "agg_gini", "win_outlier_mad", "agg_retention", "trigger_cooldown",
     "stream_trigger", "win_seasonal_baseline", "win_cusum",
-    "llm_domain_match",
+    "llm_domain_match", "join_bucketed",
 ]
 _R03_STALE: list[str] = [
     # EMPTY this round: the 50-key sample is fully consumed by keys that
@@ -5594,7 +5636,7 @@ _R03_STALE: list[str] = [
 _R05_TAIL = [  # displaced renewal candidates first (stalest driver rows
     # lead so any sample-size increase picks them up next), then every
     # r4-green key in its r4 sample order
-    "mm_frames", "scan_csv",
+    "llm_url_parse", "mm_frames", "scan_csv",
     "llm_sample_stratified", "llm_redact", "llm_mix_weights",
     "llm_normalize", "llm_dupe_stats", "llm_hot_ngrams",
     "win_pattern", "llm_chunk",
