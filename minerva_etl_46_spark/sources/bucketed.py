@@ -30,10 +30,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _ensure_absent(spark: SparkSession, table: str) -> None:
+    """Drop `table` from the catalog AND remove its warehouse location.
+    With the in-memory catalog (plain local session) a managed-table
+    location can survive a previous session whose catalog entry died —
+    `saveAsTable` then fails with LOCATION_ALREADY_EXISTS even in
+    overwrite mode. Hive/Glue-backed clusters don't hit this (the entry
+    persists and overwrite works), but the cleanup is harmless there."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"drop table if exists {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if wh:
+        shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_col: str,
                    n_buckets: int) -> None:
     """Write df as a bucketed+sorted table. Sorting within buckets makes
     the downstream sort-merge join skip its per-task sort as well."""
+    _ensure_absent(df.sparkSession, table)
     (
         df.write.bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
