@@ -176,6 +176,7 @@ NOTES = {
                         "500-row profile (parameter-bounded) is the "
                         "only broadcast — TakeOrdered builds it, no "
                         "global sort.",
+    "join_bucketed": "At fixture scale AQE (rightly) broadcasts the small orders side — both scans still show `Bucketed: true`, and the one Exchange is the downstream rollup's own (o_orderpriority, a different key). The zero-Exchange bucketed SMJ — the shape this table pair plans when both sides outgrow the broadcast threshold — is plan-ASSERTED with broadcast disqualified in tests/test_bucketed.py; bucketing never forces a worse plan than AQE would pick.",
 }
 
 
