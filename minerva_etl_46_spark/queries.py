@@ -5545,14 +5545,16 @@ def llm_domain_match(spark, sf_dir):
 )
 def join_bucketed(spark, sf_dir):
     """J3b: the recurring KPI join on BUCKETED tables — both sides
-    written bucketed+sorted by the join key (sources/bucketed.py), so the
-    join plans with ZERO Exchange operators and no per-task sort: the
-    shuffle recurring materialization ticks would pay on every run is
-    paid once at write. This key drives the full write→catalog→join path
-    (plan shape asserted separately in tests/test_bucketed.py); the
-    oracle is the identical plain join, proving bucketing changes the
-    PLAN, never the values. Scratch tables are per-sf-named so the
-    sf0.001/sf0.01 gate runs can't collide."""
+    written bucketed+sorted by the join key (sources/bucketed.py). When
+    both sides outgrow the broadcast threshold the join plans with ZERO
+    Exchange operators and no per-task sort (asserted with broadcast
+    disqualified in tests/test_bucketed.py) — the shuffle recurring
+    materialization ticks would pay on every run is paid once at write;
+    at gate scale AQE rightly broadcasts the small side instead, so
+    bucketing never forces a worse plan. This key drives the full
+    write→catalog→join path; the oracle is the identical plain join,
+    proving bucketing changes the PLAN, never the values. Scratch tables
+    are per-sf-named so the sf0.001/sf0.01 gate runs can't collide."""
     from minerva_etl_46_spark.sources.bucketed import (
         colocated_join,
         write_bucketed,
