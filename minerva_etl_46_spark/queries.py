@@ -5597,7 +5597,36 @@ def join_bucketed(spark, sf_dir):
 # oracle changed this round, and (c) refreshes the keys whose last green
 # row is r03 — the stalest rows on current fixtures. Ledger:
 # CORRECTNESS_r04.json for the r4 greens, r03 for _R03_STALE.
-_R05_PRIORITY = [  # changed/new this round, or never driver-sampled
+_R06_PRIORITY = [
+    # Round-6 rotation. The r5 artifact proved the driver samples the
+    # FIRST 50 exported keys (CORRECTNESS_r05.json == the final front-50,
+    # in order). Front-load, in priority order:
+    #   (a) the only two keys with no green driver row ever
+    #       (llm_url_parse: never sampled; mm_frames: last row r3
+    #       err:no_oracle, full stub-replay oracle exists since r5),
+    #   (b) keys whose code changes this round (join_nearest atomic pick,
+    #       llm_novelty shuffle cut),
+    #   (c) the stalest renewals — every key whose last green row is r2,
+    #       then the oldest r3 rows, to fill 50.
+    "llm_url_parse", "mm_frames",
+    # (b) changed this round
+    "join_nearest", "llm_novelty",
+    # (c) r2-stale renewals
+    "scan_csv", "project_select", "filter_threshold", "fn_safe_div",
+    "fn_hash", "fn_json_extract", "fn_case", "fn_array",
+    # (c) r3-stale renewals
+    "filter_ts_range", "join_dim", "join_asof", "upsert_latest",
+    "agg_time_local", "agg_entity_chain", "agg_count_distinct",
+    "agg_last_by", "agg_pivot", "agg_approx", "win_latest", "win_delta",
+    "win_cume", "win_pattern", "topk_per_group", "fn_string_dn",
+    "fn_regexp", "fn_variant", "llm_chunk", "llm_concat",
+    "llm_decontaminate", "llm_dedup_groups", "llm_dupe_stats",
+    "llm_hot_ngrams", "llm_keywords", "llm_len_buckets", "llm_mix_weights",
+    "llm_normalize", "llm_overlap", "llm_pack", "llm_redact",
+    "llm_repetition", "llm_sample_stratified", "llm_shard", "llm_split",
+    "llm_vocab", "agg_time", "fn_ts_align",
+]
+_R05_PRIORITY = [  # changed/new in round 5, or never driver-sampled
     "win_sessionize",    # r4's only red: oracle HUGEINT→bigint cast fixed
     "llm_edit_distance", "win_ntile",  # registered after
                                                         # r4's sample filled
@@ -5664,10 +5693,12 @@ _R05_TAIL = [  # displaced renewal candidates first (stalest driver rows
     "join_salted", "set_union", "llm_minhash_est", "trigger_notify",
     "scan_parquet",
 ]
-_EXPORT_ORDER = _R05_PRIORITY + _R03_STALE + _R05_TAIL
-assert len(_R05_PRIORITY + _R03_STALE) == 50, (
-    "driver samples exactly the first 50 exported keys"
-)
+assert len(_R06_PRIORITY) == 50, len(_R06_PRIORITY)
+_R06_TAIL = [
+    k for k in _R05_PRIORITY + _R03_STALE + _R05_TAIL
+    if k not in set(_R06_PRIORITY)
+]
+_EXPORT_ORDER = _R06_PRIORITY + _R06_TAIL
 
 assert set(_EXPORT_ORDER) == set(QUERIES), (
     sorted(set(_EXPORT_ORDER) ^ set(QUERIES))
