@@ -37,13 +37,20 @@ def asof_join(
 ) -> DataFrame:
     """For each fact row, attach the latest attrs row with
     attr_ts <= fact_ts (per `on` key). Facts with no prior attribute row
-    get NULLs (left-join semantics)."""
+    get NULLs (left-join semantics).
+
+    All value columns are packed into ONE struct before the window pass,
+    so the pick is row-atomic: a NULL in one attribute column can never
+    cause that column to fall back to an OLDER attribute row while its
+    siblings come from the newer one (the struct itself is non-null for
+    every attribute row, so ``last(struct, ignorenulls)`` always lands on
+    the single latest row and NULL fields stay NULL)."""
     f = facts.withColumn("__is_attr", F.lit(0)).withColumn("__ats", F.col(fact_ts))
     a = attrs.select(
         F.col(on),
         F.col(attr_ts).alias("__ats"),
         F.lit(1).alias("__is_attr"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__vrow"),
     )
     fact_cols = facts.columns
     both = f.unionByName(a, allowMissingColumns=True)
@@ -54,10 +61,10 @@ def asof_join(
         .orderBy(F.col("__ats").asc(), F.col("__is_attr").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = both
-    for c in value_cols:
-        out = out.withColumn(f"__last_{c}", F.last(f"__v_{c}", ignorenulls=True).over(w))
+    out = both.withColumn(
+        "__last_row", F.last("__vrow", ignorenulls=True).over(w)
+    )
     return out.filter(F.col("__is_attr") == 0).select(
         *[F.col(c) for c in fact_cols],
-        *[F.col(f"__last_{c}").alias(c) for c in value_cols],
+        *[F.col(f"__last_row.{c}").alias(c) for c in value_cols],
     )

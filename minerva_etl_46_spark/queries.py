@@ -4284,14 +4284,17 @@ def win_share(spark, sf_dir):
 
 
 def _scratch(sf_dir: str, name: str) -> str:
-    """Deterministic scratch dir for round-trip fixture renders (same
-    pattern as scan_kv/scan_csv: render → re-ingest through the REAL
-    reader so the parse path is what the oracle checks)."""
+    """Deterministic-within-a-process scratch dir for round-trip fixture
+    renders (same pattern as scan_kv/scan_csv: render → re-ingest through
+    the REAL reader so the parse path is what the oracle checks). The PID
+    component isolates concurrent runs against same-named fixtures
+    (ADVICE r5: two sessions raced on the overwrite writes)."""
     import os
     import tempfile
 
     return os.path.join(
         tempfile.gettempdir(), "minerva_etl_46_scratch",
+        f"pid{os.getpid()}",
         os.path.basename(sf_dir.rstrip("/")), name,
     )
 

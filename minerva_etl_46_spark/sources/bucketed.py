@@ -43,7 +43,18 @@ def _ensure_absent(spark: SparkSession, table: str) -> None:
     spark.sql(f"drop table if exists {table}")
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     if wh:
-        shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
+        # Managed-table layout: default db → {wh}/{tbl}; qualified name
+        # db.tbl → {wh}/{db}.db/{tbl} (ADVICE r5: the unqualified form
+        # silently missed qualified names and LOCATION_ALREADY_EXISTS
+        # returned).
+        parts = table.lower().split(".")
+        if len(parts) == 1:
+            loc = f"{wh}/{parts[0]}"
+        elif len(parts) == 2:
+            loc = f"{wh}/{parts[0]}.db/{parts[1]}"
+        else:
+            raise ValueError(f"unsupported table name: {table!r}")
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def write_bucketed(df: DataFrame, table: str, bucket_col: str,
@@ -60,9 +71,14 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
 
 
 def colocated_join(spark: SparkSession, left_table: str, right_table: str,
-                   on: str | list[str], how: str = "inner") -> DataFrame:
+                   on, how: str = "inner") -> DataFrame:
     """Join two same-bucket-count tables on their bucket key. With both
     sides bucketed, Catalyst's EnsureRequirements sees matching
     HashPartitioning(bucket) output partitioning and plans NO Exchange;
-    with both sides also sorted, no per-task Sort either."""
+    with both sides also sorted, no per-task Sort either.
+
+    ``on`` is anything DataFrame.join accepts: a column name,
+    list[str], a Column join expression, or list[Column] (join_bucketed
+    passes an equality Column because the two bucket columns are named
+    differently)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)

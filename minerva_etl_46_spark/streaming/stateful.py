@@ -170,9 +170,10 @@ def run_running_totals_tws(spark: SparkSession, source_dir: str, schema: str,
 # ---------------------------------------------------------------------------
 
 FUNNEL_OUTPUT_SCHEMA = (
-    "user_id long, reached int, s1_us long, s2_us long, s3_us long"
+    "user_id long, reached int, s1_us long, s2_us long, s3_us long, "
+    "late_events long"
 )
-FUNNEL_STATE_SCHEMA = "stage int, s1 long, s2 long, s3 long"
+FUNNEL_STATE_SCHEMA = "stage int, s1 long, s2 long, s3 long, hwm long, late long"
 FUNNEL_STAGES = ("signup", "purchase", "error")
 
 
@@ -180,26 +181,35 @@ def _funnel_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     """Per-user funnel state across micro-batches. Each batch's rows sort
     by ts before the walk, so bounded disorder WITHIN a batch is fine;
     cross-batch the operator assumes per-entity arrival in event-time
-    order (the upstream ingest contract — same assumption the batch
-    twin's strictly-after semantics make observable: a stage event that
-    arrives after the state already advanced past it is ignored, exactly
-    like a too-early event in the batch walk)."""
+    order (the upstream ingest contract). ADVICE r5: violations of that
+    contract must be OBSERVABLE, not silent — the state carries a
+    per-user event-time high-water mark, and any stage-relevant event
+    that arrives below it without advancing the walk increments
+    ``late_events`` in the emitted row (a monitoring stream alert on
+    late_events > 0 is the deployment contract check)."""
     (user_id,) = key
-    stage, s1, s2, s3 = state.get if state.exists else (0, -1, -1, -1)
+    stage, s1, s2, s3, hwm, late = (
+        state.get if state.exists else (0, -1, -1, -1, -1, 0)
+    )
     for pdf in pdfs:
         pdf = pdf.sort_values("ts_us")
         for ts_us, et in zip(pdf["ts_us"], pdf["event_type"]):
             ts_us = int(ts_us)
+            advanced = False
             if stage == 0 and et == FUNNEL_STAGES[0]:
-                stage, s1 = 1, ts_us
+                stage, s1, advanced = 1, ts_us, True
             elif stage == 1 and et == FUNNEL_STAGES[1] and ts_us > s1:
-                stage, s2 = 2, ts_us
+                stage, s2, advanced = 2, ts_us, True
             elif stage == 2 and et == FUNNEL_STAGES[2] and ts_us > s2:
-                stage, s3 = 3, ts_us
-    state.update((stage, s1, s2, s3))
+                stage, s3, advanced = 3, ts_us, True
+            if not advanced and et in FUNNEL_STAGES and ts_us < hwm:
+                # cross-batch disorder: this event-time already passed
+                late += 1
+            hwm = max(hwm, ts_us)
+    state.update((stage, s1, s2, s3, hwm, late))
     yield pd.DataFrame([{
         "user_id": user_id, "reached": stage,
-        "s1_us": s1, "s2_us": s2, "s3_us": s3,
+        "s1_us": s1, "s2_us": s2, "s3_us": s3, "late_events": late,
     }])
 
 
