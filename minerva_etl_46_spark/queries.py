@@ -4800,10 +4800,17 @@ def llm_novelty(spark, sf_dir):
     distinct 5-gram shingles never seen in any earlier (lower-id) doc.
     The corpus-order quality signal behind 'how much new text does this
     shard add' (dedup-adjacent; a near-zero score means the doc is
-    assembled from already-seen phrases). Shape: shingle explode →
-    distinct → per-gram min(doc_id) hash-agg → gram equi-join back →
-    per-doc hash-agg. Linear in total grams; the gram join's fan-out is
-    bounded by gram frequency, never corpus²."""
+    assembled from already-seen phrases). Shape (r6 rewrite, verdict ask
+    #3 — was distinct → gram hash-agg → join-back = 3 gram-frame
+    shuffles): ONE gram-keyed repartition of the exploded shingles, then
+    everything downstream reuses that partitioning with zero extra
+    Exchange — the (gram, doc_id) dedup groupBy satisfies its
+    distribution via the subset rule (HashPartitioning(gram) clusters
+    (gram, doc_id)), and the per-gram min(doc_id) is a window over the
+    same partitioning (sort-only). Only the final per-doc hash-agg
+    shuffles again: 2 shuffles total. Within-doc duplicate 5-grams are
+    rare, so losing distinct()'s map-side partial dedup costs ~nothing
+    while the saved full-gram-frame exchange is the dominant term."""
     d = load(spark, sf_dir, "documents")
     tk = F.split(F.col("text"), " ")
     grams = (
@@ -4818,18 +4825,26 @@ def llm_novelty(spark, sf_dir):
                 )
             ).alias("gram"),
         )
-        .distinct()
+        .repartition(F.col("gram"))  # shuffle 1 of 2 — the only gram-frame
+        # exchange; dedup + window below reuse it
     )
-    firstg = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    j = grams.join(firstg, "gram").select(
-        "doc_id",
-        F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1))
-        .otherwise(F.lit(0)).alias("novel"),
+    gd = grams.groupBy("gram", "doc_id").agg(F.lit(1).alias("__one"))
+    gd = gd.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("gram"))
     )
-    return j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.sum("novel").alias("n_novel"),
-        (F.sum("novel").cast("double") / F.count(F.lit(1))).alias("novelty"),
+    return (
+        gd.select(
+            "doc_id",
+            F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1))
+            .otherwise(F.lit(0)).alias("novel"),
+        )
+        .groupBy("doc_id")  # shuffle 2 of 2
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("novel").alias("n_novel"),
+            (F.sum("novel").cast("double") / F.count(F.lit(1)))
+            .alias("novelty"),
+        )
     )
 
 
