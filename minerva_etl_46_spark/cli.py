@@ -126,6 +126,18 @@ def cmd_diff(args) -> int:
     return 0
 
 
+def cmd_apply(args) -> int:
+    """The reference CLI's defining admin loop: diff the live instance
+    against a desired YAML, execute the delta, persist. Prints one line
+    per executed change; exits 0 with no output when already converged."""
+    from minerva_etl_46_spark.instance import apply_instance, instance_from_yaml
+
+    desired = instance_from_yaml(open(args.desired).read())
+    for change in apply_instance(args.root, desired):
+        print(f"{type(change).__name__}: {change}")
+    return 0
+
+
 def cmd_retention(args) -> int:
     import time
 
@@ -215,6 +227,11 @@ def build_parser() -> argparse.ArgumentParser:
     df.add_argument("current")
     df.add_argument("desired")
     df.set_defaults(fn=cmd_diff)
+
+    ap = sub.add_parser("apply", help="apply a desired instance YAML to a live root")
+    ap.add_argument("--root", required=True)
+    ap.add_argument("desired")
+    ap.set_defaults(fn=cmd_apply)
 
     rt = sub.add_parser("retention", help="drop partitions past retention")
     rt.add_argument("--base-dir", required=True)

