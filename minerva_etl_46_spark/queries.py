@@ -222,7 +222,8 @@ def scan_kv(spark, sf_dir):
     oracle="""
     select 'nation.xml' as file, n_name as dn,
            '2024-01-01T01:00:00Z' as ts, 'regionKeyTotal' as counter,
-           cast(n_regionkey as double) as value
+           cast(n_regionkey as double) as value,
+           (n_regionkey = 0) as suspect
     from nation
     """,
 )
@@ -258,9 +259,12 @@ def xml_harvest(spark, sf_dir):
         '<measType p="1">regionKeyTotal</measType>',
     ]
     for r in rows:
+        # region-0 rows carry a suspect flag so the driver hash covers the
+        # flag path, not just its false default
+        sus = ("<suspect>true</suspect>" if r.n_regionkey == 0 else "")
         doc.append(
             f'<measValue measObjLdn="{r.n_name}">'
-            f'<r p="1">{float(r.n_regionkey)}</r></measValue>'
+            f'<r p="1">{float(r.n_regionkey)}</r>{sus}</measValue>'
         )
     doc.append("</measInfo></measData></measCollecFile>")
     with open(path, "w", encoding="utf-8") as fh:
@@ -268,7 +272,8 @@ def xml_harvest(spark, sf_dir):
     out = harvest_3gpp_xml(spark, [path])
     # the scratch path varies by tmpdir; expose the deterministic basename
     return out.select(
-        F.lit("nation.xml").alias("file"), "dn", "ts", "counter", "value"
+        F.lit("nation.xml").alias("file"), "dn", "ts", "counter", "value",
+        "suspect",
     )
 
 

