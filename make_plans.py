@@ -133,10 +133,24 @@ NOTES = {
     "agg_time_weighted": "One window sort (lead) and one hash-agg on "
                          "the SAME entity key — the agg reuses the "
                          "window's partitioning, no second exchange.",
-    "llm_novelty": "Gram explode → distinct → per-gram min hash-agg → "
-                   "gram equi-join back → per-doc agg; every agg has "
-                   "map-side partials, fan-out bounded by gram "
-                   "frequency.",
+    "llm_novelty": "TWO exchanges total (r6; was 4): one gram-keyed "
+                   "repartition of the exploded shingles feeds the "
+                   "(gram, doc) dedup groupBy (no exchange — subset "
+                   "partitioning rule) AND the per-gram window min "
+                   "(sort-only); only the final per-doc agg shuffles "
+                   "again. 7.4 → 2.4 s warm at sf0.1.",
+    "win_interp": "Same grid-explode as win_gap_fill; BOTH fill passes "
+                  "(forward + backward-via-descending-window) partition "
+                  "on user_id — one exchange feeding two window sorts; "
+                  "no self-join, no driver loop.",
+    "agg_ohlc": "SortAggregate (struct min/max can't hash-agg) but the "
+                "partial agg still runs MAP-SIDE — the exchange carries "
+                "one row per (entity, hour), never raw events; contrast "
+                "a row_number window, which would shuffle every event.",
+    "llm_dedup_url": "Canonicalization is pure regexp codegen in the "
+                     "scan projection; ONE hash-agg on the canonical "
+                     "key (+ the count-distinct expand for n_raw_forms) "
+                     "— the cheapest member of the dedup family.",
     "win_dod_change": "One rollup hash-agg; the day-shift compare is a "
                       "SELF EQUI-JOIN on (entity, bucket-86400) — both "
                       "sides reuse the rollup's partitioning, no "

@@ -5603,6 +5603,243 @@ def join_bucketed(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r6: interpolation gap-fill, OHLC candles, URL-canonical dedup,
+# streaming watermarked dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "win_interp",
+    oracle=f"""
+    with e as (select * from {EV}),
+    hourly as (
+      select user_id, {sql_bucket_epoch('ts', G_1H)} as bucket,
+             count(value) as n, {sql_dsum('value')} as sum_value
+      from e group by 1, 2),
+    bounds as (select user_id, min(bucket) as lo, max(bucket) as hi
+               from hourly group by 1),
+    grid as (select user_id, unnest(generate_series(lo, hi, 3600)) as bucket
+             from bounds),
+    j as (select g.user_id, g.bucket, h.n, h.sum_value
+          from grid g left join hourly h using (user_id, bucket)),
+    f as (select user_id, bucket, n, sum_value,
+            last_value(sum_value ignore nulls) over
+              (partition by user_id order by bucket
+               rows unbounded preceding) as pv,
+            last_value(case when n is not null then bucket end ignore nulls)
+              over (partition by user_id order by bucket
+                    rows unbounded preceding) as pb,
+            first_value(sum_value ignore nulls) over
+              (partition by user_id order by bucket
+               rows between current row and unbounded following) as nv,
+            first_value(case when n is not null then bucket end ignore nulls)
+              over (partition by user_id order by bucket
+                    rows between current row and unbounded following) as nb
+          from j)
+    select user_id, bucket, coalesce(n, 0) as n,
+           case when n is not null then sum_value
+                when pv is not null and nv is not null then
+                  pv + (nv - pv) * (cast(bucket - pb as double)
+                                    / cast(nb - pb as double))
+                else coalesce(pv, nv) end as v_interp,
+           n is null as was_gap
+    from f
+    """,
+)
+def win_interp(spark, sf_dir):
+    """W16 (r6): LINEAR-interpolation gap fill — the repair pass for
+    gauge-style counters where forward-fill (win_gap_fill) biases
+    downstream deltas: a missing sample is estimated on the line between
+    its neighboring observed samples; leading/trailing gaps clamp to the
+    nearest known value. Same grid-explode + ONE window-sort shape as
+    win_gap_fill (the backward pass rides a descending-order window so
+    the whole key needs only last(ignorenulls) — no extra exchange: both
+    windows partition on user_id, AQE plans one Exchange + two sorts).
+    The interpolation expression is written IDENTICALLY here and in the
+    oracle (pv + (nv-pv) * (Δb/Δspan), int/int double division) so IEEE
+    evaluation matches bit-for-bit."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", bucket_epoch("ts", G_1H).alias("bucket")
+    ).agg(
+        F.count("value").alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.lit(3600).cast("long")))
+        .alias("bucket"),
+    )
+    j = grid.join(hourly, ["user_id", "bucket"], "left")
+    wp = Window.partitionBy("user_id").orderBy(F.col("bucket").asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = Window.partitionBy("user_id").orderBy(F.col("bucket").desc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs_bucket = F.when(F.col("n").isNotNull(), F.col("bucket"))
+    f = j.select(
+        "user_id", "bucket", "n", "sum_value",
+        F.last("sum_value", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_bucket, ignorenulls=True).over(wp).alias("pb"),
+        F.last("sum_value", ignorenulls=True).over(wn).alias("nv"),
+        F.last(obs_bucket, ignorenulls=True).over(wn).alias("nb"),
+    )
+    frac = (F.col("bucket") - F.col("pb")).cast("double") / \
+        (F.col("nb") - F.col("pb")).cast("double")
+    return f.select(
+        "user_id", "bucket",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.when(F.col("n").isNotNull(), F.col("sum_value"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+              F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .otherwise(F.coalesce("pv", "nv")).alias("v_interp"),
+        F.col("n").isNull().alias("was_gap"),
+    )
+
+
+@register(
+    "agg_ohlc",
+    oracle=f"""
+    with e as (select * from {EV}),
+    r as (select user_id, {sql_bucket_epoch('ts', G_1H)} as bucket,
+                 epoch_us(ts) as ts_us, event_id, value from e),
+    ranked as (select *,
+      row_number() over (partition by user_id, bucket
+                         order by ts_us, event_id) as rn_a,
+      row_number() over (partition by user_id, bucket
+                         order by ts_us desc, event_id desc) as rn_d
+      from r)
+    select user_id, bucket,
+           max(case when rn_a = 1 then value end) as open,
+           max(value) as high, min(value) as low,
+           max(case when rn_d = 1 then value end) as close,
+           count(*) as n
+    from ranked group by 1, 2
+    """,
+)
+def agg_ohlc(spark, sf_dir):
+    """A23 (r6): OHLC candles — per (entity, hour) the first, max, min
+    and last raw sample (open/high/low/close), the classic downsampling
+    that preserves a gauge's envelope where avg flattens it. ONE
+    aggregation, no window, no join: open/close ride min/max over a
+    (ts_us, event_id, value) struct (lexicographic; (ts_us, event_id) is
+    unique so the pick is total and deterministic). Struct min/max plans
+    as SortAggregate rather than hash-agg, but the partial agg still runs
+    map-side (plan-verified: partial_min/partial_max before the
+    Exchange), so the shuffle carries one row per (entity, hour) — the
+    per-partition input sort is the price, paid before data ever moves,
+    vs a row_number window that would shuffle every raw event. The
+    oracle states the same pick declaratively via asc/desc row_number."""
+    e = load(spark, sf_dir, "events")
+    key = F.struct(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.col("event_id").alias("e"),
+        F.col("value").alias("v"),
+    )
+    return (
+        e.groupBy("user_id", bucket_epoch("ts", G_1H).alias("bucket"))
+        .agg(
+            F.min(key).getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(key).getField("v").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "llm_dedup_url",
+    oracle="""
+    with d as (select doc_id, lang, source,
+        (case when doc_id % 2 = 0 then 'http://' else 'https://' end) ||
+        (case when doc_id % 3 = 0 then 'www.' else '' end) ||
+        (case when doc_id % 5 = 0 then 'DOCS.Example.COM' else 'docs.example.com' end) ||
+        '/' || lang || '/page/' || cast(doc_id // 7 as varchar) ||
+        (case when doc_id % 2 = 1 then '/' else '' end) ||
+        (case when doc_id % 4 = 0 then '?utm_source=feed' else '' end) as url
+      from documents),
+    c as (select doc_id, url,
+        'https://' ||
+        regexp_replace(
+          regexp_replace(
+            lower(regexp_replace(regexp_replace(url, '^https?://', ''),
+                                 '[?#].*$', '')),
+            '^www\\.', ''),
+          '/$', '') as canonical_url
+      from d)
+    select canonical_url,
+           min(doc_id) as keeper_id,
+           cast(count(*) as bigint) as n_variants,
+           cast(count(distinct url) as bigint) as n_raw_forms
+    from c group by 1
+    """,
+)
+def llm_dedup_url(spark, sf_dir):
+    """X13 (r6): URL-canonical dedup — the step every web-corpus pipeline
+    runs BEFORE content dedup: collapse scheme/www/case/trailing-slash/
+    tracking-query variants of the same page to one canonical URL and
+    keep the first (lowest-id) crawl. The fixture has no URL column, so a
+    deliberately MESSY one is derived deterministically per doc (mixed
+    scheme, www., host case, trailing slash, utm query — the variation
+    the canonicalizer must erase; ~7 docs share each canonical page).
+    Normalization is four anchored regexp_replace passes + lower, all
+    JVM codegen; the dedup is one hash-agg on the canonical key. Linear,
+    shuffle = one groupBy — the exact/near-dup family's cheapest member."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("http://"))
+        .otherwise(F.lit("https://")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("DOCS.Example.COM"))
+        .otherwise(F.lit("docs.example.com")),
+        F.lit("/"), F.col("lang"), F.lit("/page/"),
+        F.expr("cast(doc_id div 7 as string)"),  # integer division, like
+        # the oracle's `//` — never float-divide then truncate
+        F.when(F.col("doc_id") % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed"))
+        .otherwise(F.lit("")),
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.regexp_replace(
+                    F.regexp_replace(url, r"^https?://", ""),
+                    r"[?#].*$", "")),
+                r"^www\.", ""),
+            r"/$", ""),
+    )
+    return (
+        d.select("doc_id", url.alias("url"), canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct("url").alias("n_raw_forms"),
+        )
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle=f"""
+    select event_id, user_id, event_type, value from {EV}
+    """,
+)
+def stream_dedup(spark, sf_dir):
+    """T8 (r6): streaming exact dedup via dropDuplicatesWithinWatermark —
+    redelivered events (an exact-copy subset injected as a SECOND
+    micro-batch) collapse against dedup state carried across batches;
+    output equals the distinct input, which is the oracle. State is
+    O(keys within the watermark horizon), not O(history) — see
+    streaming/jobs.py:dedup_within_watermark for the scale contract."""
+    return streaming_jobs.dedup_within_watermark(
+        spark, sf_dir, _scratch(sf_dir, "stream_dedup"))
+
+
+# ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
 # The driver samples the FIRST 50 keys of ``queries()`` in dict-insertion
@@ -5632,8 +5869,11 @@ _R06_PRIORITY = [
     #   (c) the stalest renewals — every key whose last green row is r2,
     #       then the oldest r3 rows, to fill 50.
     "llm_url_parse", "mm_frames",
+    # (b) NEW this round — first driver rows (never register after the
+    # sample fills; r4's lesson)
+    "win_interp", "agg_ohlc", "llm_dedup_url", "stream_dedup",
     # (b) changed this round
-    "join_nearest", "llm_novelty",
+    "join_nearest", "llm_novelty", "xml_harvest",
     # (c) r2-stale renewals
     "scan_csv", "project_select", "filter_threshold", "fn_safe_div",
     "fn_hash", "fn_json_extract", "fn_case", "fn_array",
@@ -5646,8 +5886,7 @@ _R06_PRIORITY = [
     "llm_decontaminate", "llm_dedup_groups", "llm_dupe_stats",
     "llm_hot_ngrams", "llm_keywords", "llm_len_buckets", "llm_mix_weights",
     "llm_normalize", "llm_overlap", "llm_pack", "llm_redact",
-    "llm_repetition", "llm_sample_stratified", "llm_shard", "llm_split",
-    "llm_vocab", "agg_time", "fn_ts_align",
+    "llm_repetition", "llm_sample_stratified",
 ]
 _R05_PRIORITY = [  # changed/new in round 5, or never driver-sampled
     "win_sessionize",    # r4's only red: oracle HUGEINT→bigint cast fixed

@@ -350,3 +350,49 @@ def trigger_notifications_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("entity_id", "ts", F.col("r.rule").alias("rule"),
              F.col("r.weight").alias("weight"))
     return _run_to_memory(notif, "stream_trigger_out", spark)
+
+
+def dedup_within_watermark(spark: SparkSession, sf_dir: str,
+                           scratch_dir: str) -> DataFrame:
+    """T8: streaming exact dedup — ``dropDuplicatesWithinWatermark`` on
+    the event key, the at-least-once → effectively-once repair stage in
+    front of any streaming rollup (an upstream redelivery must not
+    double-count).
+
+    Harness: write the events fixture as file 1 and an EXACT copy of the
+    event_id%10==0 subset as file 2 (one file per micro-batch ⇒ the
+    duplicates arrive in a LATER batch, so surviving them proves the
+    dedup state carries across batches, not just within one). Because the
+    injected rows are byte-identical, which copy the operator keeps is
+    unobservable — the output is deterministic and equals the distinct
+    input, which is the oracle.
+
+    State shape at scale: one entry per key within the watermark horizon
+    — O(keys/hour), dropped as the watermark passes; NOT O(history) like
+    bare streaming dropDuplicates. Partitioned by key in the state store,
+    same key discipline as every stateful op here."""
+    import os
+
+    tune(spark)
+    from minerva_etl_46_spark.functions.timestamps import normalize_ts_columns as _n
+
+    batch = _n(spark.read.parquet(f"{sf_dir}/events.parquet"), ["ts"],
+               table="events")
+    src = os.path.join(scratch_dir, "dedup_src")
+    if not os.path.isdir(src):
+        os.makedirs(src, exist_ok=True)
+        batch.coalesce(1).write.mode("append").parquet(src)
+        (batch.filter(F.col("event_id") % 10 == 0)
+              .coalesce(1).write.mode("append").parquet(src))
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    deduped = (
+        raw.withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    return _run_to_memory(deduped, "stream_dedup_out", spark, mode="append")
