@@ -5650,13 +5650,22 @@ def win_interp(spark, sf_dir):
     """W16 (r6): LINEAR-interpolation gap fill — the repair pass for
     gauge-style counters where forward-fill (win_gap_fill) biases
     downstream deltas: a missing sample is estimated on the line between
-    its neighboring observed samples; leading/trailing gaps clamp to the
-    nearest known value. Same grid-explode + ONE window-sort shape as
-    win_gap_fill (the backward pass rides a descending-order window so
-    the whole key needs only last(ignorenulls) — no extra exchange: both
-    windows partition on user_id, AQE plans one Exchange + two sorts).
-    The interpolation expression is written IDENTICALLY here and in the
-    oracle (pv + (nv-pv) * (Δb/Δspan), int/int double division) so IEEE
+    its neighboring observed samples.
+
+    Shape: the collect_list + HOF walk this repo uses for every
+    per-entity recursion (win_ewma/win_cusum/win_funnel) — TWO exchanges
+    total (hourly rollup, then the per-user collect agg) and ZERO joins:
+    each adjacent pair of observed samples emits its gap segment via
+    sequence+transform, flattened and exploded. The grid-join
+    formulation (probed at 20M events) planned 4 exchanges + a
+    SortMergeJoin of grid×hourly; this one never materializes the grid
+    as a join side. Per-user array state is span/granularity structs —
+    bounded by retention, the same budget as win_gap_fill's window
+    frame. The grid spans each user's observed [min, max] bucket, so
+    every gap bucket sits strictly between two observed samples and the
+    oracle's edge-clamp branch is dead on both sides. The interpolation
+    expression is written IDENTICALLY here and in the oracle
+    (pv + (nv-pv) * (Δb/Δspan), int/int double division) so IEEE
     evaluation matches bit-for-bit."""
     e = load(spark, sf_dir, "events")
     hourly = e.groupBy(
@@ -5665,37 +5674,46 @@ def win_interp(spark, sf_dir):
         F.count("value").alias("n"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
     )
-    bounds = hourly.groupBy("user_id").agg(
-        F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
-    grid = bounds.select(
-        "user_id",
-        F.explode(F.sequence("lo", "hi", F.lit(3600).cast("long")))
-        .alias("bucket"),
+    obs = hourly.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket", "n", "sum_value"))
+        ).alias("a")
     )
-    j = grid.join(hourly, ["user_id", "bucket"], "left")
-    wp = Window.partitionBy("user_id").orderBy(F.col("bucket").asc()) \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wn = Window.partitionBy("user_id").orderBy(F.col("bucket").desc()) \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    obs_bucket = F.when(F.col("n").isNotNull(), F.col("bucket"))
-    f = j.select(
-        "user_id", "bucket", "n", "sum_value",
-        F.last("sum_value", ignorenulls=True).over(wp).alias("pv"),
-        F.last(obs_bucket, ignorenulls=True).over(wp).alias("pb"),
-        F.last("sum_value", ignorenulls=True).over(wn).alias("nv"),
-        F.last(obs_bucket, ignorenulls=True).over(wn).alias("nb"),
+    sz = F.size("a")
+
+    def segment(p, q):
+        frac = lambda b: (b - p["bucket"]).cast("double") / \
+            (q["bucket"] - p["bucket"]).cast("double")
+        return F.transform(
+            F.sequence(p["bucket"], q["bucket"] - 3600,
+                       F.lit(3600).cast("long")),
+            lambda b: F.struct(
+                b.alias("bucket"),
+                F.when(b == p["bucket"], p["n"]).otherwise(F.lit(0))
+                .cast("long").alias("n"),
+                F.when(b == p["bucket"], p["sum_value"])
+                .otherwise(p["sum_value"]
+                           + (q["sum_value"] - p["sum_value"]) * frac(b))
+                .alias("v_interp"),
+                (b != p["bucket"]).alias("was_gap"),
+            ),
+        )
+
+    last_el = F.element_at("a", -1)
+    tail = F.array(F.struct(
+        last_el["bucket"].alias("bucket"),
+        last_el["n"].cast("long").alias("n"),
+        last_el["sum_value"].alias("v_interp"),
+        F.lit(False).alias("was_gap"),
+    ))
+    rows = F.concat(
+        F.flatten(F.zip_with(
+            F.slice("a", 1, sz - 1), F.slice("a", 2, sz - 1), segment)),
+        tail,
     )
-    frac = (F.col("bucket") - F.col("pb")).cast("double") / \
-        (F.col("nb") - F.col("pb")).cast("double")
-    return f.select(
-        "user_id", "bucket",
-        F.coalesce("n", F.lit(0)).alias("n"),
-        F.when(F.col("n").isNotNull(), F.col("sum_value"))
-        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(),
-              F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
-        .otherwise(F.coalesce("pv", "nv")).alias("v_interp"),
-        F.col("n").isNull().alias("was_gap"),
-    )
+    return obs.select(
+        "user_id", F.explode(rows).alias("r")
+    ).select("user_id", "r.bucket", "r.n", "r.v_interp", "r.was_gap")
 
 
 @register(

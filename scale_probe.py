@@ -493,10 +493,43 @@ def robust_stats_probe(spark, res, n_events):
           .agg(F.countDistinct("user_id").alias("n_active")), res)
 
 
+def r6_probe(spark, res, n_events, n_docs):
+    """r6 additions at 200× fixture scale, through the REAL registered
+    builders (synth frames written as a scratch fixture dir so the probe
+    exercises queries.py's code, not a re-implementation): the rewritten
+    2-exchange llm_novelty at 1M docs, win_interp over 20M events, and
+    agg_ohlc's SortAggregate-with-map-side-partials claim."""
+    import os
+    import tempfile
+
+    from minerva_etl_46_spark.queries import QUERIES
+
+    scratch = os.path.join(tempfile.gettempdir(),
+                           f"r6_probe_{os.getpid()}")
+    (synth_docs(spark, n_docs)
+     .withColumn("lang", F.concat(F.lit("l"), (F.col("doc_id") % 40).cast("string")))
+     .withColumn("source", F.concat(F.lit("s"), (F.col("doc_id") % 20).cast("string")))
+     .write.mode("overwrite").parquet(f"{scratch}/documents.parquet"))
+    (synth_events(spark, n_events)
+     .withColumn("event_type", F.lit("x")).withColumn("props", F.lit("{}"))
+     .write.mode("overwrite").parquet(f"{scratch}/events.parquet"))
+    timed("novelty_2exchange_1M_docs",
+          QUERIES["llm_novelty"](spark, scratch), res)
+    timed("win_interp_20M", QUERIES["win_interp"](spark, scratch), res)
+    timed("agg_ohlc_20M", QUERIES["agg_ohlc"](spark, scratch), res)
+    timed("llm_dedup_url_1M", QUERIES["llm_dedup_url"](spark, scratch), res)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r6":
+        r6_probe(spark, res, n_events=N, n_docs=max(100_000, N // 20))
+        print(json.dumps({"metric": "scale_probe_r6", "rows": N,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r5g":
         robust_stats_probe(spark, res, n_events=N)
         print(json.dumps({"metric": "scale_probe_r5g", "rows": N,
