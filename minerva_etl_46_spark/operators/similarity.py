@@ -225,7 +225,7 @@ def _fit_centroids_sample(
     rows = (
         emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         .withColumn("__h", F.xxhash64(F.col("i").cast("string"), F.lit(seed)))
-        .sort("__h", "i").limit(fit_sample).collect()
+        .sort("__h", "i").limit(fit_sample).collect()  # bounded-by: fit_sample cap
     )
     X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)

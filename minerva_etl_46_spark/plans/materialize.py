@@ -191,7 +191,7 @@ class MaterializationEngine:
             rows = (
                 log.groupBy("p_bucket")
                 .agg(F.max("modified_at").alias("m"), F.count(F.lit(1)).alias("n"))
-                .collect()
+                .collect()  # bounded-by: touched buckets within the retention window
             )
             for r in rows:
                 for w in self._window_of_bucket(spec, r["p_bucket"], src.partition_size_s):

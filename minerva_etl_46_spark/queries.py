@@ -244,7 +244,7 @@ def xml_harvest(spark, sf_dir):
         load(spark, sf_dir, "nation")
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
-        .collect()
+        .collect()  # bounded-by: nation is a 25-row TPC-H dimension
     )
     scratch = os.path.join(tempfile.gettempdir(), "minerva_etl_46_scratch",
                            os.path.basename(sf_dir.rstrip("/")), "xml3gpp")

@@ -90,7 +90,7 @@ def page_through(spark: SparkSession, query: TrendQuery,
     after = query.after
     while True:
         q = TrendQuery(**{**query.__dict__, "after": after})
-        rows = q.run(spark, entity_col, ts_col).collect()
+        rows = q.run(spark, entity_col, ts_col).collect()  # bounded-by: page_size (≤ MAX_PAGE_SIZE)
         if not rows:
             return
         yield rows

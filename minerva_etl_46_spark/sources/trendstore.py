@@ -58,6 +58,7 @@ class TrendStorePartStorage:
         appends them to the modified log."""
         spark = df.sparkSession
         out = df.withColumn("p_bucket", bucket_of(ts_col, self.partition_size_s))
+        # bounded-by: distinct partition buckets of ONE batch (≤ batch span / partition_size)
         touched = [r[0] for r in out.select("p_bucket").distinct().collect()]
         # per-write option, not session conf: mutating the session would
         # silently flip every later overwrite on this session to dynamic
@@ -91,7 +92,7 @@ class TrendStorePartStorage:
         touched = [
             r[0] for r in staged.select(
                 bucket_of(ts_col, self.partition_size_s).alias("b")
-            ).distinct().collect()
+            ).distinct().collect()  # bounded-by: staged batch's touched buckets
         ]
         existing = None
         if os.path.isdir(self.path) and any(
