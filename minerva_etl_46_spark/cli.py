@@ -138,6 +138,27 @@ def cmd_apply(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Run the HTTP data service until interrupted. Prints the bound
+    address (port=0 → ephemeral) as its first line so scripts can
+    scrape it."""
+    from minerva_etl_46_spark.service_http import make_server
+    from minerva_etl_46_spark.session import get_spark
+
+    spark = get_spark(app_name="minerva-serve")
+    srv = make_server(spark, args.base_dir, port=args.port,
+                      partition_size_s=args.partition_size_seconds)
+    host, port = srv.server_address
+    print(f"serving http://{host}:{port}", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+    return 0
+
+
 def cmd_retention(args) -> int:
     import time
 
@@ -232,6 +253,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--root", required=True)
     ap.add_argument("desired")
     ap.set_defaults(fn=cmd_apply)
+
+    sv = sub.add_parser("serve", help="run the HTTP data-service API")
+    sv.add_argument("--base-dir", required=True)
+    sv.add_argument("--port", type=int, default=0)
+    sv.add_argument("--partition-size-seconds", type=int, default=86400)
+    sv.set_defaults(fn=cmd_serve)
 
     rt = sub.add_parser("retention", help="drop partitions past retention")
     rt.add_argument("--base-dir", required=True)
