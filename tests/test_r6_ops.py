@@ -92,3 +92,122 @@ def test_stateful_funnel_in_order_feed_has_zero_late(spark, tmp_path):
     final = updates.groupby("user_id").max()
     assert int(final.loc[1, "late_events"]) == 0
     assert int(final.loc[1, "reached"]) == 3
+
+
+# ---------------------------------------------------------------------------
+# Property tests for the r6 operators (pure-Python references)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SLOW = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+samples_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),        # entity
+        st.integers(0, 30),       # bucket index (hour slots, sparse)
+        st.floats(-50, 50, allow_nan=False, width=32),
+    ),
+    min_size=1, max_size=25, unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@SLOW
+@given(samples=samples_strategy)
+def test_win_interp_matches_python_reference(spark, samples):
+    """The HOF segment walk must equal a straight per-entity Python
+    linear interpolation over the observed [min, max] hourly grid."""
+    from minerva_etl_46_spark.queries import win_interp
+
+    base = 1704067200
+    rows = [(e, base + 3600 * b, float(v)) for e, b, v in samples]
+    # monkey-fixture: run the operator body on an in-memory frame by
+    # writing a scratch events.parquet the key's loader expects
+    import os
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="interp_prop_")
+    spark.createDataFrame(
+        [(i, r[1], r[0], "x", r[2], "{}") for i, r in enumerate(rows)],
+        "event_id long, epoch long, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.timestamp_seconds(F.col("epoch"))).drop("epoch") \
+     .select("event_id", "ts", "user_id", "event_type", "value", "props") \
+     .write.mode("overwrite").parquet(os.path.join(scratch, "events.parquet"))
+
+    got = {(r.user_id, r.bucket): r
+           for r in win_interp(spark, scratch).collect()}
+
+    # python reference — the key's hourly rollup routes through a
+    # DECIMAL(38,4) accumulator (HALF_UP), so quantize observed values
+    # the same way (Decimal(repr(v)) mirrors BigDecimal.valueOf)
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def dec4(v: float) -> float:
+        return float(Decimal(repr(float(v)))
+                     .quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    obs = defaultdict(dict)
+    for e, b, v in samples:
+        obs[e][base + 3600 * b] = dec4(v)  # one sample per bucket (unique_by)
+    want = {}
+    for e, d in obs.items():
+        ks = sorted(d)
+        for bucket in range(ks[0], ks[-1] + 1, 3600):
+            if bucket in d:
+                want[(e, bucket)] = (1, d[bucket], False)
+            else:
+                p = max(k for k in ks if k < bucket)
+                q = min(k for k in ks if k > bucket)
+                v = d[p] + (d[q] - d[p]) * ((bucket - p) / (q - p))
+                want[(e, bucket)] = (0, v, True)
+    assert set(got) == set(want)
+    for key, (n, v, gap) in want.items():
+        r = got[key]
+        assert r.n == n and r.was_gap == gap, key
+        assert abs(r.v_interp - v) < 1e-9, (key, r.v_interp, v)
+
+
+@SLOW
+@given(samples=st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 7200),
+              st.floats(-50, 50, allow_nan=False, width=32)),
+    min_size=1, max_size=30))
+def test_agg_ohlc_matches_python_reference(spark, samples):
+    from minerva_etl_46_spark.queries import agg_ohlc
+
+    base = 1704067200
+    import os
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="ohlc_prop_")
+    spark.createDataFrame(
+        [(i, base + off, e, "x", float(v), "{}")
+         for i, (e, off, v) in enumerate(samples)],
+        "event_id long, epoch long, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.timestamp_seconds(F.col("epoch"))).drop("epoch") \
+     .select("event_id", "ts", "user_id", "event_type", "value", "props") \
+     .write.mode("overwrite").parquet(os.path.join(scratch, "events.parquet"))
+
+    got = {(r.user_id, r.bucket): r
+           for r in agg_ohlc(spark, scratch).collect()}
+
+    from collections import defaultdict
+    cells = defaultdict(list)  # (e, bucket) -> [(ts, event_id, v)]
+    for i, (e, off, v) in enumerate(samples):
+        ts = base + off
+        cells[(e, (ts // 3600) * 3600)].append((ts, i, float(v)))
+    assert set(got) == set(cells)
+    for key, rows in cells.items():
+        rows.sort()
+        r = got[key]
+        assert r.open == rows[0][2] and r.close == rows[-1][2], key
+        vals = [v for _, _, v in rows]
+        assert r.high == max(vals) and r.low == min(vals)
+        assert r.n == len(rows)
