@@ -50,3 +50,27 @@ def upsert_latest(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+
+
+def upsert_with_tombstones(
+    existing: DataFrame | None,
+    staged: DataFrame,
+    keys: list[str],
+    version_cols: list[str],
+    op_col: str = "op",
+    delete_marker: str = "D",
+) -> DataFrame:
+    """S4 with DELETE markers: staged rows whose ``op_col`` equals
+    ``delete_marker`` remove the key instead of updating it — the CDC
+    merge shape (Debezium/DMS-style op streams, or the reference's
+    attribute deletes) on the same ONE-shuffle keep-latest window.
+
+    The tombstone must WIN the version race first (so a delete that is
+    newest actually deletes, and a later re-insert resurrects the key),
+    then winning tombstone rows drop out of the output. Same partition-
+    bounded cost discipline as upsert_latest; the op column is removed
+    from the result."""
+    merged = upsert_latest(existing, staged, keys, version_cols)
+    return merged.filter(
+        F.col(op_col).isNull() | (F.col(op_col) != delete_marker)
+    ).drop(op_col)

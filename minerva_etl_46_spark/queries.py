@@ -5857,6 +5857,208 @@ def stream_dedup(spark, sf_dir):
         spark, sf_dir, _scratch(sf_dir, "stream_dedup"))
 
 
+@register(
+    "agg_hist_quantile",
+    oracle=f"""
+    with e as (select * from {EV}),
+    daily as (  -- per-day fixed-width histograms (the mergeable partial)
+      select event_type, {sql_bucket_epoch('ts', G_1D)} as day_bucket,
+             cast(floor(value / 5.0) as bigint) as bin,
+             count(*) as n
+      from e group by 1, 2, 3),
+    weekly as (  -- re-roll day partials to weeks WITHOUT re-reading raw
+      select event_type,
+             cast(floor(day_bucket / 604800) * 604800 as bigint) as week_bucket,
+             bin, sum(n) as n
+      from daily group by 1, 2, 3),
+    tot as (select event_type, week_bucket, bin, n,
+                   sum(n) over (partition by event_type, week_bucket
+                                order by bin rows unbounded preceding) as cum,
+                   sum(n) over (partition by event_type, week_bucket) as total
+            from weekly)
+    select event_type, week_bucket,
+           cast(max(total) as bigint) as n,
+           min(case when cum * 2 >= total then bin end) * 5.0 as p50_lo,
+           min(case when cum * 10 >= total * 9 then bin end) * 5.0 as p90_lo
+    from tot group by 1, 2
+    """,
+)
+def agg_hist_quantile(spark, sf_dir):
+    """A24 (r6): mergeable quantile rollup — the A11-for-quantiles story.
+    Store per-DAY fixed-width value histograms (bin = floor(v/w), a pure
+    hash-agg partial), then re-roll them to WEEKS by summing bin counts —
+    never re-reading raw data — and read approx quantiles off the merged
+    histogram (smallest bin whose cumulative count crosses the rank;
+    reported as the bin lower bound, exact integer×width arithmetic, so
+    the oracle matches bit-for-bit with zero libm). Accuracy is ±w/2 by
+    construction — the documented trade vs agg_percentile's exact sort
+    and agg_approx's GK sketch. Shape: two hash-aggs + one window over
+    the (type, week, bin) VOCABULARY frame — raw rows touched once."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        bucket_epoch("ts", G_1D).alias("day_bucket"),
+        F.floor(F.col("value") / 5.0).cast("long").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    weekly = daily.groupBy(
+        "event_type",
+        (F.floor(F.col("day_bucket") / 604800) * 604800).cast("long")
+        .alias("week_bucket"),
+        "bin",
+    ).agg(F.sum("n").alias("n"))
+    wcum = Window.partitionBy("event_type", "week_bucket").orderBy("bin") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy("event_type", "week_bucket")
+    t = weekly.select(
+        "event_type", "week_bucket", "bin", "n",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(wtot).alias("total"),
+    )
+    return t.groupBy("event_type", "week_bucket").agg(
+        F.max("total").alias("n"),
+        (F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("bin")))
+         * 5.0).alias("p50_lo"),
+        (F.min(F.when(F.col("cum") * 10 >= F.col("total") * 9, F.col("bin")))
+         * 5.0).alias("p90_lo"),
+    )
+
+
+@register(
+    "scan_json_multiline",
+    oracle="""
+    select n_nationkey as key, n_name as name,
+           cast(n_regionkey as bigint) as region
+    from nation
+    """,
+)
+def scan_json_multiline(spark, sf_dir):
+    """S8 (r6): multiLine JSON-array ingest — a pretty-printed JSON
+    document (one top-level array, nested objects) is NOT splittable
+    line-wise; ``multiLine=true`` parses whole files. Render the nation
+    table as such a document (scratch fixture, like scan_csv), re-ingest
+    through the REAL reader with schema inference, flatten the nested
+    object. At fleet scale each file is one parse unit — the format for
+    small config/manifest feeds, never bulk data (that's JSONL:
+    scan_jsonl)."""
+    import json as _json
+    import os
+
+    rows = (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()  # bounded-by: nation is a 25-row TPC-H dimension
+    )
+    scratch = _scratch(sf_dir, "json_multiline")
+    os.makedirs(scratch, exist_ok=True)
+    path = os.path.join(scratch, "nation.json")
+    doc = [
+        {"key": r.n_nationkey, "name": r.n_name,
+         "geo": {"region": r.n_regionkey}}
+        for r in rows
+    ]
+    with open(path, "w", encoding="utf-8") as fh:
+        _json.dump(doc, fh, indent=2)
+    out = spark.read.option("multiLine", "true").json(path)
+    return out.select(
+        F.col("key").cast("int").alias("key"),
+        "name",
+        F.col("geo.region").cast("long").alias("region"),
+    )
+
+
+@register(
+    "scan_csv_badrows",
+    oracle="""
+    select n_nationkey as id,
+           case when n_nationkey % 7 = 3 then null
+                else cast(n_regionkey as double) end as val,
+           (n_nationkey % 7 = 3) as bad
+    from nation
+    """,
+)
+def scan_csv_badrows(spark, sf_dir):
+    """S9 (r6): malformed-row tolerance — PERMISSIVE mode with a
+    columnNameOfCorruptRecord column, the production ingest posture for
+    vendor feeds that occasionally emit garbage (FAILFAST would abort a
+    fleet load on one bad line; DROPMALFORMED silently shrinks it).
+    Render a CSV where every id ≡ 3 (mod 7) carries a non-numeric value
+    field; the reader must parse the good fields, null the bad one, and
+    FLAG the row via the corrupt column — counted, never dropped."""
+    import os
+
+    rows = (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()  # bounded-by: nation is a 25-row TPC-H dimension
+    )
+    scratch = _scratch(sf_dir, "csv_badrows")
+    os.makedirs(scratch, exist_ok=True)
+    path = os.path.join(scratch, "feed.csv")
+    with open(path, "w", encoding="utf-8") as fh:
+        for r in rows:
+            val = "NOT_A_NUMBER" if r.n_nationkey % 7 == 3 else str(
+                float(r.n_regionkey))
+            fh.write(f"{r.n_nationkey},{val}\n")
+    out = (
+        spark.read
+        .schema("id int, val double, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return out.select(
+        "id", "val", F.col("_corrupt").isNotNull().alias("bad")
+    )
+
+
+@register(
+    "upsert_tombstone",
+    oracle=f"""
+    with e as (select * from {EV}),
+    b1 as (select event_id, user_id, value, 1 as job_id,
+                  cast(null as varchar) as op from e),
+    b2 as (select event_id, user_id, value, 2 as job_id, 'D' as op
+           from e where event_id % 10 = 0
+           union all
+           select event_id, user_id, value + 1000.0 as value, 2 as job_id,
+                  'U' as op
+           from e where event_id % 10 = 5),
+    u as (select * from b1 union all select * from b2),
+    r as (select *, row_number() over
+            (partition by event_id order by job_id desc) as rn from u)
+    select event_id, user_id, value, job_id from r
+    where rn = 1 and (op is null or op <> 'D')
+    """,
+)
+def upsert_tombstone(spark, sf_dir):
+    """S4d (r6): CDC merge with DELETE markers
+    (operators/upsert.py::upsert_with_tombstones) — a staged batch mixes
+    updates (op='U') and tombstones (op='D'); the tombstone wins the
+    version race then drops the key, an update rewrites it. Same
+    ONE-shuffle keep-latest window as upsert_latest; the op column never
+    reaches the output."""
+    from minerva_etl_46_spark.operators.upsert import upsert_with_tombstones
+
+    e = load(spark, sf_dir, "events")
+    b1 = e.select("event_id", "user_id", "value",
+                  F.lit(1).alias("job_id"))
+    b2 = (
+        e.filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "user_id", "value", F.lit(2).alias("job_id"),
+                F.lit("D").alias("op"))
+        .unionByName(
+            e.filter(F.col("event_id") % 10 == 5)
+            .select("event_id", "user_id",
+                    (F.col("value") + 1000.0).alias("value"),
+                    F.lit(2).alias("job_id"), F.lit("U").alias("op"))
+        )
+    )
+    return upsert_with_tombstones(
+        b1, b2, keys=["event_id"], version_cols=["job_id"])
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -5890,6 +6092,8 @@ _R06_PRIORITY = [
     # (b) NEW this round — first driver rows (never register after the
     # sample fills; r4's lesson)
     "win_interp", "agg_ohlc", "llm_dedup_url", "stream_dedup",
+    "agg_hist_quantile", "scan_json_multiline", "scan_csv_badrows",
+    "upsert_tombstone",
     # (b) changed this round
     "join_nearest", "llm_novelty", "xml_harvest",
     # (c) r2-stale renewals
@@ -5903,8 +6107,7 @@ _R06_PRIORITY = [
     "fn_regexp", "fn_variant", "llm_chunk", "llm_concat",
     "llm_decontaminate", "llm_dedup_groups", "llm_dupe_stats",
     "llm_hot_ngrams", "llm_keywords", "llm_len_buckets", "llm_mix_weights",
-    "llm_normalize", "llm_overlap", "llm_pack", "llm_redact",
-    "llm_repetition", "llm_sample_stratified",
+    "llm_normalize", "llm_overlap",
 ]
 _R05_PRIORITY = [  # changed/new in round 5, or never driver-sampled
     "win_sessionize",    # r4's only red: oracle HUGEINT→bigint cast fixed
