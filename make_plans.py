@@ -151,6 +151,14 @@ NOTES = {
                      "scan projection; ONE hash-agg on the canonical "
                      "key (+ the count-distinct expand for n_raw_forms) "
                      "— the cheapest member of the dedup family.",
+    "agg_hist_quantile": "Raw rows touched ONCE (daily-histogram "
+                         "hash-agg with map-side partials); the weekly "
+                         "re-roll + cumulative window run on the "
+                         "(type, week, bin) vocabulary frame — the "
+                         "mergeable-partial re-rollup shape.",
+    "upsert_tombstone": "Same single keep-latest window exchange as "
+                        "upsert_latest; the tombstone filter is a "
+                        "post-window projection — no second pass.",
     "win_dod_change": "One rollup hash-agg; the day-shift compare is a "
                       "SELF EQUI-JOIN on (entity, bucket-86400) — both "
                       "sides reuse the rollup's partitioning, no "
