@@ -15,6 +15,12 @@ Routes:
   GET /query?part=P&start=E&end=E[&columns=a,b][&entities=1,2]
             [&page_size=N][&after_us=U&after_entity=I]
       → {"rows": [...], "next_after": [us, entity] | null}
+  GET /attributes/at?store=S&attrs=a,b&ts=EPOCH&entities=1,2
+      → {"rows": [...]} — the attribute_directory _at(entity, ts)
+        lookup over the wire; `entities` is REQUIRED (the request is
+        bounded by construction, ≤ MAX_PAGE_SIZE ids)
+  GET /attributes/curr?store=S&attrs=a,b[&entities=1,2]
+      → {"rows": [...]} — the _curr view, capped at MAX_PAGE_SIZE rows
 
 Timestamps serialize as ISO-8601 strings; the cursor is µs-precision so
 no row can be skipped between pages (service.py docstring).
@@ -76,6 +82,12 @@ class DataServiceHandler(BaseHTTPRequestHandler):
                 self._send(200, {"parts": parts})
             elif url.path == "/query":
                 self._send(200, self._query(parse_qs(url.query)))
+            elif url.path == "/attributes/at":
+                self._send(200, self._attributes(parse_qs(url.query),
+                                                 at=True))
+            elif url.path == "/attributes/curr":
+                self._send(200, self._attributes(parse_qs(url.query),
+                                                 at=False))
             else:
                 self._send(404, {"error": f"no route {url.path}"})
         except (KeyError, ValueError) as exc:
@@ -115,6 +127,51 @@ class DataServiceHandler(BaseHTTPRequestHandler):
             last = rows[-1]
             next_after = [_row_us(last["ts"]), last["entity_id"]]
         return {"rows": out, "next_after": next_after}
+
+
+    def _attributes(self, q: dict, at: bool) -> dict:
+        from pyspark.sql import functions as F
+
+        from minerva_etl_46_spark.service import MAX_PAGE_SIZE
+        from minerva_etl_46_spark.sources.attributestore import (
+            AttributeStoreStorage,
+        )
+
+        def one(name, default=None):
+            return q[name][0] if name in q else default
+
+        store_name = one("store")
+        attrs = [a for a in (one("attrs", "") or "").split(",") if a]
+        if not store_name or not attrs:
+            raise KeyError("store and attrs are required")
+        store = AttributeStoreStorage(
+            self.server.base_dir, store_name, tuple(attrs))
+        ents = [int(e) for e in (one("entities", "") or "").split(",") if e]
+        spark = self.server.spark
+        if at:
+            if not ents:
+                raise KeyError("entities is required for /attributes/at")
+            if len(ents) > MAX_PAGE_SIZE:
+                raise ValueError(
+                    f"{len(ents)} entities exceeds MAX_PAGE_SIZE "
+                    f"{MAX_PAGE_SIZE}")
+            ts = int(one("ts"))
+            facts = spark.createDataFrame(
+                [(e, ts) for e in ents], "entity_id long, __at_epoch long"
+            ).select(
+                "entity_id",
+                F.timestamp_seconds("__at_epoch").alias("__at_ts"),
+            )
+            df = store.at(spark, facts, fact_ts="__at_ts")
+            rows = df.collect()  # bounded-by: one row per requested entity
+        else:
+            df = store.curr(spark)
+            if ents:
+                df = df.filter(F.col("entity_id").isin(ents))
+            rows = df.limit(MAX_PAGE_SIZE).collect()  # bounded-by: cap
+        out = [{k: _jsonable(v) for k, v in r.asDict().items()
+                if not k.startswith("__")} for r in rows]
+        return {"rows": out}
 
 
 def make_server(spark: SparkSession, base_dir: str, port: int = 0,

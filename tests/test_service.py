@@ -133,3 +133,65 @@ def test_http_service_end_to_end(spark, tmp_path):
             assert e.code == 404
     finally:
         srv.shutdown()
+
+
+def test_http_attribute_routes(spark, tmp_path):
+    """The attribute_directory _at(entity, ts) and _curr views over the
+    wire — the data-service face a reference user reads config history
+    through."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+    from datetime import datetime
+
+    from minerva_etl_46_spark.service_http import make_server
+    from minerva_etl_46_spark.sources.attributestore import (
+        AttributeStoreStorage,
+    )
+
+    st = AttributeStoreStorage(str(tmp_path), "cfg", ("plan",))
+    T = datetime
+    st.append(spark.createDataFrame(
+        [(1, T(2024, 1, 1), "bronze"), (2, T(2024, 1, 1), "silver")],
+        "entity_id long, ts timestamp, plan string"))
+    st.append(spark.createDataFrame(
+        [(1, T(2024, 3, 1), "gold")],
+        "entity_id long, ts timestamp, plan string"))
+
+    srv = make_server(spark, str(tmp_path))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}", timeout=120
+            ) as resp:
+                return json.loads(resp.read())
+
+        # at: between the two versions → entity 1 still bronze
+        feb = 1706745600  # 2024-02-01T00:00Z
+        body = get(f"/attributes/at?store=cfg&attrs=plan&ts={feb}"
+                   f"&entities=1,2")
+        plans = {r["entity_id"]: r["plan"] for r in body["rows"]}
+        assert plans == {1: "bronze", 2: "silver"}
+
+        # at: after the change → gold
+        apr = 1711929600  # 2024-04-01T00:00Z
+        body = get(f"/attributes/at?store=cfg&attrs=plan&ts={apr}"
+                   f"&entities=1")
+        assert body["rows"][0]["plan"] == "gold"
+
+        # curr: latest per entity
+        body = get("/attributes/curr?store=cfg&attrs=plan")
+        plans = {r["entity_id"]: r["plan"] for r in body["rows"]}
+        assert plans == {1: "gold", 2: "silver"}
+
+        # at without entities → 400
+        try:
+            get(f"/attributes/at?store=cfg&attrs=plan&ts={feb}")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
