@@ -211,3 +211,83 @@ def test_agg_ohlc_matches_python_reference(spark, samples):
         vals = [v for _, _, v in rows]
         assert r.high == max(vals) and r.low == min(vals)
         assert r.n == len(rows)
+
+
+def test_hist_quantile_daily_partials_merge_consistent(spark, tmp_path):
+    """The mergeability invariant A24 exists for: weekly quantiles read
+    off SUMMED daily histograms must equal quantiles computed from a
+    single direct weekly histogram (same bins, same counts — the partial
+    is lossless under merge, unlike a trimmed sketch)."""
+    import os
+
+    from minerva_etl_46_spark.queries import agg_hist_quantile
+
+    base = 1704067200
+    rows = [(i, base + (i * 2311) % (14 * 86400), i % 3,
+             "t" + str(i % 2), float((i * 37) % 500) / 3.0, "{}")
+            for i in range(2000)]
+    scratch = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, epoch long, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.timestamp_seconds(F.col("epoch"))).drop("epoch") \
+     .select("event_id", "ts", "user_id", "event_type", "value", "props") \
+     .write.mode("overwrite").parquet(os.path.join(scratch, "events.parquet"))
+
+    got = {(r.event_type, r.week_bucket): (r.n, r.p50_lo, r.p90_lo)
+           for r in agg_hist_quantile(spark, scratch).collect()}
+
+    # direct weekly histogram (no daily intermediate)
+    e = spark.read.parquet(os.path.join(scratch, "events.parquet"))
+    direct = (
+        e.groupBy(
+            "event_type",
+            (F.floor(F.col("ts").cast("long") / 604800) * 604800)
+            .cast("long").alias("week_bucket"),
+            F.floor(F.col("value") / 5.0).cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as W
+    wc = W.partitionBy("event_type", "week_bucket").orderBy("bin") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    wt = W.partitionBy("event_type", "week_bucket")
+    t = direct.select(
+        "event_type", "week_bucket", "bin", "n",
+        F.sum("n").over(wc).alias("cum"), F.sum("n").over(wt).alias("total"))
+    want = {(r.event_type, r.week_bucket): (r.n, r.p50_lo, r.p90_lo)
+            for r in t.groupBy("event_type", "week_bucket").agg(
+                F.max("total").alias("n"),
+                (F.min(F.when(F.col("cum") * 2 >= F.col("total"),
+                              F.col("bin"))) * 5.0).alias("p50_lo"),
+                (F.min(F.when(F.col("cum") * 10 >= F.col("total") * 9,
+                              F.col("bin"))) * 5.0).alias("p90_lo"),
+            ).collect()}
+    assert got == want and len(got) > 2
+
+
+def test_upsert_tombstone_semantics(spark):
+    """Delete wins when newest; a LATER re-insert resurrects the key;
+    a STALE delete (older version) loses to the stored row."""
+    from minerva_etl_46_spark.operators.upsert import upsert_with_tombstones
+
+    base = spark.createDataFrame(
+        [(1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 1)],
+        "k long, v double, ver long")
+    staged = spark.createDataFrame(
+        [(1, None, 2, "D"),      # newest delete → k=1 gone
+         (2, 99.0, 2, "U"),      # update → k=2 rewritten
+         (3, None, 0, "D")],     # STALE delete → k=3 survives as stored
+        "k long, v double, ver long, op string")
+    out = {r.k: (r.v, r.ver) for r in upsert_with_tombstones(
+        base, staged, keys=["k"], version_cols=["ver"]).collect()}
+    assert out == {2: (99.0, 2), 3: (30.0, 1)}
+
+    # resurrection: delete at ver2, re-insert at ver3
+    staged2 = spark.createDataFrame(
+        [(1, None, 2, "D"), (1, 11.0, 3, "U")],
+        "k long, v double, ver long, op string")
+    out2 = {r.k: (r.v, r.ver) for r in upsert_with_tombstones(
+        base.filter("k = 1"), staged2, keys=["k"],
+        version_cols=["ver"]).collect()}
+    assert out2 == {1: (11.0, 3)}
