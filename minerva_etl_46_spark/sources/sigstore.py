@@ -85,3 +85,64 @@ class SignatureStore:
             ).drop("content_hash")
         finally:
             new_sigs.unpersist(blocking=False)
+
+
+@dataclass
+class BucketedSignatureStore:
+    """Metastore-backed sibling of SignatureStore (r6): the cache lives
+    in a table BUCKETED BY content_hash, so the two per-run probes that
+    touch it — the unseen-content anti-join and the signature map-back
+    equi-join — never shuffle the corpus-sized cache side. Only the
+    day's batch exchanges into the bucket partitioning: the asymmetric
+    cost story (work ∝ batch) extended to shuffle bytes.
+
+    Needs a persistent catalog (Hive/Glue/Unity) for the bucket metadata
+    to survive sessions; on the local in-memory catalog the table is
+    session-scoped (same caveat as sources/bucketed.py, and why the
+    parquet SignatureStore remains the default). Appends MUST repeat the
+    same bucket spec — enforced by bucketBy on every write.
+    """
+
+    table: str = "minerva_signatures"
+    n_buckets: int = 64
+    k: int = 32
+    shingle_n: int = 3
+
+    def _cached(self, spark) -> DataFrame | None:
+        if not spark.catalog.tableExists(self.table):
+            return None
+        # bucketed on content_hash ⇒ this dedup agg needs NO exchange
+        return spark.table(self.table).dropDuplicates(["content_hash"])
+
+    def signatures(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        """Same contract and flow as SignatureStore.signatures; only the
+        cache's physical layout differs (see class docstring)."""
+        spark = docs.sparkSession
+        hashed = docs.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"),
+            F.col(text_col),
+        )
+        cached = self._cached(spark)
+        missing = hashed.dropDuplicates(["content_hash"])
+        if cached is not None:
+            missing = missing.join(cached.select("content_hash"),
+                                   "content_hash", "left_anti")
+        new_sigs = minhash_signature(
+            missing, "content_hash", text_col, k=self.k, shingle_n=self.shingle_n
+        ).persist()
+        try:
+            if new_sigs.count() > 0:
+                (new_sigs.write
+                 .bucketBy(self.n_buckets, "content_hash")
+                 .sortBy("content_hash")
+                 .mode("append")
+                 .format("parquet")
+                 .saveAsTable(self.table))
+            all_sigs = self._cached(spark)
+            if all_sigs is None:
+                all_sigs = new_sigs
+            return hashed.select(id_col, "content_hash").join(
+                all_sigs, "content_hash"
+            ).drop("content_hash")
+        finally:
+            new_sigs.unpersist(blocking=False)

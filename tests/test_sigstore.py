@@ -75,3 +75,46 @@ def test_shingle_less_docs_absent_not_crashing(spark, tmp_path):
     store = SignatureStore(str(tmp_path), k=16, shingle_n=3)
     out = store.signatures(short, "doc_id", "text")
     assert out.count() == 0
+
+
+def test_bucketed_store_matches_and_cache_side_never_shuffles(spark):
+    """r6: the bucketed cache variant — same signatures as the direct
+    pass, and the map-back join's plan must show NO Exchange on the
+    cache (table-scan) side: only the batch side exchanges into the
+    bucket partitioning."""
+    from minerva_etl_46_spark.sources.sigstore import BucketedSignatureStore
+
+    docs = _docs(spark)
+    spark.sql("drop table if exists sig_bucketed_test")
+    import shutil
+    from urllib.parse import urlparse
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/sig_bucketed_test", ignore_errors=True)
+
+    store = BucketedSignatureStore(table="sig_bucketed_test", n_buckets=8,
+                                   k=16)
+    got = store.signatures(docs, "doc_id", "text").toPandas()
+    want = minhash_signature(docs, "doc_id", "text", k=16).toPandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)[want.columns.tolist()]
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(want)
+
+    # second run: pure cache hit, and the join plan keeps the cache side
+    # exchange-free (disable broadcast so the join strategy is the one a
+    # corpus-sized cache would get)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df2 = store.signatures(docs, "doc_id", "text")
+        plan = df2._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan[:2000]
+        # exactly the probe-side exchanges may appear; the FileScan of the
+        # bucketed table must not sit under an Exchange. Heuristic: the
+        # plan mentions SelectedBucketsCount and at most 2 Exchanges
+        # (batch side of anti-join + batch side of map-back join).
+        assert plan.count("Exchange hashpartitioning") <= 2, plan[:3000]
+        n = df2.count()
+        assert n == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("drop table if exists sig_bucketed_test")
