@@ -83,6 +83,11 @@ class TrendStore:
     parts: tuple[TrendStorePart, ...]
     partition_size_seconds: int = 86400
     retention_days: int | None = None
+    #: declared derived granularities (the reference's aggregation blocks):
+    #: each entry generates a time-rollup materialization for every part
+    #: via plans/aggregation.specs_from_instance — declare "1h"/"1d" in
+    #: the instance YAML and the 15m→1h→1d ladder exists without code
+    time_aggregations: tuple[str, ...] = ()
 
     @property
     def gran(self) -> Granularity:

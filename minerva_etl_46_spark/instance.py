@@ -51,6 +51,7 @@ def instance_from_dict(doc: dict) -> Instance:
             granularity=ts["granularity"],
             partition_size_seconds=ts.get("partition_size_seconds", 86400),
             retention_days=ts.get("retention_days"),
+            time_aggregations=tuple(ts.get("time_aggregations", ())),
             parts=tuple(
                 TrendStorePart(
                     name=p["name"],
@@ -127,6 +128,15 @@ class ModifyTrend:
 
 
 @dataclass(frozen=True)
+class ChangeTimeAggregations:
+    """Derived-granularity declaration changed (aggregation ladder)."""
+
+    store_key: str
+    old: tuple
+    new: tuple
+
+
+@dataclass(frozen=True)
 class AddAttributeStore:
     store_key: str
 
@@ -168,6 +178,7 @@ class ModifyTrigger:
 
 Change = (
     AddTrendStore | RemoveTrendStore | AddTrend | RemoveTrend | ModifyTrend
+    | ChangeTimeAggregations
     | AddAttributeStore | RemoveAttributeStore | AddAttribute | RemoveAttribute
     | AddTrigger | RemoveTrigger | ModifyTrigger
 )
@@ -203,6 +214,8 @@ def instance_to_dict(inst: Instance) -> dict:
                 "partition_size_seconds": ts.partition_size_seconds,
                 **({"retention_days": ts.retention_days}
                    if ts.retention_days is not None else {}),
+                **({"time_aggregations": list(ts.time_aggregations)}
+                   if ts.time_aggregations else {}),
                 "parts": [
                     {"name": p.name,
                      "trends": [_trend_dict(t) for t in p.trends]}
@@ -260,6 +273,9 @@ def diff_instances(current: Instance, desired: Instance) -> list[Change]:
                     o, n = getattr(ct[t], fieldname), getattr(wt[t], fieldname)
                     if o != n:
                         changes.append(ModifyTrend(k, pname, t, fieldname, o, n))
+        if cur[k].time_aggregations != want[k].time_aggregations:
+            changes.append(ChangeTimeAggregations(
+                k, cur[k].time_aggregations, want[k].time_aggregations))
 
     def akey(a) -> str:
         return f"{a.data_source}/{a.entity_type}"

@@ -109,3 +109,23 @@ def generate_entity_rollup(
         granularity=g, target=target, src_fn=src_fn, sources=[raw],
         ts_col="bucket", **spec_kw,
     )
+
+
+def specs_from_instance(root: str, instance, **spec_kw) -> list[MaterializationSpec]:
+    """The YAML→ladder glue (r6): every trend store's declared
+    ``time_aggregations`` becomes one generated time-rollup
+    materialization per part — `apply` the instance, write raw data,
+    tick the engine; no pipeline code. Raw parts follow the generator's
+    naming convention ({part}_{granularity}) under the live root's
+    store directory."""
+    from minerva_etl_46_spark.instance import _store_key, store_base_dir
+
+    specs: list[MaterializationSpec] = []
+    for store in instance.trend_stores:
+        base = store_base_dir(root, _store_key(store))
+        for part in store.parts:
+            for g_to in store.time_aggregations:
+                specs.append(
+                    generate_time_rollup(base, store, part.name, g_to,
+                                         **spec_kw))
+    return specs

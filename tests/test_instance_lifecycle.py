@@ -260,3 +260,63 @@ def test_apply_schema_evolution_is_zero_rewrite(spark, tmp_path):
     assert types["drops"] == "bigint"       # re-typed at read time
     row = df.collect()[0]
     assert row.congestion is None and row.drops == 2 and row.calls == 10
+
+
+def test_yaml_declared_aggregation_ladder(spark, tmp_path):
+    """r6: the reference's aggregation blocks — declare
+    time_aggregations: [1h] in YAML, apply, write 15m raw, tick the
+    engine: the 1h store materializes with each trend rolled by its
+    declared time_aggregation; diff detects ladder edits."""
+    from minerva_etl_46_spark.instance import (
+        ChangeTimeAggregations,
+        apply_instance,
+        diff_instances,
+        load_live,
+        part_storage,
+    )
+    from minerva_etl_46_spark.plans.aggregation import specs_from_instance
+    from minerva_etl_46_spark.plans.materialize import MaterializationEngine
+
+    yaml_v = INSTANCE_YAML.replace(
+        "granularity: 15m\n",
+        "granularity: 15m\n    time_aggregations: [1h]\n",
+    )
+    root = str(tmp_path / "live")
+    inst = instance_from_yaml(yaml_v)
+    apply_instance(root, inst)
+    live = load_live(root)
+    assert live.trend_stores[0].time_aggregations == ("1h",)
+    assert diff_instances(live, inst) == []
+    # ladder edit is a typed change
+    inst2 = instance_from_yaml(yaml_v.replace("[1h]", "[1h, 1d]"))
+    assert any(isinstance(c, ChangeTimeAggregations)
+               for c in diff_instances(live, inst2))
+
+    # write raw 15m data under the generator's naming ({part}_{gran})
+    store = live.trend_stores[0]
+    raw = part_storage(root, store, "traffic_15m")
+    day = spark.createDataFrame(
+        [(1 + i % 2, 1704067200 + 900 * (i + 1), i, i % 3)
+         for i in range(16)],  # ts = period END stamps over 4 hours
+        "entity_id long, epoch long, calls int, drops int",
+    ).select("entity_id", F.timestamp_seconds("epoch").alias("ts"),
+             "calls", "drops")
+    raw.write(day, ts_col="ts")
+
+    (spec,) = specs_from_instance(root, live,
+                                  reprocessing_period_s=10**12)
+    done = MaterializationEngine(raw.base_dir).tick(spark, spec, now=4e9)
+    assert done, "no windows materialized"
+    rolled = spec.target.read(spark)
+    # sums per (entity, hour): trends declared time_aggregation=sum
+    got = {(r.entity_id, r.bucket): (r.calls, r.drops)
+           for r in rolled.collect()}
+    import collections
+    want = collections.defaultdict(lambda: [0, 0])
+    for i in range(16):
+        ts = 1704067200 + 900 * (i + 1)
+        b = ((ts - 1) // 3600) * 3600 + 3600  # period-END hour label
+        k = (1 + i % 2, b)
+        want[k][0] += i
+        want[k][1] += i % 3
+    assert got == {k: tuple(v) for k, v in want.items()}
