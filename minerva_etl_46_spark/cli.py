@@ -84,11 +84,26 @@ def cmd_load_data(args) -> int:
 def cmd_materialize(args) -> int:
     from minerva_etl_46_spark.plans.materialize import MaterializationEngine
 
+    spark = _spark(args)
+    if args.root:
+        # r6: tick every ladder materialization the live instance declares
+        # (time_aggregations blocks) — the daemon loop's one-shot form
+        from minerva_etl_46_spark.instance import load_live
+        from minerva_etl_46_spark.plans.aggregation import specs_from_instance
+
+        out = {}
+        for spec in specs_from_instance(args.root, load_live(args.root)):
+            engine = MaterializationEngine(spec.sources[0].base_dir)
+            out[spec.name] = engine.tick(spark, spec)
+        print(json.dumps({"materialized_windows": out}))
+        return 0
+    if not (args.spec and args.base_dir):
+        print("materialize needs either --root or (--spec and --base-dir)")
+        return 2
     mod, attr = args.spec.split(":", 1)
     spec = getattr(importlib.import_module(mod), attr)
     if callable(spec):
         spec = spec(args.base_dir)
-    spark = _spark(args)
     engine = MaterializationEngine(args.base_dir)
     done = engine.tick(spark, spec)
     print(json.dumps({"materialized_windows": done}))
@@ -228,10 +243,13 @@ def build_parser() -> argparse.ArgumentParser:
     ld.set_defaults(fn=cmd_load_data)
 
     mt = sub.add_parser("materialize", help="run one materialization tick")
-    mt.add_argument("--base-dir", required=True)
-    mt.add_argument("--spec", required=True,
+    mt.add_argument("--base-dir")
+    mt.add_argument("--spec",
                     help="python path module:attr of a MaterializationSpec "
                          "(or factory taking base_dir)")
+    mt.add_argument("--root",
+                    help="live instance root: tick every YAML-declared "
+                         "time_aggregations ladder instead of one --spec")
     mt.set_defaults(fn=cmd_materialize)
 
     tr = sub.add_parser("trigger", help="evaluate trigger rules → notifications")

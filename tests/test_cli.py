@@ -195,3 +195,44 @@ def test_cli_corpus(spark, tmp_path, capsys):
     assert written.count() == st["after_quality"]
     assert set(written.select("shard").distinct().toPandas()["shard"]) \
         <= set(range(4))
+
+
+def test_cli_apply_and_ladder_materialize(spark, tmp_path, capsys):
+    """r6: `minerva apply` then `minerva materialize --root` ticks the
+    YAML-declared aggregation ladder with no --spec plumbing."""
+    from pyspark.sql import functions as F
+
+    from minerva_etl_46_spark.instance import load_live, part_storage
+
+    desired = tmp_path / "inst.yaml"
+    desired.write_text("""
+trend_stores:
+  - data_source: pm
+    entity_type: Cell
+    granularity: 15m
+    partition_size_seconds: 3600
+    time_aggregations: [1h]
+    parts:
+      - name: traffic
+        trends:
+          - {name: calls, data_type: integer, time_aggregation: sum}
+""")
+    root = str(tmp_path / "live")
+    assert main(["apply", "--root", root, str(desired)]) == 0
+    assert "AddTrendStore" in capsys.readouterr().out
+
+    store = load_live(root).trend_stores[0]
+    raw = part_storage(root, store, "traffic_15m")
+    day = spark.createDataFrame(
+        [(1, 1704067200 + 900 * (i + 1), i) for i in range(8)],
+        "entity_id long, epoch long, calls int",
+    ).select("entity_id", F.timestamp_seconds("epoch").alias("ts"), "calls")
+    raw.write(day, ts_col="ts")
+
+    assert main(["materialize", "--root", root]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["materialized_windows"]["traffic_15m_to_1h"]
+    rolled = part_storage(root, store, "traffic_1h").read(spark)
+    got = {(r.entity_id, r.bucket): r.calls for r in rolled.collect()}
+    # hours: END-labeled; 8 quarter samples 0..7 → hour sums 0+1+2+3, 4+5+6+7
+    assert sum(got.values()) == sum(range(8))
