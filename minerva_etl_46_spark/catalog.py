@@ -74,6 +74,16 @@ class TrendStorePart:
 
 
 @dataclass(frozen=True)
+class EntityAggregationDecl:
+    """One declared entity rollup (D8/J2): roll this store's parts up
+    `relation` (edges in the entity directory) into a sibling store
+    suffixed `suffix` (Cell→Site: relation=cell_site, suffix=site)."""
+
+    relation: str
+    suffix: str
+
+
+@dataclass(frozen=True)
 class TrendStore:
     """(data_source, entity_type, granularity) container (D3)."""
 
@@ -88,6 +98,8 @@ class TrendStore:
     #: via plans/aggregation.specs_from_instance — declare "1h"/"1d" in
     #: the instance YAML and the 15m→1h→1d ladder exists without code
     time_aggregations: tuple[str, ...] = ()
+    #: declared entity rollups, same mechanism along the other axis
+    entity_aggregations: tuple[EntityAggregationDecl, ...] = ()
 
     @property
     def gran(self) -> Granularity:

@@ -19,6 +19,7 @@ import yaml
 
 from minerva_etl_46_spark.catalog import (
     AttributeStore,
+    EntityAggregationDecl,
     Instance,
     Relation,
     Trend,
@@ -52,6 +53,11 @@ def instance_from_dict(doc: dict) -> Instance:
             partition_size_seconds=ts.get("partition_size_seconds", 86400),
             retention_days=ts.get("retention_days"),
             time_aggregations=tuple(ts.get("time_aggregations", ())),
+            entity_aggregations=tuple(
+                EntityAggregationDecl(relation=ea["relation"],
+                                      suffix=ea["suffix"])
+                for ea in ts.get("entity_aggregations", ())
+            ),
             parts=tuple(
                 TrendStorePart(
                     name=p["name"],
@@ -137,6 +143,15 @@ class ChangeTimeAggregations:
 
 
 @dataclass(frozen=True)
+class ChangeEntityAggregations:
+    """Declared entity-rollup set changed."""
+
+    store_key: str
+    old: tuple
+    new: tuple
+
+
+@dataclass(frozen=True)
 class AddAttributeStore:
     store_key: str
 
@@ -178,7 +193,7 @@ class ModifyTrigger:
 
 Change = (
     AddTrendStore | RemoveTrendStore | AddTrend | RemoveTrend | ModifyTrend
-    | ChangeTimeAggregations
+    | ChangeTimeAggregations | ChangeEntityAggregations
     | AddAttributeStore | RemoveAttributeStore | AddAttribute | RemoveAttribute
     | AddTrigger | RemoveTrigger | ModifyTrigger
 )
@@ -216,6 +231,10 @@ def instance_to_dict(inst: Instance) -> dict:
                    if ts.retention_days is not None else {}),
                 **({"time_aggregations": list(ts.time_aggregations)}
                    if ts.time_aggregations else {}),
+                **({"entity_aggregations": [
+                        {"relation": ea.relation, "suffix": ea.suffix}
+                        for ea in ts.entity_aggregations]}
+                   if ts.entity_aggregations else {}),
                 "parts": [
                     {"name": p.name,
                      "trends": [_trend_dict(t) for t in p.trends]}
@@ -276,6 +295,9 @@ def diff_instances(current: Instance, desired: Instance) -> list[Change]:
         if cur[k].time_aggregations != want[k].time_aggregations:
             changes.append(ChangeTimeAggregations(
                 k, cur[k].time_aggregations, want[k].time_aggregations))
+        if cur[k].entity_aggregations != want[k].entity_aggregations:
+            changes.append(ChangeEntityAggregations(
+                k, cur[k].entity_aggregations, want[k].entity_aggregations))
 
     def akey(a) -> str:
         return f"{a.data_source}/{a.entity_type}"

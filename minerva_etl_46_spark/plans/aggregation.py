@@ -88,9 +88,16 @@ def generate_entity_rollup(
         base_dir, f"{part_name}_{store.granularity}",
         partition_size_s=store.partition_size_seconds,
     )
+    # materialization windows are granularity-sized, so the target's
+    # partitions must tile them (materialize.py invariant): keep the
+    # store's partition size when it tiles, else fall back to one
+    # partition per window
+    ps = store.partition_size_seconds
+    if ps > g.seconds or g.seconds % ps != 0:
+        ps = g.seconds
     target = TrendStorePartStorage(
         base_dir, f"{part_name}_{store.granularity}_{target_suffix}",
-        partition_size_s=store.partition_size_seconds,
+        partition_size_s=ps,
     )
 
     def src_fn(spark: SparkSession, w_start: int, w_end: int) -> DataFrame:
@@ -114,12 +121,16 @@ def generate_entity_rollup(
 def specs_from_instance(root: str, instance, **spec_kw) -> list[MaterializationSpec]:
     """The YAML→ladder glue (r6): every trend store's declared
     ``time_aggregations`` becomes one generated time-rollup
-    materialization per part — `apply` the instance, write raw data,
-    tick the engine; no pipeline code. Raw parts follow the generator's
-    naming convention ({part}_{granularity}) under the live root's
-    store directory."""
+    materialization per part, and every ``entity_aggregations`` entry
+    one entity-rollup materialization (edges read from the live root's
+    entity directory by relation name) — `apply` the instance, write raw
+    data, tick the engine; no pipeline code. Raw parts follow the
+    generator's naming convention ({part}_{granularity}) under the live
+    root's store directory."""
     from minerva_etl_46_spark.instance import _store_key, store_base_dir
+    from minerva_etl_46_spark.sources.directory import EntityDirectory
 
+    directory = EntityDirectory(root)
     specs: list[MaterializationSpec] = []
     for store in instance.trend_stores:
         base = store_base_dir(root, _store_key(store))
@@ -128,4 +139,11 @@ def specs_from_instance(root: str, instance, **spec_kw) -> list[MaterializationS
                 specs.append(
                     generate_time_rollup(base, store, part.name, g_to,
                                          **spec_kw))
+            for ea in store.entity_aggregations:
+                rel = ea.relation
+                specs.append(generate_entity_rollup(
+                    base, store, part.name,
+                    relation_df_fn=(
+                        lambda spark, _r=rel: directory.relation(spark, _r)),
+                    target_suffix=ea.suffix, **spec_kw))
     return specs

@@ -59,6 +59,23 @@ class EntityDirectory:
             .distinct()
         )
 
+    def relations_path(self, name: str) -> str:
+        return os.path.join(self.base_dir, "_directory", "relations", name)
+
+    def add_relation(self, name: str, edges: DataFrame) -> None:
+        """Append (source_id, target_id) edges for a named relation
+        (D8: e.g. Cell→Site). Append-only with read-side dedup, like
+        entities — re-registering an edge is harmless."""
+        edges.select("source_id", "target_id").write.mode("append").parquet(
+            self.relations_path(name))
+
+    def relation(self, spark: SparkSession, name: str) -> DataFrame:
+        if not os.path.isdir(self.relations_path(name)):
+            return spark.createDataFrame(
+                [], schema="source_id long, target_id long")
+        return spark.read.parquet(self.relations_path(name)).dropDuplicates(
+            ["source_id", "target_id"])
+
     def restrict_to_tag(self, spark: SparkSession, df: DataFrame, tag: str,
                         entity_col: str = "entity_id") -> DataFrame:
         """P4: trend rows for tagged entities only — broadcast semi-join

@@ -320,3 +320,50 @@ def test_yaml_declared_aggregation_ladder(spark, tmp_path):
         want[k][0] += i
         want[k][1] += i % 3
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_yaml_declared_entity_rollup(spark, tmp_path):
+    """r6: entity_aggregations blocks — declare a Cell→Site rollup in
+    YAML, register the relation edges in the entity directory, tick:
+    the _site store materializes with per-site sums."""
+    from minerva_etl_46_spark.instance import (
+        apply_instance,
+        instance_from_yaml,
+        load_live,
+        part_storage,
+    )
+    from minerva_etl_46_spark.plans.aggregation import specs_from_instance
+    from minerva_etl_46_spark.plans.materialize import MaterializationEngine
+    from minerva_etl_46_spark.sources.directory import EntityDirectory
+
+    yaml_v = INSTANCE_YAML.replace(
+        "granularity: 15m\n",
+        "granularity: 15m\n"
+        "    entity_aggregations:\n"
+        "      - {relation: cell_site, suffix: site}\n",
+    )
+    root = str(tmp_path / "live")
+    inst = instance_from_yaml(yaml_v)
+    apply_instance(root, inst)
+    live = load_live(root)
+    (ea,) = live.trend_stores[0].entity_aggregations
+    assert (ea.relation, ea.suffix) == ("cell_site", "site")
+
+    # cells 1,2 → site 100; cell 3 → site 200
+    EntityDirectory(root).add_relation("cell_site", spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 200)], "source_id long, target_id long"))
+
+    store = live.trend_stores[0]
+    raw = part_storage(root, store, "traffic_15m")
+    raw.write(spark.createDataFrame(
+        [(c, 1704067200 + 900, 10 * c, c) for c in (1, 2, 3)],
+        "entity_id long, epoch long, calls int, drops int",
+    ).select("entity_id", F.timestamp_seconds("epoch").alias("ts"),
+             "calls", "drops"), ts_col="ts")
+
+    (spec,) = specs_from_instance(root, live,
+                                  reprocessing_period_s=10**12)
+    assert MaterializationEngine(raw.base_dir).tick(spark, spec, now=4e9)
+    got = {(r.entity_id, r.bucket): (r.calls, r.drops)
+           for r in spec.target.read(spark).collect()}
+    assert got == {(100, 1704068100): (30, 3), (200, 1704068100): (30, 3)}
