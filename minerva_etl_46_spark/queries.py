@@ -5858,6 +5858,87 @@ def stream_dedup(spark, sf_dir):
 
 
 @register(
+    "agg_heavy_hitters_cms",
+    oracle=f"""
+    with e as (select * from {EV}),
+    seeds as (select unnest(generate_series(0, 3)) as seed),
+    rows_h as (select user_id, seed,
+                 cast(concat('0x', substr(md5(cast(user_id as varchar)
+                      || ':' || cast(seed as varchar)), 1, 8)) as bigint)
+                 % 256 as bucket
+               from e, seeds),
+    sketch as (select seed, bucket, count(*) as cnt
+               from rows_h group by 1, 2),
+    truth as (select user_id, count(*) as true_n
+              from e group by 1
+              order by true_n desc, user_id asc limit 20),
+    probes as (select t.user_id, t.true_n, s.seed,
+                 cast(concat('0x', substr(md5(cast(t.user_id as varchar)
+                      || ':' || cast(s.seed as varchar)), 1, 8)) as bigint)
+                 % 256 as bucket
+               from truth t, seeds s)
+    select p.user_id, p.true_n,
+           min(sk.cnt) as est_n,
+           min(sk.cnt) >= p.true_n as no_undercount
+    from probes p join sketch sk
+      on p.seed = sk.seed and p.bucket = sk.bucket
+    group by 1, 2
+    """,
+)
+def agg_heavy_hitters_cms(spark, sf_dir):
+    """A25 (r6): count–min sketch heavy hitters — the mergeable
+    frequency summary for key spaces too large to count exactly (the
+    d×w counter grid sums cell-wise across partitions/days, like the A11
+    HLL and A24 histogram partials). d=4 md5-derived hash rows × w=256
+    buckets; a key's estimate is the MIN over its d cells — never an
+    undercount, overcount bounded by collisions (asserted per-row in the
+    output's no_undercount flag, which the oracle hash-checks).
+    Shape: the sketch build is ONE hash-agg over a 4× seed-exploded
+    scan (map-side partials shrink it to ≤1024 rows before the
+    exchange); truth-side is one hash-agg + TakeOrdered(20); the probe
+    join broadcasts the tiny frames. 100 TB: you ship the 1024-row grid,
+    not the key space."""
+    e = load(spark, sf_dir, "events")
+    seeds = F.array(*[F.lit(i) for i in range(4)])
+
+    def bucket(key_col, seed_col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    ":", key_col.cast("string"), seed_col.cast("string"))),
+                1, 8),
+            16, 10,
+        ).cast("long") % 256
+
+    sketch = (
+        e.select("user_id", F.explode(seeds).alias("seed"))
+        .select("seed", bucket(F.col("user_id"), F.col("seed")).alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    truth = (
+        e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    probes = truth.select(
+        "user_id", "true_n", F.explode(seeds).alias("seed")
+    ).select(
+        "user_id", "true_n", "seed",
+        bucket(F.col("user_id"), F.col("seed")).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("cnt").alias("est_n"))
+        .select(
+            "user_id", "true_n", "est_n",
+            (F.col("est_n") >= F.col("true_n")).alias("no_undercount"),
+        )
+    )
+
+
+@register(
     "agg_hist_quantile",
     oracle=f"""
     with e as (select * from {EV}),
@@ -6093,7 +6174,7 @@ _R06_PRIORITY = [
     # sample fills; r4's lesson)
     "win_interp", "agg_ohlc", "llm_dedup_url", "stream_dedup",
     "agg_hist_quantile", "scan_json_multiline", "scan_csv_badrows",
-    "upsert_tombstone",
+    "upsert_tombstone", "agg_heavy_hitters_cms",
     # (b) changed this round
     "join_nearest", "llm_novelty", "xml_harvest",
     # (c) r2-stale renewals
@@ -6107,7 +6188,7 @@ _R06_PRIORITY = [
     "fn_regexp", "fn_variant", "llm_chunk", "llm_concat",
     "llm_decontaminate", "llm_dedup_groups", "llm_dupe_stats",
     "llm_hot_ngrams", "llm_keywords", "llm_len_buckets", "llm_mix_weights",
-    "llm_normalize", "llm_overlap",
+    "llm_normalize",
 ]
 _R05_PRIORITY = [  # changed/new in round 5, or never driver-sampled
     "win_sessionize",    # r4's only red: oracle HUGEINT→bigint cast fixed
