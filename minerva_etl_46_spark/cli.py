@@ -153,6 +153,22 @@ def cmd_apply(args) -> int:
     return 0
 
 
+def cmd_plan(args) -> int:
+    """Print the SCALE.md capacity arithmetic for a deployment shape."""
+    from minerva_etl_46_spark.plans.sizing import ClusterShape, size_plan
+
+    plan = size_plan(
+        total_tb=args.tb,
+        retention_days=args.retention_days,
+        entities=args.entities,
+        cluster=ClusterShape(executors=args.executors,
+                             cores_per_executor=args.cores,
+                             mem_gib_per_executor=args.mem_gib),
+    )
+    print(json.dumps(plan.to_dict(), indent=2))
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Run the HTTP data service until interrupted. Prints the bound
     address (port=0 → ephemeral) as its first line so scripts can
@@ -271,6 +287,15 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--root", required=True)
     ap.add_argument("desired")
     ap.set_defaults(fn=cmd_apply)
+
+    pl = sub.add_parser("plan", help="capacity sizing for a deployment")
+    pl.add_argument("--tb", type=float, required=True)
+    pl.add_argument("--retention-days", type=int, default=365)
+    pl.add_argument("--entities", type=int, default=10_000_000)
+    pl.add_argument("--executors", type=int, default=1000)
+    pl.add_argument("--cores", type=int, default=4)
+    pl.add_argument("--mem-gib", type=int, default=16)
+    pl.set_defaults(fn=cmd_plan)
 
     sv = sub.add_parser("serve", help="run the HTTP data-service API")
     sv.add_argument("--base-dir", required=True)

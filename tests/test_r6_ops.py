@@ -291,3 +291,33 @@ def test_upsert_tombstone_semantics(spark):
         base.filter("k = 1"), staged2, keys=["k"],
         version_cols=["ver"]).collect()}
     assert out2 == {1: (11.0, 3)}
+
+
+def test_sizing_plan_matches_runbook_example():
+    """SCALE.md's worked example: 100 TB/year, 1000×4-core/16-GiB —
+    ~275 GB/day, ~2200 scan files/day, 1024–2048 buckets, shuffle
+    partitions ≈ 400/day-of-data (AQE coalesces below the static)."""
+    from minerva_etl_46_spark.plans.sizing import ClusterShape, size_plan
+
+    p = size_plan(total_tb=100)
+    assert 260 <= p.daily_gb <= 290
+    assert 2100 <= p.files_per_day <= 2300
+    assert p.n_buckets in (1024, 2048)
+    # bytes-derived count (~375) is under one-per-core, so the core
+    # floor (4000) wins — utilization beats the per-day byte estimate
+    assert p.shuffle_partitions_per_day == 4000
+    assert p.shuffle_partitions_static == p.shuffle_partitions_per_day * 10
+    assert p.max_partition_bytes == 128 * 1024 * 1024
+    assert p.gib_per_core == 4.0 and not p.warnings
+    confs = p.spark_confs()
+    assert confs["spark.sql.adaptive.enabled"] == "true"
+
+    # small-memory cluster degrades gracefully
+    tight = size_plan(total_tb=100, cluster=ClusterShape(
+        executors=100, cores_per_executor=8, mem_gib_per_executor=8))
+    assert tight.max_partition_bytes == 64 * 1024 * 1024
+    assert tight.warnings  # 1 GiB/core → spill warning
+
+    # huge entity cardinality warns about broadcast budgets
+    wide = size_plan(total_tb=100, entities=100_000_000)
+    assert any("broadcast" in w for w in wide.warnings)
