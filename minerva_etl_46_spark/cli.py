@@ -153,6 +153,53 @@ def cmd_apply(args) -> int:
     return 0
 
 
+def cmd_status(args) -> int:
+    """Operator's one-glance view of a live root: declared stores and
+    ladders, per-part partition counts and epoch span, modified-log
+    freshness. Pure filesystem walk — no Spark session, instant."""
+    import os
+
+    from minerva_etl_46_spark.instance import (
+        _store_key,
+        load_live,
+        store_base_dir,
+    )
+
+    live = load_live(args.root)
+    out: dict = {"root": args.root, "trend_stores": []}
+    for store in live.trend_stores:
+        key = _store_key(store)
+        base = store_base_dir(args.root, key)
+        parts = []
+        if os.path.isdir(base):
+            for entry in sorted(os.listdir(base)):
+                pdir = os.path.join(base, entry)
+                if not os.path.isdir(pdir) or entry.startswith("_"):
+                    continue
+                buckets = sorted(
+                    int(e.split("=", 1)[1]) for e in os.listdir(pdir)
+                    if e.startswith("p_bucket="))
+                parts.append({
+                    "part": entry,
+                    "partitions": len(buckets),
+                    "span": [buckets[0], buckets[-1]] if buckets else None,
+                })
+        out["trend_stores"].append({
+            "store": key,
+            "time_aggregations": list(store.time_aggregations),
+            "entity_aggregations": [
+                {"relation": ea.relation, "suffix": ea.suffix}
+                for ea in store.entity_aggregations],
+            "retention_days": store.retention_days,
+            "parts": parts,
+        })
+    out["attribute_stores"] = [
+        f"{a.data_source}/{a.entity_type}" for a in live.attribute_stores]
+    out["triggers"] = [t.name for t in live.triggers]
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def cmd_plan(args) -> int:
     """Print the SCALE.md capacity arithmetic for a deployment shape."""
     from minerva_etl_46_spark.plans.sizing import ClusterShape, size_plan
@@ -287,6 +334,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--root", required=True)
     ap.add_argument("desired")
     ap.set_defaults(fn=cmd_apply)
+
+    stt = sub.add_parser("status", help="inspect a live instance root")
+    stt.add_argument("--root", required=True)
+    stt.set_defaults(fn=cmd_status)
 
     pl = sub.add_parser("plan", help="capacity sizing for a deployment")
     pl.add_argument("--tb", type=float, required=True)

@@ -389,7 +389,7 @@ def apply_instance(root: str, desired: Instance) -> list[Change]:
 
     changes = diff_instances(load_live(root), desired)
     for c in changes:
-        if isinstance(c, AddTrendStore):
+        if isinstance(c, (AddTrendStore, AddAttributeStore)):
             os.makedirs(store_base_dir(root, c.store_key), exist_ok=True)
     os.makedirs(root, exist_ok=True)
     tmp = live_instance_path(root) + ".tmp"
@@ -397,6 +397,19 @@ def apply_instance(root: str, desired: Instance) -> list[Change]:
         fh.write(instance_to_yaml(desired))
     os.replace(tmp, live_instance_path(root))
     return changes
+
+
+def attribute_storage(root: str, astore: AttributeStore):
+    """AttributeStoreStorage for a live attribute store (history lives
+    under {root}/{data_source}/{entity_type}/attr_{entity_type})."""
+    from minerva_etl_46_spark.sources.attributestore import (
+        AttributeStoreStorage,
+    )
+
+    base = store_base_dir(root, f"{astore.data_source}/{astore.entity_type}")
+    return AttributeStoreStorage(
+        base, astore.entity_type,
+        tuple(a.name for a in astore.attributes))
 
 
 def part_storage(root: str, store: TrendStore, part: str):

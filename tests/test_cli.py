@@ -236,3 +236,35 @@ trend_stores:
     got = {(r.entity_id, r.bucket): r.calls for r in rolled.collect()}
     # hours: END-labeled; 8 quarter samples 0..7 → hour sums 0+1+2+3, 4+5+6+7
     assert sum(got.values()) == sum(range(8))
+
+
+def test_cli_status_reads_live_root(tmp_path, capsys):
+    desired = tmp_path / "inst.yaml"
+    desired.write_text("""
+trend_stores:
+  - data_source: pm
+    entity_type: Cell
+    granularity: 15m
+    time_aggregations: [1h]
+    parts:
+      - name: traffic
+        trends: [{name: calls, data_type: integer}]
+attribute_stores:
+  - data_source: pm
+    entity_type: Cell
+    attributes: [{name: plan, data_type: text}]
+triggers:
+  - name: hot
+    predicate: "calls > 5"
+""")
+    root = str(tmp_path / "live")
+    assert main(["apply", "--root", root, str(desired)]) == 0
+    capsys.readouterr()
+    assert main(["status", "--root", root]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["trend_stores"][0]["store"] == "pm/Cell/15m"
+    assert out["trend_stores"][0]["time_aggregations"] == ["1h"]
+    assert out["attribute_stores"] == ["pm/Cell"]
+    assert out["triggers"] == ["hot"]
+    import os
+    assert os.path.isdir(os.path.join(root, "pm", "Cell"))  # attr base dir
