@@ -518,6 +518,12 @@ def r6_probe(spark, res, n_events, n_docs):
     timed("win_interp_20M", QUERIES["win_interp"](spark, scratch), res)
     timed("agg_ohlc_20M", QUERIES["agg_ohlc"](spark, scratch), res)
     timed("llm_dedup_url_1M", QUERIES["llm_dedup_url"](spark, scratch), res)
+    timed("agg_hist_quantile_20M",
+          QUERIES["agg_hist_quantile"](spark, scratch), res)
+    timed("agg_heavy_hitters_cms_20M",
+          QUERIES["agg_heavy_hitters_cms"](spark, scratch), res)
+    timed("upsert_tombstone_20M",
+          QUERIES["upsert_tombstone"](spark, scratch), res)
 
 
 def main():
