@@ -156,6 +156,10 @@ NOTES = {
                          "re-roll + cumulative window run on the "
                          "(type, week, bin) vocabulary frame — the "
                          "mergeable-partial re-rollup shape.",
+    "agg_heavy_hitters_cms": "Sketch build: ONE hash-agg over the "
+                             "seed-exploded scan, map-side partials "
+                             "shrink to \u22641024 rows pre-exchange; "
+                             "probe join broadcasts the grid.",
     "upsert_tombstone": "Same single keep-latest window exchange as "
                         "upsert_latest; the tombstone filter is a "
                         "post-window projection — no second pass.",
