@@ -5893,48 +5893,27 @@ def agg_heavy_hitters_cms(spark, sf_dir):
     buckets; a key's estimate is the MIN over its d cells — never an
     undercount, overcount bounded by collisions (asserted per-row in the
     output's no_undercount flag, which the oracle hash-checks).
-    Shape: the sketch build is ONE hash-agg over a 4× seed-exploded
-    scan (map-side partials shrink it to ≤1024 rows before the
-    exchange); truth-side is one hash-agg + TakeOrdered(20); the probe
-    join broadcasts the tiny frames. 100 TB: you ship the 1024-row grid,
-    not the key space."""
+    Shape (operators/sketches.py — build/merge/estimate, hash pluggable):
+    the sketch build is ONE hash-agg over a 4× seed-exploded scan
+    (map-side partials shrink it to ≤1024 rows before the exchange);
+    truth-side is one hash-agg + TakeOrdered(20); the probe join
+    broadcasts the tiny frames. This key runs the md5 hash family so
+    DuckDB replays it; production uses the xxhash64 default (same swap
+    note as the dedup family). 100 TB: you ship the 1024-row grid, not
+    the key space."""
+    from minerva_etl_46_spark.operators.sketches import cms_build, cms_estimate
+
     e = load(spark, sf_dir, "events")
-    seeds = F.array(*[F.lit(i) for i in range(4)])
-
-    def bucket(key_col, seed_col):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat_ws(
-                    ":", key_col.cast("string"), seed_col.cast("string"))),
-                1, 8),
-            16, 10,
-        ).cast("long") % 256
-
-    sketch = (
-        e.select("user_id", F.explode(seeds).alias("seed"))
-        .select("seed", bucket(F.col("user_id"), F.col("seed")).alias("bucket"))
-        .groupBy("seed", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    sketch = cms_build(e, "user_id", d=4, w=256, hash_fn="md5")
     truth = (
         e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
         .orderBy(F.col("true_n").desc(), F.col("user_id").asc())
         .limit(20)
     )
-    probes = truth.select(
-        "user_id", "true_n", F.explode(seeds).alias("seed")
-    ).select(
-        "user_id", "true_n", "seed",
-        bucket(F.col("user_id"), F.col("seed")).alias("bucket"),
-    )
-    return (
-        probes.join(F.broadcast(sketch), ["seed", "bucket"])
-        .groupBy("user_id", "true_n")
-        .agg(F.min("cnt").alias("est_n"))
-        .select(
-            "user_id", "true_n", "est_n",
-            (F.col("est_n") >= F.col("true_n")).alias("no_undercount"),
-        )
+    return cms_estimate(sketch, truth, "user_id", d=4, w=256,
+                        hash_fn="md5").select(
+        "user_id", "true_n", "est_n",
+        (F.col("est_n") >= F.col("true_n")).alias("no_undercount"),
     )
 
 

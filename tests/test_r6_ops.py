@@ -321,3 +321,31 @@ def test_sizing_plan_matches_runbook_example():
     # huge entity cardinality warns about broadcast budgets
     wide = size_plan(total_tb=100, entities=100_000_000)
     assert any("broadcast" in w for w in wide.warnings)
+
+
+def test_cms_merge_equals_full_build_and_never_undercounts(spark):
+    """The mergeable-partial contract (same as HLL/histogram partials):
+    cell-wise-summed daily grids == the grid of the union; estimates
+    never undercount, on both hash families."""
+    from minerva_etl_46_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    a = spark.createDataFrame([(i % 7,) for i in range(300)], "k long")
+    b = spark.createDataFrame([(i % 11,) for i in range(500)], "k long")
+    for hash_fn in ("xxhash64", "md5"):
+        merged = cms_merge(cms_build(a, "k", hash_fn=hash_fn),
+                           cms_build(b, "k", hash_fn=hash_fn))
+        full = cms_build(a.unionByName(b), "k", hash_fn=hash_fn)
+        m = {(r.seed, r.bucket): r.cnt for r in merged.collect()}
+        f = {(r.seed, r.bucket): r.cnt for r in full.collect()}
+        assert m == f, hash_fn
+
+        truth = (a.unionByName(b).groupBy("k")
+                 .agg(F.count(F.lit(1)).alias("true_n")))
+        est = cms_estimate(full, truth, "k", hash_fn=hash_fn)
+        rows = est.collect()
+        assert len(rows) == 11
+        assert all(r.est_n >= r.true_n for r in rows), hash_fn
