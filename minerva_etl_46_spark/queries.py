@@ -6154,8 +6154,10 @@ _R06_PRIORITY = [
     "win_interp", "agg_ohlc", "llm_dedup_url", "stream_dedup",
     "agg_hist_quantile", "scan_json_multiline", "scan_csv_badrows",
     "upsert_tombstone", "agg_heavy_hitters_cms",
-    # (b) changed this round
-    "join_nearest", "llm_novelty", "xml_harvest",
+    # (b) changed this round (join_scd2 rides the asof struct-pick
+    # change; scan_orc/scan_fixedwidth ride the PID-scoped _scratch)
+    "join_nearest", "llm_novelty", "xml_harvest", "join_scd2",
+    "scan_orc", "scan_fixedwidth",
     # (c) r2-stale renewals
     "scan_csv", "project_select", "filter_threshold", "fn_safe_div",
     "fn_hash", "fn_json_extract", "fn_case", "fn_array",
@@ -6166,8 +6168,7 @@ _R06_PRIORITY = [
     "win_cume", "win_pattern", "topk_per_group", "fn_string_dn",
     "fn_regexp", "fn_variant", "llm_chunk", "llm_concat",
     "llm_decontaminate", "llm_dedup_groups", "llm_dupe_stats",
-    "llm_hot_ngrams", "llm_keywords", "llm_len_buckets", "llm_mix_weights",
-    "llm_normalize",
+    "llm_hot_ngrams", "llm_keywords",
 ]
 _R05_PRIORITY = [  # changed/new in round 5, or never driver-sampled
     "win_sessionize",    # r4's only red: oracle HUGEINT→bigint cast fixed
