@@ -1,0 +1,99 @@
+"""Plan-shape contracts (r6): the Exchange/operator counts PLANS.md
+documents for the headline operators, asserted so a plan regression
+turns the suite red instead of hiding in a doc diff. Counts are ceilings
+on the physical plan BEFORE AQE runtime re-planning (AQE only coalesces
+or converts joins — it never adds logical exchanges), measured at
+sf0.001 where every shape is already final.
+
+A cross-cutting invariant closes the file: NO key in the registry may
+plan a CartesianProduct (the one operator that cannot survive 100 TB) —
+the two known crossJoins are broadcast 1-row stats frames, which plan
+as BroadcastNestedLoopJoin, not CartesianProduct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from minerva_etl_46_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, key: str) -> str:
+    return QUERIES[key](spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+
+
+def shuffles(plan: str) -> int:
+    """SHUFFLE exchanges only — BroadcastExchange is the cheap kind the
+    dim-join contract deliberately allows."""
+    return (plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning")
+            + plan.count("Exchange SinglePartition"))
+
+
+# key → (max Exchange count, substring that MUST appear, substring that
+# must NOT appear); None skips that leg
+CONTRACTS = {
+    # one-exchange hash-agg family (map-side partials)
+    "agg_time": (1, "partial_", None),
+    "agg_gini": (2, "partial_", None),
+    "agg_ohlc": (1, "partial_min", None),
+    # the r6 rewrites hold their shapes
+    "llm_novelty": (2, None, "SortMergeJoin"),
+    "win_interp": (2, None, "Join"),
+    # window/topk discipline
+    "topk_per_group": (2, "WindowGroupLimit", None),
+    "llm_sample_stratified": (2, "WindowGroupLimit", None),
+    "win_outlier_mad": (1, None, "Join"),
+    # single keep-latest window
+    "upsert_latest": (1, None, None),
+    "upsert_tombstone": (1, None, None),
+    # dims broadcast, fact side never shuffles for the join
+    "join_dim": (0, "BroadcastHashJoin", "SortMergeJoin"),
+    # as-of family: union-tag, never a range product
+    "join_asof": (3, None, "CartesianProduct"),
+    "join_scd2": (3, None, "CartesianProduct"),
+}
+
+
+@pytest.mark.parametrize("key", sorted(CONTRACTS))
+def test_plan_contract(spark, key):
+    max_ex, must, must_not = CONTRACTS[key]
+    plan = plan_of(spark, key)
+    got = shuffles(plan)
+    assert got <= max_ex, (
+        f"{key}: {got} shuffle Exchanges (contract ≤ {max_ex}) — plan "
+        f"regressed:\n" + plan[:1500]
+    )
+    if must:
+        assert must in plan, f"{key}: expected {must!r} in plan"
+    if must_not:
+        assert must_not not in plan, f"{key}: forbidden {must_not!r} in plan"
+
+
+def test_no_key_plans_a_cartesian_product(spark):
+    """Sweep the WHOLE registry. Streaming keys and scratch-render keys
+    execute real jobs on plan access, so the sweep covers the batch
+    keys whose builders return lazily (the vast majority); the handful
+    of eager keys are exempted by name and covered by their own tests."""
+    eager = {
+        # these RUN work when invoked (streaming queries / scratch
+        # renders / bucketed-table writes) — exercised elsewhere
+        "stream_tumbling", "stream_sliding", "stream_session",
+        "stream_trigger", "stream_dedup", "trigger_notify",
+        "join_bucketed",
+    }
+    offenders = []
+    for key in QUERIES:
+        if key in eager:
+            continue
+        try:
+            plan = plan_of(spark, key)
+        except Exception:  # noqa: BLE001 — a key that can't plan at
+            # sf0.001 is caught by the parity suite, not this sweep
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(key)
+    assert not offenders, f"CartesianProduct planned by: {offenders}"
