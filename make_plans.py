@@ -43,9 +43,10 @@ NOTES = {
     "llm_pack": "ONE exchange on the shard key feeding applyInPandas; "
                 "per-group state is one shard's docs — n_shards is the "
                 "parallelism/skew knob at 100 TB.",
-    "win_gap_fill": "Grid explode is ∝ span/granularity per entity; the "
-                    "forward-fill is one window sort over the grid — no "
-                    "self-join, no driver loop.",
+    "win_gap_fill": "r6 rewrite (win_interp's probe lesson): TWO "
+                    "exchanges, zero joins, zero window sorts — the "
+                    "collect_list+HOF segment walk; the old grid join "
+                    "planned 4 exchanges + an output-sized SMJ at 20M.",
     "llm_sample_stratified": "WindowGroupLimit before the sort: streaming "
                              "per-stratum top-k on the md5 rank, never a "
                              "full per-stratum sort.",

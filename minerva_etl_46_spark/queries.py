@@ -2982,10 +2982,16 @@ def win_gap_fill(spark, sf_dir):
     silently shortens windows): per entity, materialize the full hourly
     grid over its observed span and forward-fill the last known value.
 
-    Scale shape: the grid explode is ∝ span/granularity per entity (rows
-    comparable to the rollup's own output), the fill is one window sort —
-    no self-join, no driver loop. DuckDB mirrors with generate_series +
-    last_value IGNORE NULLS."""
+    Scale shape (r6 rewrite, same lesson as win_interp's probe): the
+    original grid-LEFT-JOIN-hourly formulation planned 4 exchanges + a
+    SortMergeJoin of the output-sized grid at 20M events. Now the
+    collect_list + HOF segment walk the per-entity recursions share
+    (win_ewma/win_cusum/win_interp): TWO exchanges (hourly rollup,
+    per-user collect), zero joins, zero window sorts — each adjacent
+    observed pair emits its gap run carrying the left sample's value
+    (forward fill is interp's degenerate case). Per-user array state =
+    span/granularity structs, bounded by retention. DuckDB mirrors with
+    generate_series + last_value IGNORE NULLS."""
     e = load(spark, sf_dir, "events")
     hourly = e.groupBy(
         "user_id", bucket_epoch("ts", G_1H).alias("bucket")
@@ -2993,21 +2999,41 @@ def win_gap_fill(spark, sf_dir):
         F.count("value").alias("n"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
     )
-    bounds = hourly.groupBy("user_id").agg(
-        F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
-    grid = bounds.select(
-        "user_id",
-        F.explode(F.sequence("lo", "hi", F.lit(3600).cast("long"))).alias("bucket"),
+    obs = hourly.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket", "n", "sum_value"))
+        ).alias("a")
     )
-    j = grid.join(hourly, ["user_id", "bucket"], "left")
-    w = Window.partitionBy("user_id").orderBy("bucket") \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return j.select(
-        "user_id", "bucket",
-        F.coalesce("n", F.lit(0)).alias("n"),
-        F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_ff"),
-        F.col("n").isNull().alias("was_gap"),
+    sz = F.size("a")
+
+    def segment(p, q):
+        return F.transform(
+            F.sequence(p["bucket"], q["bucket"] - 3600,
+                       F.lit(3600).cast("long")),
+            lambda b: F.struct(
+                b.alias("bucket"),
+                F.when(b == p["bucket"], p["n"]).otherwise(F.lit(0))
+                .cast("long").alias("n"),
+                p["sum_value"].alias("sum_value_ff"),  # forward fill
+                (b != p["bucket"]).alias("was_gap"),
+            ),
+        )
+
+    last_el = F.element_at("a", -1)
+    tail = F.array(F.struct(
+        last_el["bucket"].alias("bucket"),
+        last_el["n"].cast("long").alias("n"),
+        last_el["sum_value"].alias("sum_value_ff"),
+        F.lit(False).alias("was_gap"),
+    ))
+    rows = F.concat(
+        F.flatten(F.zip_with(
+            F.slice("a", 1, sz - 1), F.slice("a", 2, sz - 1), segment)),
+        tail,
     )
+    return obs.select(
+        "user_id", F.explode(rows).alias("r")
+    ).select("user_id", "r.bucket", "r.n", "r.sum_value_ff", "r.was_gap")
 
 
 @register(
@@ -6157,7 +6183,7 @@ _R06_PRIORITY = [
     # (b) changed this round (join_scd2 rides the asof struct-pick
     # change; scan_orc/scan_fixedwidth ride the PID-scoped _scratch)
     "join_nearest", "llm_novelty", "xml_harvest", "join_scd2",
-    "scan_orc", "scan_fixedwidth",
+    "scan_orc", "scan_fixedwidth", "win_gap_fill",
     # (c) r2-stale renewals
     "scan_csv", "project_select", "filter_threshold", "fn_safe_div",
     "fn_hash", "fn_json_extract", "fn_case", "fn_array",
@@ -6168,7 +6194,7 @@ _R06_PRIORITY = [
     "win_cume", "win_pattern", "topk_per_group", "fn_string_dn",
     "fn_regexp", "fn_variant", "llm_chunk", "llm_concat",
     "llm_decontaminate", "llm_dedup_groups", "llm_dupe_stats",
-    "llm_hot_ngrams", "llm_keywords",
+    "llm_hot_ngrams",
 ]
 _R05_PRIORITY = [  # changed/new in round 5, or never driver-sampled
     "win_sessionize",    # r4's only red: oracle HUGEINT→bigint cast fixed

@@ -97,3 +97,8 @@ def test_no_key_plans_a_cartesian_product(spark):
         if "CartesianProduct" in plan:
             offenders.append(key)
     assert not offenders, f"CartesianProduct planned by: {offenders}"
+
+
+def test_win_gap_fill_contract(spark):
+    plan = plan_of(spark, "win_gap_fill")
+    assert shuffles(plan) <= 2 and "Join" not in plan
