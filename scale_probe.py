@@ -516,6 +516,7 @@ def r6_probe(spark, res, n_events, n_docs):
     timed("novelty_2exchange_1M_docs",
           QUERIES["llm_novelty"](spark, scratch), res)
     timed("win_interp_20M", QUERIES["win_interp"](spark, scratch), res)
+    timed("win_gap_fill_20M", QUERIES["win_gap_fill"](spark, scratch), res)
     timed("agg_ohlc_20M", QUERIES["agg_ohlc"](spark, scratch), res)
     timed("llm_dedup_url_1M", QUERIES["llm_dedup_url"](spark, scratch), res)
     timed("agg_hist_quantile_20M",
