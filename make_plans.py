@@ -204,6 +204,21 @@ NOTES = {
                         "only broadcast — TakeOrdered builds it, no "
                         "global sort.",
     "join_bucketed": "At fixture scale AQE (rightly) broadcasts the small orders side — both scans still show `Bucketed: true`, and the one Exchange is the downstream rollup's own (o_orderpriority, a different key). The zero-Exchange bucketed SMJ — the shape this table pair plans when both sides outgrow the broadcast threshold — is plan-ASSERTED with broadcast disqualified in tests/test_bucketed.py; bucketing never forces a worse plan than AQE would pick.",
+    "llm_surprisal": "Freq attaches via window-count on the token-keyed "
+                     "exchange (no join-back — the llm_novelty shape); "
+                     "corpus total is a broadcast 1-row frame. Two "
+                     "data-sized shuffles, both linear in token count.",
+    "win_autocorr": "ONE exchange: lag() window hash-partitions on "
+                    "entity and the Pearson-sums groupBy reuses that "
+                    "partitioning; five exact-decimal sums then "
+                    "element-wise IEEE math.",
+    "win_streak": "repartition(user) ONCE; day-distinct, row_number, "
+                  "run agg and best-pick all reuse hash(user) — a "
+                  "single exchange end to end (anchor keys extend the "
+                  "clustering, never re-shuffle).",
+    "fn_ip_cidr": "Projection-only: parse/classify fused into ONE "
+                  "WholeStageCodegen span over the scan — zero "
+                  "exchanges, zero doubles.",
 }
 
 

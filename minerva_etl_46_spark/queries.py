@@ -6145,6 +6145,270 @@ def upsert_tombstone(spark, sf_dir):
         b1, b2, keys=["event_id"], version_cols=["job_id"])
 
 
+@register(
+    "llm_surprisal",
+    oracle="""
+    with tok as (select doc_id, unnest(string_split(lower(text), ' ')) as token
+                 from documents),
+    tot as (select count(*) as n_total from tok),
+    scored as (select doc_id,
+                      count(*) over (partition by token) as freq
+               from tok),
+    bits as (select doc_id,
+                    length(bin(n_total)) - length(bin(freq)) as b
+             from scored, tot)
+    select doc_id,
+           cast(count(*) as bigint) as n_tok,
+           cast(sum(b) as bigint) as sum_bits,
+           cast(sum(b) as double) / count(*) as avg_bits,
+           cast(max(b) as bigint) as max_bits
+    from bits group by 1
+    """,
+)
+def llm_surprisal(spark, sf_dir):
+    """X33: unigram surprisal scoring — the corpus-trained quality filter
+    (rare-token-heavy docs score high = likely noisy/OOV; boilerplate
+    scores low), the zero-dependency stand-in for a KenLM perplexity
+    pass. Per-token surprisal is the INTEGER bit form
+    ``len(bin(N)) - len(bin(freq))`` = floor-log2(N)-floor-log2(freq)
+    (±1 bit of -log2 p(token)) — string-length-of-binary on exact
+    counts, so both engines produce identical integers with zero libm
+    (the BM25 rational-idf trade, applied to surprisal). Per-doc score
+    is then an exact integer sum / count with ONE final IEEE division.
+    Plan: explode → window-count over a token-keyed exchange (freq
+    attaches without a join-back — the llm_novelty rewrite shape) →
+    doc-keyed hash-agg; the corpus total is a broadcast 1-row frame
+    (its partial-agg SinglePartition exchange moves one row per input
+    partition). Two data-sized shuffles total, both linear in token
+    count — plan-pinned in tests/test_plan_contracts.py."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    total = tok.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    scored = tok.select(
+        "doc_id",
+        F.count(F.lit(1)).over(Window.partitionBy("token")).alias("freq"),
+    ).crossJoin(F.broadcast(total))
+    b = (F.length(F.bin("n_total")) - F.length(F.bin("freq")))
+    return (
+        scored.select("doc_id", b.alias("b"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("b").cast("long").alias("sum_bits"),
+            (F.sum("b").cast("double") / F.count(F.lit(1)))
+            .alias("avg_bits"),
+            F.max("b").cast("long").alias("max_bits"),
+        )
+    )
+
+
+@register(
+    "win_autocorr",
+    oracle=f"""
+    with e as (select * from {EV}),
+    p as (select user_id, value as y,
+                 lag(value) over (partition by user_id
+                                  order by ts asc, event_id asc) as x
+          from e),
+    s as (select user_id, cast(count(*) as bigint) as n,
+                 cast(sum(cast(x as decimal(18,6))) as double) as sx,
+                 cast(sum(cast(y as decimal(18,6))) as double) as sy,
+                 cast(sum(cast(x as decimal(18,6))
+                          * cast(y as decimal(18,6))) as double) as sxy,
+                 cast(sum(cast(x as decimal(18,6))
+                          * cast(x as decimal(18,6))) as double) as sx2,
+                 cast(sum(cast(y as decimal(18,6))
+                          * cast(y as decimal(18,6))) as double) as sy2
+          from p where x is not null group by 1)
+    select user_id, n as n_pairs,
+           (cast(n as double) * sxy - sx * sy)
+             / (sqrt(cast(n as double) * sx2 - sx * sx)
+                * sqrt(cast(n as double) * sy2 - sy * sy)) as lag1_corr
+    from s
+    where n >= 10
+      and cast(n as double) * sx2 - sx * sx > 0
+      and cast(n as double) * sy2 - sy * sy > 0
+    """,
+)
+def win_autocorr(spark, sf_dir):
+    """W19: lag-1 autocorrelation per entity — the seasonality/flatness
+    probe behind anomaly-detector tuning (a counter with r≈1 is smooth,
+    r≈0 is noise; run before trusting W12 z-scores or W15 CUSUM drift).
+    Consecutive samples pair via lag() over the fully-ordered entity
+    window (ts, event_id tie-break); the five Pearson sums (Σx, Σy,
+    Σxy, Σx², Σy²) accumulate as exact decimals so both engines see
+    bit-identical moments, then r is element-wise IEEE double math with
+    correctly-rounded sqrt — the win_zscore determinism recipe applied
+    to a correlation. ONE exchange: the window hash-partitions on
+    entity and the follow-up groupBy(user_id) reuses that partitioning
+    (hash(user) satisfies the agg's clustering — no second shuffle)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    dx = F.col("x").cast("decimal(18,6)")
+    dy = F.col("y").cast("decimal(18,6)")
+    pairs = (
+        e.select(
+            "user_id",
+            F.col("value").alias("y"),
+            F.lag("value").over(w).alias("x"),
+        )
+        .filter(F.col("x").isNotNull())
+    )
+    s = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+        F.sum(dx * dx).cast("double").alias("sx2"),
+        F.sum(dy * dy).cast("double").alias("sy2"),
+    )
+    n_d = F.col("n").cast("double")
+    denx = n_d * F.col("sx2") - F.col("sx") * F.col("sx")
+    deny = n_d * F.col("sy2") - F.col("sy") * F.col("sy")
+    num = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        s.filter((F.col("n") >= 10) & (denx > 0) & (deny > 0))
+        .select(
+            "user_id",
+            F.col("n").alias("n_pairs"),
+            (num / (F.sqrt(denx) * F.sqrt(deny))).alias("lag1_corr"),
+        )
+    )
+
+
+@register(
+    "fn_ip_cidr",
+    oracle=f"""
+    with e as (select * from {EV}),
+    ip as (select event_id,
+                  '10.' || cast(user_id % 256 as varchar) || '.'
+                        || cast(event_id % 256 as varchar) || '.'
+                        || cast((event_id // 256) % 256 as varchar) as addr
+           from e),
+    o as (select event_id, addr,
+                 cast(list_element(string_split(addr, '.'), 1) as bigint) as o1,
+                 cast(list_element(string_split(addr, '.'), 2) as bigint) as o2,
+                 cast(list_element(string_split(addr, '.'), 3) as bigint) as o3,
+                 cast(list_element(string_split(addr, '.'), 4) as bigint) as o4
+           from ip)
+    select event_id, addr,
+           o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 as ip_num,
+           o1 || '.' || o2 || '.' || o3 || '.0/24' as subnet24,
+           (o1 = 10 or (o1 = 172 and o2 >= 16 and o2 <= 31)
+            or (o1 = 192 and o2 = 168)) as is_private
+    from o
+    """,
+)
+def fn_ip_cidr(spark, sf_dir):
+    """F12: IPv4 parse + CIDR classification — the log-analytics scalar
+    kit (syslog/flow feeds key on addresses; joining them to subnet
+    plans needs the numeric form and the /24 rollup key). The fixture
+    has no address column, so a deterministic one is derived per event
+    (llm_dedup_url's messy-column recipe); the OPERATOR under test is
+    the parse path: split on '.', octets → 32-bit integer, /24 CIDR
+    string, RFC-1918 private-range test. Pure integer/string codegen —
+    zero shuffles, zero doubles, projection-only (whole-stage fused
+    with the scan)."""
+    e = load(spark, sf_dir, "events")
+    addr = F.concat(
+        F.lit("10."), (F.col("user_id") % 256).cast("string"),
+        F.lit("."), (F.col("event_id") % 256).cast("string"),
+        F.lit("."),
+        (F.expr("event_id div 256") % 256).cast("string"),
+    )
+    ip = e.select("event_id", addr.alias("addr"))
+    octs = F.split(F.col("addr"), r"\.")
+    o = ip.select(
+        "event_id", "addr",
+        *[octs.getItem(i).cast("long").alias(f"o{i + 1}") for i in range(4)],
+    )
+    return o.select(
+        "event_id", "addr",
+        (F.col("o1") * 16777216 + F.col("o2") * 65536
+         + F.col("o3") * 256 + F.col("o4")).alias("ip_num"),
+        F.concat_ws(
+            ".", F.col("o1").cast("string"), F.col("o2").cast("string"),
+            F.col("o3").cast("string"), F.lit("0/24"),
+        ).alias("subnet24"),
+        (
+            (F.col("o1") == 10)
+            | ((F.col("o1") == 172) & (F.col("o2") >= 16) & (F.col("o2") <= 31))
+            | ((F.col("o1") == 192) & (F.col("o2") == 168))
+        ).alias("is_private"),
+    )
+
+
+@register(
+    "win_streak",
+    oracle=f"""
+    with e as (select * from {EV}),
+    d as (select distinct user_id,
+                 {sql_bucket_epoch('ts', G_1D)} as day_epoch
+          from e),
+    r as (select user_id, day_epoch,
+                 day_epoch - row_number() over
+                   (partition by user_id order by day_epoch asc) * 86400
+                   as anchor
+          from d),
+    runs as (select user_id, anchor,
+                    cast(count(*) as bigint) as len,
+                    min(day_epoch) as start_day
+             from r group by 1, 2),
+    best as (select user_id, len, start_day,
+                    row_number() over (partition by user_id
+                                       order by len desc, start_day asc) as rn,
+                    sum(len) over (partition by user_id) as n_active
+             from runs)
+    select user_id,
+           len as longest_streak_days,
+           start_day as streak_start_epoch,
+           cast(n_active as bigint) as n_active_days
+    from best where rn = 1
+    """,
+)
+def win_streak(spark, sf_dir):
+    """W20: longest consecutive-day activity streak per entity — the
+    gaps-and-islands counting form (W4 detects boundaries, W7
+    sessionizes by idle gap; this one measures RUN LENGTH on the day
+    grid: retention/engagement reports, SLA consecutive-breach counts).
+    Classic anchor trick: day_epoch − rn·86400 is constant within a
+    consecutive run, so runs fall out of ONE hash-agg on (user, anchor).
+    Plan: repartition(user) once, then day-distinct, row_number, the
+    run agg and the per-user best ALL reuse that partitioning
+    (hash(user) satisfies every downstream clustering — a single
+    exchange end to end). Deterministic best-pick: longest run, then
+    earliest start (max over a (len, −start) struct)."""
+    e = load(spark, sf_dir, "events")
+    days = (
+        e.select("user_id", bucket_epoch("ts", G_1D).alias("day_epoch"))
+        .repartition("user_id")
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("day_epoch"))
+    r = days.select(
+        "user_id", "day_epoch",
+        (F.col("day_epoch") - F.row_number().over(w) * 86400)
+        .cast("long").alias("anchor"),
+    )
+    runs = r.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("day_epoch").alias("start_day"),
+    )
+    best = runs.groupBy("user_id").agg(
+        F.max(
+            F.struct(F.col("len"), (-F.col("start_day")).alias("neg_start"))
+        ).alias("b"),
+        F.sum("len").cast("long").alias("n_active_days"),
+    )
+    return best.select(
+        "user_id",
+        F.col("b.len").alias("longest_streak_days"),
+        (-F.col("b.neg_start")).cast("long").alias("streak_start_epoch"),
+        "n_active_days",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -6193,8 +6457,12 @@ _R06_PRIORITY = [
     "agg_last_by", "agg_pivot", "agg_approx", "win_latest", "win_delta",
     "win_cume", "win_pattern", "topk_per_group", "fn_string_dn",
     "fn_regexp", "fn_variant", "llm_chunk", "llm_concat",
-    "llm_decontaminate", "llm_dedup_groups", "llm_dupe_stats",
-    "llm_hot_ngrams",
+    # (a, continued) registered in the round-6 continuation — first
+    # driver rows outrank renewals ("a renewal defers, a first row
+    # cannot"), so these displace the last four r3-stale renewals
+    # (llm_decontaminate/llm_dedup_groups/llm_dupe_stats/llm_hot_ngrams
+    # → tail; all four stay green-on-record from r3)
+    "llm_surprisal", "win_autocorr", "fn_ip_cidr", "win_streak",
 ]
 _R05_PRIORITY = [  # changed/new in round 5, or never driver-sampled
     "win_sessionize",    # r4's only red: oracle HUGEINT→bigint cast fixed

@@ -527,6 +527,31 @@ def r6_probe(spark, res, n_events, n_docs):
           QUERIES["upsert_tombstone"](spark, scratch), res)
 
 
+def r6b_probe(spark, res, n_events, n_docs):
+    """r6 continuation batch at 200× fixture scale, through the REAL
+    registered builders: surprisal's 2-data-shuffle window-attach at 1M
+    docs, the one-exchange autocorr/streak chains at 20M events, and the
+    projection-only IP kit (the zero-exchange floor: scan + codegen)."""
+    import os
+    import tempfile
+
+    from minerva_etl_46_spark.queries import QUERIES
+
+    scratch = os.path.join(tempfile.gettempdir(),
+                           f"r6b_probe_{os.getpid()}")
+    (synth_docs(spark, n_docs)
+     .withColumn("lang", F.concat(F.lit("l"), (F.col("doc_id") % 40).cast("string")))
+     .withColumn("source", F.concat(F.lit("s"), (F.col("doc_id") % 20).cast("string")))
+     .write.mode("overwrite").parquet(f"{scratch}/documents.parquet"))
+    (synth_events(spark, n_events)
+     .withColumn("event_type", F.lit("x")).withColumn("props", F.lit("{}"))
+     .write.mode("overwrite").parquet(f"{scratch}/events.parquet"))
+    timed("llm_surprisal_1M_docs", QUERIES["llm_surprisal"](spark, scratch), res)
+    timed("win_autocorr_20M", QUERIES["win_autocorr"](spark, scratch), res)
+    timed("win_streak_20M", QUERIES["win_streak"](spark, scratch), res)
+    timed("fn_ip_cidr_20M", QUERIES["fn_ip_cidr"](spark, scratch), res)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
@@ -534,6 +559,12 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "r6":
         r6_probe(spark, res, n_events=N, n_docs=max(100_000, N // 20))
         print(json.dumps({"metric": "scale_probe_r6", "rows": N,
+                          "shapes": res}))
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "r6b":
+        r6b_probe(spark, res, n_events=N, n_docs=max(100_000, N // 20))
+        print(json.dumps({"metric": "scale_probe_r6b", "rows": N,
                           "shapes": res}))
         spark.stop()
         return

@@ -55,6 +55,16 @@ CONTRACTS = {
     # as-of family: union-tag, never a range product
     "join_asof": (3, None, "CartesianProduct"),
     "join_scd2": (3, None, "CartesianProduct"),
+    # r6 continuation: window-attach (no join-back) + the 1-row stats
+    # frame's SinglePartition partial agg — never a sort-merge join
+    "llm_surprisal": (3, None, "SortMergeJoin"),
+    # exchange-reuse family: window/agg chains share ONE entity-keyed
+    # shuffle (hash(user) satisfies every downstream clustering)
+    "win_autocorr": (1, None, "Join"),
+    "win_streak": (1, None, "Join"),
+    # scalar kit: projection-only, fused into the scan (the `*(1)`
+    # prefix is executedPlan().toString()'s codegen-stage marker)
+    "fn_ip_cidr": (0, "*(1) Project", "Exchange"),
 }
 
 
