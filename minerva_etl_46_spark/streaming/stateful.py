@@ -228,11 +228,16 @@ def funnel_progress(events: DataFrame) -> DataFrame:
 
 
 def run_funnel(spark: SparkSession, source_dir: str, schema: str,
-               name: str = "stateful_funnel") -> DataFrame:
+               name: str = "stateful_funnel",
+               n_state_partitions: int = 8) -> DataFrame:
     """Drive funnel_progress over source_dir (one file per micro-batch)
     and return the memory-sink table of per-batch updates. The converged
     per-user row is the column-wise max: `reached` is monotone and each
-    stage timestamp moves exactly once, -1 → final value."""
+    stage timestamp moves exactly once, -1 → final value. State store
+    partition count is pinned via jobs.state_partitions (frozen into a
+    checkpoint at first start — size to keyspace, see its docstring)."""
+    from minerva_etl_46_spark.streaming.jobs import state_partitions
+
     tune(spark)
     for q in spark.streams.active:
         if q.name == name:
@@ -243,9 +248,10 @@ def run_funnel(spark: SparkSession, source_dir: str, schema: str,
         .load(source_dir)
     )
     out = funnel_progress(src.select("user_id", "ts_us", "event_type"))
-    q = (
-        out.writeStream.outputMode("update").format("memory")
-        .queryName(name).trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    with state_partitions(spark, n_state_partitions):
+        q = (
+            out.writeStream.outputMode("update").format("memory")
+            .queryName(name).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     return spark.table(name)

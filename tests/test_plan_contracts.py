@@ -93,7 +93,7 @@ def test_no_key_plans_a_cartesian_product(spark):
         # renders / bucketed-table writes) — exercised elsewhere
         "stream_tumbling", "stream_sliding", "stream_session",
         "stream_trigger", "stream_dedup", "trigger_notify",
-        "join_bucketed",
+        "join_bucketed", "stream_join", "stream_funnel",
     }
     offenders = []
     for key in QUERIES:
