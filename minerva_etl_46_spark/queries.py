@@ -6491,15 +6491,35 @@ def stream_funnel(spark, sf_dir):
     )
     src = os.path.join(_scratch(sf_dir, "stream_funnel"), "src")
     if not os.path.isdir(src):
-        os.makedirs(src, exist_ok=True)
+        import glob
+        import shutil
+
         lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
         # bounded-by: two scalars (global min/max) for the batch cuts
         cut1 = lo + (hi - lo) // 3
         cut2 = lo + 2 * (hi - lo) // 3
-        for pred in (F.col("ts_us") <= cut1,
-                     (F.col("ts_us") > cut1) & (F.col("ts_us") <= cut2),
-                     F.col("ts_us") > cut2):
-            ev.filter(pred).coalesce(1).write.mode("append").parquet(src)
+        staged = src + "_staged"
+        # ONE write job for all three time-range files (vs three
+        # filter-scan-write passes): partitionBy splits on the batch
+        # column, repartition("batch") keeps one file per range
+        (ev.withColumn(
+            "batch",
+            F.when(F.col("ts_us") <= cut1, 0)
+            .when(F.col("ts_us") <= cut2, 1).otherwise(2))
+         .repartition("batch")
+         .write.partitionBy("batch").mode("overwrite").parquet(staged))
+        # flatten to src/ with EXPLICIT ascending mtimes — the file
+        # stream source triggers oldest-first, which is what makes the
+        # three files three IN-ORDER micro-batches
+        os.makedirs(src, exist_ok=True)
+        now = int(__import__("time").time())
+        for b in (0, 1, 2):
+            (part,) = glob.glob(os.path.join(staged, f"batch={b}",
+                                             "part-*.parquet"))
+            dst = os.path.join(src, f"b{b}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (now + b, now + b))
+        shutil.rmtree(staged)
     updates = run_funnel(
         spark, src, "user_id long, ts_us long, event_type string",
         name="stream_funnel_out",

@@ -61,26 +61,32 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory(agg: DataFrame, name: str, spark: SparkSession,
-                   mode: str = "complete") -> DataFrame:
+                   mode: str = "complete",
+                   n_state_partitions: int = 8) -> DataFrame:
     """Drive a streaming frame to completion into a memory sink and return
     the final table. Default complete output mode: every trigger rewrites
     the full aggregate state (fine for gate-scale; production uses
     foreachBatch + partition overwrite — plans/materialize.py).
-    Stream-stream joins pass mode="append" (the only mode they support)."""
+    Stream-stream joins pass mode="append" (the only mode they support).
+    State-store partition count is pinned for the query's lifetime via
+    state_partitions (see its docstring: frozen into the checkpoint —
+    a deploy-time sizing knob; gate-scale keyspaces need 8, not the
+    batch session's 32)."""
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    q.awaitTermination(30)
+    with state_partitions(spark, n_state_partitions):
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        q.awaitTermination(30)
     return spark.table(name)
 
 
@@ -329,9 +335,9 @@ def interval_join_pairs(spark: SparkSession, sf_dir: str,
         F.unix_micros("p_ts").alias("p_us"),
         F.unix_micros("e_ts").alias("e_us"),
     )
-    with state_partitions(spark, n_state_partitions):
-        return _run_to_memory(out, "stream_interval_join_out", spark,
-                              mode="append")
+    return _run_to_memory(out, "stream_interval_join_out", spark,
+                          mode="append",
+                          n_state_partitions=n_state_partitions)
 
 
 def trigger_notifications_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
