@@ -219,6 +219,14 @@ NOTES = {
     "fn_ip_cidr": "Projection-only: parse/classify fused into ONE "
                   "WholeStageCodegen span over the scan — zero "
                   "exchanges, zero doubles.",
+    "join_spatial": "Grid-bucketed spatial join: sites replicate to 9 "
+                    "cells and broadcast; candidates via the cell-id "
+                    "equi-join + integer distance² verify — the "
+                    "all-pairs distance matrix never plans; ONE "
+                    "exchange (the per-point agg's own).",
+    "win_holt": "ONE collect_list exchange; the coupled level/trend "
+                "recursion is an in-row F.aggregate struct walk — no "
+                "per-step joins, no N passes.",
 }
 
 

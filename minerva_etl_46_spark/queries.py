@@ -6532,6 +6532,161 @@ def stream_funnel(spark, sf_dir):
     )
 
 
+@register(
+    "join_spatial",
+    oracle=f"""
+    with e as (select * from {EV}),
+    p as (select event_id,
+                 (event_id * 7919) % 1000 as x,
+                 (event_id * 104729) % 1000 as y from e),
+    s as (select s_suppkey,
+                 (s_suppkey * 7919) % 1000 as sx,
+                 (s_suppkey * 104729) % 1000 as sy from supplier),
+    m as (select event_id,
+                 (x - sx) * (x - sx) + (y - sy) * (y - sy) as d2,
+                 s_suppkey
+          from p, s
+          where (x - sx) * (x - sx) + (y - sy) * (y - sy) <= 900)
+    select event_id,
+           cast(count(*) as bigint) as n_sites,
+           cast(min(d2 * 1000000 + s_suppkey) % 1000000 as bigint)
+             as nearest_site,
+           cast(min(d2 * 1000000 + s_suppkey) // 1000000 as bigint) as d2
+    from m group by 1
+    """,
+)
+def join_spatial(spark, sf_dir):
+    """J10: grid-bucketed spatial join — the cell-planning shape (match
+    each measurement point to the serving sites within radius r): points
+    and sites drop onto a square grid of cell size ≥ r, sites replicate
+    to their 8 neighbor cells (a bounded ×9 explode), and candidates come
+    from a plain EQUI-join on the cell id — the all-pairs
+    distance-matrix, which is quadratic and unshardable, never
+    materializes; exact integer distance² filters candidates. The
+    fixture has no coordinates, so deterministic integer ones derive
+    from ids (llm_dedup_url's messy-column recipe). At 100 TB the cell
+    key is the shuffle key (sites broadcast here because the dim is
+    tiny; a site table past the broadcast budget shuffles BOTH sides on
+    cell id, still linear). Nearest-site pick is deterministic via the
+    encoded min(d2·10⁶ + site) — pure integer math end to end.
+    Oracle: brute-force cross filter, feasible only at fixture scale."""
+    e = load(spark, sf_dir, "events")
+    cell = 32  # grid pitch ≥ radius 30 ⇒ 3×3 neighborhood covers r
+    pts = e.select(
+        "event_id",
+        ((F.col("event_id") * 7919) % 1000).alias("x"),
+        ((F.col("event_id") * 104729) % 1000).alias("y"),
+    )
+    sites = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 7919) % 1000).alias("sx"),
+        ((F.col("s_suppkey") * 104729) % 1000).alias("sy"),
+    )
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    sites9 = (
+        sites.withColumn("dx", off).withColumn("dy", off)
+        .select(
+            "s_suppkey", "sx", "sy",
+            (F.expr(f"sx div {cell}") + F.col("dx")).alias("cx"),
+            (F.expr(f"sy div {cell}") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (
+        (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx"))
+        + (F.col("y") - F.col("sy")) * (F.col("y") - F.col("sy"))
+    )
+    cand = pts.join(
+        F.broadcast(sites9),
+        (F.expr(f"x div {cell}") == F.col("cx"))
+        & (F.expr(f"y div {cell}") == F.col("cy")),
+    ).filter(d2 <= 900)
+    enc = (d2 * 1000000 + F.col("s_suppkey")).alias("enc")
+    return (
+        cand.select("event_id", enc)
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sites"),
+            (F.min("enc") % 1000000).cast("long").alias("nearest_site"),
+            F.expr("min(enc) div 1000000").cast("long").alias("d2"),
+        )
+    )
+
+
+@register(
+    "win_holt",
+    # NOT list_reduce: DuckDB 1.0 mis-evaluates struct accumulators whose
+    # fields reference each other (minimal repro: (acc,x)->{l:acc.l+x.v,
+    # b:acc.l+acc.b} over [{10,0,0},{0,0,20},{0,0,30}] returns b=70, the
+    # correct left fold is 40). A recursive CTE walks the identical IEEE
+    # steps without a struct accumulator.
+    oracle=f"""
+    with recursive e as (select * from {EV}),
+    seq as (select user_id, value as v,
+                   row_number() over (partition by user_id
+                                      order by ts asc, event_id asc) as i
+            from e),
+    nn as (select user_id, max(i) as n from seq group by 1),
+    walk(user_id, i, l, b) as (
+      select user_id, 1, v, cast(0 as double) from seq where i = 1
+      union all
+      select w.user_id, w.i + 1,
+             0.3 * s.v + 0.7 * (w.l + w.b),
+             0.1 * ((0.3 * s.v + 0.7 * (w.l + w.b)) - w.l) + 0.9 * w.b
+      from walk w join seq s
+        on s.user_id = w.user_id and s.i = w.i + 1)
+    select w.user_id, cast(nn.n as bigint) as n,
+           w.l as level, w.b as trend
+    from walk w join nn on w.user_id = nn.user_id and w.i = nn.n
+    """,
+)
+def win_holt(spark, sf_dir):
+    """W21: Holt double exponential smoothing per entity (level + trend)
+    — the one-step capacity forecaster (EWMA alone lags a trending
+    counter; Holt's coupled recursions l_t = αx + (1−α)(l+b),
+    b_t = β(l_t − l_{{t-1}}) + (1−β)b track it): the basis of
+    utilization-growth alerts. A true recursion → the same ONE-shuffle
+    collect_list + HOF walk as W14/W18, with a STRUCT accumulator
+    (level, trend). Init l₁ = x₁, b₁ = 0; α=0.3, β=0.1 written as
+    literal constants with identical op order in both engines, so every
+    step is the same IEEE arithmetic — bit-identical outputs. The
+    oracle replays the walk as a recursive CTE (NOT list_reduce — see
+    the registration comment for the DuckDB struct-accumulator repro)."""
+    e = load(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("ts_us"),
+                    F.col("event_id").alias("eid"),
+                    F.col("value").alias("v"),
+                )
+            )
+        ).alias("s")
+    )
+    init = F.struct(
+        F.element_at("s", 1).getField("v").alias("l"),
+        F.lit(0.0).alias("b"),
+    )
+
+    def step(acc, x):
+        nl = F.lit(0.3) * x.v + F.lit(0.7) * (acc.l + acc.b)
+        nb = F.lit(0.1) * (nl - acc.l) + F.lit(0.9) * acc.b
+        return F.struct(nl.alias("l"), nb.alias("b"))
+
+    walked = seq.select(
+        "user_id",
+        F.size("s").cast("bigint").alias("n"),
+        F.aggregate(
+            F.slice("s", 2, F.size("s")), init, step
+        ).alias("st"),
+    )
+    return walked.select(
+        "user_id", "n",
+        F.col("st.l").alias("level"),
+        F.col("st.b").alias("trend"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -6579,15 +6734,14 @@ _R06_PRIORITY = [
     "agg_time_local", "agg_entity_chain", "agg_count_distinct",
     "agg_last_by", "agg_pivot", "agg_approx", "win_latest", "win_delta",
     "win_cume", "win_pattern", "topk_per_group", "fn_string_dn",
-    "fn_regexp", "fn_variant",
     # (a, continued) registered in the round-6 continuation — first
     # driver rows outrank renewals ("a renewal defers, a first row
-    # cannot"), so these displace the last six r3-stale renewals
-    # (llm_chunk/llm_concat/llm_decontaminate/llm_dedup_groups/
-    # llm_dupe_stats/llm_hot_ngrams → tail; all six stay
-    # green-on-record from r3)
+    # cannot"), so these displace the last eight r3-stale renewals
+    # (fn_regexp/fn_variant/llm_chunk/llm_concat/llm_decontaminate/
+    # llm_dedup_groups/llm_dupe_stats/llm_hot_ngrams → tail; all
+    # eight stay green-on-record from r3)
     "llm_surprisal", "win_autocorr", "fn_ip_cidr", "win_streak",
-    "stream_join", "stream_funnel",
+    "stream_join", "stream_funnel", "join_spatial", "win_holt",
 ]
 _R05_PRIORITY = [  # changed/new in round 5, or never driver-sampled
     "win_sessionize",    # r4's only red: oracle HUGEINT→bigint cast fixed

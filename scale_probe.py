@@ -550,6 +550,13 @@ def r6b_probe(spark, res, n_events, n_docs):
     timed("win_autocorr_20M", QUERIES["win_autocorr"](spark, scratch), res)
     timed("win_streak_20M", QUERIES["win_streak"](spark, scratch), res)
     timed("fn_ip_cidr_20M", QUERIES["fn_ip_cidr"](spark, scratch), res)
+    timed("win_holt_20M", QUERIES["win_holt"](spark, scratch), res)
+    # join_spatial needs a supplier dim in the scratch fixture
+    (spark.range(10_000).select(
+        (F.col("id") + 1).alias("s_suppkey"))
+     .write.mode("overwrite").parquet(f"{scratch}/supplier.parquet"))
+    timed("join_spatial_20M_pts_10k_sites",
+          QUERIES["join_spatial"](spark, scratch), res)
 
 
 def main():

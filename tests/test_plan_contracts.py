@@ -65,6 +65,11 @@ CONTRACTS = {
     # scalar kit: projection-only, fused into the scan (the `*(1)`
     # prefix is executedPlan().toString()'s codegen-stage marker)
     "fn_ip_cidr": (0, "*(1) Project", "Exchange"),
+    # grid-bucketed spatial join: sites broadcast, candidates via the
+    # cell-id equi-join — the all-pairs distance matrix never plans
+    "join_spatial": (1, "BroadcastHashJoin", "CartesianProduct"),
+    # HOF-walk family: ONE collect_list exchange, recursion in-row
+    "win_holt": (1, None, "Join"),
 }
 
 
