@@ -287,3 +287,63 @@ def test_stream_stream_interval_join_equals_batch(spark):
     ref_rows = sorted(map(tuple, ref.collect()))
     assert len(got_rows) > 0
     assert got_rows == ref_rows
+
+
+def test_restart_mid_window_carries_state(spark, tmp_path):
+    """Checkpoint RECOVERY, not just idempotence: stop the query with a
+    window half-aggregated (the watermark hasn't passed it, so its
+    partial counts live only in checkpointed state), restart against the
+    same checkpoint with the window's second half arriving, and require
+    the finalized window to carry BOTH halves. This is the crash/deploy
+    restart path a cluster run takes daily — if state didn't survive,
+    the window would flush with only the post-restart rows."""
+    events = _events(spark).localCheckpoint(eager=True)
+    src_dir = os.path.join(str(tmp_path), "incoming")
+    target = TrendStorePartStorage(str(tmp_path), "events_restart",
+                                   partition_size_s=3600)
+    ckpt = os.path.join(str(tmp_path), "ckpt_restart")
+
+    # run 1: only the FIRST HALF of hour 0 (00:00-00:30) — no window can
+    # finalize (watermark = max ts − 2h is far before the window end)
+    h = F.lit("2024-01-01 00:30:00").cast("timestamp")
+    _write_chunk(events.filter(F.col("ts") < h), src_dir, 1000)
+    tumbling_rollup_append(spark, src_dir, SCHEMA, target, ckpt)
+    # nothing finalized pre-restart: the store has no data files yet
+    # (an empty store won't even resolve a schema)
+    from pyspark.errors import AnalysisException
+    try:
+        n_pre = target.read(spark).count()
+    except AnalysisException:
+        n_pre = 0
+    assert n_pre == 0
+
+    # run 2 (fresh query object, SAME checkpoint): second half + the
+    # flush sentinel; hour-0 windows must finalize with run-1 rows in
+    _write_chunk(events.filter(F.col("ts") >= h), src_dir, 2000)
+    sentinel = spark.createDataFrame(
+        [(10**9, SENTINEL_TS, 0, "__flush__", 0.0)],
+        schema="event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    _write_chunk(sentinel, src_dir, 3000)
+    tumbling_rollup_append(spark, src_dir, SCHEMA, target, ckpt)
+
+    got = (
+        target.read(spark)
+        .filter(F.col("event_type") != "__flush__")
+        .select("event_type", "bucket", "n", "sum_value")
+        .toPandas()
+    )
+    want = (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(38,4)")).cast("double")
+             .alias("sum_value"))
+        .select("event_type", F.col("win.start").cast("long").alias("bucket"),
+                "n", "sum_value")
+        .toPandas()
+    )
+    key = ["event_type", "bucket"]
+    got = got.sort_values(key).reset_index(drop=True)[want.columns.tolist()]
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) and got.equals(want), \
+        "restarted query lost pre-restart window state"
