@@ -6533,6 +6533,50 @@ def stream_funnel(spark, sf_dir):
 
 
 @register(
+    "scan_partitioned",
+    oracle=f"""
+    with e as (select * from {EV})
+    select {sql_bucket_epoch('ts', G_1H)} as bucket,
+           cast(count(*) as bigint) as n,
+           {sql_dsum('value')} as sum_value
+    from e
+    where epoch_us(cast(ts as timestamp)) // 86400000000 = 19724
+    group by 1
+    """,
+)
+def scan_partitioned(spark, sf_dir):
+    """S10: hive-partitioned lake read with PARTITION PRUNING — the
+    trend-store read path stated as a driver key: events land
+    partitioned by day (`day=<epoch-day>/` directories, the layout
+    sources/trendstore.py writes), and a one-day query must touch ONE
+    directory, not the month. The filter compares the partition column
+    to a literal, so Catalyst turns it into a PartitionFilter — pruning
+    happens at file listing, before any I/O; at 100 TB this is the
+    difference between scanning ~3 TB (one day) and the whole store.
+    Plan-asserted in tests/test_plan_contracts.py (the scan must carry
+    a non-empty PartitionFilters and zero pushed data filters for the
+    day bound). Scratch render writes the partitioned layout once per
+    process; the operator under test is the partitioned READ."""
+    import os
+
+    e = load(spark, sf_dir, "events")
+    scratch = _scratch(sf_dir, "partitioned_days")
+    if not os.path.isdir(scratch):
+        (e.withColumn(
+            "day",
+            (bucket_epoch("ts", G_1D) / 86400).cast("long"))
+         .write.partitionBy("day").mode("overwrite").parquet(scratch))
+    out = spark.read.parquet(scratch).filter(F.col("day") == 19724)
+    return (
+        out.groupBy(bucket_epoch("ts", G_1H).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+@register(
     "join_spatial",
     oracle=f"""
     with e as (select * from {EV}),
@@ -6733,15 +6777,16 @@ _R06_PRIORITY = [
     "filter_ts_range", "join_dim", "join_asof", "upsert_latest",
     "agg_time_local", "agg_entity_chain", "agg_count_distinct",
     "agg_last_by", "agg_pivot", "agg_approx", "win_latest", "win_delta",
-    "win_cume", "win_pattern", "topk_per_group", "fn_string_dn",
+    "win_cume", "win_pattern", "topk_per_group",
     # (a, continued) registered in the round-6 continuation — first
     # driver rows outrank renewals ("a renewal defers, a first row
-    # cannot"), so these displace the last eight r3-stale renewals
-    # (fn_regexp/fn_variant/llm_chunk/llm_concat/llm_decontaminate/
-    # llm_dedup_groups/llm_dupe_stats/llm_hot_ngrams → tail; all
-    # eight stay green-on-record from r3)
+    # cannot"), so these displace the last nine r3-stale renewals
+    # (fn_string_dn/fn_regexp/fn_variant/llm_chunk/llm_concat/
+    # llm_decontaminate/llm_dedup_groups/llm_dupe_stats/llm_hot_ngrams
+    # → tail; all nine stay green-on-record from r3)
     "llm_surprisal", "win_autocorr", "fn_ip_cidr", "win_streak",
     "stream_join", "stream_funnel", "join_spatial", "win_holt",
+    "scan_partitioned",
 ]
 _R05_PRIORITY = [  # changed/new in round 5, or never driver-sampled
     "win_sessionize",    # r4's only red: oracle HUGEINT→bigint cast fixed

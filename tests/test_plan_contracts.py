@@ -70,6 +70,9 @@ CONTRACTS = {
     "join_spatial": (1, "BroadcastHashJoin", "CartesianProduct"),
     # HOF-walk family: ONE collect_list exchange, recursion in-row
     "win_holt": (1, None, "Join"),
+    # partitioned-lake read: the day bound must prune at file listing
+    # (a real PartitionFilter on the scan), one rollup exchange after
+    "scan_partitioned": (1, "PartitionFilters: [isnotnull(day", None),
 }
 
 
