@@ -227,6 +227,10 @@ NOTES = {
     "win_holt": "ONE collect_list exchange; the coupled level/trend "
                 "recursion is an in-row F.aggregate struct walk — no "
                 "per-step joins, no N passes.",
+    "scan_partitioned": "The day bound is a PartitionFilter — file "
+                        "listing prunes to ONE day=N directory before "
+                        "any I/O; the only exchange is the hourly "
+                        "rollup's own.",
 }
 
 
