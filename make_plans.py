@@ -204,10 +204,12 @@ NOTES = {
                         "only broadcast — TakeOrdered builds it, no "
                         "global sort.",
     "join_bucketed": "At fixture scale AQE (rightly) broadcasts the small orders side — both scans still show `Bucketed: true`, and the one Exchange is the downstream rollup's own (o_orderpriority, a different key). The zero-Exchange bucketed SMJ — the shape this table pair plans when both sides outgrow the broadcast threshold — is plan-ASSERTED with broadcast disqualified in tests/test_bucketed.py; bucketing never forces a worse plan than AQE would pick.",
-    "llm_surprisal": "Freq attaches via window-count on the token-keyed "
-                     "exchange (no join-back — the llm_novelty shape); "
-                     "corpus total is a broadcast 1-row frame. Two "
-                     "data-sized shuffles, both linear in token count.",
+    "llm_surprisal": "Deliberately tf JOIN freq, NOT window-attach: "
+                     "unigram stopwords are catastrophic window hot "
+                     "keys (one task walks the whole 'the' stream); "
+                     "the join AQE can skew-split, and every exchange "
+                     "carries the tf frame, never raw tokens. Corpus "
+                     "total is a broadcast 1-row frame.",
     "win_autocorr": "ONE exchange: lag() window hash-partitions on "
                     "entity and the Pearson-sums groupBy reuses that "
                     "partitioning; five exact-decimal sums then "

@@ -6150,17 +6150,16 @@ def upsert_tombstone(spark, sf_dir):
     oracle="""
     with tok as (select doc_id, unnest(string_split(lower(text), ' ')) as token
                  from documents),
-    tot as (select count(*) as n_total from tok),
-    scored as (select doc_id,
-                      count(*) over (partition by token) as freq
-               from tok),
-    bits as (select doc_id,
-                    length(bin(n_total)) - length(bin(freq)) as b
-             from scored, tot)
+    tf as (select doc_id, token, count(*) as tf from tok group by 1, 2),
+    freq as (select token, sum(tf) as freq from tf group by 1),
+    tot as (select sum(freq) as n_total from freq),
+    bits as (select t.doc_id, t.tf,
+                    length(bin(n_total)) - length(bin(f.freq)) as b
+             from tf t join freq f on t.token = f.token, tot)
     select doc_id,
-           cast(count(*) as bigint) as n_tok,
-           cast(sum(b) as bigint) as sum_bits,
-           cast(sum(b) as double) / count(*) as avg_bits,
+           cast(sum(tf) as bigint) as n_tok,
+           cast(sum(tf * b) as bigint) as sum_bits,
+           cast(sum(tf * b) as double) / sum(tf) as avg_bits,
            cast(max(b) as bigint) as max_bits
     from bits group by 1
     """,
@@ -6175,29 +6174,41 @@ def llm_surprisal(spark, sf_dir):
     counts, so both engines produce identical integers with zero libm
     (the BM25 rational-idf trade, applied to surprisal). Per-doc score
     is then an exact integer sum / count with ONE final IEEE division.
-    Plan: explode → window-count over a token-keyed exchange (freq
-    attaches without a join-back — the llm_novelty rewrite shape) →
-    doc-keyed hash-agg; the corpus total is a broadcast 1-row frame
-    (its partial-agg SinglePartition exchange moves one row per input
-    partition). Two data-sized shuffles total, both linear in token
-    count — plan-pinned in tests/test_plan_contracts.py."""
+
+    Plan — deliberately NOT the llm_novelty window-attach: a unigram
+    vocabulary has CATASTROPHIC hot keys (stopwords appear in ~every
+    doc), and WindowExec cannot split a partition — one task would
+    serially walk the whole "the" stream (novelty's 5-grams are
+    long-tail, so window-attach is right THERE). Instead: per-doc tf
+    hash-agg (map-side combine collapses in-doc repeats), token freq
+    hash-agg (partial aggs are skew-immune), then tf⋈freq on token —
+    a JOIN, which AQE's skew-join CAN split — and the per-doc rollup.
+    The corpus total is a broadcast 1-row frame. Every exchange
+    carries the tf frame (≤ distinct (doc, token) pairs), never the
+    raw token stream."""
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    freq = tf.groupBy("token").agg(F.sum("tf").alias("freq"))
+    # n_total from the raw stream (≡ Σfreq) keeps the 1-row frame's
+    # lineage shallow — a nested tf→freq recompute would otherwise
+    # re-run two hash-aggs just to sum them
     total = tok.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
-    scored = tok.select(
-        "doc_id",
-        F.count(F.lit(1)).over(Window.partitionBy("token")).alias("freq"),
-    ).crossJoin(F.broadcast(total))
     b = (F.length(F.bin("n_total")) - F.length(F.bin("freq")))
+    scored = (
+        tf.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "tf", b.alias("b"))
+    )
     return (
-        scored.select("doc_id", b.alias("b"))
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.sum("b").cast("long").alias("sum_bits"),
-            (F.sum("b").cast("double") / F.count(F.lit(1)))
-            .alias("avg_bits"),
+            F.sum("tf").cast("long").alias("n_tok"),
+            F.sum(F.col("tf") * F.col("b")).cast("long").alias("sum_bits"),
+            (F.sum(F.col("tf") * F.col("b")).cast("double")
+             / F.sum("tf")).alias("avg_bits"),
             F.max("b").cast("long").alias("max_bits"),
         )
     )

@@ -55,9 +55,13 @@ CONTRACTS = {
     # as-of family: union-tag, never a range product
     "join_asof": (3, None, "CartesianProduct"),
     "join_scd2": (3, None, "CartesianProduct"),
-    # r6 continuation: window-attach (no join-back) + the 1-row stats
-    # frame's SinglePartition partial agg — never a sort-merge join
-    "llm_surprisal": (3, None, "SortMergeJoin"),
+    # r6 continuation: deliberately the tf⋈freq JOIN shape, not
+    # window-attach — unigram stopword keys would serialize a window
+    # partition; a join AQE can skew-split. Exchanges carry the tf
+    # frame (distinct (doc,token)), never the raw token stream. The
+    # count includes the tf recompute on the freq branch (no subplan
+    # sharing) + the 1-row total's SinglePartition partial.
+    "llm_surprisal": (5, None, "CartesianProduct"),
     # exchange-reuse family: window/agg chains share ONE entity-keyed
     # shuffle (hash(user) satisfies every downstream clustering)
     "win_autocorr": (1, None, "Join"),
