@@ -233,6 +233,11 @@ NOTES = {
                         "listing prunes to ONE day=N directory before "
                         "any I/O; the only exchange is the hourly "
                         "rollup's own.",
+    "llm_postings": "The rn<=8 rank filter rewrites to "
+                    "WindowGroupLimit: each map task forwards at most "
+                    "k rows per token into the shuffle — a stopword's "
+                    "postings candidates are k×partitions, not its "
+                    "full document list.",
 }
 
 

@@ -6544,6 +6544,71 @@ def stream_funnel(spark, sf_dir):
 
 
 @register(
+    "llm_postings",
+    oracle="""
+    with tok as (select doc_id, unnest(string_split(lower(text), ' ')) as token
+                 from documents),
+    tf as (select token, doc_id, cast(count(*) as bigint) as tf
+           from tok group by 1, 2),
+    ranked as (select token, doc_id, tf,
+                      row_number() over (partition by token
+                                         order by tf desc, doc_id asc) as rn
+               from tf),
+    top as (select * from ranked where rn <= 8)
+    select token,
+           cast(count(*) as bigint) as n_top,
+           array_to_string(list(doc_id order by rn asc), ',') as top_docs,
+           array_to_string(list(tf order by rn asc), ',') as top_tfs
+    from top group by 1
+    """,
+)
+def llm_postings(spark, sf_dir):
+    """X34: inverted-index build — the retrieval-infrastructure step
+    behind X15's BM25 (serve "which docs say X" without touching text):
+    per-token postings capped at the top-8 docs by term frequency
+    (deterministic tie-break: doc_id asc). Plan: (token, doc) tf
+    hash-agg, then rank-filter — Catalyst rewrites rn<=k into
+    WindowGroupLimit, so each map task forwards AT MOST k rows per
+    token into the shuffle: a stopword's postings candidates are
+    k×n_partitions, not its full document list — the hot-key cap that
+    makes unigram ranking shardable (same discipline as topk_per_group).
+    The capped lists then collect per token (≤8-row groups). Output
+    arrays are rank-ordered on both engines."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    tf = tok.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    w = Window.partitionBy("token").orderBy(
+        F.desc("tf"), F.asc("doc_id"))
+    top = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+    )
+    posting = F.array_sort(
+        F.collect_list(F.struct(F.col("rn"), F.col("doc_id"), F.col("tf")))
+    )
+    return (
+        top.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_top"),
+            posting.alias("p"),
+        )
+        .select(
+            "token", "n_top",
+            # rank-ordered CSV form: the driver hash (and pandas sort)
+            # can't canonicalize array cells; integer CSV is exact
+            F.array_join(
+                F.transform("p", lambda x: x.doc_id.cast("string")), ","
+            ).alias("top_docs"),
+            F.array_join(
+                F.transform("p", lambda x: x.tf.cast("string")), ","
+            ).alias("top_tfs"),
+        )
+    )
+
+
+@register(
     "scan_partitioned",
     oracle=f"""
     with e as (select * from {EV})
@@ -6788,16 +6853,16 @@ _R06_PRIORITY = [
     "filter_ts_range", "join_dim", "join_asof", "upsert_latest",
     "agg_time_local", "agg_entity_chain", "agg_count_distinct",
     "agg_last_by", "agg_pivot", "agg_approx", "win_latest", "win_delta",
-    "win_cume", "win_pattern", "topk_per_group",
+    "win_cume", "win_pattern",
     # (a, continued) registered in the round-6 continuation — first
     # driver rows outrank renewals ("a renewal defers, a first row
-    # cannot"), so these displace the last nine r3-stale renewals
-    # (fn_string_dn/fn_regexp/fn_variant/llm_chunk/llm_concat/
-    # llm_decontaminate/llm_dedup_groups/llm_dupe_stats/llm_hot_ngrams
-    # → tail; all nine stay green-on-record from r3)
+    # cannot"), so these displace the last ten r3-stale renewals
+    # (topk_per_group/fn_string_dn/fn_regexp/fn_variant/llm_chunk/
+    # llm_concat/llm_decontaminate/llm_dedup_groups/llm_dupe_stats/
+    # llm_hot_ngrams → tail; all ten stay green-on-record from r3)
     "llm_surprisal", "win_autocorr", "fn_ip_cidr", "win_streak",
     "stream_join", "stream_funnel", "join_spatial", "win_holt",
-    "scan_partitioned",
+    "scan_partitioned", "llm_postings",
 ]
 _R05_PRIORITY = [  # changed/new in round 5, or never driver-sampled
     "win_sessionize",    # r4's only red: oracle HUGEINT→bigint cast fixed

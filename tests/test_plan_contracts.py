@@ -77,6 +77,9 @@ CONTRACTS = {
     # partitioned-lake read: the day bound must prune at file listing
     # (a real PartitionFilter on the scan), one rollup exchange after
     "scan_partitioned": (1, "PartitionFilters: [isnotnull(day", None),
+    # inverted index: the rank cap MUST rewrite to WindowGroupLimit —
+    # each map task forwards ≤k rows per token into the shuffle
+    "llm_postings": (2, "WindowGroupLimit", "Join"),
 }
 
 
