@@ -6544,6 +6544,82 @@ def stream_funnel(spark, sf_dir):
 
 
 @register(
+    "agg_ttest",
+    oracle=f"""
+    with e as (select * from {EV}),
+    s as (select user_id,
+                 cast(count(case when event_type = 'purchase' then 1 end)
+                      as bigint) as nx,
+                 cast(sum(case when event_type = 'purchase'
+                          then cast(value as decimal(18,6)) end)
+                      as double) as sx,
+                 cast(sum(case when event_type = 'purchase'
+                          then cast(value as decimal(18,6))
+                               * cast(value as decimal(18,6)) end)
+                      as double) as sx2,
+                 cast(count(case when event_type = 'error' then 1 end)
+                      as bigint) as ny,
+                 cast(sum(case when event_type = 'error'
+                          then cast(value as decimal(18,6)) end)
+                      as double) as sy,
+                 cast(sum(case when event_type = 'error'
+                          then cast(value as decimal(18,6))
+                               * cast(value as decimal(18,6)) end)
+                      as double) as sy2
+          from e group by 1)
+    select user_id, nx, ny,
+           sx / nx as mean_x, sy / ny as mean_y,
+           (sx / nx - sy / ny)
+             / sqrt((sx2 - cast(nx as double) * (sx / nx) * (sx / nx))
+                      / (nx - 1) / nx
+                    + (sy2 - cast(ny as double) * (sy / ny) * (sy / ny))
+                      / (ny - 1) / ny) as t_welch
+    from s
+    where nx >= 5 and ny >= 5
+      and (sx2 - cast(nx as double) * (sx / nx) * (sx / nx)) > 0
+      and (sy2 - cast(ny as double) * (sy / ny) * (sy / ny)) > 0
+    """,
+)
+def agg_ttest(spark, sf_dir):
+    """A26: Welch's two-sample t per entity — the A/B monitoring
+    primitive (is this cell's purchase traffic statistically different
+    from its error traffic / is cohort A's KPI shifted vs cohort B's):
+    t = (m̄x−m̄y)/√(vx/nx + vy/ny). ONE conditional hash-agg computes
+    all six moments (counts + Σv + Σv² per side, exact decimal
+    accumulators) — no pivot, no self-join, one exchange with map-side
+    partials; the statistic is then element-wise IEEE math with
+    correctly-rounded sqrt (the win_zscore determinism recipe). Groups
+    with <5 samples or zero variance on either side are suppressed."""
+    e = load(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    px = F.col("event_type") == "purchase"
+    py = F.col("event_type") == "error"
+    s = e.groupBy("user_id").agg(
+        F.count(F.when(px, 1)).alias("nx"),
+        F.sum(F.when(px, dec)).cast("double").alias("sx"),
+        F.sum(F.when(px, dec * dec)).cast("double").alias("sx2"),
+        F.count(F.when(py, 1)).alias("ny"),
+        F.sum(F.when(py, dec)).cast("double").alias("sy"),
+        F.sum(F.when(py, dec * dec)).cast("double").alias("sy2"),
+    )
+    mx = F.col("sx") / F.col("nx")
+    my = F.col("sy") / F.col("ny")
+    ssx = F.col("sx2") - F.col("nx").cast("double") * mx * mx
+    ssy = F.col("sy2") - F.col("ny").cast("double") * my * my
+    t = (mx - my) / F.sqrt(
+        ssx / (F.col("nx") - 1) / F.col("nx")
+        + ssy / (F.col("ny") - 1) / F.col("ny")
+    )
+    return (
+        s.filter((F.col("nx") >= 5) & (F.col("ny") >= 5)
+                 & (ssx > 0) & (ssy > 0))
+        .select("user_id", "nx", "ny",
+                mx.alias("mean_x"), my.alias("mean_y"),
+                t.alias("t_welch"))
+    )
+
+
+@register(
     "llm_postings",
     oracle="""
     with tok as (select doc_id, unnest(string_split(lower(text), ' ')) as token
@@ -6853,16 +6929,17 @@ _R06_PRIORITY = [
     "filter_ts_range", "join_dim", "join_asof", "upsert_latest",
     "agg_time_local", "agg_entity_chain", "agg_count_distinct",
     "agg_last_by", "agg_pivot", "agg_approx", "win_latest", "win_delta",
-    "win_cume", "win_pattern",
+    "win_cume",
     # (a, continued) registered in the round-6 continuation — first
     # driver rows outrank renewals ("a renewal defers, a first row
-    # cannot"), so these displace the last ten r3-stale renewals
-    # (topk_per_group/fn_string_dn/fn_regexp/fn_variant/llm_chunk/
-    # llm_concat/llm_decontaminate/llm_dedup_groups/llm_dupe_stats/
-    # llm_hot_ngrams → tail; all ten stay green-on-record from r3)
+    # cannot"), so these displace the last eleven r3-stale renewals
+    # (win_pattern/topk_per_group/fn_string_dn/fn_regexp/fn_variant/
+    # llm_chunk/llm_concat/llm_decontaminate/llm_dedup_groups/
+    # llm_dupe_stats/llm_hot_ngrams → tail; all eleven stay
+    # green-on-record from r3)
     "llm_surprisal", "win_autocorr", "fn_ip_cidr", "win_streak",
     "stream_join", "stream_funnel", "join_spatial", "win_holt",
-    "scan_partitioned", "llm_postings",
+    "scan_partitioned", "llm_postings", "agg_ttest",
 ]
 _R05_PRIORITY = [  # changed/new in round 5, or never driver-sampled
     "win_sessionize",    # r4's only red: oracle HUGEINT→bigint cast fixed

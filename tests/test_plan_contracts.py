@@ -80,6 +80,8 @@ CONTRACTS = {
     # inverted index: the rank cap MUST rewrite to WindowGroupLimit —
     # each map task forwards ≤k rows per token into the shuffle
     "llm_postings": (2, "WindowGroupLimit", "Join"),
+    # six moments in ONE conditional hash-agg — no pivot, no self-join
+    "agg_ttest": (1, "partial_", "Join"),
 }
 
 
