@@ -551,6 +551,18 @@ def r6b_probe(spark, res, n_events, n_docs):
     timed("win_streak_20M", QUERIES["win_streak"](spark, scratch), res)
     timed("fn_ip_cidr_20M", QUERIES["fn_ip_cidr"](spark, scratch), res)
     timed("win_holt_20M", QUERIES["win_holt"](spark, scratch), res)
+    # ttest needs mixed event classes; its own scratch keeps the shared
+    # frame (all-"x") comparable with earlier probe rounds
+    ab = scratch + "_ab"
+    (synth_events(spark, n_events)
+     .withColumn("event_type",
+                 F.when(F.col("event_id") % 2 == 0, "purchase")
+                 .otherwise("error"))
+     .withColumn("props", F.lit("{}"))
+     .write.mode("overwrite").parquet(f"{ab}/events.parquet"))
+    timed("agg_ttest_20M", QUERIES["agg_ttest"](spark, ab), res)
+    timed("llm_postings_1M_docs_30M_vocab",
+          QUERIES["llm_postings"](spark, scratch), res)
     # join_spatial needs a supplier dim in the scratch fixture
     (spark.range(10_000).select(
         (F.col("id") + 1).alias("s_suppkey"))
