@@ -33,3 +33,32 @@ def read_jdbc_table(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def write_jdbc_table(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    **options: str,
+) -> None:
+    """JDBC sink — the reference's write-back path (notifications,
+    attribute snapshots, report tables land in PostgreSQL for the
+    surrounding tooling). Each Spark partition opens one connection and
+    inserts in ``batchsize`` batches; cap fan-in with
+    ``num_partitions`` (a 1000-task write would open 1000 connections —
+    coalesce to what the database can take). ``mode="append"`` is the
+    idempotence-unsafe raw insert; keyed upserts should land in the
+    engine's own stores and only FINISHED results go to JDBC."""
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    writer = (
+        df.write.format("jdbc").mode(mode)
+        .option("url", url).option("dbtable", table)
+        .option("batchsize", str(batchsize))
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -68,3 +68,24 @@ def test_jdbc_predicate_pushdown(spark, derby_url):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "user_id" in plan.lower()
     assert df.count() == 200 // 7 + (1 if 3 < 200 % 7 else 0)
+
+
+def test_jdbc_write_roundtrip(spark, derby_url):
+    """S7 write-back: a notifications-shaped frame lands via the JDBC
+    sink (bounded connection fan-in) and reads back identically — the
+    reference's results-to-PostgreSQL path, bidirectional."""
+    from pyspark.sql import functions as F
+
+    from minerva_etl_46_spark.sources.jdbc import write_jdbc_table
+
+    notif = spark.range(50).select(
+        F.col("id").alias("notif_id"),
+        (F.col("id") % 5).alias("rule_id"),
+        (F.col("id") * 2.5).alias("weight"),
+    )
+    write_jdbc_table(notif, derby_url, "notifications",
+                     mode="overwrite", num_partitions=2)
+    back = read_jdbc_table(spark, derby_url, "notifications")
+    got = back.orderBy("notif_id").toPandas()
+    want = notif.orderBy("notif_id").toPandas()
+    assert got.equals(want[got.columns.tolist()])
