@@ -6620,6 +6620,48 @@ def agg_ttest(spark, sf_dir):
 
 
 @register(
+    "agg_transitions",
+    oracle=f"""
+    with e as (select * from {EV}),
+    p as (select user_id, event_type as next_type,
+                 lag(event_type) over (partition by user_id
+                                       order by ts asc, event_id asc)
+                   as prev_type
+          from e),
+    t as (select prev_type, next_type,
+                 cast(count(*) as bigint) as n
+          from p where prev_type is not null group by 1, 2)
+    select prev_type, next_type, n,
+           n / sum(n) over (partition by prev_type) as share
+    from t
+    """,
+)
+def agg_transitions(spark, sf_dir):
+    """A27: event-type transition matrix (first-order Markov) — the
+    user-journey / state-machine report (what follows a signup? how
+    often does purchase lead to error?) feeding funnel design and
+    anomaly priors. Consecutive pairs come from lag() over the
+    fully-ordered entity window; ONE (prev, next) hash-agg builds the
+    matrix; the row-share normalizer is a window sum over the
+    aggregated |types|² frame — bounded by the type-vocabulary square,
+    never data-sized (the frame a window CAN safely hold). Counts are
+    exact integers; share is one IEEE division per cell."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    p = e.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = p.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    wshare = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type", "next_type", "n",
+        (F.col("n") / F.sum("n").over(wshare)).alias("share"),
+    )
+
+
+@register(
     "llm_postings",
     oracle="""
     with tok as (select doc_id, unnest(string_split(lower(text), ' ')) as token
@@ -6929,17 +6971,16 @@ _R06_PRIORITY = [
     "filter_ts_range", "join_dim", "join_asof", "upsert_latest",
     "agg_time_local", "agg_entity_chain", "agg_count_distinct",
     "agg_last_by", "agg_pivot", "agg_approx", "win_latest", "win_delta",
-    "win_cume",
     # (a, continued) registered in the round-6 continuation — first
     # driver rows outrank renewals ("a renewal defers, a first row
-    # cannot"), so these displace the last eleven r3-stale renewals
-    # (win_pattern/topk_per_group/fn_string_dn/fn_regexp/fn_variant/
-    # llm_chunk/llm_concat/llm_decontaminate/llm_dedup_groups/
-    # llm_dupe_stats/llm_hot_ngrams → tail; all eleven stay
-    # green-on-record from r3)
+    # cannot"), so these displace the last twelve r3-stale renewals
+    # (win_cume/win_pattern/topk_per_group/fn_string_dn/fn_regexp/
+    # fn_variant/llm_chunk/llm_concat/llm_decontaminate/
+    # llm_dedup_groups/llm_dupe_stats/llm_hot_ngrams → tail; all
+    # twelve stay green-on-record from r3)
     "llm_surprisal", "win_autocorr", "fn_ip_cidr", "win_streak",
     "stream_join", "stream_funnel", "join_spatial", "win_holt",
-    "scan_partitioned", "llm_postings", "agg_ttest",
+    "scan_partitioned", "llm_postings", "agg_ttest", "agg_transitions",
 ]
 _R05_PRIORITY = [  # changed/new in round 5, or never driver-sampled
     "win_sessionize",    # r4's only red: oracle HUGEINT→bigint cast fixed

@@ -82,6 +82,9 @@ CONTRACTS = {
     "llm_postings": (2, "WindowGroupLimit", "Join"),
     # six moments in ONE conditional hash-agg — no pivot, no self-join
     "agg_ttest": (1, "partial_", "Join"),
+    # lag window + matrix agg; the share window runs on the bounded
+    # |types|^2 frame (its exchange carries ≤ the matrix)
+    "agg_transitions": (3, None, "Join"),
 }
 
 
