@@ -5,10 +5,14 @@ struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas transforms over ``mapInPandas`` so each executor
 processes whole record batches (the shape a real image/audio codec needs).
 
-The image/audio libs are NOT in this container, so the actual codec call
-is stubbed (deterministic byte-level fake) behind ``decode_stub`` — the
-Spark-side plumbing (schema, batch iteration, partitioning) is real and
-tested. Swap ``decode_stub`` for PIL/librosa/etc. in a real deployment.
+The heavy image/audio libs are NOT in this container, so the default
+codec is stubbed (deterministic byte-level fake) behind ``decode_stub``
+— the Spark-side plumbing (schema, batch iteration, partitioning) is
+real and tested. The swap-point is PROVEN with a real decoder:
+``wav_decode`` parses RIFF/WAVE PCM with the stdlib ``wave`` module and
+runs through the identical Arrow path against synthesized fixtures with
+known sample values (tests/test_multimodal.py). Swap in
+PIL/soundfile/pyav the same way for the heavy formats.
 """
 
 from __future__ import annotations
@@ -57,6 +61,36 @@ def decode_stub(payload: bytes) -> dict:
         "n_frames": n // frame_size + 1,
         "feat_mean": (sum(payload) / n) if n else 0.0,
     }
+
+
+def wav_decode(payload: bytes) -> dict:
+    """REAL codec path — RIFF/WAVE PCM via the stdlib ``wave`` module
+    (no external media libs needed, so this one runs even in this
+    container): parse the header, read the PCM frames, return frame
+    count and mean |amplitude|. Proves the ``decode=`` swap-point with
+    an actual decoder — the same callable shape PIL/soundfile/pyav
+    plug into for the heavy formats (tests/test_multimodal.py runs it
+    through the full Arrow/mapInPandas path against synthesized WAVs
+    with known sample values)."""
+    import io
+    import struct
+    import wave
+
+    if payload is None:
+        raise NotImplementedError("empty payload")
+    with wave.open(io.BytesIO(bytes(payload))) as w:
+        n_frames = w.getnframes()
+        sampwidth = w.getsampwidth()
+        raw = w.readframes(n_frames)
+    if sampwidth == 2:
+        vals = struct.unpack(f"<{len(raw) // 2}h", raw)
+        feat = (sum(abs(v) for v in vals) / len(vals)) if vals else 0.0
+    elif sampwidth == 1:  # 8-bit PCM is unsigned, centered at 128
+        feat = (sum(abs(b - 128) for b in raw) / len(raw)) if raw else 0.0
+    else:
+        raise NotImplementedError(f"sample width {sampwidth} needs soundfile")
+    return {"n_bytes": len(payload), "n_frames": n_frames,
+            "feat_mean": float(feat)}
 
 
 def wrap_as_media(df: DataFrame, id_col: str, text_col: str, kind: str = "text") -> DataFrame:
