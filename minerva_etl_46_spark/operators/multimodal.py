@@ -93,6 +93,34 @@ def wav_decode(payload: bytes) -> dict:
             "feat_mean": float(feat)}
 
 
+def bmp_decode(payload: bytes) -> dict:
+    """REAL codec path for the IMAGE leg — uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, BI_RGB) parsed with ``struct`` alone: width ×
+    height from the DIB header, mean pixel intensity over the padded
+    scanlines. Same callable shape as ``wav_decode``/``decode_stub`` —
+    PIL slots into the identical seam for the compressed formats."""
+    import struct
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise NotImplementedError("not an uncompressed BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit BI_RGB without PIL")
+    height = abs(height)
+    row_bytes = (width * 3 + 3) // 4 * 4
+    total = 0
+    for r in range(height):
+        row = payload[data_off + r * row_bytes:
+                      data_off + r * row_bytes + width * 3]
+        total += sum(row)
+    n_px = width * height
+    return {"n_bytes": len(payload), "n_frames": n_px,
+            "feat_mean": (total / (n_px * 3)) if n_px else 0.0}
+
+
 def wrap_as_media(df: DataFrame, id_col: str, text_col: str, kind: str = "text") -> DataFrame:
     """Lift any table into the multimodal record shape (payload = utf-8
     bytes here; parquet binary column in a real corpus)."""

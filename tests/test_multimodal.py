@@ -126,3 +126,45 @@ def test_real_wav_codec_through_arrow_path(spark):
         assert r.n_frames == len(samples)
         assert r.feat_mean == sum(abs(v) for v in samples) / len(samples)
         assert r.n_bytes == len(rows[mid - 1][1])
+
+
+def test_real_bmp_codec_through_arrow_path(spark):
+    """Image-leg twin of the WAV test: hand-packed 24-bit BI_RGB BMPs
+    with known pixel values decode through the same mapInPandas path
+    to exact dimensions and mean intensity."""
+    import struct
+
+    from minerva_etl_46_spark.operators.multimodal import (
+        bmp_decode,
+        extract_features,
+    )
+
+    def make_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+        row_bytes = (width * 3 + 3) // 4 * 4
+        img = bytearray()
+        for _ in range(height):
+            row = bytes(rgb[::-1]) * width  # BMP stores BGR
+            img += row + b"\x00" * (row_bytes - len(row))
+        header = struct.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54)
+        dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                          0, len(img), 2835, 2835, 0, 0)
+        return header + dib + bytes(img)
+
+    fixtures = {
+        1: (4, 3, (10, 20, 30)),    # mean intensity = 20.0
+        2: (5, 2, (255, 255, 255)), # 255.0
+        3: (1, 1, (0, 0, 90)),      # 30.0
+    }
+    rows = [(mid, make_bmp(*args)) for mid, args in fixtures.items()]
+    media = spark.createDataFrame(rows, "media_id long, payload binary").select(
+        "media_id", "payload",
+        F.lit(None).cast(
+            "struct<kind:string,mime:string,n_bytes:bigint,"
+            "width:int,height:int,sample_rate:int>").alias("meta"),
+    )
+    got = {r.media_id: r for r in
+           extract_features(media, decode=bmp_decode).collect()}
+    for mid, (w, h, rgb) in fixtures.items():
+        r = got[mid]
+        assert r.n_frames == w * h
+        assert r.feat_mean == sum(rgb) / 3
