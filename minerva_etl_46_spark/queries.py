@@ -6620,6 +6620,74 @@ def agg_ttest(spark, sf_dir):
 
 
 @register(
+    "mm_wav_features",
+    oracle=f"""
+    with u as (select distinct user_id from {EV}),
+    s as (select user_id, unnest(generate_series(0, 63)) as i from u),
+    v as (select user_id,
+                 abs(((user_id * 31 + i * 17) % 2000) - 1000) as a
+          from s)
+    select user_id as media_id,
+           cast(172 as bigint) as n_bytes,
+           cast(64 as bigint) as n_frames,
+           sum(a) / 64.0 as feat_mean
+    from v group by 1
+    """,
+)
+def mm_wav_features(spark, sf_dir):
+    """X5b with a REAL codec under the driver hash: per entity, 64
+    deterministic int16 PCM samples are ENCODED into actual RIFF/WAVE
+    bytes (stdlib ``wave``) in one Arrow-batched pass, shipped as a
+    binary payload column, then DECODED by ``wav_decode`` through the
+    same ``extract_features`` path the stubs use — header parse, frame
+    count, mean |amplitude|. The oracle never touches WAV bytes: it
+    recomputes the sample formula directly, so a hash match proves the
+    encode→Arrow-transport→decode loop is byte-exact (44-byte header +
+    128 PCM bytes = 172). At 100 TB payloads come from the lake, not a
+    renderer — the render stage here exists to make a REAL codec
+    verifiable against a fixture with no media columns."""
+    import io
+    import struct as _struct
+    import wave as _wave
+
+    import pandas as _pd
+
+    from minerva_etl_46_spark.operators.multimodal import (
+        extract_features,
+        wav_decode,
+    )
+
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+
+    def render(batches):
+        for pdf in batches:
+            out = []
+            for uid in pdf["user_id"]:
+                uid = int(uid)
+                samples = [((uid * 31 + i * 17) % 2000) - 1000
+                           for i in range(64)]
+                buf = io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(_struct.pack("<64h", *samples))
+                out.append((uid, buf.getvalue()))
+            yield _pd.DataFrame(out, columns=["media_id", "payload"])
+
+    media = users.mapInPandas(
+        render, "media_id long, payload binary"
+    ).select(
+        "media_id", "payload",
+        F.lit(None).cast(
+            "struct<kind:string,mime:string,n_bytes:bigint,"
+            "width:int,height:int,sample_rate:int>").alias("meta"),
+    )
+    return extract_features(media, decode=wav_decode).select(
+        "media_id", "n_bytes", "n_frames", "feat_mean")
+
+
+@register(
     "agg_transitions",
     oracle=f"""
     with e as (select * from {EV}),
@@ -6970,17 +7038,18 @@ _R06_PRIORITY = [
     # (c) r3-stale renewals
     "filter_ts_range", "join_dim", "join_asof", "upsert_latest",
     "agg_time_local", "agg_entity_chain", "agg_count_distinct",
-    "agg_last_by", "agg_pivot", "agg_approx", "win_latest", "win_delta",
+    "agg_last_by", "agg_pivot", "agg_approx", "win_latest",
     # (a, continued) registered in the round-6 continuation — first
     # driver rows outrank renewals ("a renewal defers, a first row
-    # cannot"), so these displace the last twelve r3-stale renewals
-    # (win_cume/win_pattern/topk_per_group/fn_string_dn/fn_regexp/
-    # fn_variant/llm_chunk/llm_concat/llm_decontaminate/
+    # cannot"), so these displace the last thirteen r3-stale renewals
+    # (win_delta/win_cume/win_pattern/topk_per_group/fn_string_dn/
+    # fn_regexp/fn_variant/llm_chunk/llm_concat/llm_decontaminate/
     # llm_dedup_groups/llm_dupe_stats/llm_hot_ngrams → tail; all
-    # twelve stay green-on-record from r3)
+    # thirteen stay green-on-record from r3)
     "llm_surprisal", "win_autocorr", "fn_ip_cidr", "win_streak",
     "stream_join", "stream_funnel", "join_spatial", "win_holt",
     "scan_partitioned", "llm_postings", "agg_ttest", "agg_transitions",
+    "mm_wav_features",
 ]
 _R05_PRIORITY = [  # changed/new in round 5, or never driver-sampled
     "win_sessionize",    # r4's only red: oracle HUGEINT→bigint cast fixed
