@@ -166,3 +166,76 @@ def test_fn_ip_cidr_parse_inverts_derivation(spark):
         assert r.addr.startswith(r.subnet24.rsplit(".", 1)[0] + ".")
         assert r.is_private  # derivation pins o1 = 10
         assert all(0 <= x <= 255 for x in o)
+
+
+@SLOW
+@given(series=series_strategy)
+def test_win_holt_matches_python_recursion(spark, series):
+    """Holt level/trend must equal a pure-Python replay of the coupled
+    recursion (identical literal constants and op order → bitwise)."""
+    from minerva_etl_46_spark.queries import win_holt
+
+    rows = []
+    for u, vals in series:
+        for i, v in enumerate(vals):
+            rows.append((u, BASE + i * 60, v))
+    scratch = _events_scratch(spark, rows)
+    got = {r.user_id: r for r in win_holt(spark, scratch).collect()}
+
+    for u, vals in series:
+        l, b = float(vals[0]), 0.0
+        for v in vals[1:]:
+            nl = 0.3 * v + 0.7 * (l + b)
+            nb = 0.1 * (nl - l) + 0.9 * b
+            l, b = nl, nb
+        r = got[u]
+        assert r.n == len(vals)
+        assert r.level == l, (u, r.level, l)
+        assert r.trend == b, (u, r.trend, b)
+
+
+spatial_ids = st.lists(st.integers(0, 5000), min_size=1, max_size=80,
+                       unique=True)
+
+
+@SLOW
+@given(event_ids=spatial_ids, site_keys=st.lists(
+    st.integers(1, 400), min_size=1, max_size=40, unique=True))
+def test_join_spatial_matches_bruteforce(spark, event_ids, site_keys):
+    """The grid-bucketed candidate join must return EXACTLY the pairs a
+    brute-force O(points×sites) scan finds — grid + 3×3 neighbor
+    replication may not miss a within-radius site at a cell border."""
+    from minerva_etl_46_spark.queries import join_spatial
+
+    scratch = _events_scratch(
+        spark, [(0, BASE + i, 0.0) for i in range(len(event_ids))])
+    # overwrite events with controlled event_ids; write supplier dim
+    spark.createDataFrame(
+        [(e, BASE, 0, "x", 0.0, "{}") for e in event_ids],
+        "event_id long, epoch long, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr("event_id", "timestamp_seconds(epoch) as ts", "user_id",
+                 "event_type", "value", "props") \
+     .write.mode("overwrite").parquet(f"{scratch}/events.parquet")
+    spark.createDataFrame(
+        [(s,) for s in site_keys], "s_suppkey long"
+    ).write.mode("overwrite").parquet(f"{scratch}/supplier.parquet")
+
+    got = {r.event_id: r for r in join_spatial(spark, scratch).collect()}
+
+    want = {}
+    for e in event_ids:
+        x, y = (e * 7919) % 1000, (e * 104729) % 1000
+        hits = []
+        for s in site_keys:
+            sx, sy = (s * 7919) % 1000, (s * 104729) % 1000
+            d2 = (x - sx) ** 2 + (y - sy) ** 2
+            if d2 <= 900:
+                hits.append((d2, s))
+        if hits:
+            best = min(d2 * 1_000_000 + s for d2, s in hits)
+            want[e] = (len(hits), best % 1_000_000, best // 1_000_000)
+    assert set(got) == set(want)
+    for e, (n, site, d2) in want.items():
+        r = got[e]
+        assert (r.n_sites, r.nearest_site, r.d2) == (n, site, d2)
