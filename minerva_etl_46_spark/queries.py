@@ -6620,6 +6620,51 @@ def agg_ttest(spark, sf_dir):
 
 
 @register(
+    "llm_dataset_card",
+    oracle="""
+    select cast(count(*) as bigint) as n_docs,
+           cast(sum(len(text)) as bigint) as total_chars,
+           cast(sum(len(string_split(text, ' '))) as bigint) as total_ws_tokens,
+           cast(count(distinct lang) as bigint) as n_langs,
+           cast(count(distinct source) as bigint) as n_sources,
+           cast(sum(case when lang = 'en' then 1 else 0 end) as bigint)
+             as n_en,
+           cast(sum(case when lang = 'en' then 1 else 0 end) as double)
+             / count(*) as pct_en,
+           cast(sum(len(text)) as double) / count(*) as avg_doc_chars,
+           cast(min(len(text)) as bigint) as min_doc_chars,
+           cast(max(len(text)) as bigint) as max_doc_chars
+    from documents
+    """,
+)
+def llm_dataset_card(spark, sf_dir):
+    """X35: dataset-card statistics — the one-row summary every corpus
+    release ships (docs/tokens/chars, language and source diversity,
+    length envelope): the artifact a curation pipeline publishes beside
+    the shards. ONE full-scan aggregate: every statistic is a map-side-
+    combinable count/sum/min/max (the distinct counts expand in the
+    same pass), exact integers until two final IEEE divisions. The
+    shape that reads 100 TB exactly once and returns one row."""
+    d = load(spark, sf_dir, "documents")
+    chars = F.length("text")
+    toks = F.size(F.split("text", " "))
+    is_en = F.when(F.col("lang") == "en", 1).otherwise(0)
+    return d.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(chars).cast("long").alias("total_chars"),
+        F.sum(toks).cast("long").alias("total_ws_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(is_en).cast("long").alias("n_en"),
+        (F.sum(is_en).cast("double") / F.count(F.lit(1))).alias("pct_en"),
+        (F.sum(chars).cast("double") / F.count(F.lit(1)))
+        .alias("avg_doc_chars"),
+        F.min(chars).cast("long").alias("min_doc_chars"),
+        F.max(chars).cast("long").alias("max_doc_chars"),
+    )
+
+
+@register(
     "mm_wav_features",
     oracle=f"""
     with u as (select distinct user_id from {EV}),
@@ -7038,18 +7083,18 @@ _R06_PRIORITY = [
     # (c) r3-stale renewals
     "filter_ts_range", "join_dim", "join_asof", "upsert_latest",
     "agg_time_local", "agg_entity_chain", "agg_count_distinct",
-    "agg_last_by", "agg_pivot", "agg_approx", "win_latest",
+    "agg_last_by", "agg_pivot", "agg_approx",
     # (a, continued) registered in the round-6 continuation — first
     # driver rows outrank renewals ("a renewal defers, a first row
-    # cannot"), so these displace the last thirteen r3-stale renewals
-    # (win_delta/win_cume/win_pattern/topk_per_group/fn_string_dn/
-    # fn_regexp/fn_variant/llm_chunk/llm_concat/llm_decontaminate/
-    # llm_dedup_groups/llm_dupe_stats/llm_hot_ngrams → tail; all
-    # thirteen stay green-on-record from r3)
+    # cannot"), so these displace the last fourteen r3-stale renewals
+    # (win_latest/win_delta/win_cume/win_pattern/topk_per_group/
+    # fn_string_dn/fn_regexp/fn_variant/llm_chunk/llm_concat/
+    # llm_decontaminate/llm_dedup_groups/llm_dupe_stats/
+    # llm_hot_ngrams → tail; all fourteen stay green-on-record from r3)
     "llm_surprisal", "win_autocorr", "fn_ip_cidr", "win_streak",
     "stream_join", "stream_funnel", "join_spatial", "win_holt",
     "scan_partitioned", "llm_postings", "agg_ttest", "agg_transitions",
-    "mm_wav_features",
+    "mm_wav_features", "llm_dataset_card",
 ]
 _R05_PRIORITY = [  # changed/new in round 5, or never driver-sampled
     "win_sessionize",    # r4's only red: oracle HUGEINT→bigint cast fixed
