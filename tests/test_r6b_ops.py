@@ -239,3 +239,115 @@ def test_join_spatial_matches_bruteforce(spark, event_ids, site_keys):
     for e, (n, site, d2) in want.items():
         r = got[e]
         assert (r.n_sites, r.nearest_site, r.d2) == (n, site, d2)
+
+
+docs_rich = st.lists(
+    st.lists(st.sampled_from("aa bb cc dd".split()), min_size=1, max_size=20),
+    min_size=1, max_size=15,
+)
+
+
+@SLOW
+@given(docs=docs_rich)
+def test_llm_postings_matches_python_reference(spark, docs):
+    """Postings must be the exact top-8 docs per token by (tf desc,
+    doc_id asc) — including the tie-break — in rank order."""
+    from minerva_etl_46_spark.queries import llm_postings
+
+    scratch = tempfile.mkdtemp(prefix="r6b_post_")
+    spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(
+        os.path.join(scratch, "documents.parquet"))
+    got = {r.token: r for r in llm_postings(spark, scratch).collect()}
+
+    tf: dict[str, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+    for i, toks in enumerate(docs):
+        for t in toks:
+            tf[t][i] += 1
+    for tok, per_doc in tf.items():
+        ranked = sorted(per_doc.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+        r = got[tok]
+        assert r.n_top == len(ranked)
+        assert r.top_docs == ",".join(str(d) for d, _ in ranked)
+        assert r.top_tfs == ",".join(str(n) for _, n in ranked)
+    assert set(got) == set(tf)
+
+
+journeys = st.lists(
+    st.tuples(st.integers(0, 2),
+              st.lists(st.sampled_from(["a", "b", "c"]),
+                       min_size=1, max_size=15)),
+    min_size=1, max_size=3, unique_by=lambda t: t[0],
+)
+
+
+@SLOW
+@given(series=journeys)
+def test_agg_transitions_matches_python_reference(spark, series):
+    """The transition matrix must count exactly the consecutive
+    (per-user, time-ordered) pairs, with row shares summing to 1."""
+    from minerva_etl_46_spark.queries import agg_transitions
+
+    rows, counts = [], defaultdict(int)
+    for u, types in series:
+        for i, t in enumerate(types):
+            rows.append((u, BASE + i * 60, 0.0, t))
+        for p, n in zip(types, types[1:]):
+            counts[(p, n)] += 1
+    scratch = tempfile.mkdtemp(prefix="r6b_trans_")
+    spark.createDataFrame(
+        [(i, r[1], r[0], r[3], r[2], "{}") for i, r in enumerate(rows)],
+        "event_id long, epoch long, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr("event_id", "timestamp_seconds(epoch) as ts", "user_id",
+                 "event_type", "value", "props") \
+     .write.mode("overwrite").parquet(os.path.join(scratch, "events.parquet"))
+
+    got = {(r.prev_type, r.next_type): r
+           for r in agg_transitions(spark, scratch).collect()}
+    assert set(got) == set(counts)
+    row_tot = defaultdict(int)
+    for (p, _n), c in counts.items():
+        row_tot[p] += c
+    for (p, n), c in counts.items():
+        r = got[(p, n)]
+        assert r.n == c
+        assert r.share == c / row_tot[p]
+
+
+@SLOW
+@given(series=st.lists(
+    st.floats(-50, 50, allow_nan=False).map(lambda v: round(v, 2)),
+    min_size=12, max_size=40))
+def test_agg_ttest_matches_numpy_welch(spark, series):
+    """Welch t vs an independent numpy computation (1e-9 tolerance —
+    numpy accumulates in float64, the operator in exact decimal)."""
+    import numpy as np
+
+    from minerva_etl_46_spark.queries import agg_ttest
+
+    # alternate samples between the two classes for one user
+    rows = [(0, BASE + i * 60, v, "purchase" if i % 2 == 0 else "error")
+            for i, v in enumerate(series)]
+    scratch = tempfile.mkdtemp(prefix="r6b_tt_")
+    spark.createDataFrame(
+        [(i, r[1], r[0], r[3], r[2], "{}") for i, r in enumerate(rows)],
+        "event_id long, epoch long, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr("event_id", "timestamp_seconds(epoch) as ts", "user_id",
+                 "event_type", "value", "props") \
+     .write.mode("overwrite").parquet(os.path.join(scratch, "events.parquet"))
+
+    x = np.array(series[0::2], dtype=np.float64)
+    y = np.array(series[1::2], dtype=np.float64)
+    out = agg_ttest(spark, scratch).collect()
+    if len(x) < 5 or len(y) < 5 or x.var(ddof=1) == 0 or y.var(ddof=1) == 0:
+        assert out == []
+        return
+    want = (x.mean() - y.mean()) / np.sqrt(
+        x.var(ddof=1) / len(x) + y.var(ddof=1) / len(y))
+    (r,) = out
+    assert (r.nx, r.ny) == (len(x), len(y))
+    assert abs(r.t_welch - want) < 1e-9
