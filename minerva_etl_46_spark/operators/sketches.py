@@ -74,8 +74,14 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key: str,
     ).withColumn("bucket",
                  _bucket(F.col(key), F.col("seed"), w, hash_fn))
     others = [c for c in keys.columns]
+    # LEFT join + coalesce(0): a probed key whose (seed, bucket) cell is
+    # absent from the grid was never counted — its cell count is 0, so the
+    # key must still yield a row with est_n from min-over-d including that
+    # 0 (an inner join would drop the key entirely, and a partial match
+    # would inflate min over only the surviving cells past the CMS bound).
     return (
-        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        probes.join(F.broadcast(sketch), ["seed", "bucket"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
         .groupBy(*others)
         .agg(F.min("cnt").alias("est_n"))
     )

@@ -68,14 +68,15 @@ class SizingPlan:
         return d
 
 
-def _pow2_in_band(total_bytes: float, lo: int = 128 * MB,
-                  hi: int = 256 * MB) -> int:
-    """Smallest power of two whose per-bucket size falls in [lo, hi]
-    (preferring the larger-bucket end when no power of two fits)."""
+def _pow2_in_band(total_bytes: float, hi: int = 256 * MB) -> int:
+    """Smallest power of two with per-bucket size ≤ hi. Halving from hi
+    can only land in [hi/2, hi], so the result sits in the 128–256 MB
+    band whenever total_bytes ≥ hi; below that (tiny deployments) the
+    answer is 1 bucket and size_plan emits a small-deployment warning."""
     n = 1
     while total_bytes / n > hi:
         n *= 2
-    return max(n, 1)
+    return n
 
 
 def size_plan(
@@ -102,6 +103,10 @@ def size_plan(
     max_pb = FILE_TARGET if gib_per_core >= 4 else 64 * MB
 
     warnings = []
+    if daily_bytes < 128 * MB:
+        warnings.append(
+            f"daily volume {daily_bytes / MB:.0f} MB is below the 128 MB "
+            "bucket floor — 1 bucket; bucketing buys nothing at this size")
     if gib_per_core < 2:
         warnings.append(
             f"{gib_per_core:.1f} GiB/core is below the 2 GiB floor the "

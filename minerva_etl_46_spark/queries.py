@@ -151,11 +151,7 @@ def scan_csv(spark, sf_dir):
     ingest is schema-declared [SURVEY.md §2.1 S1]). Round-trips `nation`
     through a scratch CSV so the oracle checks the full parse path.
     Int/string-only table → lossless round-trip."""
-    import os
-    import tempfile
-
-    scratch = os.path.join(tempfile.gettempdir(), "minerva_etl_46_scratch",
-                           os.path.basename(sf_dir.rstrip("/")), "nation_csv")
+    scratch = _scratch(sf_dir, "nation_csv")  # PID-scoped: no cross-session race
     nation = load(spark, sf_dir, "nation")
     nation.coalesce(1).write.mode("overwrite").option("header", True).csv(scratch)
     return spark.read.csv(
@@ -171,13 +167,9 @@ def scan_jsonl(spark, sf_dir):
     the other common vendor drop format, schema-declared like the CSV
     path (inference ban, SURVEY §1.1). Round-trips `nation` through a
     scratch .jsonl so the oracle checks the full parse path."""
-    import os
-    import tempfile
-
     from minerva_etl_46_spark.sources.harvest import read_jsonl_harvest
 
-    scratch = os.path.join(tempfile.gettempdir(), "minerva_etl_46_scratch",
-                           os.path.basename(sf_dir.rstrip("/")), "nation_jsonl")
+    scratch = _scratch(sf_dir, "nation_jsonl")  # PID-scoped: no cross-session race
     nation = load(spark, sf_dir, "nation")
     nation.coalesce(1).write.mode("overwrite").json(scratch)
     return read_jsonl_harvest(
@@ -194,13 +186,9 @@ def scan_kv(spark, sf_dir):
     `nation` through a scratch .kv file; parsing is one JVM-side
     str_to_map per line (codegen, no Python), fields schema-declared
     like the CSV/JSONL paths."""
-    import os
-    import tempfile
-
     from minerva_etl_46_spark.sources.harvest import read_kv_harvest
 
-    scratch = os.path.join(tempfile.gettempdir(), "minerva_etl_46_scratch",
-                           os.path.basename(sf_dir.rstrip("/")), "nation_kv")
+    scratch = _scratch(sf_dir, "nation_kv")  # PID-scoped: no cross-session race
     nation = load(spark, sf_dir, "nation")
     lines = nation.select(
         F.concat(
@@ -236,7 +224,6 @@ def xml_harvest(spark, sf_dir):
     (dn, ts, counter, value) rows. The oracle replays the render from the
     same table, so dn/counter/value round-trip the REAL XML parse path."""
     import os
-    import tempfile
 
     from minerva_etl_46_spark.sources.xml3gpp import harvest_3gpp_xml
 
@@ -246,8 +233,7 @@ def xml_harvest(spark, sf_dir):
         .orderBy("n_nationkey")
         .collect()  # bounded-by: nation is a 25-row TPC-H dimension
     )
-    scratch = os.path.join(tempfile.gettempdir(), "minerva_etl_46_scratch",
-                           os.path.basename(sf_dir.rstrip("/")), "xml3gpp")
+    scratch = _scratch(sf_dir, "xml3gpp")  # PID-scoped: no cross-session race
     os.makedirs(scratch, exist_ok=True)
     path = os.path.join(scratch, "nation.xml")
     doc = [
@@ -2999,6 +2985,14 @@ def win_gap_fill(spark, sf_dir):
         F.count("value").alias("n"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
     )
+    # Forward-fill NULL sums (an observed hour whose values are ALL NULL has
+    # n=0, sum NULL — the oracle's last_value IGNORE NULLS skips it, so the
+    # walk must too). last(ignorenulls) here rides the SAME user_id exchange
+    # the collect below needs: still 2 exchanges, one extra in-partition sort.
+    ff = Window.partitionBy("user_id").orderBy("bucket") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    hourly = hourly.withColumn(
+        "sum_value", F.last("sum_value", ignorenulls=True).over(ff))
     obs = hourly.groupBy("user_id").agg(
         F.array_sort(
             F.collect_list(F.struct("bucket", "n", "sum_value"))
@@ -5904,9 +5898,9 @@ def stream_dedup(spark, sf_dir):
                  % 256 as bucket
                from truth t, seeds s)
     select p.user_id, p.true_n,
-           min(sk.cnt) as est_n,
-           min(sk.cnt) >= p.true_n as no_undercount
-    from probes p join sketch sk
+           min(coalesce(sk.cnt, 0)) as est_n,
+           min(coalesce(sk.cnt, 0)) >= p.true_n as no_undercount
+    from probes p left join sketch sk
       on p.seed = sk.seed and p.bucket = sk.bucket
     group by 1, 2
     """,

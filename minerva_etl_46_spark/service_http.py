@@ -90,7 +90,9 @@ class DataServiceHandler(BaseHTTPRequestHandler):
                                                  at=False))
             else:
                 self._send(404, {"error": f"no route {url.path}"})
-        except (KeyError, ValueError) as exc:
+        except (KeyError, ValueError, TypeError) as exc:
+            # TypeError covers int(None) from a missing required numeric
+            # param (start/end, ts) — a client error, not a server fault
             self._send(400, {"error": str(exc)})
         except Exception as exc:  # noqa: BLE001 — surface, don't kill the server
             self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
@@ -102,6 +104,8 @@ class DataServiceHandler(BaseHTTPRequestHandler):
         part = one("part")
         if not part:
             raise KeyError("part is required")
+        if one("start") is None or one("end") is None:
+            raise KeyError("start and end are required")
         storage = TrendStorePartStorage(
             self.server.base_dir, part,
             partition_size_s=self.server.partition_size_s,
@@ -155,6 +159,8 @@ class DataServiceHandler(BaseHTTPRequestHandler):
                 raise ValueError(
                     f"{len(ents)} entities exceeds MAX_PAGE_SIZE "
                     f"{MAX_PAGE_SIZE}")
+            if one("ts") is None:
+                raise KeyError("ts is required for /attributes/at")
             ts = int(one("ts"))
             facts = spark.createDataFrame(
                 [(e, ts) for e in ents], "entity_id long, __at_epoch long"

@@ -349,3 +349,25 @@ def test_cms_merge_equals_full_build_and_never_undercounts(spark):
         rows = est.collect()
         assert len(rows) == 11
         assert all(r.est_n >= r.true_n for r in rows), hash_fn
+
+
+def test_cms_estimate_unseen_key_yields_zero_not_silence(spark):
+    """ADVICE r6: a probed key absent from the sketched corpus must come
+    back est_n=0 (min over cells including the empty ones), not vanish
+    from the output, and a key with only SOME cells present must not
+    inflate past the CMS bound by min-ing only surviving cells."""
+    from minerva_etl_46_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    corpus = spark.createDataFrame([(i % 3,) for i in range(90)], "k long")
+    sketch = cms_build(corpus, "k", d=4, w=256)
+    probes = spark.createDataFrame(
+        [(0,), (1,), (2,), (999_999,)], "k long")
+    rows = {r.k: r.est_n for r in
+            cms_estimate(sketch, probes, "k", d=4, w=256).collect()}
+    assert set(rows) == {0, 1, 2, 999_999}  # nothing vanished
+    assert rows[999_999] == 0  # w=256, 3 occupied cells/row → no collision
+    for k in (0, 1, 2):
+        assert rows[k] >= 30

@@ -131,6 +131,14 @@ def test_http_service_end_to_end(spark, tmp_path):
             raise AssertionError("expected 404")
         except urllib.error.HTTPError as e:
             assert e.code == 404
+        # ADVICE r6: missing required numeric params are a CLIENT error —
+        # 400 with a clear message, never a 500 from int(None)
+        try:
+            get("/query?part=svc")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "start and end" in json.loads(e.read())["error"]
     finally:
         srv.shutdown()
 
@@ -190,6 +198,12 @@ def test_http_attribute_routes(spark, tmp_path):
         # at without entities → 400
         try:
             get(f"/attributes/at?store=cfg&attrs=plan&ts={feb}")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # at without ts → 400 (ADVICE r6: not a 500 from int(None))
+        try:
+            get("/attributes/at?store=cfg&attrs=plan&entities=1")
             raise AssertionError("expected 400")
         except urllib.error.HTTPError as e:
             assert e.code == 400
