@@ -238,6 +238,39 @@ NOTES = {
                     "k rows per token into the shuffle — a stopword's "
                     "postings candidates are k×partitions, not its "
                     "full document list.",
+    "upsert_scd2_build": "Explicit repartition(entity) up front: "
+                         "hash(entity) satisfies the (entity, ts) tie "
+                         "window, the suppression window AND the lead "
+                         "window — ONE exchange end to end; raw events "
+                         "ship once.",
+    "win_bollinger": "Two exchanges, neither raw-sized: the hourly "
+                     "rollup's exchange carries map-side-combined "
+                     "partials; the band window re-keys only the "
+                     "(entity, hour) frame. Exact decimal Σv/Σv² in "
+                     "the O(25) frame, element-wise IEEE bands after.",
+    "agg_skyline": "Distinct-point hash-agg + running-max window — "
+                   "the O(n²) dominance self-join never plans; the "
+                   "window exchange carries only distinct (size, "
+                   "price) points per group.",
+    "llm_tfidf": "tf⋈df JOIN shape (the surprisal argument: stopword "
+                 "hot keys skew-split by AQE, window-attach cannot); "
+                 "WindowGroupLimit caps the per-doc rank before the "
+                 "sort materializes; corpus size is a broadcast "
+                 "1-row frame.",
+    "llm_collocations": "Bigrams from an IN-ROW slice+zip_with — the "
+                        "positional token self-join never plans; "
+                        "exchanges carry bigram/unigram agg frames "
+                        "only; top-200 is a WindowGroupLimit-capped "
+                        "global rank on the c_ab>=5 filtered frame.",
+    "agg_survival": "Per-entity span hash-agg is the ONLY data-sized "
+                    "exchange; duration-table frames (bounded by "
+                    "retention days) flow through the ordered KM fold "
+                    "— the single-partition window is deliberately "
+                    "bounded, never entity-sized.",
+    "agg_corr_pairs": "Raw events exchanged ONCE (hourly rollup); the "
+                      "pair self-join and five-moment agg run on the "
+                      "buckets×types frame — pair count never touches "
+                      "event volume.",
 }
 
 

@@ -7033,6 +7033,580 @@ def win_holt(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r7: corpus IR statistics (TF-IDF, collocations), warehouse-core SCD2
+# build, monitoring bands, Benford conformity, Kaplan–Meier retention,
+# Pareto frontier, KPI cross-correlation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_tfidf",
+    oracle="""
+    with tok as (select doc_id, unnest(string_split(lower(text), ' ')) as token
+                 from documents),
+    tf as (select doc_id, token, count(*) as tf from tok group by 1, 2),
+    dfreq as (select token, count(*) as df from tf group by 1),
+    n as (select count(*) as n_docs from documents),
+    scored as (select t.doc_id, t.token, t.tf, d.df,
+                      t.tf * (length(bin(n_docs)) - length(bin(d.df)))
+                        as tfidf_bits
+               from tf t join dfreq d on t.token = d.token, n),
+    ranked as (select *, row_number() over
+                 (partition by doc_id
+                  order by tfidf_bits desc, token asc) as rk
+               from scored)
+    select doc_id, token, cast(tf as bigint) as tf, cast(df as bigint) as df,
+           cast(tfidf_bits as bigint) as tfidf_bits, cast(rk as bigint) as rk
+    from ranked where rk <= 5
+    """,
+)
+def llm_tfidf(spark, sf_dir):
+    """X35: per-document TF-IDF keyterm extraction — the classic IR
+    weighting next to the BM25 ranker (llm_bm25): top-5 terms per doc by
+    tf × idf. The idf is the INTEGER bit form
+    ``len(bin(N)) − len(bin(df))`` = floor-log2(N) − floor-log2(df)
+    (±1 bit of log2(N/df)) — exact integers in both engines, zero libm
+    (the llm_surprisal trade applied to idf). Shape (same skew argument
+    as surprisal): per-doc tf hash-agg (map-side combine kills in-doc
+    repeats) → df hash-agg over the tf frame → tf⋈df on token (a JOIN,
+    so AQE can split the stopword hot keys; window-attach could not) →
+    per-doc top-5 via row_number (WindowGroupLimit pushes the rank
+    filter before the full sort materializes). Exchanges carry the
+    (doc, token) tf frame, never the raw token stream."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))  # 1-row corpus-size frame
+        .select(
+            "doc_id", "token", "tf", "df",
+            (F.col("tf") * (F.length(F.bin("n_docs"))
+                            - F.length(F.bin("df")))).alias("tfidf_bits"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_bits").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "token", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"),
+                F.col("tfidf_bits").cast("long").alias("tfidf_bits"),
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+@register(
+    "llm_collocations",
+    oracle="""
+    with toks as (select doc_id, string_split(lower(text), ' ') as a
+                  from documents),
+    t as (select doc_id, unnest(a) as w, generate_subscripts(a, 1) as i
+          from toks),
+    uni as (select w, count(*) as c from t group by 1),
+    ntok as (select count(*) as n_tok from t),
+    big as (select l.w as w1, r.w as w2, count(*) as c_ab
+            from t l join t r on l.doc_id = r.doc_id and r.i = l.i + 1
+            group by 1, 2),
+    npair as (select sum(c_ab) as n_pairs from big),
+    lifted as (select b.w1, b.w2, b.c_ab,
+                      (cast(b.c_ab as double) * n_tok * n_tok)
+                        / (cast(n_pairs as double) * ua.c * ub.c) as lift
+               from big b
+               join uni ua on b.w1 = ua.w
+               join uni ub on b.w2 = ub.w, ntok, npair
+               where b.c_ab >= 5),
+    ranked as (select *, row_number() over
+                 (order by c_ab desc, w1 asc, w2 asc) as rk from lifted)
+    select w1, w2, cast(c_ab as bigint) as c_ab, lift, cast(rk as bigint) as rk
+    from ranked where rk <= 200
+    """,
+)
+def llm_collocations(spark, sf_dir):
+    """X36: corpus collocation mining — adjacent-bigram counts with a
+    PMI-style lift score (observed bigram rate ÷ rate expected under
+    unigram independence), the vocabulary-analysis pass that surfaces
+    multiword units ("new york") before tokenizer training. Lift instead
+    of log-PMI keeps it libm-free: one element-wise IEEE division of
+    exact integer products (identical left-assoc order in both engines).
+    Shape: bigrams come from an in-row array zip (slice+zip_with — never
+    a positional self-join, which would shuffle the token stream twice);
+    bigram and unigram hash-aggs are skew-immune via partial aggs; the
+    two corpus totals are broadcast 1-row frames; the lift join keys on
+    bigram-distinct frames (stopword hot keys split by AQE); top-200 is
+    a global WindowGroupLimit. The oracle replays with a positional
+    self-join (generate_subscripts) — same pairs, engine-idiomatic."""
+    d = load(spark, sf_dir, "documents")
+    a = F.split(F.lower("text"), " ")
+    tok = d.select(F.explode(a).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    ntok = tok.groupBy().agg(F.count(F.lit(1)).alias("n_tok"))
+    pairs = F.zip_with(
+        F.slice(a, 1, F.size(a) - 1),
+        F.slice(a, 2, F.size(a) - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    big = (
+        d.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    npair = big.groupBy().agg(F.sum("c_ab").alias("n_pairs"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    lifted = (
+        big.filter(F.col("c_ab") >= 5)
+        .join(ua, "w1").join(ub, "w2")
+        .crossJoin(F.broadcast(ntok)).crossJoin(F.broadcast(npair))
+        .select(
+            "w1", "w2", "c_ab",
+            ((F.col("c_ab").cast("double") * F.col("n_tok")
+              * F.col("n_tok"))
+             / (F.col("n_pairs").cast("double") * F.col("ca")
+                * F.col("cb"))).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.col("c_ab").desc(), F.col("w1").asc(),
+                       F.col("w2").asc())
+    return (
+        lifted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 200)
+        .select("w1", "w2", F.col("c_ab").cast("long").alias("c_ab"),
+                "lift", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+@register(
+    "upsert_scd2_build",
+    oracle=f"""
+    with e as (select * from {EV}),
+    hist0 as (select user_id, ts, event_type, row_number() over
+                (partition by user_id, ts order by event_id desc) as rn
+              from e),
+    hist as (select user_id, ts, event_type from hist0 where rn = 1),
+    chg as (select *, lag(event_type) over
+              (partition by user_id order by ts) as prev from hist),
+    scd as (select user_id, ts, event_type from chg
+            where prev is null or prev <> event_type)
+    select user_id, event_type,
+           epoch_us(ts) as valid_from_us,
+           coalesce(epoch_us(lead(ts) over
+             (partition by user_id order by ts)), {OPEN_END_US})
+             as valid_to_us,
+           (lead(ts) over (partition by user_id order by ts)) is null
+             as is_current
+    from scd
+    """,
+)
+def upsert_scd2_build(spark, sf_dir):
+    """W5: SCD-type-2 dimension BUILD — collapse a change feed into
+    validity intervals (valid_from, valid_to, is_current), the other half
+    of the join_scd2 story (that key PROBES a built dimension; this one
+    builds it — the nightly dim-load verb every warehouse runs).
+    Pipeline: canonicalize ties (last event per (entity, ts)) →
+    suppress_unchanged (insert-only-on-change, the reference's W4 hash
+    trick) → lead() closes each interval; the final interval stays open
+    ({OPEN_END_US} sentinel) and is flagged current. The explicit
+    repartition(entity) up front means hash(entity) satisfies every
+    downstream clustering — the (entity, ts) tie window, the suppression
+    window and the lead window all reuse it: ONE exchange end to end
+    (plan-verified; without it the tie window exchanges on (entity, ts)
+    and the rest re-exchange on entity — raw events shipped twice).
+    Interval state per entity is just its change count — bounded by
+    suppress_unchanged, not event volume."""
+    from minerva_etl_46_spark.operators.attributes import suppress_unchanged
+
+    e = load(spark, sf_dir, "events")
+    hist = (
+        e.select("user_id", "ts", "event_type", "event_id")
+        .repartition("user_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts")
+                .orderBy(F.col("event_id").desc())),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_type")
+    )
+    scd = suppress_unchanged(hist, "user_id", "ts", ["event_type"])
+    w = Window.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead("ts").over(w)
+    return scd.select(
+        "user_id", "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.coalesce(F.unix_micros(nxt), F.lit(OPEN_END_US))
+        .alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "win_bollinger",
+    oracle=f"""
+    with e as (select * from {EV}),
+    hourly as (select user_id, {sql_bucket_epoch('ts', G_1H)} as bucket,
+                      {sql_dsum('value')} as sum_value
+               from e group by 1, 2),
+    stats as (select user_id, bucket, sum_value,
+                     count(*) over w as n_window,
+                     cast(sum(cast(sum_value as decimal(18,6))) over w
+                          as double) as s1,
+                     cast(sum(cast(sum_value as decimal(18,6))
+                              * cast(sum_value as decimal(18,6))) over w
+                          as double) as s2
+              from hourly
+              window w as (partition by user_id order by bucket asc
+                           rows between 24 preceding and 1 preceding))
+    select user_id, bucket, sum_value,
+           s1 / n_window as mid,
+           s1 / n_window + 2.0 * sqrt((s2 - cast(n_window as double)
+             * (s1 / n_window) * (s1 / n_window)) / (n_window - 1)) as upper,
+           s1 / n_window - 2.0 * sqrt((s2 - cast(n_window as double)
+             * (s1 / n_window) * (s1 / n_window)) / (n_window - 1)) as lower,
+           (sum_value > s1 / n_window + 2.0 * sqrt((s2
+              - cast(n_window as double) * (s1 / n_window) * (s1 / n_window))
+              / (n_window - 1))
+            or sum_value < s1 / n_window - 2.0 * sqrt((s2
+              - cast(n_window as double) * (s1 / n_window) * (s1 / n_window))
+              / (n_window - 1))) as breach
+    from stats
+    where n_window >= 12
+      and (s2 - cast(n_window as double) * (s1 / n_window) * (s1 / n_window))
+            / (n_window - 1) > 0
+    """,
+)
+def win_bollinger(spark, sf_dir):
+    """W14: Bollinger monitoring bands — the ops-dashboard companion to
+    win_zscore (that key scores raw samples; this one draws the hourly
+    KPI envelope): trailing 24-bucket mean ± 2σ with a breach flag per
+    (entity, hour). Same exactness contract as zscore: the window moments
+    are exact decimal frame-sums (Σv, Σv² over ≤24 rows), then mean/
+    variance/sqrt are element-wise IEEE doubles — identical expression
+    tree in both engines, bit-identical output. Two exchanges, neither
+    raw-sized: the rollup exchange carries map-side-combined hourly
+    partials, the band window re-keys only the (entity, hour) frame
+    (repartitioning raw events to share one exchange would ship MORE
+    bytes — the partial-agg compaction wins). Frame state O(25)."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", bucket_epoch("ts", G_1H).alias("bucket")
+    ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"))
+    d6 = F.col("sum_value").cast("decimal(18,6)")
+    w = (Window.partitionBy("user_id").orderBy(F.asc("bucket"))
+         .rowsBetween(-24, -1))
+    stats = hourly.select(
+        "user_id", "bucket", "sum_value",
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.sum(d6).over(w).cast("double").alias("s1"),
+        F.sum(d6 * d6).over(w).cast("double").alias("s2"),
+    )
+    n = F.col("n_window")
+    mean = F.col("s1") / n
+    var = (F.col("s2") - n.cast("double") * mean * mean) / (n - 1)
+    sd = F.sqrt(var)
+    upper, lower = mean + 2.0 * sd, mean - 2.0 * sd
+    return (
+        stats.filter((n >= 12) & (var > 0))
+        .select(
+            "user_id", "bucket", "sum_value",
+            mean.alias("mid"), upper.alias("upper"), lower.alias("lower"),
+            ((F.col("sum_value") > upper)
+             | (F.col("sum_value") < lower)).alias("breach"),
+        )
+    )
+
+
+#: Benford expected first-digit shares in exact parts-per-million
+#: (log10(1+1/d) rounded to 1e-6; the nine literals sum to exactly
+#: 1_000_000, so conformity math stays in integer space — no libm).
+_BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+                6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+@register(
+    "agg_benford",
+    oracle=f"""
+    with digits as (
+      select l_returnflag,
+             substr(regexp_extract(cast(cast(l_extendedprice as decimal(18,2))
+                                        as varchar), '[1-9]'), 1, 1) as digit
+      from lineitem),
+    obs as (select l_returnflag, digit, count(*) as n_obs
+            from digits group by 1, 2),
+    enriched as (
+      select l_returnflag, digit, n_obs,
+             sum(n_obs) over (partition by l_returnflag) as n_group,
+             case digit {' '.join(f"when '{d}' then {p}" for d, p in _BENFORD_PPM.items())} end as exp_ppm
+      from obs)
+    select l_returnflag, digit, cast(n_obs as bigint) as n_obs,
+           cast(n_group as bigint) as n_group,
+           cast(exp_ppm as bigint) as exp_ppm,
+           cast(abs(n_obs * 1000000 - n_group * exp_ppm) as bigint) as dev_n,
+           cast(sum(abs(n_obs * 1000000 - n_group * exp_ppm))
+                  over (partition by l_returnflag) as bigint) as mad_n
+    from enriched
+    """,
+)
+def agg_benford(spark, sf_dir):
+    """A26: Benford first-digit conformity — the data-quality screen for
+    fabricated or truncated numeric feeds (real transaction amounts
+    follow log10(1+1/d); silent unit rescales and fill-ins don't). Per
+    (group, digit): observed count vs the Benford expectation, deviation
+    and a per-group total deviation (the MAD-statistic numerator). All
+    conformity math is INTEGER: expected shares are exact ppm literals
+    summing to 1e6, deviations are |n_obs·1e6 − n_group·exp_ppm|, and
+    the group rollup is an integer window sum (order-free, so no float
+    accumulation anywhere — the Benford analogue of the surprisal
+    integer-bits trade). First digits come from the DECIMAL string
+    render (both engines print decimal(18,2) identically; a raw double
+    string would not match). One hash-agg + one partition window over a
+    ≤9-rows-per-group frame."""
+    li = load(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.regexp_extract(
+            F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+            "[1-9]", 0),
+        1, 1)
+    obs = (
+        li.select("l_returnflag", digit.alias("digit"))
+        .groupBy("l_returnflag", "digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    wg = Window.partitionBy("l_returnflag")
+    exp_ppm = F.create_map(
+        *[x for d, p in _BENFORD_PPM.items()
+          for x in (F.lit(str(d)), F.lit(p))]
+    )[F.col("digit")]
+    enriched = obs.select(
+        "l_returnflag", "digit", "n_obs",
+        F.sum("n_obs").over(wg).alias("n_group"),
+        exp_ppm.alias("exp_ppm"),
+    )
+    dev = F.abs(F.col("n_obs") * F.lit(1000000).cast("long")
+                - F.col("n_group") * F.col("exp_ppm"))
+    return enriched.select(
+        "l_returnflag", "digit",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("n_group").cast("long").alias("n_group"),
+        F.col("exp_ppm").cast("long").alias("exp_ppm"),
+        dev.cast("long").alias("dev_n"),
+        F.sum(dev).over(wg).cast("long").alias("mad_n"),
+    )
+
+
+@register(
+    "agg_survival",
+    oracle=f"""
+    with e as (select * from {EV}),
+    days as (select user_id, epoch_us(ts) // 86400000000 as day from e),
+    spans as (select user_id, min(day) as first_day, max(day) as last_day
+              from days group by 1),
+    mx as (select max(last_day) as corpus_max from spans),
+    durs as (select user_id, last_day - first_day as t,
+                    (last_day = corpus_max) as censored
+             from spans, mx),
+    tt as (select t,
+                  count(*) filter (where not censored) as d,
+                  count(*) filter (where censored) as c
+           from durs group by 1),
+    tot as (select count(*) as n_users from durs),
+    risk as (select t, d, c,
+                    n_users - coalesce(sum(d + c) over
+                      (order by t asc
+                       rows between unbounded preceding and 1 preceding), 0)
+                      as n_risk
+             from tt, tot)
+    select t as t_days, cast(n_risk as bigint) as n_risk,
+           cast(d as bigint) as d_events, cast(c as bigint) as c_censored,
+           cast(d as double) / n_risk as hazard,
+           list_reduce(
+             list_prepend(cast(1.0 as double),
+               list(cast(1.0 as double) - cast(d as double) / n_risk) over
+                 (order by t asc rows unbounded preceding)),
+             (a, b) -> a * b) as survival
+    from risk
+    """,
+)
+def agg_survival(spark, sf_dir):
+    """A27: Kaplan–Meier survival/retention curve — the churn-analysis
+    estimator (how long do entities stay active?) with right-censoring:
+    an entity still active at the corpus horizon contributes at-risk
+    time but no death. Per duration t: at-risk count, deaths, censored,
+    hazard d/n, and the KM product Π(1 − d/n). The product is an ORDERED
+    left fold over the ascending-t factor list in BOTH engines (Spark:
+    collect_list over an ordered window frame + F.aggregate; DuckDB:
+    windowed list + list_reduce) — same multiply order, bit-identical
+    IEEE doubles, no exp(Σlog) drift. Shape: per-entity span hash-agg
+    (the only data-sized exchange), then every later frame is
+    duration-table-sized — bounded by the retention window in days, NOT
+    by entity count, so the single-partition ordered window at the end
+    is a deliberately bounded driver-side-free fold."""
+    e = load(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day"))
+    spans = days.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day"))
+    mx = spans.groupBy().agg(F.max("last_day").alias("corpus_max"))
+    durs = spans.crossJoin(F.broadcast(mx)).select(
+        (F.col("last_day") - F.col("first_day")).alias("t"),
+        (F.col("last_day") == F.col("corpus_max")).alias("censored"),
+    )
+    tt = durs.groupBy("t").agg(
+        F.count_if(~F.col("censored")).alias("d"),
+        F.count_if(F.col("censored")).alias("c"),
+    )
+    tot = durs.groupBy().agg(F.count(F.lit(1)).alias("n_users"))
+    prev = (Window.orderBy(F.asc("t"))
+            .rowsBetween(Window.unboundedPreceding, -1))
+    upto = (Window.orderBy(F.asc("t"))
+            .rowsBetween(Window.unboundedPreceding, 0))
+    risk = tt.crossJoin(F.broadcast(tot)).select(
+        "t", "d", "c",
+        (F.col("n_users")
+         - F.coalesce(F.sum(F.col("d") + F.col("c")).over(prev),
+                      F.lit(0))).alias("n_risk"),
+    )
+    factor = F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")
+    return risk.select(
+        F.col("t").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        F.col("c").cast("long").alias("c_censored"),
+        (F.col("d").cast("double") / F.col("n_risk")).alias("hazard"),
+        F.aggregate(
+            F.collect_list(factor).over(upto),
+            F.lit(1.0), lambda a, x: a * x).alias("survival"),
+    )
+
+
+@register(
+    "agg_skyline",
+    oracle="""
+    with pairs as (select p_brand, p_size, p_retailprice,
+                          count(*) as n_parts
+                   from part group by 1, 2, 3),
+    flagged as (select *, max(p_size) over
+                  (partition by p_brand
+                   order by p_retailprice asc, p_size desc
+                   rows between unbounded preceding and 1 preceding)
+                  as runmax
+                from pairs)
+    select p_brand, p_size, p_retailprice, cast(n_parts as bigint) as n_parts
+    from flagged
+    where runmax is null or runmax < p_size
+    """,
+)
+def agg_skyline(spark, sf_dir):
+    """A28: 2-D skyline (Pareto frontier) per group — "the parts no
+    other part beats on BOTH price and size": multi-criteria shortlist
+    queries (cheapest-largest, latest-best-quality) that would otherwise
+    be a per-group O(n²) dominance self-join. Single-pass form: after
+    collapsing duplicate (size, price) points, sort each group by
+    (price asc, size desc); a point survives iff the running max of size
+    over STRICTLY-PRECEDING rows is below its own — every preceding row
+    has price ≤ current, so a preceding size ≥ current is a dominator
+    (ties collapse to the distinct pass, making the strict < test
+    exact). One hash-agg + one window — two exchanges, the second
+    carrying only the distinct-point frame; no join, no quadratic
+    term — survives any group size."""
+    p = load(spark, sf_dir, "part")
+    pairs = p.groupBy("p_brand", "p_size", "p_retailprice").agg(
+        F.count(F.lit(1)).alias("n_parts"))
+    w = (Window.partitionBy("p_brand")
+         .orderBy(F.col("p_retailprice").asc(), F.col("p_size").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        pairs.withColumn("runmax", F.max("p_size").over(w))
+        .filter(F.col("runmax").isNull()
+                | (F.col("runmax") < F.col("p_size")))
+        .select("p_brand", "p_size", "p_retailprice",
+                F.col("n_parts").cast("long").alias("n_parts"))
+    )
+
+
+@register(
+    "agg_corr_pairs",
+    oracle=f"""
+    with e as (select * from {EV}),
+    hourly as (select {sql_bucket_epoch('ts', G_1H)} as bucket, event_type,
+                      {sql_dsum('value')} as x
+               from e group by 1, 2),
+    j as (select a.bucket,
+                 a.event_type as type_a, b.event_type as type_b,
+                 cast(a.x as decimal(18,6)) as xa,
+                 cast(b.x as decimal(18,6)) as xb
+          from hourly a join hourly b
+            on a.bucket = b.bucket and a.event_type < b.event_type),
+    moms as (select type_a, type_b, count(*) as n,
+                    -- decimal → varchar → double: DuckDB's direct
+                    -- decimal→double double-rounds (hugeint→double, then
+                    -- ÷10^scale) once the unscaled value tops 2^53; the
+                    -- string route is correctly rounded, matching Spark's
+                    -- BigDecimal.doubleValue exactly
+                    cast(cast(sum(xa) as varchar) as double) as sx,
+                    cast(cast(sum(xb) as varchar) as double) as sy,
+                    cast(cast(sum(xa * xb) as varchar) as double) as sxy,
+                    cast(cast(sum(xa * xa) as varchar) as double) as sxx,
+                    cast(cast(sum(xb * xb) as varchar) as double) as syy
+             from j group by 1, 2)
+    select type_a, type_b, cast(n as bigint) as n_hours,
+           (cast(n as double) * sxy - sx * sy)
+             / (sqrt(cast(n as double) * sxx - sx * sx)
+                * sqrt(cast(n as double) * syy - sy * sy)) as r
+    from moms
+    where cast(n as double) * sxx - sx * sx > 0
+      and cast(n as double) * syy - sy * sy > 0
+    """,
+)
+def agg_corr_pairs(spark, sf_dir):
+    """A29: KPI cross-correlation mining — Pearson r between every pair
+    of counter series on the shared hourly grid (the capacity-planning
+    question "which KPIs move together?"). The zscore/bollinger
+    exactness contract at pair level: hourly sums and the five pair
+    moments (Σx, Σy, Σxy, Σx², Σy²) accumulate in exact decimals, then
+    r is one element-wise IEEE expression — identical tree both engines.
+    Shape: the raw-event exchange happens ONCE (hourly rollup to a
+    buckets×types frame); the pair self-join and moment agg run on that
+    small frame, so pair count never touches event volume. Only the
+    upper triangle (type_a < type_b) is materialized."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        bucket_epoch("ts", G_1H).alias("bucket"), "event_type"
+    ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("x"))
+    a = hourly.select(
+        "bucket", F.col("event_type").alias("type_a"),
+        F.col("x").cast("decimal(18,6)").alias("xa"))
+    b = hourly.select(
+        "bucket", F.col("event_type").alias("type_b"),
+        F.col("x").cast("decimal(18,6)").alias("xb"))
+    j = a.join(b, "bucket").filter(F.col("type_a") < F.col("type_b"))
+    moms = j.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").cast("double").alias("sx"),
+        F.sum("xb").cast("double").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).cast("double").alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).cast("double").alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        moms.filter((vx > 0) & (vy > 0))
+        .select(
+            "type_a", "type_b", F.col("n").cast("long").alias("n_hours"),
+            ((nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.sqrt(vx) * F.sqrt(vy))).alias("r"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
 # The driver samples the FIRST 50 keys of ``queries()`` in dict-insertion
@@ -7162,7 +7736,36 @@ _R06_TAIL = [
     k for k in _R05_PRIORITY + _R03_STALE + _R05_TAIL
     if k not in set(_R06_PRIORITY)
 ]
-_EXPORT_ORDER = _R06_PRIORITY + _R06_TAIL
+
+_R07_PRIORITY = [
+    # Round-7 rotation, same contract (driver samples the FIRST 50
+    # exported keys). Front-load: (a) the 8 brand-new r7 keys, (b) the 6
+    # keys whose code or oracle changed this round (ADVICE fixes:
+    # gap-fill NULL forward-fill, CMS left-join estimate, PID-scoped
+    # fixture scratch for the renderer quartet), (c) the 36 keys with
+    # the stalest green driver rows (26 last green r3, 10 last green
+    # r4 — per the CORRECTNESS_r01–r06 ledger).
+    "llm_tfidf", "llm_collocations", "upsert_scd2_build", "win_bollinger",
+    "agg_benford", "agg_survival", "agg_skyline", "agg_corr_pairs",
+    "win_gap_fill", "agg_heavy_hitters_cms", "scan_csv", "scan_jsonl",
+    "scan_kv", "xml_harvest",
+    "fn_regexp", "fn_string_dn", "fn_variant", "llm_chunk", "llm_concat",
+    "llm_decontaminate", "llm_dedup_groups", "llm_dupe_stats",
+    "llm_hot_ngrams", "llm_keywords", "llm_len_buckets", "llm_mix_weights",
+    "llm_normalize", "llm_overlap", "llm_pack", "llm_redact",
+    "llm_repetition", "llm_sample_stratified", "llm_shard", "llm_split",
+    "llm_vocab", "topk_per_group", "win_cume", "win_delta", "win_latest",
+    "win_pattern",
+    "agg_bitmap_distinct", "agg_entity", "agg_histogram", "agg_hll_rollup",
+    "agg_rollup", "agg_time", "agg_weighted_avg", "fn_date_parts",
+    "fn_ts_align", "join_anti",
+]
+assert len(_R07_PRIORITY) == 50, len(_R07_PRIORITY)
+_R07_TAIL = [
+    k for k in _R06_PRIORITY + _R06_TAIL
+    if k not in set(_R07_PRIORITY)
+]
+_EXPORT_ORDER = _R07_PRIORITY + _R07_TAIL
 
 assert set(_EXPORT_ORDER) == set(QUERIES), (
     sorted(set(_EXPORT_ORDER) ^ set(QUERIES))

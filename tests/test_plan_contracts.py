@@ -85,6 +85,29 @@ CONTRACTS = {
     # lag window + matrix agg; the share window runs on the bounded
     # |types|^2 frame (its exchange carries ≤ the matrix)
     "agg_transitions": (3, None, "Join"),
+    # r7 additions
+    # SCD2 build: explicit repartition(entity) up front — hash(entity)
+    # satisfies the tie window, suppression window and lead window:
+    # ONE exchange end to end
+    "upsert_scd2_build": (1, None, "Join"),
+    # rollup partials + band window on the hourly frame — never raw-sized
+    "win_bollinger": (2, "partial_", "Join"),
+    # distinct-point pass + running-max window; the O(n²) dominance
+    # self-join must never plan
+    "agg_skyline": (2, None, "Join"),
+    # digit hash-agg + ≤9-rows-per-group window — all integer math
+    "agg_benford": (2, "partial_", "Join"),
+    # tf⋈df join shape (AQE-splittable), WindowGroupLimit caps the rank
+    "llm_tfidf": (5, "WindowGroupLimit", "CartesianProduct"),
+    # in-row bigram zip — the positional token self-join must not plan;
+    # exchanges carry bigram/unigram agg frames only
+    "llm_collocations": (6, None, "CartesianProduct"),
+    # raw events exchanged once (hourly rollup); pair join + moments on
+    # the buckets×types frame
+    "agg_corr_pairs": (3, "partial_", "CartesianProduct"),
+    # span hash-agg is the only data-sized exchange; the rest are
+    # duration-table-sized aggs/windows + broadcast 1-row frames
+    "agg_survival": (8, None, "CartesianProduct"),
 }
 
 
