@@ -7606,6 +7606,95 @@ def agg_corr_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "stream_scd2",
+    oracle=f"""
+    with e as (select * from {EV}),
+    hist0 as (select user_id, ts, event_type, row_number() over
+                (partition by user_id, ts order by event_id desc) as rn
+              from e),
+    hist as (select user_id, ts, event_type from hist0 where rn = 1),
+    chg as (select *, lag(event_type) over
+              (partition by user_id order by ts) as prev from hist),
+    scd as (select user_id, ts, event_type from chg
+            where prev is null or prev <> event_type)
+    select user_id, event_type,
+           epoch_us(ts) as valid_from_us,
+           coalesce(epoch_us(lead(ts) over
+             (partition by user_id order by ts)), {OPEN_END_US})
+             as valid_to_us,
+           (lead(ts) over (partition by user_id order by ts)) is null
+             as is_current
+    from scd
+    """,
+)
+def stream_scd2(spark, sf_dir):
+    """T9 (r7): streaming SCD2 maintenance — upsert_scd2_build's
+    streaming twin (the nightly dim-load verb run CONTINUOUSLY): per
+    entity, applyInPandasWithState carries the OPEN interval (current
+    value + start) across micro-batches, emits each closed interval the
+    batch its successor arrives, and re-emits the open interval so the
+    sink converges by max(valid_to) per (entity, valid_from). Harness:
+    the fixture splits into three TIME-RANGE files (one per trigger —
+    in-order arrival is the ingest contract, same as stream_funnel;
+    equal-ts ties never span a cut because the split is on ts). The
+    oracle is upsert_scd2_build's exact batch SQL — full stream/batch
+    parity under the driver's hash. State per entity is ONE (value,
+    start) struct; closed intervals leave the operator immediately, so
+    no history accumulates in the state store
+    (streaming/stateful.py::scd2_intervals)."""
+    import os
+
+    from minerva_etl_46_spark.streaming.stateful import run_scd2
+
+    e = load(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id", "event_type",
+    )
+    src = os.path.join(_scratch(sf_dir, "stream_scd2"), "src")
+    if not os.path.isdir(src):
+        import glob
+        import shutil
+
+        lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+        # bounded-by: two scalars (global min/max) for the batch cuts
+        cut1 = lo + (hi - lo) // 3
+        cut2 = lo + 2 * (hi - lo) // 3
+        staged = src + "_staged"
+        (ev.withColumn(
+            "batch",
+            F.when(F.col("ts_us") <= cut1, 0)
+            .when(F.col("ts_us") <= cut2, 1).otherwise(2))
+         .repartition("batch")
+         .write.partitionBy("batch").mode("overwrite").parquet(staged))
+        os.makedirs(src, exist_ok=True)
+        now = int(__import__("time").time())
+        for b in (0, 1, 2):
+            (part,) = glob.glob(os.path.join(staged, f"batch={b}",
+                                             "part-*.parquet"))
+            dst = os.path.join(src, f"b{b}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (now + b, now + b))
+        shutil.rmtree(staged)
+    updates = run_scd2(
+        spark, src,
+        "user_id long, ts_us long, event_id long, event_type string",
+        name="stream_scd2_out",
+    )
+    return (
+        updates.groupBy("user_id", "valid_from_us")
+        .agg(F.max_by(
+            F.struct("event_type", "valid_to_us", "is_current"),
+            "valid_to_us").alias("s"))
+        .select("user_id", F.col("s.event_type").alias("event_type"),
+                "valid_from_us",
+                F.col("s.valid_to_us").alias("valid_to_us"),
+                F.col("s.is_current").alias("is_current"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -7739,14 +7828,15 @@ _R06_TAIL = [
 
 _R07_PRIORITY = [
     # Round-7 rotation, same contract (driver samples the FIRST 50
-    # exported keys). Front-load: (a) the 8 brand-new r7 keys, (b) the 6
+    # exported keys). Front-load: (a) the 9 brand-new r7 keys, (b) the 6
     # keys whose code or oracle changed this round (ADVICE fixes:
     # gap-fill NULL forward-fill, CMS left-join estimate, PID-scoped
-    # fixture scratch for the renderer quartet), (c) the 36 keys with
-    # the stalest green driver rows (26 last green r3, 10 last green
+    # fixture scratch for the renderer quartet), (c) the 35 keys with
+    # the stalest green driver rows (26 last green r3, 9 last green
     # r4 — per the CORRECTNESS_r01–r06 ledger).
     "llm_tfidf", "llm_collocations", "upsert_scd2_build", "win_bollinger",
     "agg_benford", "agg_survival", "agg_skyline", "agg_corr_pairs",
+    "stream_scd2",
     "win_gap_fill", "agg_heavy_hitters_cms", "scan_csv", "scan_jsonl",
     "scan_kv", "xml_harvest",
     "fn_regexp", "fn_string_dn", "fn_variant", "llm_chunk", "llm_concat",
@@ -7758,7 +7848,7 @@ _R07_PRIORITY = [
     "win_pattern",
     "agg_bitmap_distinct", "agg_entity", "agg_histogram", "agg_hll_rollup",
     "agg_rollup", "agg_time", "agg_weighted_avg", "fn_date_parts",
-    "fn_ts_align", "join_anti",
+    "fn_ts_align",
 ]
 assert len(_R07_PRIORITY) == 50, len(_R07_PRIORITY)
 _R07_TAIL = [

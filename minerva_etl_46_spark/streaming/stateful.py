@@ -255,3 +255,97 @@ def run_funnel(spark: SparkSession, source_dir: str, schema: str,
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# T9 (r7): streaming SCD2 maintenance — upsert_scd2_build's streaming twin
+# ---------------------------------------------------------------------------
+
+SCD2_OUTPUT_SCHEMA = ("user_id long, event_type string, valid_from_us long, "
+                      "valid_to_us long, is_current boolean")
+SCD2_STATE_SCHEMA = "cur_type string, cur_from long"
+
+
+def _scd2_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Per-entity SCD2 walk across micro-batches: state is the OPEN
+    interval (current value + its start); each observed value change
+    emits the closed interval and re-opens. Within a batch, rows sort by
+    (ts, event_id) and collapse to last-per-ts (the batch builder's tie
+    canonicalization); cross-batch the harness/ingest contract delivers
+    time-ranged batches, so an equal-ts tie never spans a boundary and
+    replacement-of-an-emitted-interval can never be needed. Unchanged
+    values are suppressed by the et != cur_type guard — the W4 trick,
+    streamed. Every update call re-emits the open interval (valid_to
+    sentinel −1, is_current) so the sink converges by max(valid_to)
+    per (entity, valid_from)."""
+    (user_id,) = key
+    cur_type, cur_from = state.get if state.exists else (None, -1)
+    out = []
+    frames = [p for p in pdfs]
+    if frames:
+        pdf = pd.concat(frames)
+        pdf = (pdf.sort_values(["ts_us", "event_id"])
+               .drop_duplicates("ts_us", keep="last"))
+        for ts_us, et in zip(pdf["ts_us"], pdf["event_type"]):
+            ts_us = int(ts_us)
+            if cur_type is None:
+                cur_type, cur_from = et, ts_us
+            elif et != cur_type:
+                out.append({
+                    "user_id": user_id, "event_type": cur_type,
+                    "valid_from_us": cur_from, "valid_to_us": ts_us,
+                    "is_current": False,
+                })
+                cur_type, cur_from = et, ts_us
+    state.update((cur_type, cur_from))
+    if cur_type is not None:
+        out.append({
+            "user_id": user_id, "event_type": cur_type,
+            "valid_from_us": cur_from, "valid_to_us": -1,
+            "is_current": True,
+        })
+    yield pd.DataFrame(out)
+
+
+def scd2_intervals(events: DataFrame) -> DataFrame:
+    """Streaming events(user_id, ts_us, event_id, event_type) in →
+    per-batch SCD2 interval emissions out. State is one (value, start)
+    struct per entity — constant size at any scale, partitioned by the
+    grouping key in the state store; closed intervals leave the operator
+    the batch they close, so no history accumulates anywhere."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _scd2_update,
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_scd2(spark: SparkSession, source_dir: str, schema: str,
+             name: str = "stateful_scd2",
+             n_state_partitions: int = 8) -> DataFrame:
+    """Drive scd2_intervals over source_dir (one file per micro-batch)
+    and return the memory-sink table of per-batch emissions. Converge
+    with max-valid_to per (entity, valid_from): a closed interval's row
+    (valid_to > 0) supersedes the open emission (−1) it replaces."""
+    from minerva_etl_46_spark.streaming.jobs import state_partitions
+
+    tune(spark)
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    src = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(source_dir)
+    )
+    out = scd2_intervals(
+        src.select("user_id", "ts_us", "event_id", "event_type"))
+    with state_partitions(spark, n_state_partitions):
+        q = (
+            out.writeStream.outputMode("update").format("memory")
+            .queryName(name).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

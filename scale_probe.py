@@ -571,10 +571,71 @@ def r6b_probe(spark, res, n_events, n_docs):
           QUERIES["join_spatial"](spark, scratch), res)
 
 
+def r7_probe(spark, res, n_events, n_docs):
+    """r7 additions at 200× fixture scale through the REAL registered
+    builders: IR statistics on the 1M-doc corpus (tfidf's tf⋈df join,
+    collocations' in-row bigram zip), the one-exchange SCD2 build /
+     2-exchange Bollinger/corr chains over 20M events with a 5-type mix,
+    Benford over a synthesized 20M-row lineitem, skyline over 10M parts,
+    and the KM fold whose late frames stay duration-table-sized."""
+    import os
+    import tempfile
+
+    from minerva_etl_46_spark.queries import QUERIES
+
+    scratch = os.path.join(tempfile.gettempdir(),
+                           f"r7_probe_{os.getpid()}")
+    (synth_docs(spark, n_docs)
+     .write.mode("overwrite").parquet(f"{scratch}/documents.parquet"))
+    # 5-type event mix so change detection / correlation have structure
+    (synth_events(spark, n_events)
+     .withColumn("event_type",
+                 F.concat(F.lit("t"), (F.xxhash64("event_id") % 5)
+                          .cast("string")))
+     .withColumn("props", F.lit("{}"))
+     .write.mode("overwrite").parquet(f"{scratch}/events.parquet"))
+    timed("llm_tfidf_docs", QUERIES["llm_tfidf"](spark, scratch), res)
+    timed("llm_collocations_docs",
+          QUERIES["llm_collocations"](spark, scratch), res)
+    timed("upsert_scd2_build_events",
+          QUERIES["upsert_scd2_build"](spark, scratch), res)
+    timed("win_bollinger_events",
+          QUERIES["win_bollinger"](spark, scratch), res)
+    timed("agg_corr_pairs_events",
+          QUERIES["agg_corr_pairs"](spark, scratch), res)
+    timed("agg_survival_events",
+          QUERIES["agg_survival"](spark, scratch), res)
+    (spark.range(n_events).select(
+        F.element_at(F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+                     (F.abs(F.xxhash64("id", F.lit(1))) % 3 + 1)
+                     .cast("int")).alias("l_returnflag"),
+        ((F.abs(F.xxhash64("id")) % 99990000) / 100.0 + 0.01)
+        .alias("l_extendedprice"),
+        # loader normalizes this column; constant ok
+        F.timestamp_seconds(F.lit(BASE)).alias("l_shipdate"))
+     .write.mode("overwrite").parquet(f"{scratch}/lineitem.parquet"))
+    timed("agg_benford_lineitem",
+          QUERIES["agg_benford"](spark, scratch), res)
+    (spark.range(max(1_000_000, n_events // 2)).select(
+        F.concat(F.lit("b"), (F.col("id") % 25).cast("string"))
+        .alias("p_brand"),
+        (F.abs(F.xxhash64("id")) % 50 + 1).cast("int").alias("p_size"),
+        ((F.abs(F.xxhash64("id", F.lit(2))) % 200000) / 100.0)
+        .alias("p_retailprice"))
+     .write.mode("overwrite").parquet(f"{scratch}/part.parquet"))
+    timed("agg_skyline_parts", QUERIES["agg_skyline"](spark, scratch), res)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r7":
+        r7_probe(spark, res, n_events=N, n_docs=max(100_000, N // 20))
+        print(json.dumps({"metric": "scale_probe_r7", "rows": N,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r6":
         r6_probe(spark, res, n_events=N, n_docs=max(100_000, N // 20))
         print(json.dumps({"metric": "scale_probe_r6", "rows": N,
