@@ -271,6 +271,19 @@ NOTES = {
                       "pair self-join and five-moment agg run on the "
                       "buckets×types frame — pair count never touches "
                       "event volume.",
+    "agg_weighted_median": "ONE group exchange: ordered cum-window, "
+                           "partition total and the final min share "
+                           "it; the 2·cum ≥ tot decision is exact "
+                           "decimal, no float threshold.",
+    "win_drawdown": "Rollup partials + one entity-keyed window pass "
+                    "(running peak, per-entity max, argmin) — "
+                    "join-free where the oracle self-joins; every "
+                    "gap comparison exact decimal.",
+    "agg_peak_concurrency": "Sweep-line in ONE exchange: +1/−1 "
+                            "endpoint union, integer running sum, "
+                            "peak and first-peak-time all on "
+                            "hash(event_type); frame is 2× events — "
+                            "no interval self-product.",
 }
 
 

@@ -7607,6 +7607,252 @@ def agg_corr_pairs(spark, sf_dir):
 
 
 @register(
+    "agg_weighted_median",
+    oracle="""
+    with w as (
+      select l_returnflag, l_extendedprice,
+             cast(l_quantity as decimal(18,4)) as q
+      from lineitem),
+    c as (select l_returnflag, l_extendedprice, q,
+                 sum(q) over (partition by l_returnflag
+                              order by l_extendedprice asc
+                              rows unbounded preceding) as cum,
+                 sum(q) over (partition by l_returnflag) as tot
+          from w)
+    select l_returnflag,
+           min(l_extendedprice) as wmedian_price,
+           cast(cast(min(tot) as varchar) as double) as total_weight
+    from c
+    where 2 * cum >= tot
+    group by 1
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """A32: weighted median — the robust center for sample-weighted KPIs
+    (a cell reporting 10× the samples should pull the fleet median 10×
+    harder; the unweighted A9b percentile ignores that). Lower weighted
+    median: the smallest value whose cumulative weight reaches half the
+    total. All decision math is EXACT decimal (cumulative and total
+    weight sums, integer-scaled comparison 2·cum ≥ tot — no float
+    threshold anywhere), so the picked value is engine-identical even
+    when the half-weight point lands inside a run of equal values. One
+    exchange: the ordered cum-window, the partition total and the final
+    group-min all share the group hash. The oracle's total_weight
+    converts decimal→varchar→double (correctly rounded, matching
+    Spark's BigDecimal path — the agg_corr_pairs note)."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,4)")
+    wo = (Window.partitionBy("l_returnflag")
+          .orderBy(F.asc("l_extendedprice"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wp = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.sum(q).over(wo).alias("cum"),
+        F.sum(q).over(wp).alias("tot"),
+    )
+    return (
+        c.filter(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("wmedian_price"),
+            F.min("tot").cast("double").alias("total_weight"),
+        )
+    )
+
+
+@register(
+    "win_drawdown",
+    oracle=f"""
+    with e as (select * from {EV}),
+    hourly as (select user_id, {sql_bucket_epoch('ts', G_1H)} as bucket,
+                      sum(cast(value as decimal(38,4))) as v
+               from e group by 1, 2),
+    dd as (select user_id, bucket, v,
+                  max(v) over (partition by user_id order by bucket asc
+                               rows unbounded preceding) as peak
+           from hourly),
+    mx as (select user_id,
+                  max(peak - v) as max_dd
+           from dd group by 1)
+    select d.user_id,
+           cast(cast(m.max_dd as varchar) as double) as max_drawdown,
+           min(d.bucket) as at_bucket
+    from dd d join mx m
+      on d.user_id = m.user_id and d.peak - d.v = m.max_dd
+    group by d.user_id, m.max_dd
+    """,
+)
+def win_drawdown(spark, sf_dir):
+    """W24: maximum drawdown — the capacity/finance "worst dip from the
+    running peak" metric per entity (how far did throughput fall below
+    its best before recovering?), with the earliest hour it happened.
+    Exactness: hourly sums, the running peak and every peak−v gap stay
+    DECIMAL through the whole decision (drawdown equality in the argmin
+    filter is exact, never a float ==); only the reported magnitude
+    converts to double at the end. Two exchanges, neither raw-sized
+    (the bollinger trade: the rollup exchange carries map-side-combined
+    hourly partials; then the running-peak window, per-entity max and
+    argmin all share the second, hourly-frame-sized hash(entity)) — the
+    oracle mirrors with a self-join, the plan does it join-free via a
+    second window on the same key."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", bucket_epoch("ts", G_1H).alias("bucket")
+    ).agg(F.sum(F.col("value").cast(DEC)).alias("v"))
+    wo = (Window.partitionBy("user_id").orderBy(F.asc("bucket"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wp = Window.partitionBy("user_id")
+    dd = hourly.select(
+        "user_id", "bucket", "v",
+        (F.max("v").over(wo) - F.col("v")).alias("gap"),
+    ).withColumn("max_dd", F.max("gap").over(wp))
+    return (
+        dd.filter(F.col("gap") == F.col("max_dd"))
+        .groupBy("user_id")
+        .agg(
+            F.min("max_dd").cast("double").alias("max_drawdown"),
+            F.min("bucket").alias("at_bucket"),
+        )
+    )
+
+
+@register(
+    "agg_peak_concurrency",
+    oracle=f"""
+    with e as (select * from {EV}),
+    pts as (
+      select event_type, epoch_us(ts) as t, 1 as delta from e
+      union all
+      select event_type, epoch_us(ts) + 300000000 as t, -1 as delta from e),
+    run as (select event_type, t, delta,
+                   sum(delta) over (partition by event_type
+                                    order by t asc, delta asc
+                                    rows unbounded preceding) as n
+            from pts),
+    pk as (select event_type, t, n,
+                  max(n) over (partition by event_type) as peak
+           from run)
+    select event_type, cast(min(peak) as bigint) as peak,
+           min(t) filter (where n = peak) as at_us
+    from pk
+    group by 1
+    """,
+)
+def agg_peak_concurrency(spark, sf_dir):
+    """A33: peak concurrency — the Erlang/licensing question ("how many
+    sessions were live AT ONCE, and when first?") over implied activity
+    intervals [ts, ts+300 s). Sweep-line as pure SQL: +1/−1 endpoint
+    union → ordered running sum → max, all integers. The (t, delta asc)
+    order puts departures before arrivals at the same instant, so a
+    half-open interval ending exactly when another starts never
+    double-counts — the tie rule IS the interval semantics, pinned in
+    both engines. Tie-robust by construction: within an equal-(t,delta)
+    run the intermediate sums depend on arbitrary row order, but the
+    SET of values produced is the same, the run's extreme sits at its
+    deterministic end, and every value equal to the global peak shares
+    the same t — so peak and first-peak-time are engine-identical. ONE
+    exchange: running-sum window, peak window and final agg all share
+    hash(event_type). At 100 TB the frame is 2× events — linear, no
+    join, no interval self-product."""
+    e = load(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    pts = (
+        e.select("event_type", ts_us.alias("t"), F.lit(1).alias("delta"))
+        .unionByName(
+            e.select("event_type",
+                     (ts_us + F.lit(300_000_000)).alias("t"),
+                     F.lit(-1).alias("delta")))
+    )
+    wo = (Window.partitionBy("event_type")
+          .orderBy(F.asc("t"), F.asc("delta"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wp = Window.partitionBy("event_type")
+    run = pts.select(
+        "event_type", "t", "delta",
+        F.sum("delta").over(wo).alias("n"),
+    ).withColumn("peak", F.max("n").over(wp))
+    return run.groupBy("event_type").agg(
+        F.min("peak").cast("long").alias("peak"),
+        F.min(F.when(F.col("n") == F.col("peak"), F.col("t")))
+        .alias("at_us"),
+    )
+
+
+@register(
+    "join_fuzzy",
+    oracle="""
+    with dim as (select p_partkey, p_name from part),
+    probes as (
+      select p_partkey + 1000000 as probe_id,
+             case when p_partkey % 2 = 0
+                  then substr(p_name, 1, length(p_name) - 3)
+                       || substr(p_name, length(p_name) - 1)
+                  else substr(p_name, 1, length(p_name) - 3) || 'x'
+                       || substr(p_name, length(p_name) - 1)
+             end as probe_name
+      from part where p_partkey % 5 = 0),
+    cand as (select pr.probe_id, pr.probe_name, d.p_partkey, d.p_name,
+                    levenshtein(pr.probe_name, d.p_name) as lev
+             from probes pr join dim d
+               on substr(pr.probe_name, 1, 4) = substr(d.p_name, 1, 4)
+             where levenshtein(pr.probe_name, d.p_name) <= 2),
+    ranked as (select *, row_number() over
+                 (partition by probe_id
+                  order by lev asc, p_partkey asc) as rn
+               from cand)
+    select probe_id, probe_name, p_partkey, p_name,
+           cast(lev as bigint) as lev
+    from ranked where rn = 1
+    """,
+)
+def join_fuzzy(spark, sf_dir):
+    """J12: fuzzy string join (entity resolution) — match possibly
+    corrupted external names to a dimension without an O(n·m) distance
+    matrix: equi-join on a 4-char prefix BLOCK (AQE-splittable like any
+    hot-key join), exact levenshtein ≤ 2 verify inside blocks only,
+    best match per probe by (distance, key). The probe set is a
+    deterministic corruption of every 5th part name (one char deleted
+    or substituted near the END, so the blocking key survives — the
+    production caveat is stated honestly: a corruption inside the block
+    key is a blocking miss, mitigated by multi-key blocking).
+    Levenshtein is the classic DP distance in both engines — the value
+    hash proves the two implementations agree on every pair. 100 TB:
+    work = Σ block² verify pairs, never |probes|×|dim|; the rank cap
+    rewrites to WindowGroupLimit."""
+    p = load(spark, sf_dir, "part")
+    dim = p.select("p_partkey", "p_name")
+    nm = F.col("p_name")
+    ln = F.length(nm)
+    head = F.substring(nm, F.lit(1), ln - 3)
+    tail = nm.substr(ln - 1, F.lit(1000))
+    probes = (
+        p.filter(F.col("p_partkey") % 5 == 0)
+        .select(
+            (F.col("p_partkey") + 1000000).alias("probe_id"),
+            F.when(F.col("p_partkey") % 2 == 0, F.concat(head, tail))
+            .otherwise(F.concat(head, F.lit("x"), tail))
+            .alias("probe_name"),
+        )
+    )
+    cand = (
+        probes.join(
+            dim,
+            F.substring("probe_name", 1, 4) == F.substring("p_name", 1, 4))
+        .withColumn("lev", F.levenshtein("probe_name", "p_name"))
+        .filter(F.col("lev") <= 2)
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("lev").asc(), F.col("p_partkey").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", "probe_name", "p_partkey", "p_name",
+                F.col("lev").cast("long").alias("lev"))
+    )
+
+
+@register(
     "stream_scd2",
     oracle=f"""
     with e as (select * from {EV}),
@@ -7828,15 +8074,16 @@ _R06_TAIL = [
 
 _R07_PRIORITY = [
     # Round-7 rotation, same contract (driver samples the FIRST 50
-    # exported keys). Front-load: (a) the 9 brand-new r7 keys, (b) the 6
-    # keys whose code or oracle changed this round (ADVICE fixes:
+    # exported keys). Front-load: (a) the 13 brand-new r7 keys, (b) the
+    # 6 keys whose code or oracle changed this round (ADVICE fixes:
     # gap-fill NULL forward-fill, CMS left-join estimate, PID-scoped
-    # fixture scratch for the renderer quartet), (c) the 35 keys with
-    # the stalest green driver rows (26 last green r3, 9 last green
+    # fixture scratch for the renderer quartet), (c) the 31 keys with
+    # the stalest green driver rows (26 last green r3, 5 last green
     # r4 — per the CORRECTNESS_r01–r06 ledger).
     "llm_tfidf", "llm_collocations", "upsert_scd2_build", "win_bollinger",
     "agg_benford", "agg_survival", "agg_skyline", "agg_corr_pairs",
-    "stream_scd2",
+    "stream_scd2", "agg_weighted_median", "win_drawdown",
+    "agg_peak_concurrency", "join_fuzzy",
     "win_gap_fill", "agg_heavy_hitters_cms", "scan_csv", "scan_jsonl",
     "scan_kv", "xml_harvest",
     "fn_regexp", "fn_string_dn", "fn_variant", "llm_chunk", "llm_concat",
@@ -7847,8 +8094,7 @@ _R07_PRIORITY = [
     "llm_vocab", "topk_per_group", "win_cume", "win_delta", "win_latest",
     "win_pattern",
     "agg_bitmap_distinct", "agg_entity", "agg_histogram", "agg_hll_rollup",
-    "agg_rollup", "agg_time", "agg_weighted_avg", "fn_date_parts",
-    "fn_ts_align",
+    "agg_rollup",
 ]
 assert len(_R07_PRIORITY) == 50, len(_R07_PRIORITY)
 _R07_TAIL = [

@@ -624,6 +624,22 @@ def r7_probe(spark, res, n_events, n_docs):
         .alias("p_retailprice"))
      .write.mode("overwrite").parquet(f"{scratch}/part.parquet"))
     timed("agg_skyline_parts", QUERIES["agg_skyline"](spark, scratch), res)
+    # batch-2 r7 keys: weighted median over the synthetic lineitem
+    # (needs l_quantity), drawdown + peak concurrency over events
+    import pyspark.sql.functions as _F
+    (spark.read.parquet(f"{scratch}/lineitem.parquet")
+     .withColumn("l_quantity",
+                 (_F.abs(_F.xxhash64("l_extendedprice")) % 50 + 1)
+                 .cast("double"))
+     .write.mode("overwrite").parquet(f"{scratch}/lineitem2.parquet"))
+    import shutil as _sh
+    _sh.rmtree(f"{scratch}/lineitem.parquet")
+    _sh.move(f"{scratch}/lineitem2.parquet", f"{scratch}/lineitem.parquet")
+    timed("agg_weighted_median_lineitem",
+          QUERIES["agg_weighted_median"](spark, scratch), res)
+    timed("win_drawdown_events", QUERIES["win_drawdown"](spark, scratch), res)
+    timed("agg_peak_concurrency_events",
+          QUERIES["agg_peak_concurrency"](spark, scratch), res)
 
 
 def main():

@@ -108,6 +108,17 @@ CONTRACTS = {
     # span hash-agg is the only data-sized exchange; the rest are
     # duration-table-sized aggs/windows + broadcast 1-row frames
     "agg_survival": (8, None, "CartesianProduct"),
+    # ONE group exchange: ordered cum-window, partition total and final
+    # min share it; decision math all-decimal
+    "agg_weighted_median": (1, None, "Join"),
+    # rollup partials + entity window (the bollinger shape); the
+    # argmin is a second window, never the oracle's self-join
+    "win_drawdown": (2, "partial_", "Join"),
+    # sweep-line: endpoint union + running-sum/peak windows + agg all
+    # share hash(event_type) — one exchange, linear in events
+    "agg_peak_concurrency": (1, None, "Join"),
+    # block equi-join (never a cross product) + WindowGroupLimit cap
+    "join_fuzzy": (4, "WindowGroupLimit", "CartesianProduct"),
 }
 
 

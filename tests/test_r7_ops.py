@@ -252,3 +252,240 @@ def test_bollinger_bands_recompute(spark):
         assert r.lower == pytest.approx(mean - 2 * sd, rel=1e-9)
         assert r.breach == (r.sum_value > r.upper
                             or r.sum_value < r.lower)
+
+
+def test_weighted_median_matches_python(spark):
+    rows = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+    )  # bounded-by: sf0.001 lineitem
+    by_flag: dict = {}
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, []).append(
+            (r.l_extendedprice, r.l_quantity))
+    exp = {}
+    for flag, vals in by_flag.items():
+        vals.sort()
+        tot = sum(q for _, q in vals)
+        cum = 0.0
+        for price, q in vals:
+            cum += q
+            if 2 * cum >= tot:
+                exp[flag] = (price, tot)
+                break
+    got = {r.l_returnflag: (r.wmedian_price, r.total_weight)
+           for r in QUERIES["agg_weighted_median"](spark, SF).collect()}
+    assert set(got) == set(exp)
+    for flag, (price, tot) in exp.items():
+        assert got[flag][0] == price, flag
+        assert got[flag][1] == pytest.approx(tot, rel=1e-9), flag
+
+
+def test_drawdown_matches_python(spark):
+    hourly = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(
+            "user_id",
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+            .alias("h"),
+            "value")
+        .groupBy("user_id", "h")
+        .agg(F.sum(F.col("value").cast("decimal(38,4)"))
+             .cast("double").alias("v"))
+        .collect()
+    )
+    series: dict = {}
+    for r in hourly:
+        series.setdefault(r.user_id, []).append((r.h * 3600, r.v))
+    exp = {}
+    for uid, pts in series.items():
+        pts.sort()
+        peak, best, best_at = float("-inf"), float("-inf"), None
+        for bucket, v in pts:
+            peak = max(peak, v)
+            gap = peak - v
+            if gap > best:
+                best, best_at = gap, bucket
+        exp[uid] = (best, best_at)
+    got = {r.user_id: (r.max_drawdown, r.at_bucket)
+           for r in QUERIES["win_drawdown"](spark, SF).collect()}
+    assert set(got) == set(exp)
+    for uid, (dd, at) in exp.items():
+        assert got[uid][0] == pytest.approx(dd, rel=1e-9), uid
+        assert got[uid][1] == at, uid
+        assert got[uid][0] >= 0
+
+
+def test_peak_concurrency_matches_sweep(spark):
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type",
+                F.expr("unix_micros(cast(ts as timestamp))").alias("t"))
+        .collect()
+    )
+    pts: dict = {}
+    for r in rows:
+        pts.setdefault(r.event_type, []).append((r.t, 1))
+        pts[r.event_type].append((r.t + 300_000_000, -1))
+    exp = {}
+    for et, ps in pts.items():
+        ps.sort()  # (t, delta): -1 sorts before +1 at equal t
+        run, peak, at = 0, float("-inf"), None
+        for t, d in ps:
+            run += d
+            if run > peak:
+                peak, at = run, t
+        exp[et] = (peak, at)
+    got = {r.event_type: (r.peak, r.at_us)
+           for r in QUERIES["agg_peak_concurrency"](spark, SF).collect()}
+    assert got == exp
+    # sanity: every interval alone gives ≥1, peak ≥ 1
+    assert all(p >= 1 for p, _ in got.values())
+
+
+@pytest.fixture(scope="module")
+def tie_sf_dir(tmp_path_factory):
+    """Adversarial fixture for the r7 tie rules: a weighted-median group
+    whose half-weight threshold lands INSIDE a run of equal values, and
+    a concurrency stream where one interval ends at the exact instant
+    another starts (the half-open boundary)."""
+    import os
+    import shutil
+
+    import duckdb
+
+    d = tmp_path_factory.mktemp("tie_sf")
+    con = duckdb.connect()
+    # flag X: values 1,1,1,2 weights 1 each → cum hits 2/4 inside the
+    #   run of 1s → wmedian must be 1 in BOTH engines regardless of
+    #   which equal-value row crosses the threshold
+    # flag Y: single row (degenerate)
+    con.execute(f"""
+        copy (
+          select t.*, timestamp '2024-01-01 00:00:00' as l_shipdate
+          from (values
+            ('X', 1.0, 1.0), ('X', 1.0, 1.0), ('X', 1.0, 1.0),
+            ('X', 2.0, 1.0), ('Y', 7.5, 3.0)
+          ) t(l_returnflag, l_extendedprice, l_quantity)
+        ) to '{d}/lineitem.parquet' (format parquet)
+    """)
+    # events: user 1 emits at t0 and t0+300s exactly (end == next start:
+    # the -1 sorts before the +1 at that instant → peak must stay 1);
+    # user 2 overlaps for real (peak 2). A third type 'c' nests 3 deep.
+    con.execute(f"""
+        copy (
+          select * from (values
+            (1, timestamp '2024-01-01 00:00:00', 1, 'a', 1.0, '{{}}'),
+            (2, timestamp '2024-01-01 00:05:00', 1, 'a', 1.0, '{{}}'),
+            (3, timestamp '2024-01-01 00:00:00', 2, 'b', 1.0, '{{}}'),
+            (4, timestamp '2024-01-01 00:02:00', 2, 'b', 1.0, '{{}}'),
+            (5, timestamp '2024-01-01 00:00:00', 3, 'c', 1.0, '{{}}'),
+            (6, timestamp '2024-01-01 00:01:00', 3, 'c', 1.0, '{{}}'),
+            (7, timestamp '2024-01-01 00:02:00', 3, 'c', 1.0, '{{}}')
+          ) t(event_id, ts, user_id, event_type, value, props)
+        ) to '{d}/events.parquet' (format parquet)
+    """)
+    con.close()
+    from tests.conftest import SF_SMOKE
+
+    for f in os.listdir(SF_SMOKE):
+        if f.endswith(".parquet") and f not in ("lineitem.parquet",
+                                                "events.parquet"):
+            os.symlink(os.path.join(SF_SMOKE, f), os.path.join(d, f))
+    yield str(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_weighted_median_threshold_inside_equal_run(spark, tie_sf_dir):
+    from __spark_entry__ import oracle_sql
+
+    from tests.parity import compare, duck_connection
+
+    got = {r.l_returnflag: r.wmedian_price
+           for r in QUERIES["agg_weighted_median"](
+               spark, tie_sf_dir).collect()}
+    assert got == {"X": 1.0, "Y": 7.5}
+    con = duck_connection(tie_sf_dir)
+    try:
+        du = con.execute(oracle_sql()["agg_weighted_median"]).df()
+    finally:
+        con.close()
+    sp = QUERIES["agg_weighted_median"](spark, tie_sf_dir).toPandas()
+    assert not compare(sp, du, "agg_weighted_median[tie]")
+
+
+def test_peak_concurrency_half_open_boundary(spark, tie_sf_dir):
+    from __spark_entry__ import oracle_sql
+
+    from tests.parity import compare, duck_connection
+
+    got = {r.event_type: (r.peak, r.at_us)
+           for r in QUERIES["agg_peak_concurrency"](
+               spark, tie_sf_dir).collect()}
+    base = 1704067200 * 1_000_000
+    # 'a': second interval starts the µs the first ends → never 2 live
+    assert got["a"][0] == 1 and got["a"][1] == base
+    # 'b': genuine overlap at +2min → 2
+    assert got["b"] == (2, base + 120_000_000)
+    # 'c': three nested → 3 at +2min
+    assert got["c"] == (3, base + 120_000_000)
+    con = duck_connection(tie_sf_dir)
+    try:
+        du = con.execute(oracle_sql()["agg_peak_concurrency"]).df()
+    finally:
+        con.close()
+    sp = QUERIES["agg_peak_concurrency"](spark, tie_sf_dir).toPandas()
+    assert not compare(sp, du, "agg_peak_concurrency[boundary]")
+
+
+def test_drawdown_monotone_series_is_zero(spark, tie_sf_dir):
+    """user 1/2/3 series here are single-window or rising — max drawdown
+    must be exactly 0.0 with at_bucket = the first bucket."""
+    rows = QUERIES["win_drawdown"](spark, tie_sf_dir).collect()
+    for r in rows:
+        assert r.max_drawdown == 0.0, r
+
+
+def test_fuzzy_join_matches_brute_force(spark):
+    """Best match per probe recomputed with Python's full O(n·m)
+    levenshtein over ALL dim rows (no blocking) — proves the block
+    key never cost a better in-block match on this corpus, and that
+    every probe whose true best is ≤2 appears."""
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    parts = (
+        spark.read.parquet(f"{SF}/part.parquet")
+        .select("p_partkey", "p_name").collect()
+    )  # bounded-by: 200-row part dimension at sf0.001
+    dim = [(r.p_partkey, r.p_name) for r in parts]
+    exp = {}
+    for k, name in dim:
+        if k % 5 != 0:
+            continue
+        pos = len(name) - 2
+        if k % 2 == 0:
+            probe = name[:pos - 1] + name[pos:]
+        else:
+            probe = name[:pos - 1] + "x" + name[pos:]
+        best = min(((lev(probe, n), pk) for pk, n in dim
+                    if n[:4] == probe[:4]), default=None)
+        if best and best[0] <= 2:
+            exp[k + 1000000] = (best[1], best[0])
+        # blocking recall check: the unblocked best is never better
+        # than the in-block best on this corpus (corruption at the end)
+        full = min((lev(probe, n), pk) for pk, n in dim)
+        assert best is not None and full[0] == best[0], k
+
+    got = {r.probe_id: (r.p_partkey, r.lev)
+           for r in QUERIES["join_fuzzy"](spark, SF).collect()}
+    assert got == exp
