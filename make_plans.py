@@ -284,6 +284,10 @@ NOTES = {
                             "peak and first-peak-time all on "
                             "hash(event_type); frame is 2× events — "
                             "no interval self-product.",
+    "join_fuzzy": "Block equi-join on the 4-char prefix (never a "
+                  "cross product) → levenshtein verify INSIDE blocks "
+                  "→ WindowGroupLimit best-match cap; work is "
+                  "Σ block² pairs, never probes×dim.",
 }
 
 
