@@ -7941,6 +7941,278 @@ def stream_scd2(spark, sf_dir):
     )
 
 
+@register(
+    "agg_basket_pairs",
+    oracle="""
+    with items as (select distinct l_orderkey, l_partkey from lineitem),
+    ic as (select l_partkey, count(*) as c from items group by 1),
+    n as (select count(distinct l_orderkey) as n_orders from items),
+    pairs as (select a.l_partkey as p1, b.l_partkey as p2,
+                     count(*) as pair_cnt
+              from items a join items b
+                on a.l_orderkey = b.l_orderkey
+               and a.l_partkey < b.l_partkey
+              group by 1, 2)
+    select p.p1, p.p2, cast(p.pair_cnt as bigint) as pair_cnt,
+           cast(c1.c as bigint) as c1, cast(c2.c as bigint) as c2,
+           cast(p.pair_cnt * n.n_orders as double)
+             / cast(c1.c * c2.c as double) as lift
+    from pairs p
+    join ic c1 on p.p1 = c1.l_partkey
+    join ic c2 on p.p2 = c2.l_partkey, n
+    where p.pair_cnt >= 2
+    """,
+)
+def agg_basket_pairs(spark, sf_dir):
+    """A34: market-basket pair affinity — which parts co-occur in the
+    same order more than independence predicts (the cross-sell / bundle
+    report). Support = co-occurrence count, lift = N·c12/(c1·c2): all
+    counts are exact integers, the integer products multiply BEFORE the
+    single element-wise IEEE division, so lift is engine-identical.
+    Shape: distinct (order, part) pass, then the pair generation is a
+    SELF-JOIN ON THE ORDER KEY — work is Σ basket² per order (baskets
+    are bounded by order size, typically ≤ tens), never |parts|², and
+    the cross product of the item catalog never materializes. Item
+    counts and the 1-row order total broadcast onto the pair frame.
+    Support floor (pair_cnt ≥ 2) bounds the output; dropped singleton
+    pairs are the long tail by construction, not a silent cap."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    ic = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    n = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 2)
+    )
+    c1 = ic.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))
+    c2 = ic.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(F.broadcast(c1), "p1")
+        .join(F.broadcast(c2), "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1", "p2",
+            F.col("pair_cnt").cast("long").alias("pair_cnt"),
+            F.col("c1").cast("long").alias("c1"),
+            F.col("c2").cast("long").alias("c2"),
+            ((F.col("pair_cnt") * F.col("n_orders")).cast("double")
+             / (F.col("c1") * F.col("c2")).cast("double")).alias("lift"),
+        )
+    )
+
+
+@register(
+    "agg_paths",
+    oracle=f"""
+    with e as (select * from {EV}),
+    p as (select event_type as e1,
+                 lead(event_type, 1) over w as e2,
+                 lead(event_type, 2) over w as e3
+          from e
+          window w as (partition by user_id order by ts asc, event_id asc)),
+    t as (select e1, e2, e3, count(*) as cnt from p
+          where e3 is not null group by 1, 2, 3),
+    tot as (select sum(cnt) as total from t)
+    select e1, e2, e3, cast(cnt as bigint) as cnt,
+           cast(cnt as double) / total as share
+    from t, tot
+    """,
+)
+def agg_paths(spark, sf_dir):
+    """A35: sequential path mining — the 3-step behavioral patterns
+    ("view→add→buy") counted across every user's event stream; the
+    n-step extension of the agg_transitions bigram matrix. Trigrams
+    come from TWO LEADS over the per-user ordered stream (ts, event_id
+    tie-break pinned both engines) — in-stream, never a positional
+    self-join. Counts are exact integers; share is one element-wise
+    IEEE division by the broadcast 1-row total. Shape at 100 TB: one
+    hash(user) exchange for the window (per-user partitions must fit
+    the sort buffer — the standard window bound), then the trigram agg
+    exchange carries |types|³ rows at most."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id"))
+    p = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    t = p.groupBy("e1", "e2", "e3").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = t.agg(F.sum("cnt").alias("total"))
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "e1", "e2", "e3",
+            F.col("cnt").cast("long").alias("cnt"),
+            (F.col("cnt").cast("double") / F.col("total")).alias("share"),
+        )
+    )
+
+
+@register(
+    "win_rolling_median",
+    oracle=f"""
+    with e as (select * from {EV}),
+    hourly as (select user_id, {sql_bucket_epoch('ts', G_1H)} as bucket,
+                      sum(cast(value as decimal(38,4))) as v
+               from e group by 1, 2),
+    r as (select user_id, bucket, v,
+                 list(v) over (partition by user_id order by bucket asc
+                               rows between 4 preceding and current row)
+                   as win
+          from hourly)
+    select user_id, bucket,
+           cast(cast(v as varchar) as double) as v,
+           cast(cast(list_sort(win)[(len(win) + 1) // 2] as varchar)
+                as double) as rmed,
+           cast(len(win) as bigint) as n_window
+    from r
+    """,
+)
+def win_rolling_median(spark, sf_dir):
+    """W25: trailing rolling median — the robust moving-center beside
+    win_moving_avg's mean (one spike drags a 5-bucket mean by a fifth
+    of itself; the median ignores it entirely). Lower median over the
+    trailing 5 hourly buckets: collect the frame (O(5) state), sort,
+    take element (n+1) div 2 — the LOWER-median tie rule is pinned in
+    both engines (no two-middle averaging, so no division rounding).
+    Every compared value is an exact decimal hourly sum; doubles appear
+    only in the output cast (varchar-mediated in the oracle, the
+    agg_corr_pairs correctly-rounded-cast note). Shape: hourly rollup
+    exchange, then the frame window rides hash(user) — two exchanges,
+    the second hourly-frame-sized; window state is the 5-element list,
+    independent of partition length."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", bucket_epoch("ts", G_1H).alias("bucket")
+    ).agg(F.sum(F.col("value").cast("decimal(38,4)")).alias("v"))
+    w = (Window.partitionBy("user_id").orderBy(F.asc("bucket"))
+         .rowsBetween(-4, 0))
+    r = hourly.select(
+        "user_id", "bucket", "v",
+        F.array_sort(F.collect_list("v").over(w)).alias("win"),
+    )
+    return r.select(
+        "user_id", "bucket",
+        F.col("v").cast("double").alias("v"),
+        F.expr(
+            "element_at(win, cast((size(win) + 1) div 2 as int))"
+        ).cast("double").alias("rmed"),
+        F.size("win").cast("long").alias("n_window"),
+    )
+
+
+@register(
+    "agg_entropy",
+    oracle=f"""
+    with e as (select * from {EV}),
+    c as (select user_id, event_type, count(*) as cnt from e group by 1, 2),
+    t as (select *, sum(cnt) over (partition by user_id) as total from c),
+    b as (select user_id, cnt, total,
+                 length(bin(total)) - length(bin(cnt)) as bits
+          from t)
+    select user_id,
+           cast(min(total) as bigint) as n_events,
+           cast(count(*) as bigint) as n_types,
+           cast(sum(cnt * bits) as bigint) as sum_bits,
+           cast(sum(cnt * bits) as double) / min(total) as entropy_bits
+    from b group by 1
+    """,
+)
+def agg_entropy(spark, sf_dir):
+    """A38: behavioral entropy — how spread a user's activity is across
+    event types (bots concentrate, humans spread; the diversity screen
+    beside agg_gini's concentration index). Shannon entropy in the
+    INTEGER-BITS form (the llm_surprisal trade): per-type surprisal is
+    ``len(bin(total)) - len(bin(cnt))`` = floor-log2(total)−floor-log2(cnt)
+    (±1 bit of −log2 p), so the per-user score is an exact integer sum
+    with ONE final IEEE division — zero libm, engine-identical. Plan:
+    ONE exchange end-to-end — repartition(user) up front satisfies the
+    (user, type) hash-agg (hash(user) clusters (user, type)), the
+    per-user total window, and the final per-user rollup."""
+    e = load(spark, sf_dir, "events")
+    c = (
+        e.repartition("user_id")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t = c.withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("user_id")))
+    bits = F.length(F.bin("total")) - F.length(F.bin("cnt"))
+    b = t.select("user_id", "cnt", "total", bits.alias("bits"))
+    return b.groupBy("user_id").agg(
+        F.min("total").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("cnt") * F.col("bits")).cast("long").alias("sum_bits"),
+        (F.sum(F.col("cnt") * F.col("bits")).cast("double")
+         / F.min("total")).alias("entropy_bits"),
+    )
+
+
+@register(
+    "agg_gaps",
+    oracle="""
+    with k as (select o_orderkey as k from orders
+               where o_orderstatus = 'F'),
+    n as (select k, lead(k) over (order by k asc) as nk from k)
+    select k + 1 as gap_start, nk - 1 as gap_end,
+           cast(nk - k - 1 as bigint) as gap_len
+    from n where nk > k + 1
+    """,
+)
+def agg_gaps(spark, sf_dir):
+    """A39: key-sequence gap detection — the data-quality question "which
+    order numbers are missing?" (lost ingest batches show up as key
+    ranges with no rows). The oracle is the textbook single global
+    lead() — which at 100 TB would funnel every key through ONE window
+    task. The plan is the TWO-LEVEL decomposition that produces the
+    identical answer without a global sort: (1) bucket keys by
+    ``key div 4096``; in-bucket gaps via lead() partitioned by bucket
+    (hash-parallel); (2) per-bucket (min, max) — a frame with one row
+    per OCCUPIED bucket, keyspace/4096 rows — walked with one tiny
+    global lag() to emit cross-bucket gaps (runs of wholly-empty
+    buckets collapse into their flanking occupied buckets' gap).
+    Union ≡ global-lead gaps exactly, because keys are unique
+    (o_orderkey is the PK — the stated precondition). Level-1 window
+    and level-2 rollup share the hash(bucket) exchange. The probed
+    keyspace is the FINALIZED ('F') order subset — the fixture's full
+    keyspace is dense, so the status filter is what gives the detector
+    real gaps to find (≈⅔ of keys missing, in runs)."""
+    o = load(spark, sf_dir, "orders")
+    k = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("k"),
+        # integer div, not /-then-cast: exact above 2^53 too
+        F.expr("o_orderkey div 4096").alias("b"))
+    k = k.repartition("b")
+    wb = Window.partitionBy("b").orderBy(F.asc("k"))
+    inner = (
+        k.withColumn("nk", F.lead("k").over(wb))
+        .filter(F.col("nk") > F.col("k") + 1)
+        .select((F.col("k") + 1).alias("gap_start"),
+                (F.col("nk") - 1).alias("gap_end"))
+    )
+    spans = k.groupBy("b").agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi"))
+    wg = Window.orderBy(F.asc("b"))
+    cross = (
+        spans.withColumn("prev_hi", F.lag("hi").over(wg))
+        .filter(F.col("lo") > F.col("prev_hi") + 1)
+        .select((F.col("prev_hi") + 1).alias("gap_start"),
+                (F.col("lo") - 1).alias("gap_end"))
+    )
+    return inner.unionByName(cross).select(
+        "gap_start", "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1)
+        .cast("long").alias("gap_len"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -8080,6 +8352,8 @@ _R07_PRIORITY = [
     # fixture scratch for the renderer quartet), (c) the 31 keys with
     # the stalest green driver rows (26 last green r3, 5 last green
     # r4 — per the CORRECTNESS_r01–r06 ledger).
+    "agg_basket_pairs", "agg_paths", "win_rolling_median", "agg_entropy",
+    "agg_gaps",
     "llm_tfidf", "llm_collocations", "upsert_scd2_build", "win_bollinger",
     "agg_benford", "agg_survival", "agg_skyline", "agg_corr_pairs",
     "stream_scd2", "agg_weighted_median", "win_drawdown",
@@ -8093,8 +8367,9 @@ _R07_PRIORITY = [
     "llm_repetition", "llm_sample_stratified", "llm_shard", "llm_split",
     "llm_vocab", "topk_per_group", "win_cume", "win_delta", "win_latest",
     "win_pattern",
-    "agg_bitmap_distinct", "agg_entity", "agg_histogram", "agg_hll_rollup",
-    "agg_rollup",
+    # (c, cont.) displaced to the tail by the five r7 batch-3 keys
+    # (first rows outrank renewals): agg_bitmap_distinct, agg_entity,
+    # agg_histogram, agg_hll_rollup, agg_rollup — all green-on-record r4.
 ]
 assert len(_R07_PRIORITY) == 50, len(_R07_PRIORITY)
 _R07_TAIL = [
