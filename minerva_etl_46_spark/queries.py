@@ -8213,6 +8213,231 @@ def agg_gaps(spark, sf_dir):
     )
 
 
+@register(
+    "agg_rfm",
+    oracle="""
+    with base as (
+      select o_custkey,
+             max(epoch_us(cast(o_orderdate as timestamp))
+                 // 86400000000) as r_day,
+             count(*) as f_cnt,
+             sum(cast(o_totalprice as decimal(18,2))) as m_sum
+      from orders group by 1),
+    s as (select o_custkey, r_day, f_cnt, m_sum,
+                 ntile(5) over (order by r_day asc, o_custkey asc) as r,
+                 ntile(5) over (order by f_cnt asc, o_custkey asc) as f,
+                 ntile(5) over (order by m_sum asc, o_custkey asc) as m
+          from base)
+    select o_custkey, cast(r_day as bigint) as r_day,
+           cast(f_cnt as bigint) as f_cnt,
+           cast(cast(m_sum as varchar) as double) as m_sum,
+           cast(r as bigint) as r, cast(f as bigint) as f,
+           cast(m as bigint) as m,
+           cast(r as varchar) || cast(f as varchar) || cast(m as varchar)
+             as segment
+    from s
+    """,
+)
+def agg_rfm(spark, sf_dir):
+    """A36: RFM segmentation — the classic customer-value report
+    (Recency of last order, Frequency, Monetary total), each scored
+    into quintiles, concatenated into the '555'-style segment label.
+    Determinism: every ntile orders by (metric asc, custkey asc) — the
+    key tie-break makes bucket boundaries engine-identical inside equal
+    metric runs (the win_ntile contract); monetary accumulates in exact
+    decimal, surfacing as a varchar-mediated double (correctly-rounded,
+    the agg_corr_pairs note). Shape: one hash(cust) agg over orders,
+    then three global ntile windows — each a single-task sort, but over
+    the CUSTOMER frame (dimension-bounded, not fact-bounded; the same
+    deliberate trade as agg_abc's Pareto walk)."""
+    o = load(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(o_orderdate) div 86400000000")
+    base = o.groupBy("o_custkey").agg(
+        F.max(day).alias("r_day"),
+        F.count(F.lit(1)).alias("f_cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m_sum"),
+    )
+    wr = Window.orderBy(F.asc("r_day"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.asc("f_cnt"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.asc("m_sum"), F.asc("o_custkey"))
+    s = base.select(
+        "o_custkey", "r_day", "f_cnt", "m_sum",
+        F.ntile(5).over(wr).alias("r"),
+        F.ntile(5).over(wf).alias("f"),
+        F.ntile(5).over(wm).alias("m"),
+    )
+    return s.select(
+        "o_custkey",
+        F.col("r_day").cast("long").alias("r_day"),
+        F.col("f_cnt").cast("long").alias("f_cnt"),
+        F.col("m_sum").cast("double").alias("m_sum"),
+        F.col("r").cast("long").alias("r"),
+        F.col("f").cast("long").alias("f"),
+        F.col("m").cast("long").alias("m"),
+        F.concat(F.col("r").cast("string"), F.col("f").cast("string"),
+                 F.col("m").cast("string")).alias("segment"),
+    )
+
+
+@register(
+    "agg_abc",
+    oracle="""
+    with rev as (select l_partkey,
+                        sum(cast(l_extendedprice as decimal(18,2))) as rev
+                 from lineitem group by 1),
+    c as (select l_partkey, rev,
+                 sum(rev) over (order by rev desc, l_partkey asc
+                                rows unbounded preceding) as cum,
+                 sum(rev) over () as tot,
+                 row_number() over (order by rev desc, l_partkey asc) as rnk
+          from rev)
+    select l_partkey, cast(cast(rev as varchar) as double) as rev,
+           cast(rnk as bigint) as rnk,
+           case when 100 * cum <= 80 * tot then 'A'
+                when 100 * cum <= 95 * tot then 'B'
+                else 'C' end as abc_class
+    from c
+    """,
+)
+def agg_abc(spark, sf_dir):
+    """A37: ABC / Pareto classification — the inventory-control cut of
+    agg_topn_others: parts ranked by revenue, classed A while their
+    cumulative share is ≤ 80% of total, B to 95%, C beyond. Every class
+    decision is an EXACT integer-scaled decimal comparison
+    (100·cum ≤ 80·tot — no float share ever computed), so boundary
+    parts land in the same class in both engines; (rev desc, partkey)
+    ordering pins ties. Shape: fact-sized work is the one hash(part)
+    revenue rollup; the cumulative walk is a single-task global window
+    BY DESIGN over the part frame (dimension-bounded — the documented
+    agg_rfm/agg_gaps trade: global order is the semantics, so it runs
+    on the smallest frame that carries it)."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"))
+    wo = (Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wr = Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+    wt = Window.partitionBy()
+    c = rev.select(
+        "l_partkey", "rev",
+        F.sum("rev").over(wo).alias("cum"),
+        F.sum("rev").over(wt).alias("tot"),
+        F.row_number().over(wr).alias("rnk"),
+    )
+    return c.select(
+        "l_partkey",
+        F.col("rev").cast("double").alias("rev"),
+        F.col("rnk").cast("long").alias("rnk"),
+        F.when(F.lit(100) * F.col("cum") <= F.lit(80) * F.col("tot"), "A")
+        .when(F.lit(100) * F.col("cum") <= F.lit(95) * F.col("tot"), "B")
+        .otherwise("C").alias("abc_class"),
+    )
+
+
+@register(
+    "fn_workdays",
+    oracle="""
+    with d as (
+      select l.l_orderkey, l.l_linenumber,
+             epoch_us(cast(o.o_orderdate as timestamp))
+               // 86400000000 as d_order,
+             epoch_us(cast(l.l_shipdate as timestamp))
+               // 86400000000 as d_ship
+      from lineitem l join orders o on l.l_orderkey = o.o_orderkey),
+    m as (select *, least(d_order, d_ship) + 3 as mlo,
+                    greatest(d_order, d_ship) + 3 as mhi
+          from d)
+    select l_orderkey, l_linenumber,
+           cast(d_order as bigint) as d_order,
+           cast(d_ship as bigint) as d_ship,
+           cast(d_ship - d_order as bigint) as cal_days,
+           cast((5 * ((mhi + 1) // 7) + least((mhi + 1) % 7, 5))
+                - (5 * (mlo // 7) + least(mlo % 7, 5)) as bigint)
+             as work_days,
+           cast(d_ship < d_order as bigint) as ships_before_order
+    from m
+    """,
+)
+def fn_workdays(spark, sf_dir):
+    """F13: business-day interval — workdays (Mon–Fri) in the inclusive
+    order→ship span, the SLA metric calendars make painful. Pure
+    INTEGER calendar math, zero date functions: shift epoch days by +3
+    so day 0 is a Monday (1969-12-29), then G(m) = 5·(m div 7) +
+    min(m mod 7, 5) counts weekdays in [0, m); the span count is
+    G(hi+1) − G(lo). Both engines floor-divide positives identically
+    (negative operands would diverge — Spark div truncates, DuckDB //
+    floors — which is why the span runs over least/greatest, with the
+    direction reported as a separate flag). Shape: one equi-join
+    (orders⋈lineitem) then whole-stage-codegen arithmetic; no window,
+    no second exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    d = (
+        li.select("l_orderkey", "l_linenumber",
+                  F.expr("unix_micros(l_shipdate) div 86400000000")
+                  .alias("d_ship"))
+        .join(o.select("o_orderkey",
+                       F.expr("unix_micros(o_orderdate) div 86400000000")
+                       .alias("d_order")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    mlo = F.least("d_order", "d_ship") + F.lit(3)
+    mhi = F.greatest("d_order", "d_ship") + F.lit(3)
+
+    def g(m):
+        return (F.lit(5) * F.expr(f"({m}) div 7")
+                + F.least(F.expr(f"({m}) % 7"), F.lit(5)))
+
+    dd = d.select(
+        "l_orderkey", "l_linenumber", "d_order", "d_ship",
+        mlo.alias("mlo"), mhi.alias("mhi"))
+    return dd.select(
+        "l_orderkey", "l_linenumber",
+        F.col("d_order").cast("long").alias("d_order"),
+        F.col("d_ship").cast("long").alias("d_ship"),
+        (F.col("d_ship") - F.col("d_order")).cast("long").alias("cal_days"),
+        (g("mhi + 1") - g("mlo")).cast("long").alias("work_days"),
+        (F.col("d_ship") < F.col("d_order")).cast("long")
+        .alias("ships_before_order"),
+    )
+
+
+@register(
+    "scan_evolved",
+    oracle="""
+    select n_nationkey, n_name, -1 as n_regionkey from nation
+    union all
+    select n_nationkey, n_name, n_regionkey from nation
+    """,
+)
+def scan_evolved(spark, sf_dir):
+    """S11: schema-evolution read — the add-a-trend lifecycle at the scan
+    layer (instance apply's ADD-TREND writes new columns; old parquet
+    parts keep the narrow schema forever — rewriting history is the
+    anti-pattern). Renders the same table at schema v1 (two columns)
+    and v2 (three), then ONE mergeSchema read reconciles: v1 rows
+    surface the missing column as NULL, coalesced to the repo's -1
+    int sentinel (module docstring rule — nullable ints don't travel).
+    The oracle replays the union shape exactly. 100 TB: mergeSchema
+    unions footers at planning time — per-file schemas are read once on
+    the driver, row data is never rewritten; pair it with an explicit
+    read schema when the union would be footer-IO-bound."""
+    import os
+
+    scratch = _scratch(sf_dir, "nation_evolved")  # PID-scoped
+    nation = load(spark, sf_dir, "nation")
+    v1, v2 = os.path.join(scratch, "v=1"), os.path.join(scratch, "v=2")
+    (nation.select("n_nationkey", "n_name")
+     .coalesce(1).write.mode("overwrite").parquet(v1))
+    (nation.select("n_nationkey", "n_name", "n_regionkey")
+     .coalesce(1).write.mode("overwrite").parquet(v2))
+    merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    return merged.select(
+        "n_nationkey", "n_name",
+        F.coalesce(F.col("n_regionkey"), F.lit(-1)).alias("n_regionkey"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -8353,7 +8578,7 @@ _R07_PRIORITY = [
     # the stalest green driver rows (26 last green r3, 5 last green
     # r4 — per the CORRECTNESS_r01–r06 ledger).
     "agg_basket_pairs", "agg_paths", "win_rolling_median", "agg_entropy",
-    "agg_gaps",
+    "agg_gaps", "agg_rfm", "agg_abc", "fn_workdays", "scan_evolved",
     "llm_tfidf", "llm_collocations", "upsert_scd2_build", "win_bollinger",
     "agg_benford", "agg_survival", "agg_skyline", "agg_corr_pairs",
     "stream_scd2", "agg_weighted_median", "win_drawdown",
@@ -8365,11 +8590,11 @@ _R07_PRIORITY = [
     "llm_hot_ngrams", "llm_keywords", "llm_len_buckets", "llm_mix_weights",
     "llm_normalize", "llm_overlap", "llm_pack", "llm_redact",
     "llm_repetition", "llm_sample_stratified", "llm_shard", "llm_split",
-    "llm_vocab", "topk_per_group", "win_cume", "win_delta", "win_latest",
-    "win_pattern",
-    # (c, cont.) displaced to the tail by the five r7 batch-3 keys
-    # (first rows outrank renewals): agg_bitmap_distinct, agg_entity,
-    # agg_histogram, agg_hll_rollup, agg_rollup — all green-on-record r4.
+    "llm_vocab", "topk_per_group",
+    # (c, cont.) displaced to the tail by the nine r7 batch-3/4 keys
+    # (first rows outrank renewals): win_cume, win_delta, win_latest,
+    # win_pattern (green r3), agg_bitmap_distinct, agg_entity,
+    # agg_histogram, agg_hll_rollup, agg_rollup (green r4).
 ]
 assert len(_R07_PRIORITY) == 50, len(_R07_PRIORITY)
 _R07_TAIL = [

@@ -166,3 +166,112 @@ def test_gaps_match_set_difference(spark):
         assert ln == e - s + 1
         assert (s - 1) in present and (e + 1) in present
         assert all(x not in present for x in range(s, e + 1))
+
+
+def test_rfm_quintiles_match_ntile_definition(spark):
+    """R/F/M scores recomputed with the standard ntile split (first
+    size%5 buckets get the extra row) over (metric, custkey) order."""
+    rows = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey", "o_orderdate", "o_totalprice").collect()
+    )  # bounded-by: sf0.001 fixture
+    from decimal import Decimal
+
+    base: dict = {}
+    for r in rows:
+        day = int(r.o_orderdate.timestamp() * 1_000_000) // 86_400_000_000
+        rd, fc, ms = base.get(r.o_custkey, (-1, 0, Decimal(0)))
+        base[r.o_custkey] = (
+            max(rd, day), fc + 1,
+            ms + Decimal(str(r.o_totalprice)).quantize(Decimal("0.01")))
+
+    def ntile5(order):
+        n = len(order)
+        lo, extra = n // 5, n % 5
+        out, i = {}, 0
+        for b in range(1, 6):
+            size = lo + (1 if b <= extra else 0)
+            for k in order[i:i + size]:
+                out[k] = b
+            i += size
+        return out
+
+    custs = list(base)
+    r_sc = ntile5(sorted(custs, key=lambda c: (base[c][0], c)))
+    f_sc = ntile5(sorted(custs, key=lambda c: (base[c][1], c)))
+    m_sc = ntile5(sorted(custs, key=lambda c: (base[c][2], c)))
+
+    got = {r.o_custkey: r for r in QUERIES["agg_rfm"](spark, SF).collect()}
+    assert set(got) == set(custs)
+    for c in custs:
+        g = got[c]
+        assert (g.r_day, g.f_cnt) == (base[c][0], base[c][1]), c
+        assert g.m_sum == pytest.approx(float(base[c][2]), rel=1e-12)
+        assert (g.r, g.f, g.m) == (r_sc[c], f_sc[c], m_sc[c]), c
+        assert g.segment == f"{g.r}{g.f}{g.m}"
+
+
+def test_abc_classes_match_cumulative_share(spark):
+    """Class boundaries recomputed with exact Decimal cumulative sums."""
+    from decimal import Decimal
+
+    rows = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_partkey", "l_extendedprice").collect()
+    )  # bounded-by: sf0.001 fixture
+    rev: dict = {}
+    for r in rows:
+        rev[r.l_partkey] = rev.get(r.l_partkey, Decimal(0)) + \
+            Decimal(str(r.l_extendedprice)).quantize(Decimal("0.01"))
+    order = sorted(rev, key=lambda k: (-rev[k], k))
+    tot = sum(rev.values())
+    exp, cum = {}, Decimal(0)
+    for i, k in enumerate(order, 1):
+        cum += rev[k]
+        cls = "A" if 100 * cum <= 80 * tot else (
+            "B" if 100 * cum <= 95 * tot else "C")
+        exp[k] = (i, cls)
+
+    got = {r.l_partkey: r for r in QUERIES["agg_abc"](spark, SF).collect()}
+    assert set(got) == set(exp)
+    for k, (rnk, cls) in exp.items():
+        assert (got[k].rnk, got[k].abc_class) == (rnk, cls), k
+        assert got[k].rev == pytest.approx(float(rev[k]), rel=1e-12)
+    # every A part outranks every B part outranks every C part
+    ranks = {c: [r.rnk for r in got.values() if r.abc_class == c]
+             for c in "ABC"}
+    assert max(ranks["A"], default=0) < min(ranks["B"], default=10**9)
+    assert max(ranks["B"], default=0) < min(ranks["C"], default=10**9)
+
+
+def test_workdays_match_datetime_weekday_loop(spark):
+    """Closed-form weekday count == the brute per-day weekday() walk."""
+    import datetime as dt
+
+    got = QUERIES["fn_workdays"](spark, SF).collect()
+    assert len(got) > 0
+    epoch = dt.date(1970, 1, 1)
+    for r in got[:500]:
+        a = epoch + dt.timedelta(days=min(r.d_order, r.d_ship))
+        b = epoch + dt.timedelta(days=max(r.d_order, r.d_ship))
+        brute = sum(
+            1 for i in range((b - a).days + 1)
+            if (a + dt.timedelta(days=i)).weekday() < 5)
+        assert r.work_days == brute, (r.l_orderkey, r.l_linenumber)
+        assert r.cal_days == r.d_ship - r.d_order
+        assert r.ships_before_order == (1 if r.d_ship < r.d_order else 0)
+
+
+def test_scan_evolved_union_shape(spark):
+    """mergeSchema read = narrow rows with sentinel + wide rows intact."""
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    exp_wide = {(r.n_nationkey, r.n_name, r.n_regionkey)
+                for r in nation.collect()}
+    got = QUERIES["scan_evolved"](spark, SF).collect()
+    assert len(got) == 2 * len(exp_wide)
+    narrow = {(r.n_nationkey, r.n_name, r.n_regionkey)
+              for r in got if r.n_regionkey == -1}
+    wide = {(r.n_nationkey, r.n_name, r.n_regionkey)
+            for r in got if r.n_regionkey != -1}
+    assert wide == exp_wide
+    assert narrow == {(k, n, -1) for k, n, _ in exp_wide}
