@@ -7977,7 +7977,12 @@ def agg_basket_pairs(spark, sf_dir):
     Support floor (pair_cnt ≥ 2) bounds the output; dropped singleton
     pairs are the long tail by construction, not a silent cap."""
     li = load(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # repartition(order) up front: hash(order) satisfies the
+    # (order, part) distinct AND co-partitions both self-join sides —
+    # the distinct's exchange is the ONLY fact-sized shuffle, reused
+    # (ReusedExchange) by every downstream consumer
+    items = (li.select("l_orderkey", "l_partkey")
+             .repartition("l_orderkey").distinct())
     ic = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     n = items.agg(
         F.countDistinct("l_orderkey").alias("n_orders"))
@@ -8044,14 +8049,13 @@ def agg_paths(spark, sf_dir):
         F.lead("event_type", 2).over(w).alias("e3"),
     ).filter(F.col("e3").isNotNull())
     t = p.groupBy("e1", "e2", "e3").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = t.agg(F.sum("cnt").alias("total"))
-    return (
-        t.crossJoin(F.broadcast(tot))
-        .select(
-            "e1", "e2", "e3",
-            F.col("cnt").cast("long").alias("cnt"),
-            (F.col("cnt").cast("double") / F.col("total")).alias("share"),
-        )
+    # total via a single-partition window over the |types|³-bounded
+    # trigram frame — no join, no recomputed subtree
+    t = t.withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+    return t.select(
+        "e1", "e2", "e3",
+        F.col("cnt").cast("long").alias("cnt"),
+        (F.col("cnt").cast("double") / F.col("total")).alias("share"),
     )
 
 
