@@ -288,6 +288,43 @@ NOTES = {
                   "cross product) → levenshtein verify INSIDE blocks "
                   "→ WindowGroupLimit best-match cap; work is "
                   "Σ block² pairs, never probes×dim.",
+    "agg_basket_pairs": "Pair generation self-joins ON THE ORDER KEY "
+                        "(work = Σ basket², never |parts|²); the "
+                        "repartition(order) exchange is the only "
+                        "fact-sized shuffle, runtime-reused "
+                        "(ReusedExchange) by the join's second side "
+                        "and the item counts; count frames broadcast.",
+    "agg_paths": "Two leads over one hash(user) window exchange; the "
+                 "trigram agg frame is ≤ |types|³ and the total is a "
+                 "single-partition window on THAT frame — no join, no "
+                 "recomputed subtree.",
+    "win_rolling_median": "Hourly rollup exchange then the O(5)-state "
+                          "frame window rides hash(user); collect-sort-"
+                          "pick stays bounded per row regardless of "
+                          "partition length.",
+    "agg_entropy": "ONE exchange end-to-end: repartition(user) "
+                   "satisfies the (user,type) hash-agg, the per-user "
+                   "total window AND the final rollup; surprisal is "
+                   "integer-bits (no libm).",
+    "agg_gaps": "Two-level decomposition: in-bucket lead() is "
+                "hash-parallel on key div 4096; the only global window "
+                "walks the per-bucket (min,max) frame — keyspace/4096 "
+                "rows, never the fact table.",
+    "agg_rfm": "One hash(cust) agg over orders; the three ntile(5) "
+               "scores FUSE into a single single-partition window over "
+               "the customer frame (dimension-bounded by design).",
+    "agg_abc": "Fact-sized work is one hash(part) revenue rollup; the "
+               "cumulative walk is a single-task window over the part "
+               "frame — global order IS the semantics, run on the "
+               "smallest frame that carries it; class cuts are exact "
+               "integer-scaled decimal comparisons.",
+    "fn_workdays": "One equi-join then pure whole-stage-codegen integer "
+                   "calendar math — no window, no second exchange; "
+                   "broadcast at fixture scale, SMJ at 100 TB.",
+    "scan_evolved": "mergeSchema unions parquet footers at PLANNING "
+                    "time — per-file schemas read once on the driver, "
+                    "row data never rewritten; v1 rows surface the new "
+                    "column as NULL→sentinel.",
 }
 
 

@@ -642,10 +642,72 @@ def r7_probe(spark, res, n_events, n_docs):
           QUERIES["agg_peak_concurrency"](spark, scratch), res)
 
 
+def r7b_probe(spark, res, n_events):
+    """r7 batch-3/4 at 200× fixture scale through the REAL registered
+    builders: basket self-join whose work is Σ basket² (6-item baskets,
+    1M-part catalog), the one-exchange entropy/trigram chains, the
+    two-level gap detector (no global sort on the 20M keyspace), the
+    rolling-median O(5)-state frame, and the dimension-bounded
+    RFM/ABC global walks fed by fact-sized hash-aggs."""
+    import os
+    import tempfile
+
+    from minerva_etl_46_spark.queries import QUERIES
+
+    scratch = os.path.join(tempfile.gettempdir(),
+                           f"r7b_probe_{os.getpid()}")
+    (synth_events(spark, n_events)
+     .withColumn("event_type",
+                 F.concat(F.lit("t"), (F.xxhash64("event_id") % 5)
+                          .cast("string")))
+     .withColumn("props", F.lit("{}"))
+     .write.mode("overwrite").parquet(f"{scratch}/events.parquet"))
+    # orders: n_events orders over 100k customers; ⅓ finalized ('F') so
+    # the gap detector has ~⅔ of the keyspace missing, in runs
+    (spark.range(n_events).select(
+        F.col("id").alias("o_orderkey"),
+        (F.abs(F.xxhash64("id")) % 100_000).alias("o_custkey"),
+        F.element_at(F.array(F.lit("F"), F.lit("O"), F.lit("P")),
+                     (F.abs(F.xxhash64("id", F.lit(3))) % 3 + 1)
+                     .cast("int")).alias("o_orderstatus"),
+        ((F.abs(F.xxhash64("id", F.lit(4))) % 50000000) / 100.0)
+        .alias("o_totalprice"),
+        F.timestamp_seconds(BASE + (F.col("id") * 1009) % SPAN_S)
+        .alias("o_orderdate"))
+     .write.mode("overwrite").parquet(f"{scratch}/orders.parquet"))
+    # lineitem: 6-item baskets, 1M-part catalog; orderkeys ⊂ orders'
+    (spark.range(n_events).select(
+        F.expr("id div 6").alias("l_orderkey"),
+        (F.col("id") % 6 + 1).cast("int").alias("l_linenumber"),
+        (F.abs(F.xxhash64("id", F.lit(5))) % 1_000_000).alias("l_partkey"),
+        ((F.abs(F.xxhash64("id", F.lit(6))) % 10000000) / 100.0)
+        .alias("l_extendedprice"),
+        F.timestamp_seconds(BASE + (F.col("id") * 1013) % SPAN_S)
+        .alias("l_shipdate"))
+     .write.mode("overwrite").parquet(f"{scratch}/lineitem.parquet"))
+    timed("agg_basket_pairs_20M_items",
+          QUERIES["agg_basket_pairs"](spark, scratch), res)
+    timed("agg_paths_events", QUERIES["agg_paths"](spark, scratch), res)
+    timed("win_rolling_median_events",
+          QUERIES["win_rolling_median"](spark, scratch), res)
+    timed("agg_entropy_events", QUERIES["agg_entropy"](spark, scratch), res)
+    timed("agg_gaps_20M_keyspace", QUERIES["agg_gaps"](spark, scratch), res)
+    timed("agg_rfm_orders_100k_cust",
+          QUERIES["agg_rfm"](spark, scratch), res)
+    timed("agg_abc_1M_parts", QUERIES["agg_abc"](spark, scratch), res)
+    timed("fn_workdays_join", QUERIES["fn_workdays"](spark, scratch), res)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r7b":
+        r7b_probe(spark, res, n_events=N)
+        print(json.dumps({"metric": "scale_probe_r7b", "rows": N,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r7":
         r7_probe(spark, res, n_events=N, n_docs=max(100_000, N // 20))
         print(json.dumps({"metric": "scale_probe_r7", "rows": N,
