@@ -8443,6 +8443,494 @@ def scan_evolved(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r7 batch 5 — commerce / reliability analytics (A43-A47, W26-W28, §2.4/§2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "win_vwap",
+    oracle="""
+    with c as (
+      select l_partkey, l_orderkey, l_linenumber,
+             epoch_us(cast(l_shipdate as timestamp)) as ship_us,
+             sum(cast(l_extendedprice as decimal(18,2))) over w as cum_px,
+             sum(cast(l_quantity as decimal(18,2))) over w as cum_qty
+      from lineitem
+      window w as (partition by l_partkey
+                   order by l_shipdate asc, l_orderkey asc,
+                            l_linenumber asc
+                   rows unbounded preceding))
+    select l_partkey, l_orderkey, l_linenumber, ship_us,
+           cast(cast(cum_px as varchar) as double) as cum_px,
+           cast(cast(cum_qty as varchar) as double) as cum_qty,
+           cast(cast(cum_px as varchar) as double)
+             / cast(cast(cum_qty as varchar) as double) as vwap
+    from c
+    """,
+)
+def win_vwap(spark, sf_dir):
+    """W26: running volume-weighted average price per part — the
+    canonical "what did units actually sell for so far" series (a plain
+    running mean of price ignores volume; VWAP is the
+    turnover-per-unit). Both accumulators are exact decimals over the
+    full history frame; the ONE IEEE division per row happens on the
+    correctly-rounded double casts (agg_corr_pairs note), so engines
+    agree bit-for-bit. Order inside a part is pinned by (shipdate,
+    orderkey, linenumber) — (orderkey, linenumber) alone repeats in
+    this fixture, but the full triple is unique per part
+    (duckdb-verified at sf0.001 and sf0.01) — no tie ambiguity. Shape: one
+    hash(partkey) exchange feeds the window; running-sum state is O(1)
+    per partition regardless of history length, so the plan survives
+    100 TB as long as no single part's history outgrows a task's sort
+    spill (parts are many, histories shallow — the good skew shape)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy(F.asc("l_shipdate"), F.asc("l_orderkey"),
+                 F.asc("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_px = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).over(w)
+    cum_qty = F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w)
+    return li.select(
+        "l_partkey", "l_orderkey", "l_linenumber",
+        F.expr("unix_micros(l_shipdate)").alias("ship_us"),
+        cum_px.cast("double").alias("cum_px"),
+        cum_qty.cast("double").alias("cum_qty"),
+        (cum_px.cast("double") / cum_qty.cast("double")).alias("vwap"),
+    )
+
+
+@register(
+    "win_stochastic",
+    oracle=f"""
+    with e as (select * from {EV}),
+    hourly as (select user_id, {sql_bucket_epoch('ts', G_1H)} as bucket,
+                      sum(cast(value as decimal(38,4))) as v
+               from e group by 1, 2),
+    r as (select user_id, bucket, v,
+                 min(v) over w as vmin, max(v) over w as vmax,
+                 count(*) over w as n_window
+          from hourly
+          window w as (partition by user_id order by bucket asc
+                       rows between 13 preceding and current row))
+    select user_id, bucket,
+           cast(cast(v as varchar) as double) as v,
+           case when vmax - vmin = 0 then null
+                else 100.0 * (cast(cast(v - vmin as varchar) as double)
+                              / cast(cast(vmax - vmin as varchar)
+                                     as double)) end as pct_k,
+           cast(n_window as bigint) as n_window
+    from r
+    """,
+)
+def win_stochastic(spark, sf_dir):
+    """W27: stochastic oscillator %K — where the current hourly value
+    sits inside its trailing 14-bucket band (0 = at the low, 100 = at
+    the high); the band-position complement to win_zscore's
+    deviation-in-sigmas. Numerator and denominator are exact decimal
+    differences (min/max/current are all exact hourly sums); ONE
+    division on correctly-rounded double casts, times the literal
+    100.0 with pinned association — engine-identical. A flat band
+    (vmax == vmin) yields NULL, not a 0/0 artifact (NULL only in a
+    double column, per the registry's nullability rule). Shape: hourly
+    rollup exchange, then min/max/count ride one hash(user) window
+    with O(14) frame state."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", bucket_epoch("ts", G_1H).alias("bucket")
+    ).agg(F.sum(F.col("value").cast("decimal(38,4)")).alias("v"))
+    w = (Window.partitionBy("user_id").orderBy(F.asc("bucket"))
+         .rowsBetween(-13, 0))
+    r = hourly.select(
+        "user_id", "bucket", "v",
+        F.min("v").over(w).alias("vmin"),
+        F.max("v").over(w).alias("vmax"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+    num = (F.col("v") - F.col("vmin")).cast("double")
+    den = (F.col("vmax") - F.col("vmin")).cast("double")
+    return r.select(
+        "user_id", "bucket",
+        F.col("v").cast("double").alias("v"),
+        F.when(F.col("vmax") - F.col("vmin") == 0, F.lit(None))
+        .otherwise(F.lit(100.0) * (num / den)).alias("pct_k"),
+        F.col("n_window").cast("long").alias("n_window"),
+    )
+
+
+@register(
+    "win_rsi",
+    oracle=f"""
+    with e as (select * from {EV}),
+    hourly as (select user_id, {sql_bucket_epoch('ts', G_1H)} as bucket,
+                      sum(cast(value as decimal(38,4))) as v
+               from e group by 1, 2),
+    d as (select user_id, bucket, v,
+                 v - lag(v) over (partition by user_id
+                                  order by bucket asc) as delta
+          from hourly),
+    g as (select user_id, bucket, v,
+                 -- CASE, not greatest(): duckdb's greatest() promotes
+                 -- DECIMAL to DOUBLE (probed), which would turn the
+                 -- frame sums into order-dependent double addition
+                 case when delta > 0 then delta
+                      else cast(0 as decimal(38,4)) end as gain,
+                 case when delta < 0 then -delta
+                      else cast(0 as decimal(38,4)) end as loss
+          from d),
+    s as (select user_id, bucket, v,
+                 sum(gain) over w as sg, sum(loss) over w as sl
+          from g
+          window w as (partition by user_id order by bucket asc
+                       rows between 13 preceding and current row))
+    select user_id, bucket,
+           cast(cast(v as varchar) as double) as v,
+           cast(cast(coalesce(sg, 0) as varchar) as double) as sum_gain,
+           cast(cast(coalesce(sl, 0) as varchar) as double) as sum_loss,
+           case when sg + sl is null or sg + sl = 0 then null
+                else 100.0 * (cast(cast(sg as varchar) as double)
+                              / cast(cast(sg + sl as varchar) as double))
+           end as rsi
+    from s
+    """,
+)
+def win_rsi(spark, sf_dir):
+    """W28: relative strength index (cutler's simple-average form — the
+    SQL-exact variant; wilder's EWMA form is win_ewma's recursion and
+    deliberately not mixed in here). Deltas, gains, losses and their
+    trailing 14-bucket sums are ALL exact decimals; RSI reduces to
+    100·sg/(sg+sl) — one division on correctly-rounded casts. The
+    first bucket of a user has a NULL delta, mapped to 0 gain/0 loss
+    (CASE, not greatest(): duckdb's greatest() promotes DECIMAL to
+    DOUBLE — probed — which would make the frame sums order-dependent
+    doubles); a motionless frame (sg+sl = 0) yields NULL RSI, never a
+    fake 50. Shape: identical to win_stochastic — one rollup exchange,
+    then lag + two frame sums share one hash(user) window sort."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", bucket_epoch("ts", G_1H).alias("bucket")
+    ).agg(F.sum(F.col("value").cast("decimal(38,4)")).alias("v"))
+    wl = Window.partitionBy("user_id").orderBy(F.asc("bucket"))
+    d = hourly.withColumn("delta", F.col("v") - F.lag("v").over(wl))
+    zero = F.lit(0).cast("decimal(38,4)")
+    g = d.select(
+        "user_id", "bucket", "v",
+        F.when(F.col("delta") > 0, F.col("delta")).otherwise(zero)
+        .alias("gain"),
+        F.when(F.col("delta") < 0, -F.col("delta")).otherwise(zero)
+        .alias("loss"),
+    )
+    wf = wl.rowsBetween(-13, 0)
+    s = g.select(
+        "user_id", "bucket", "v",
+        F.sum("gain").over(wf).alias("sg"),
+        F.sum("loss").over(wf).alias("sl"),
+    )
+    tot = F.col("sg") + F.col("sl")
+    return s.select(
+        "user_id", "bucket",
+        F.col("v").cast("double").alias("v"),
+        F.coalesce(F.col("sg"), F.lit(0)).cast("double").alias("sum_gain"),
+        F.coalesce(F.col("sl"), F.lit(0)).cast("double").alias("sum_loss"),
+        F.when(tot.isNull() | (tot == 0), F.lit(None))
+        .otherwise(F.lit(100.0)
+                   * (F.col("sg").cast("double") / tot.cast("double")))
+        .alias("rsi"),
+    )
+
+
+@register(
+    "agg_chisq",
+    oracle=f"""
+    with e as (select * from {EV}),
+    cells as (select event_type, hour(ts) as hh, count(*) as o
+              from e group by 1, 2),
+    t as (select event_type, hh, o,
+                 sum(o) over (partition by event_type) as r_tot,
+                 sum(o) over (partition by hh) as c_tot,
+                 sum(o) over () as n
+          from cells)
+    select event_type, cast(hh as bigint) as hh, cast(o as bigint) as o,
+           cast(r_tot as bigint) as r_tot, cast(c_tot as bigint) as c_tot,
+           cast(n as bigint) as n,
+           (cast(o * n - r_tot * c_tot as double)
+            * cast(o * n - r_tot * c_tot as double))
+             / cast(n * r_tot * c_tot as double) as term
+    from t
+    """,
+)
+def agg_chisq(spark, sf_dir):
+    """A43: chi-squared independence cells — is event type independent
+    of hour-of-day? Per-cell contribution in the INTEGER-RATIONAL form:
+    (o·n − r·c)²/(n·r·c) where o, r, c, n are exact counts, so each
+    term is one rational with an exactly-representable int64 numerator
+    root (|o·n − r·c| < 2^53 at any realistic cell count) — squared and
+    divided in doubles, both correctly rounded, engine-identical. The
+    TOTAL χ² is deliberately NOT emitted: a cross-cell sum of doubles
+    is addition-order-dependent across engines; callers sum the terms
+    themselves (one more reduction) or read the per-cell ranking
+    directly, which is what an analyst wants anyway (which cells
+    deviate). Shape: one hash exchange for the (type, hour) cell agg,
+    then three marginal windows over the |types|×24-bounded cell frame
+    — marginals never touch the fact table twice."""
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", F.hour("ts").alias("hh")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    t = cells.select(
+        "event_type", "hh", "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r_tot"),
+        F.sum("o").over(Window.partitionBy("hh")).alias("c_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    dev = (F.col("o") * F.col("n")
+           - F.col("r_tot") * F.col("c_tot")).cast("double")
+    den = (F.col("n") * F.col("r_tot") * F.col("c_tot")).cast("double")
+    return t.select(
+        "event_type",
+        F.col("hh").cast("long").alias("hh"),
+        F.col("o").cast("long").alias("o"),
+        F.col("r_tot").cast("long").alias("r_tot"),
+        F.col("c_tot").cast("long").alias("c_tot"),
+        F.col("n").cast("long").alias("n"),
+        ((dev * dev) / den).alias("term"),
+    )
+
+
+@register(
+    "agg_stickiness",
+    oracle=f"""
+    with e as (select * from {EV}),
+    du as (select distinct epoch_us(ts) // 604800000000 as w_idx,
+                  epoch_us(ts) // 86400000000 as d_idx, user_id
+           from e),
+    daily as (select w_idx, d_idx, count(*) as dau
+              from du group by 1, 2),
+    weekly as (select w_idx, cast(sum(dau) as bigint) as sum_dau,
+                      cast(count(*) as bigint) as n_days
+               from daily group by 1),
+    wau as (select w_idx, cast(count(*) as bigint) as wau
+            from (select distinct epoch_us(ts) // 604800000000 as w_idx,
+                         user_id from e) group by 1)
+    select w.w_idx, w.n_days, w.sum_dau, u.wau,
+           cast(w.sum_dau as double)
+             / cast(w.n_days * u.wau as double) as stickiness
+    from weekly w join wau u using (w_idx)
+    """,
+)
+def agg_stickiness(spark, sf_dir):
+    """A44: engagement stickiness — avg-DAU/WAU per epoch-week, the
+    product manager's habit metric (1.0 = every weekly user shows up
+    every day). WEEKLY, not the textbook DAU/MAU: the events fixture
+    spans exactly one calendar month (verified at all three SFs), so a
+    monthly frame would collapse to a single degenerate row — weeks
+    give the metric a real series to move on. All inputs are exact
+    distinct-counts; stickiness is sum_dau/(n_days·wau) — ONE
+    division, no intermediate avg-of-doubles. Shape: one distinct on
+    (week, day, user) — the finest grain — feeds the daily and weekly
+    rollups; the week-user distinct is a second, coarser exchange
+    (cheaper than carrying day through); week frames are
+    calendar-bounded so the final join broadcasts. At 100 TB the
+    distincts are the cost and they are exactly the two
+    partial-aggregatable hash-distincts Spark does map-side first."""
+    e = load(spark, sf_dir, "events")
+    w_idx = F.expr("unix_micros(ts) div 604800000000").alias("w_idx")
+    d_idx = F.expr("unix_micros(ts) div 86400000000").alias("d_idx")
+    du = e.select(w_idx, d_idx, "user_id").distinct()
+    daily = du.groupBy("w_idx", "d_idx").agg(
+        F.count(F.lit(1)).alias("dau"))
+    weekly = daily.groupBy("w_idx").agg(
+        F.sum("dau").cast("long").alias("sum_dau"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    wau = (
+        e.select(w_idx, "user_id").distinct()
+        .groupBy("w_idx").agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    j = weekly.join(F.broadcast(wau), "w_idx")
+    return j.select(
+        "w_idx", "n_days", "sum_dau", "wau",
+        (F.col("sum_dau").cast("double")
+         / (F.col("n_days") * F.col("wau")).cast("double"))
+        .alias("stickiness"),
+    )
+
+
+@register(
+    "agg_churn",
+    oracle=f"""
+    with e as (select * from {EV}),
+    ua as (select distinct user_id,
+                  epoch_us(ts) // 604800000000 as w_idx from e),
+    nx as (select user_id, w_idx,
+                  lead(w_idx) over (partition by user_id
+                                    order by w_idx asc) as next_w
+           from ua),
+    f as (select w_idx,
+                 count(*) as actives,
+                 sum(case when next_w is null or next_w > w_idx + 1
+                          then 1 else 0 end) as churned
+          from nx group by 1),
+    g as (select *, max(w_idx) over () as max_w from f)
+    select cast(w_idx as bigint) as w_idx,
+           cast(actives as bigint) as actives,
+           cast(churned as bigint) as churned,
+           cast(churned as double) / cast(actives as double) as churn_rate
+    from g where w_idx < max_w
+    """,
+)
+def agg_churn(spark, sf_dir):
+    """A45: week-over-week churn — users active in epoch-week w with no
+    activity in w+1 (resurrectable: a user can churn, return, and
+    churn again; each gap counts where it starts — the standard
+    subscription-analytics definition). WEEKLY for the same fixture
+    reason as agg_stickiness: events span one calendar month, so a
+    monthly frame would always emit zero rows. The final week is
+    dropped: with no w+1 data every user would be a false churn. Rate
+    is one exact-integer division. Shape: distinct (user, week)
+    exchange, then the lead() window rides the SAME hash(user)
+    clustering (repartition(user) up front makes the distinct and the
+    window share one exchange), then a calendar-bounded week rollup
+    whose max-week window is a single tiny task."""
+    e = load(spark, sf_dir, "events")
+    w_idx = F.expr("unix_micros(ts) div 604800000000").alias("w_idx")
+    ua = (
+        e.select("user_id", w_idx)
+        .repartition("user_id")
+        .dropDuplicates(["user_id", "w_idx"])
+    )
+    wl = Window.partitionBy("user_id").orderBy(F.asc("w_idx"))
+    nx = ua.withColumn("next_w", F.lead("w_idx").over(wl))
+    flag = F.when(
+        F.col("next_w").isNull() | (F.col("next_w") > F.col("w_idx") + 1),
+        F.lit(1)).otherwise(F.lit(0))
+    f = nx.groupBy("w_idx").agg(
+        F.count(F.lit(1)).alias("actives"),
+        F.sum(flag).alias("churned"),
+    )
+    g = f.withColumn("max_w", F.max("w_idx").over(Window.partitionBy()))
+    return g.filter(F.col("w_idx") < F.col("max_w")).select(
+        F.col("w_idx").cast("long").alias("w_idx"),
+        F.col("actives").cast("long").alias("actives"),
+        F.col("churned").cast("long").alias("churned"),
+        (F.col("churned").cast("double")
+         / F.col("actives").cast("double")).alias("churn_rate"),
+    )
+
+
+@register(
+    "agg_cohort_matrix",
+    oracle="""
+    with am as (select distinct o_custkey,
+                       year(cast(o_orderdate as timestamp)) * 12
+                         + month(cast(o_orderdate as timestamp)) - 1
+                         as m_idx
+                from orders),
+    c as (select o_custkey, m_idx,
+                 min(m_idx) over (partition by o_custkey) as cohort_m
+          from am),
+    grid as (select cohort_m, m_idx, count(*) as n_active
+             from c group by 1, 2),
+    s as (select *,
+                 sum(case when m_idx = cohort_m then n_active else 0 end)
+                   over (partition by cohort_m) as cohort_size
+          from grid)
+    select cast(cohort_m as bigint) as cohort_m,
+           cast(m_idx as bigint) as m_idx,
+           cast(m_idx - cohort_m as bigint) as month_offset,
+           cast(n_active as bigint) as n_active,
+           cast(cohort_size as bigint) as cohort_size,
+           cast(n_active as double) / cast(cohort_size as double)
+             as retention
+    from s
+    """,
+)
+def agg_cohort_matrix(spark, sf_dir):
+    """A46: cohort retention matrix — customers grouped by first-order
+    month, tracked across subsequent months; the triangle chart every
+    growth team reads. Cohort size is recovered from the grid itself
+    (the m == cohort cell is by construction every cohort's own first
+    month), so the fact table is scanned ONCE. Retention is one
+    exact-integer division per cell. Shape: repartition(custkey) lets
+    the (cust, month) distinct AND the per-customer min-window share
+    one exchange; the grid rollup then shuffles a customer-bounded
+    frame, and the cohort-size window rides a calendar²-bounded grid.
+    At 100 TB the only fact-sized exchange is the first one."""
+    o = load(spark, sf_dir, "orders")
+    m_idx = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+             ).alias("m_idx")
+    am = (
+        o.select("o_custkey", m_idx)
+        .repartition("o_custkey")
+        .dropDuplicates(["o_custkey", "m_idx"])
+    )
+    c = am.withColumn(
+        "cohort_m",
+        F.min("m_idx").over(Window.partitionBy("o_custkey")))
+    grid = c.groupBy("cohort_m", "m_idx").agg(
+        F.count(F.lit(1)).alias("n_active"))
+    size = F.sum(
+        F.when(F.col("m_idx") == F.col("cohort_m"), F.col("n_active"))
+        .otherwise(F.lit(0))
+    ).over(Window.partitionBy("cohort_m"))
+    s = grid.withColumn("cohort_size", size)
+    return s.select(
+        F.col("cohort_m").cast("long").alias("cohort_m"),
+        F.col("m_idx").cast("long").alias("m_idx"),
+        (F.col("m_idx") - F.col("cohort_m")).cast("long")
+        .alias("month_offset"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        (F.col("n_active").cast("double")
+         / F.col("cohort_size").cast("double")).alias("retention"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    select coalesce(l_returnflag, 'ALL') as rf,
+           coalesce(l_linestatus, 'ALL') as ls,
+           cast(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                as bigint) as gid,
+           cast(count(*) as bigint) as n,
+           cast(cast(sum(cast(l_quantity as decimal(18,2))) as varchar)
+                as double) as sum_qty
+    from lineitem
+    group by grouping sets ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """A47: explicit GROUPING SETS — the à-la-carte sibling of
+    agg_rollup/agg_cube: exactly the (flag, status), (flag), ()
+    granularities, no more (a cube would add the unwanted
+    (status)-only cut). `grouping()` bits disambiguate a real 'ALL'
+    value from a rollup row, composed into the same gid both engines
+    compute digit-for-digit. Sums are exact decimals. Spark expands
+    grouping sets into one Expand + single hash-agg — the fact table
+    is read once and each row fans out 3×, all map-side partial
+    before the one exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        select coalesce(l_returnflag, 'ALL') as rf,
+               coalesce(l_linestatus, 'ALL') as ls,
+               cast(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                    as bigint) as gid,
+               cast(count(*) as bigint) as n,
+               cast(sum(cast(l_quantity as decimal(18,2))) as double)
+                 as sum_qty
+        from {li}
+        group by grouping sets ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """,
+        li=li,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
 # The driver samples the FIRST 50 keys of ``queries()`` in dict-insertion
@@ -8589,14 +9077,18 @@ _R07_PRIORITY = [
     "agg_peak_concurrency", "join_fuzzy",
     "win_gap_fill", "agg_heavy_hitters_cms", "scan_csv", "scan_jsonl",
     "scan_kv", "xml_harvest",
+    # r7 batch-5 keys (first rows outrank renewals):
+    "win_vwap", "win_stochastic", "win_rsi", "agg_chisq",
+    "agg_stickiness", "agg_churn", "agg_cohort_matrix",
+    "agg_grouping_sets",
     "fn_regexp", "fn_string_dn", "fn_variant", "llm_chunk", "llm_concat",
     "llm_decontaminate", "llm_dedup_groups", "llm_dupe_stats",
     "llm_hot_ngrams", "llm_keywords", "llm_len_buckets", "llm_mix_weights",
-    "llm_normalize", "llm_overlap", "llm_pack", "llm_redact",
-    "llm_repetition", "llm_sample_stratified", "llm_shard", "llm_split",
-    "llm_vocab", "topk_per_group",
-    # (c, cont.) displaced to the tail by the nine r7 batch-3/4 keys
-    # (first rows outrank renewals): win_cume, win_delta, win_latest,
+    "llm_normalize", "llm_overlap",
+    # (c, cont.) displaced to the tail by the r7 batch-3/4/5 keys
+    # (first rows outrank renewals): llm_pack, llm_redact,
+    # llm_repetition, llm_sample_stratified, llm_shard, llm_split,
+    # llm_vocab, topk_per_group, win_cume, win_delta, win_latest,
     # win_pattern (green r3), agg_bitmap_distinct, agg_entity,
     # agg_histogram, agg_hll_rollup, agg_rollup (green r4).
 ]
