@@ -8931,6 +8931,414 @@ def agg_grouping_sets(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r7 batch 6 — corpus quality / language-model prep (X18-X21, W29, §2.11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_code_detect",
+    oracle="""
+    with f as (
+      select doc_id,
+             length(text) as n_chars,
+             len(regexp_extract_all(text, '[{}()\\[\\];=<>]')) as n_sym,
+             len(regexp_extract_all(text,
+                 '\\b(def|class|return|import|function|var|let|const|for|while|if|else)\\b'))
+               as n_kw,
+             len(regexp_extract_all(text, '(^|\n)[ \t]{2,}')) as n_indent
+      from documents)
+    select doc_id, cast(n_chars as bigint) as n_chars,
+           cast(n_sym as bigint) as n_sym,
+           cast(n_kw as bigint) as n_kw,
+           cast(n_indent as bigint) as n_indent,
+           cast((3 * n_kw + 2 * n_sym + 5 * n_indent) * 100 as double)
+             / cast(n_chars as double) as code_score,
+           cast(case when cast((3 * n_kw + 2 * n_sym + 5 * n_indent) * 100
+                               as double) / cast(n_chars as double) >= 5.0
+                     then 1 else 0 end as bigint) as is_code
+    from f
+    """,
+)
+def llm_code_detect(spark, sf_dir):
+    """X18: code-vs-prose heuristic — the corpus router every training
+    pipeline needs (code shards tokenize, pack, and weight differently
+    from prose). Three JVM-codegen regexp_count features per doc —
+    structural symbols, language keywords, indented lines — combined
+    into an integer numerator scaled per 100 chars with ONE double
+    division; the ≥5.0 threshold compares that correctly-rounded
+    quotient, so the label is engine-exact. The keyword list is a
+    \\b-anchored alternation that Java and RE2 regex treat identically
+    (ASCII word boundaries, no backtracking constructs). Shape: a pure
+    projection — zero shuffles, full whole-stage codegen; at 100 TB
+    this is scan-bound, exactly what a first-pass router should be."""
+    d = load(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_sym = F.regexp_count("text", F.lit(r"[{}()\[\];=<>]"))
+    n_kw = F.regexp_count(
+        "text",
+        F.lit(r"\b(def|class|return|import|function|var|let|const"
+              r"|for|while|if|else)\b"))
+    n_indent = F.regexp_count("text", F.lit("(^|\n)[ \t]{2,}"))
+    f = d.select(
+        "doc_id", n_chars.alias("n_chars"), n_sym.alias("n_sym"),
+        n_kw.alias("n_kw"), n_indent.alias("n_indent"))
+    score = (
+        ((F.lit(3) * F.col("n_kw") + F.lit(2) * F.col("n_sym")
+          + F.lit(5) * F.col("n_indent")) * F.lit(100)).cast("double")
+        / F.col("n_chars").cast("double"))
+    return f.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_sym").cast("long").alias("n_sym"),
+        F.col("n_kw").cast("long").alias("n_kw"),
+        F.col("n_indent").cast("long").alias("n_indent"),
+        score.alias("code_score"),
+        F.when(score >= 5.0, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("is_code"),
+    )
+
+
+@register(
+    "llm_boilerplate",
+    oracle="""
+    with d as (select doc_id, string_split(text, ' ') as toks
+               from documents),
+    grams as (select doc_id,
+                     w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 || ' ' || w5
+                       as gram
+              from (select doc_id,
+                           unnest(toks[1:len(toks)-4]) as w1,
+                           unnest(toks[2:len(toks)-3]) as w2,
+                           unnest(toks[3:len(toks)-2]) as w3,
+                           unnest(toks[4:len(toks)-1]) as w4,
+                           unnest(toks[5:len(toks)]) as w5
+                    from d where len(toks) >= 5)),
+    gd as (select distinct doc_id, gram from grams),
+    hot as (select gd.*,
+                   count(*) over (partition by gram) as n_docs
+            from gd)
+    select doc_id,
+           cast(count(*) as bigint) as n_grams,
+           cast(sum(case when n_docs >= 3 then 1 else 0 end) as bigint)
+             as n_boiler,
+           cast(sum(case when n_docs >= 3 then 1 else 0 end) as double)
+             / cast(count(*) as double) as boiler_frac
+    from hot group by 1
+    """,
+)
+def llm_boilerplate(spark, sf_dir):
+    """X19: boilerplate detection — per doc, the fraction of its
+    distinct 5-gram shingles shared by ≥3 distinct documents (nav
+    bars, license headers, cookie banners repeat verbatim across a
+    crawl; a high fraction marks the doc as template filler worth
+    down-weighting before training). The dual of llm_novelty: novelty
+    asks "who saw it FIRST", boilerplate asks "how MANY see it".
+    Shape reuses the novelty r6 rewrite verbatim: ONE gram-keyed
+    repartition of the exploded shingles, the (gram, doc) dedup
+    groupBy satisfies its distribution via the subset rule, the
+    per-gram doc-count is a window over the same partitioning
+    (sort-only, no Exchange), and only the final per-doc rollup
+    shuffles again — 2 shuffles total, cross-product never exists."""
+    d = load(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    grams = (
+        d.filter(F.size(tk) >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - F.lit(4)),
+                    lambda i: F.array_join(F.slice(tk, i, 5), " "),
+                )
+            ).alias("gram"),
+        )
+        .repartition(F.col("gram"))  # shuffle 1 of 2 (novelty pattern)
+    )
+    gd = grams.groupBy("gram", "doc_id").agg(F.lit(1).alias("__one"))
+    gd = gd.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+    boiler = F.when(F.col("n_docs") >= 3, F.lit(1)).otherwise(F.lit(0))
+    return (
+        gd.select("doc_id", boiler.alias("b"))
+        .groupBy("doc_id")  # shuffle 2 of 2
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("b").cast("long").alias("n_boiler"),
+            (F.sum("b").cast("double")
+             / F.count(F.lit(1)).cast("double")).alias("boiler_frac"),
+        )
+    )
+
+
+@register(
+    "llm_zipf",
+    oracle="""
+    with t as (select unnest(string_split(text, ' ')) as tok
+               from documents),
+    c as (select tok, count(*) as cnt from t group by 1),
+    r as (select cnt,
+                 row_number() over (order by cnt desc, tok asc) as rnk
+          from c),
+    b as (select length(bin(rnk)) as x, length(bin(cnt)) as y from r),
+    s as (select cast(count(*) as bigint) as n,
+                 cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+                 cast(sum(x * y) as bigint) as sxy,
+                 cast(sum(x * x) as bigint) as sxx
+          from b)
+    select n, sx, sy, sxy, sxx,
+           case when n * sxx - sx * sx = 0 then null
+                else cast(n * sxy - sx * sy as double)
+                     / cast(n * sxx - sx * sx as double) end
+             as zipf_slope_bits
+    from s
+    """,
+)
+def llm_zipf(spark, sf_dir):
+    """X20: Zipf conformity — the least-squares slope of log-frequency
+    vs log-rank over the corpus vocabulary (natural text slopes near
+    −1; keyword spam and generated gibberish bend it). Computed in the
+    INTEGER-BITS form (the agg_entropy/llm_surprisal trade):
+    x = floor-log2(rank)+1 and y = floor-log2(count)+1 via
+    length(bin(·)) — every regression sum is then an exact int64 and
+    the slope is ONE closed-form rational with a single double
+    division, zero libm, engine-identical. Rank ties are pinned by
+    (count desc, token asc). Shape: token explode → hash-agg (the only
+    fact-sized exchange); the rank window and regression sums run over
+    the VOCAB frame (bounded, single task) — the same deliberate
+    dimension-frame trade as agg_rfm's ntiles."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    c = t.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    r = c.select(
+        "cnt",
+        F.row_number().over(
+            Window.orderBy(F.desc("cnt"), F.asc("tok"))).alias("rnk"))
+    b = r.select(
+        F.length(F.bin("rnk")).alias("x"),
+        F.length(F.bin("cnt")).alias("y"))
+    s = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "n", "sx", "sy", "sxy", "sxx",
+        F.when(den == 0, F.lit(None))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("zipf_slope_bits"),
+    )
+
+
+@register(
+    "llm_ngram_lm",
+    oracle="""
+    with d as (select string_split(text, ' ') as toks from documents),
+    big as (select unnest(toks[1:len(toks)-1]) as w1,
+                   unnest(toks[2:len(toks)]) as w2
+            from d where len(toks) >= 2),
+    bc as (select w1, w2, count(*) as c12 from big group by 1, 2),
+    ctx as (select *, sum(c12) over (partition by w1) as c1 from bc),
+    v as (select count(distinct tok) as vocab
+          from (select unnest(toks) as tok from d))
+    select w1, w2, cast(c12 as bigint) as c12, cast(c1 as bigint) as c1,
+           cast(vocab as bigint) as vocab,
+           cast(c12 + 1 as double) / cast(c1 + vocab as double) as p_smooth
+    from ctx, v
+    where c12 >= 2
+    """,
+)
+def llm_ngram_lm(spark, sf_dir):
+    """X21: bigram language model with add-one smoothing — the
+    P(w2|w1) = (c12+1)/(c1+V) table that seeds perplexity scoring and
+    decontamination heuristics (llm_surprisal consumes unigram stats;
+    this is the conditional step up). Context counts c1 are the
+    bigram-marginal (Σ_w2 c12), recovered from the bigram frame itself
+    — the corpus is tokenized ONCE for the pair counts plus once
+    cheaply for vocab. Every probability is one exact-integer-rational
+    double division. Pairs are built with slice+zip HOFs inside the
+    row (no posexplode window, no shuffle to form neighbors); the
+    c12 ≥ 2 floor keeps the emitted table at the reused-phrase core.
+    Shape: repartition(w1) up front → the (w1, w2) hash-agg satisfies
+    its distribution via the subset rule and the c1 marginal window
+    rides the SAME exchange (the novelty pattern); the 1-row vocab
+    frame joins by broadcast-cross — 1 fact exchange + 1 gram-frame
+    sort, total."""
+    d = load(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    n = F.size(tk)
+    pairs = (
+        d.filter(n >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(tk, 1, n - 1).alias("w1"),
+                    F.slice(tk, 2, n - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .repartition(F.col("w1"))  # the one fact-frame exchange
+    )
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bc.withColumn(
+        "c1", F.sum("c12").over(Window.partitionBy("w1")))
+    v = (
+        d.select(F.explode(tk).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    j = ctx.filter(F.col("c12") >= 2).crossJoin(F.broadcast(v))
+    return j.select(
+        "w1", "w2",
+        F.col("c12").cast("long").alias("c12"),
+        F.col("c1").cast("long").alias("c1"),
+        F.col("vocab").cast("long").alias("vocab"),
+        ((F.col("c12") + 1).cast("double")
+         / (F.col("c1") + F.col("vocab")).cast("double")).alias("p_smooth"),
+    )
+
+
+@register(
+    "llm_readability",
+    oracle="""
+    with f as (
+      select doc_id,
+             length(replace(text, ' ', '')) as n_letters,
+             len(string_split(text, ' ')) as n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               as n_sent
+      from documents)
+    select doc_id, cast(n_letters as bigint) as n_letters,
+           cast(n_words as bigint) as n_words,
+           cast(n_sent as bigint) as n_sent,
+           ((4.71 * (cast(n_letters as double) / cast(n_words as double)))
+            + (0.5 * (cast(n_words as double) / cast(n_sent as double))))
+           - 21.43 as ari,
+           cast(floor(
+             ((4.71 * (cast(n_letters as double)
+                       / cast(n_words as double)))
+              + (0.5 * (cast(n_words as double)
+                        / cast(n_sent as double))))
+             - 21.43) as bigint) as grade
+    from f
+    """,
+)
+def llm_readability(spark, sf_dir):
+    """X22: Automated Readability Index — the classic
+    chars-per-word / words-per-sentence grade formula, the quality
+    screen that catches both keyword soup (huge words-per-sentence)
+    and telegraphic fragments. Counts are exact integers; ARI is a
+    FIXED expression tree over their correctly-rounded double casts —
+    (4.71·(c/w) + 0.5·(w/s)) − 21.43 with parentheses pinned
+    identically in both engines, so every add/mul/div is the same
+    correctly-rounded IEEE op in the same order. Sentence count is
+    floored at 1 (the fixture corpus has no terminal punctuation; the
+    guard also covers real-world headline docs). The grade is
+    floor(ari) — floor of the SAME double on both sides, so the
+    bucket can't straddle. Shape: pure projection, zero shuffles,
+    whole-stage codegen; scan-bound at any scale."""
+    d = load(spark, sf_dir, "documents")
+    n_letters = F.length(F.regexp_replace("text", " ", ""))
+    n_words = F.size(F.split("text", " "))
+    n_sent = F.greatest(
+        F.regexp_count("text", F.lit("[.!?]+")), F.lit(1))
+    f = d.select(
+        "doc_id", n_letters.alias("n_letters"), n_words.alias("n_words"),
+        n_sent.alias("n_sent"))
+    cw = F.col("n_letters").cast("double") / F.col("n_words").cast("double")
+    ws = F.col("n_words").cast("double") / F.col("n_sent").cast("double")
+    ari = (F.lit(4.71) * cw + F.lit(0.5) * ws) - F.lit(21.43)
+    return f.select(
+        "doc_id",
+        F.col("n_letters").cast("long").alias("n_letters"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_sent").cast("long").alias("n_sent"),
+        ari.alias("ari"),
+        F.floor(ari).cast("long").alias("grade"),
+    )
+
+
+@register(
+    "win_late_arrivals",
+    oracle=f"""
+    with e as (select user_id, event_id, epoch_us(ts) as ts_us,
+                      (event_id * 2654435761) % 4294967296 as arrival
+               from {EV}),
+    w as (select user_id, event_id, ts_us,
+                 max(ts_us) over (partition by user_id
+                                  order by arrival asc, event_id asc
+                                  rows between unbounded preceding
+                                  and 1 preceding) as hwm_us
+          from e),
+    l as (select user_id,
+                 case when hwm_us is not null
+                           and ts_us < hwm_us - 600000000
+                      then 1 else 0 end as late,
+                 case when hwm_us is not null
+                           and ts_us < hwm_us - 600000000
+                      then hwm_us - 600000000 - ts_us else 0 end
+                   as lateness_us
+          from w)
+    select user_id, cast(count(*) as bigint) as n_events,
+           cast(sum(late) as bigint) as n_late,
+           cast(max(lateness_us) as bigint) as max_lateness_us,
+           cast(sum(late) as double) / cast(count(*) as double)
+             as late_frac
+    from l group by 1
+    """,
+)
+def win_late_arrivals(spark, sf_dir):
+    """W29: late-data accounting — the batch twin of a streaming
+    watermark: replay each user's events in ARRIVAL order and flag
+    rows whose event time falls more than 10 min behind the
+    high-water mark of everything already arrived. This is exactly
+    the population a Structured Streaming job with
+    `withWatermark("ts", "10 minutes")` would drop; the per-user
+    count/max-lateness summary is what you need to SIZE a watermark
+    before committing to one (the streaming/jobs.py twins consume the
+    same 10-min figure). The fixture's event_id sequence is PERFECTLY
+    time-ordered per user (duckdb-probed: zero inversions at sf0.001
+    and sf0.01), so using it raw would make the key degenerate-zero;
+    arrival order is therefore a Knuth multiplicative scramble of
+    event_id ((id·2654435761) mod 2³²) — deterministic, exact int64
+    in both engines, simulating network-shuffled ingest. In
+    production the row's real ingest sequence number replaces the
+    scramble. All µs arithmetic is exact integer; the only double is
+    the final frac division. Shape: repartition(user) up front — the
+    running-max window and the per-user rollup share ONE exchange;
+    window state is O(1) (running max), arrival order rides the
+    window sort."""
+    e = load(spark, sf_dir, "events")
+    e = e.repartition("user_id")
+    arrival = F.expr("(event_id * 2654435761) % 4294967296")
+    wp = (Window.partitionBy("user_id")
+          .orderBy(F.asc(arrival), F.asc("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    ts_us = F.expr("unix_micros(ts)")
+    w = e.select(
+        "user_id", "event_id", ts_us.alias("ts_us"),
+        F.max(ts_us).over(wp).alias("hwm_us"))
+    is_late = (F.col("hwm_us").isNotNull()
+               & (F.col("ts_us") < F.col("hwm_us") - 600000000))
+    late = F.when(is_late, F.lit(1)).otherwise(F.lit(0))
+    lateness = F.when(
+        is_late, F.col("hwm_us") - 600000000 - F.col("ts_us")
+    ).otherwise(F.lit(0))
+    l = w.select("user_id", late.alias("late"),
+                 lateness.alias("lateness_us"))
+    return l.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("late").cast("long").alias("n_late"),
+        F.max("lateness_us").cast("long").alias("max_lateness_us"),
+        (F.sum("late").cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("late_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
 # The driver samples the FIRST 50 keys of ``queries()`` in dict-insertion
@@ -9081,11 +9489,14 @@ _R07_PRIORITY = [
     "win_vwap", "win_stochastic", "win_rsi", "agg_chisq",
     "agg_stickiness", "agg_churn", "agg_cohort_matrix",
     "agg_grouping_sets",
+    # r7 batch-6 keys:
+    "llm_code_detect", "llm_boilerplate", "llm_zipf", "llm_ngram_lm",
+    "llm_readability", "win_late_arrivals",
     "fn_regexp", "fn_string_dn", "fn_variant", "llm_chunk", "llm_concat",
     "llm_decontaminate", "llm_dedup_groups", "llm_dupe_stats",
-    "llm_hot_ngrams", "llm_keywords", "llm_len_buckets", "llm_mix_weights",
-    "llm_normalize", "llm_overlap",
-    # (c, cont.) displaced to the tail by the r7 batch-3/4/5 keys
+    # (c, cont.) displaced to the tail by the r7 batch-3/4/5/6 keys
+    # (also now tail: llm_hot_ngrams, llm_keywords, llm_len_buckets,
+    # llm_mix_weights, llm_normalize, llm_overlap)
     # (first rows outrank renewals): llm_pack, llm_redact,
     # llm_repetition, llm_sample_stratified, llm_shard, llm_split,
     # llm_vocab, topk_per_group, win_cume, win_delta, win_latest,
