@@ -325,6 +325,30 @@ NOTES = {
                     "time — per-file schemas read once on the driver, "
                     "row data never rewritten; v1 rows surface the new "
                     "column as NULL→sentinel.",
+    "win_vwap": "ONE hash(part) exchange; both running decimal sums "
+                "fuse into a single Window with O(1) frame state — "
+                "survives any history length that fits a task sort.",
+    "agg_churn": "repartition(user) satisfies the (user, week) dedup "
+                 "AND the lead() window via the subset rule — one "
+                 "fact exchange, then a calendar-bounded week rollup.",
+    "agg_cohort_matrix": "Same subset-rule fusion on hash(cust): "
+                         "distinct + per-customer min-window share one "
+                         "exchange; cohort size recovered from the "
+                         "grid itself (no second scan, no join).",
+    "agg_grouping_sets": "Expand (3× fan-out) feeds ONE hash-agg with "
+                         "map-side partials — the fact table is read "
+                         "once for all three granularities.",
+    "llm_boilerplate": "The llm_novelty r6 pattern: one gram-keyed "
+                       "repartition serves the (gram, doc) dedup AND "
+                       "the per-gram doc-count window (sort-only); "
+                       "only the per-doc rollup shuffles again.",
+    "llm_ngram_lm": "Bigrams form INSIDE the row (slice+zip HOFs, no "
+                    "posexplode window); repartition(w1) serves the "
+                    "(w1, w2) hash-agg and the c1 marginal window; "
+                    "1-row vocab frame broadcasts.",
+    "win_late_arrivals": "repartition(user) shared by the running-max "
+                         "window and the per-user rollup — one "
+                         "exchange; O(1) window state (running max).",
 }
 
 
