@@ -4846,16 +4846,20 @@ def llm_novelty(spark, sf_dir):
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.size(tk) - F.lit(4)),
-                    lambda i: F.array_join(F.slice(tk, i, 5), " "),
+                    lambda i: F.xxhash64(F.array_join(F.slice(tk, i, 5),
+                                                      " ")),
                 )
-            ).alias("gram"),
+            ).alias("gram_h"),
         )
-        .repartition(F.col("gram"))  # shuffle 1 of 2 — the only gram-frame
-        # exchange; dedup + window below reuse it
+        .repartition(F.col("gram_h"))  # shuffle 1 of 2 — the only
+        # gram-frame exchange; dedup + window below reuse it. Shingles
+        # collapse to xxhash64 BEFORE the exchange (the llm_boilerplate
+        # measurement: 8-byte shuffle/sort keys beat ~180-byte gram
+        # strings ~3.8x at 1M docs; same collision bound applies).
     )
-    gd = grams.groupBy("gram", "doc_id").agg(F.lit(1).alias("__one"))
+    gd = grams.groupBy("gram_h", "doc_id").agg(F.lit(1).alias("__one"))
     gd = gd.withColumn(
-        "first_doc", F.min("doc_id").over(Window.partitionBy("gram"))
+        "first_doc", F.min("doc_id").over(Window.partitionBy("gram_h"))
     )
     return (
         gd.select(
@@ -9033,12 +9037,19 @@ def llm_boilerplate(spark, sf_dir):
     crawl; a high fraction marks the doc as template filler worth
     down-weighting before training). The dual of llm_novelty: novelty
     asks "who saw it FIRST", boilerplate asks "how MANY see it".
-    Shape reuses the novelty r6 rewrite verbatim: ONE gram-keyed
-    repartition of the exploded shingles, the (gram, doc) dedup
-    groupBy satisfies its distribution via the subset rule, the
-    per-gram doc-count is a window over the same partitioning
-    (sort-only, no Exchange), and only the final per-doc rollup
-    shuffles again — 2 shuffles total, cross-product never exists."""
+    Shape reuses the novelty r6 rewrite with one upgrade: shingles
+    collapse to xxhash64 BEFORE the exchange, so the shuffle, the
+    dedup hash-agg and the window sort all move 8-byte ints instead
+    of ~180-byte gram strings (measured 70 s → see SCALE.md at 1M
+    docs / 26M grams; the strings never leave the map side). ONE
+    hash-keyed repartition, the (hash, doc) dedup groupBy satisfies
+    its distribution via the subset rule, the per-gram doc-count is a
+    window over the same partitioning (sort-only, no Exchange), and
+    only the final per-doc rollup shuffles again — 2 shuffles total,
+    cross-product never exists. Collision risk: expected colliding
+    gram pairs ≈ G²/2⁶⁵ (~10⁻⁵ at 26M grams); beyond ~10¹⁰ corpus
+    grams switch the key to a 128-bit digest (md5 split) — the
+    text-side oracle is the collision detector at test scale."""
     d = load(spark, sf_dir, "documents")
     tk = F.split(F.col("text"), " ")
     grams = (
@@ -9048,15 +9059,16 @@ def llm_boilerplate(spark, sf_dir):
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.size(tk) - F.lit(4)),
-                    lambda i: F.array_join(F.slice(tk, i, 5), " "),
+                    lambda i: F.xxhash64(F.array_join(F.slice(tk, i, 5),
+                                                      " ")),
                 )
-            ).alias("gram"),
+            ).alias("gram_h"),
         )
-        .repartition(F.col("gram"))  # shuffle 1 of 2 (novelty pattern)
+        .repartition(F.col("gram_h"))  # shuffle 1 of 2 (novelty pattern)
     )
-    gd = grams.groupBy("gram", "doc_id").agg(F.lit(1).alias("__one"))
+    gd = grams.groupBy("gram_h", "doc_id").agg(F.lit(1).alias("__one"))
     gd = gd.withColumn(
-        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("gram_h")))
     boiler = F.when(F.col("n_docs") >= 3, F.lit(1)).otherwise(F.lit(0))
     return (
         gd.select("doc_id", boiler.alias("b"))
@@ -9339,6 +9351,345 @@ def win_late_arrivals(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r7 batch 7 — scoring / graph / codec / calendar (A48-A50, W30, F13-F14)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_decile_lift",
+    oracle="""
+    with cust as (
+      select o_custkey,
+             sum(cast(o_totalprice as decimal(18,2))) as spend,
+             max(case when o_orderstatus = 'F' then 1 else 0 end) as resp
+      from orders group by 1),
+    d as (select o_custkey, spend, resp,
+                 ntile(10) over (order by spend desc, o_custkey asc)
+                   as decile
+          from cust),
+    g as (select decile, count(*) as n, sum(resp) as resp from d
+          group by 1),
+    t as (select *,
+                 sum(n) over () as tot_n, sum(resp) over () as tot_resp,
+                 sum(resp) over (order by decile asc
+                                 rows unbounded preceding) as cum_resp
+          from g)
+    select cast(decile as bigint) as decile, cast(n as bigint) as n,
+           cast(resp as bigint) as resp,
+           cast(resp as double) / cast(n as double) as resp_rate,
+           cast(resp * tot_n as double)
+             / cast(n * tot_resp as double) as lift,
+           cast(cum_resp as double) / cast(tot_resp as double) as cum_gain
+    from t
+    """,
+)
+def agg_decile_lift(spark, sf_dir):
+    """A48: decile lift/gains table — score customers by total spend,
+    cut into deciles, and ask how concentrated the responders
+    (customers with a finalized order) are in the top cuts; the
+    model-evaluation chart every campaign targeter reads. Lift is the
+    exact integer rational resp·tot_n/(n·tot_resp) — ONE double
+    division, no rate-of-rates rounding; cumulative gain likewise.
+    Decile ties are pinned by (spend desc, custkey asc) — the
+    win_ntile/agg_rfm contract. Shape: one hash(cust) agg over orders
+    (fact-sized, map-side partial), then the ntile + marginal windows
+    run over the CUSTOMER frame and the 10-row decile frame — the
+    dimension-bounded global-walk trade agg_rfm already made."""
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+        F.max(F.when(F.col("o_orderstatus") == "F", F.lit(1))
+              .otherwise(F.lit(0))).alias("resp"),
+    )
+    d = cust.select(
+        "resp",
+        F.ntile(10).over(
+            Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+        ).alias("decile"))
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("resp").alias("resp"))
+    t = g.select(
+        "decile", "n", "resp",
+        F.sum("n").over(Window.partitionBy()).alias("tot_n"),
+        F.sum("resp").over(Window.partitionBy()).alias("tot_resp"),
+        F.sum("resp").over(
+            Window.orderBy(F.asc("decile"))
+            .rowsBetween(Window.unboundedPreceding, 0)).alias("cum_resp"),
+    )
+    return t.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n").cast("long").alias("n"),
+        F.col("resp").cast("long").alias("resp"),
+        (F.col("resp").cast("double") / F.col("n").cast("double"))
+        .alias("resp_rate"),
+        ((F.col("resp") * F.col("tot_n")).cast("double")
+         / (F.col("n") * F.col("tot_resp")).cast("double")).alias("lift"),
+        (F.col("cum_resp").cast("double")
+         / F.col("tot_resp").cast("double")).alias("cum_gain"),
+    )
+
+
+@register(
+    "graph_degree",
+    oracle="""
+    with edges as (
+      select distinct o_custkey as cust, l_suppkey as supp
+      from lineitem join orders on l_orderkey = o_orderkey),
+    cd as (select cust, count(*) as degree from edges group by 1),
+    sd as (select supp, count(*) as degree from edges group by 1),
+    h as (select 'cust' as side, degree, count(*) as n_nodes
+          from cd group by 2
+          union all
+          select 'supp' as side, degree, count(*) as n_nodes
+          from sd group by 2)
+    select side, cast(degree as bigint) as degree,
+           cast(n_nodes as bigint) as n_nodes
+    from h
+    """,
+)
+def graph_degree(spark, sf_dir):
+    """A49: bipartite degree distribution — the customer↔supplier
+    trading graph implied by the fact tables (who buys from how many,
+    who sells to how many); the first diagnostic of any
+    entity-relationship graph (hubs → skew risk for every downstream
+    graph op; llm_dedup_groups' components and agg_transitions'
+    chains both care). Shape: the orderkey equi-join is the only
+    fact×fact step — SMJ/shuffle-hash on the join key with AQE free
+    to pick; the distinct edge set collapses map-side before its
+    (cust, supp) exchange; degrees are two hash-aggs on the EDGE
+    frame (bounded by realized pairs, not the cross product) and the
+    histogram is a degree-frame agg. No windows, no driver loops."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"),
+                F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    cd = edges.groupBy("cust").agg(F.count(F.lit(1)).alias("degree"))
+    sd = edges.groupBy("supp").agg(F.count(F.lit(1)).alias("degree"))
+    h = (
+        cd.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.lit("cust").alias("side"), "degree", "n_nodes")
+        .unionByName(
+            sd.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+            .select(F.lit("supp").alias("side"), "degree", "n_nodes"))
+    )
+    return h.select(
+        "side",
+        F.col("degree").cast("long").alias("degree"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+    )
+
+
+@register(
+    "fn_base64",
+    oracle="""
+    select p_partkey,
+           base64(encode(p_name)) as b64,
+           cast(length(base64(encode(p_name))) as bigint) as b64_len,
+           cast(case when decode(from_base64(base64(encode(p_name))))
+                          = p_name
+                     then 1 else 0 end as bigint) as roundtrip_ok
+    from part
+    """,
+)
+def fn_base64(spark, sf_dir):
+    """F13: base64 codec round-trip — the transport encoding every
+    opaque-payload pipeline needs at its edges (webhook bodies, binary
+    columns in JSON exports; the mm_* keys carry real binary, this is
+    the text-side codec). RFC 4648 standard alphabet WITH padding, no
+    line wrapping — Spark's base64() (JDK Base64, unchunked since
+    3.3) and DuckDB's base64() agree byte-for-byte, proven by the
+    parity hash, and the round-trip flag re-decodes inside the engine
+    rather than trusting the encoder. Shape: pure projection, zero
+    shuffles, whole-stage codegen."""
+    p = load(spark, sf_dir, "part")
+    b64 = F.base64(F.col("p_name").cast("binary"))
+    return p.select(
+        "p_partkey",
+        b64.alias("b64"),
+        F.length(b64).cast("long").alias("b64_len"),
+        F.when(F.unbase64(b64).cast("string") == F.col("p_name"),
+               F.lit(1)).otherwise(F.lit(0)).cast("long")
+        .alias("roundtrip_ok"),
+    )
+
+
+@register(
+    "fn_luhn",
+    oracle="""
+    with a as (select o_custkey, lpad(cast(o_custkey as varchar), 9, '0')
+                        as payload
+               from (select distinct o_custkey from orders)),
+    s as (select o_custkey, payload,
+                 list_sum(list_transform(range(1, 10), i ->
+                   case when (10 - i) % 2 = 1 then
+                     case when cast(substr(payload, cast(i as int), 1)
+                                    as int) * 2 > 9
+                          then cast(substr(payload, cast(i as int), 1)
+                                    as int) * 2 - 9
+                          else cast(substr(payload, cast(i as int), 1)
+                                    as int) * 2 end
+                   else cast(substr(payload, cast(i as int), 1) as int)
+                   end)) as luhn_sum
+          from a)
+    select o_custkey,
+           payload || cast((10 - luhn_sum % 10) % 10 as varchar)
+             as account_no,
+           cast(luhn_sum as bigint) as luhn_sum,
+           cast((10 - luhn_sum % 10) % 10 as bigint) as check_digit
+    from s
+    """,
+)
+def fn_luhn(spark, sf_dir):
+    """F14: Luhn check-digit mint — derive a 10-digit account number
+    (9-digit zero-padded key + mod-10 check) per customer; the
+    validation primitive behind card/IMEI/account data-quality
+    screens (fn_safe_div's cousin: pure scalar hygiene). The digit
+    walk is a fold over a 9-element sequence — every-second digit
+    from the right doubled with the >9 ⇒ −9 casefold — expressed as
+    the SAME lambda HOF in both engines (aggregate() in Spark,
+    list_transform+list_sum in DuckDB), all exact integers. Shape:
+    distinct custkey (one exchange over the customer frame) then pure
+    codegen-side string/int math; the HOF stays inside whole-stage
+    codegen, no UDF."""
+    o = load(spark, sf_dir, "orders")
+    a = o.select("o_custkey").distinct().select(
+        "o_custkey",
+        F.lpad(F.col("o_custkey").cast("string"), 9, "0").alias("payload"))
+    s = a.withColumn(
+        "luhn_sum",
+        F.expr(
+            """aggregate(sequence(1, 9), 0, (acc, i) ->
+                 acc + (case when (10 - i) % 2 = 1 then
+                          case when cast(substr(payload, i, 1) as int) * 2 > 9
+                               then cast(substr(payload, i, 1) as int) * 2 - 9
+                               else cast(substr(payload, i, 1) as int) * 2
+                          end
+                        else cast(substr(payload, i, 1) as int) end))"""),
+    )
+    check = (F.lit(10) - F.col("luhn_sum") % 10) % 10
+    return s.select(
+        "o_custkey",
+        F.concat(F.col("payload"), check.cast("string"))
+        .alias("account_no"),
+        F.col("luhn_sum").cast("long").alias("luhn_sum"),
+        check.cast("long").alias("check_digit"),
+    )
+
+
+@register(
+    "agg_seasonality_dow",
+    oracle=f"""
+    with e as (select * from {EV}),
+    d as (select epoch_us(ts) // 86400000000 % 7 as dow_idx,
+                 cast(value as decimal(38,4)) as v
+          from e),
+    g as (select dow_idx, count(*) as n, sum(v) as sum_v
+          from d group by 1),
+    t as (select *, sum(n) over () as tot_n, sum(sum_v) over () as tot_v
+          from g)
+    select cast(dow_idx as bigint) as dow_idx, cast(n as bigint) as n,
+           cast(cast(sum_v as varchar) as double) as sum_v,
+           cast(cast(sum_v as varchar) as double) / cast(n as double)
+             as dow_avg,
+           (cast(cast(sum_v as varchar) as double) / cast(n as double))
+             / (cast(cast(tot_v as varchar) as double)
+                / cast(tot_n as double)) as seasonality_idx
+    from t
+    """,
+)
+def agg_seasonality_dow(spark, sf_dir):
+    """A50: day-of-week seasonality index — each weekday's average
+    value relative to the all-days average (1.0 = flat week; the
+    profile win_seasonal_baseline consumes as a baseline shape).
+    Weekday is the pure-integer epoch-day mod 7 (day 0 = Thursday,
+    1970-01-01) — zero calendar semantics, so Spark's Sunday=1 vs
+    DuckDB's Sunday=0 dayofweek() disagreement never enters. Sums are
+    exact decimals; the index is a ratio of two correctly-rounded
+    averages evaluated in the SAME expression tree both sides. Shape:
+    one hash exchange into a 7-row frame; the marginal window and the
+    final ratios are a single tiny task."""
+    e = load(spark, sf_dir, "events")
+    d = e.select(
+        F.expr("unix_micros(ts) div 86400000000 % 7").alias("dow_idx"),
+        F.col("value").cast("decimal(38,4)").alias("v"))
+    g = d.groupBy("dow_idx").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+    t = g.select(
+        "dow_idx", "n", "sum_v",
+        F.sum("n").over(Window.partitionBy()).alias("tot_n"),
+        F.sum("sum_v").over(Window.partitionBy()).alias("tot_v"))
+    dow_avg = F.col("sum_v").cast("double") / F.col("n").cast("double")
+    tot_avg = F.col("tot_v").cast("double") / F.col("tot_n").cast("double")
+    return t.select(
+        F.col("dow_idx").cast("long").alias("dow_idx"),
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_v").cast("double").alias("sum_v"),
+        dow_avg.alias("dow_avg"),
+        (dow_avg / tot_avg).alias("seasonality_idx"),
+    )
+
+
+@register(
+    "win_yoy",
+    oracle="""
+    with m as (select l_partkey,
+                      year(cast(l_shipdate as timestamp)) * 12
+                        + month(cast(l_shipdate as timestamp)) - 1
+                        as m_idx,
+                      sum(cast(l_extendedprice as decimal(18,2))) as rev
+               from lineitem group by 1, 2),
+    w as (select l_partkey, m_idx, rev,
+                 sum(rev) over (partition by l_partkey order by m_idx asc
+                                range between 12 preceding
+                                and 12 preceding) as prev_rev
+          from m)
+    select l_partkey, cast(m_idx as bigint) as m_idx,
+           cast(cast(rev as varchar) as double) as rev,
+           cast(cast(prev_rev as varchar) as double) as prev_rev,
+           case when prev_rev is null or prev_rev = 0 then null
+                else cast(cast(rev - prev_rev as varchar) as double)
+                     / cast(cast(prev_rev as varchar) as double) end
+             as yoy
+    from w
+    """,
+)
+def win_yoy(spark, sf_dir):
+    """W30: year-over-year growth per part-month — the comp-sales
+    metric: this month's revenue vs the SAME month last year, matched
+    by an exact RANGE frame (12 preceding..12 preceding on the month
+    index), which is NULL-correct when last year's month has no sales
+    (no row ⇒ NULL prev ⇒ NULL yoy, never a fake −100%). Numerator
+    rev−prev is an exact decimal difference; ONE division on
+    correctly-rounded casts. A lag(12) would silently misalign on
+    gappy series — the range frame addresses by VALUE, not by row
+    offset. Shape: one hash(part) rollup exchange (map-side partial),
+    then the range window rides hash(part) with a per-part sort of
+    its month frame."""
+    li = load(spark, sf_dir, "lineitem")
+    m_idx = (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1
+             ).alias("m_idx")
+    m = li.groupBy("l_partkey", m_idx).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"))
+    w = (Window.partitionBy("l_partkey").orderBy(F.asc("m_idx"))
+         .rangeBetween(-12, -12))
+    s = m.withColumn("prev_rev", F.sum("rev").over(w))
+    return s.select(
+        "l_partkey",
+        F.col("m_idx").cast("long").alias("m_idx"),
+        F.col("rev").cast("double").alias("rev"),
+        F.col("prev_rev").cast("double").alias("prev_rev"),
+        F.when(F.col("prev_rev").isNull() | (F.col("prev_rev") == 0),
+               F.lit(None))
+        .otherwise((F.col("rev") - F.col("prev_rev")).cast("double")
+                   / F.col("prev_rev").cast("double")).alias("yoy"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
 # The driver samples the FIRST 50 keys of ``queries()`` in dict-insertion
@@ -9492,11 +9843,15 @@ _R07_PRIORITY = [
     # r7 batch-6 keys:
     "llm_code_detect", "llm_boilerplate", "llm_zipf", "llm_ngram_lm",
     "llm_readability", "win_late_arrivals",
-    "fn_regexp", "fn_string_dn", "fn_variant", "llm_chunk", "llm_concat",
-    "llm_decontaminate", "llm_dedup_groups", "llm_dupe_stats",
-    # (c, cont.) displaced to the tail by the r7 batch-3/4/5/6 keys
-    # (also now tail: llm_hot_ngrams, llm_keywords, llm_len_buckets,
-    # llm_mix_weights, llm_normalize, llm_overlap)
+    # r7 batch-7 keys:
+    "agg_decile_lift", "graph_degree", "fn_base64", "fn_luhn",
+    "agg_seasonality_dow", "win_yoy",
+    "fn_regexp", "fn_string_dn",
+    # (c, cont.) displaced to the tail by the r7 batch-3/4/5/6/7 keys
+    # (also now tail: fn_variant, llm_chunk, llm_concat,
+    # llm_decontaminate, llm_dedup_groups, llm_dupe_stats,
+    # llm_hot_ngrams, llm_keywords, llm_len_buckets, llm_mix_weights,
+    # llm_normalize, llm_overlap)
     # (first rows outrank renewals): llm_pack, llm_redact,
     # llm_repetition, llm_sample_stratified, llm_shard, llm_split,
     # llm_vocab, topk_per_group, win_cume, win_delta, win_latest,

@@ -698,10 +698,98 @@ def r7b_probe(spark, res, n_events):
     timed("fn_workdays_join", QUERIES["fn_workdays"](spark, scratch), res)
 
 
+def r7c_probe(spark, res, n_events, n_docs):
+    """r7 batch-5/6 at 200× fixture scale through the REAL registered
+    builders: the one-exchange running-VWAP window, subset-rule-fused
+    churn/cohort chains, the two-distinct stickiness, the scrambled
+    arrival watermark replay, the Expand-based grouping sets, and the
+    text trio (boilerplate 5-gram window, bigram LM, integer-bits Zipf)
+    over a 1M-doc / 30-word corpus with a 50k shared vocabulary."""
+    import os
+    import tempfile
+
+    from minerva_etl_46_spark.queries import QUERIES
+
+    scratch = os.path.join(tempfile.gettempdir(),
+                           f"r7c_probe_{os.getpid()}")
+    (synth_events(spark, n_events)
+     .withColumn("event_type",
+                 F.concat(F.lit("t"), (F.xxhash64("event_id") % 5)
+                          .cast("string")))
+     .withColumn("props", F.lit("{}"))
+     .write.mode("overwrite").parquet(f"{scratch}/events.parquet"))
+    (spark.range(n_events).select(
+        F.expr("id div 6").alias("l_orderkey"),
+        (F.col("id") % 6 + 1).cast("int").alias("l_linenumber"),
+        (F.abs(F.xxhash64("id", F.lit(5))) % 1_000_000).alias("l_partkey"),
+        ((F.abs(F.xxhash64("id", F.lit(6))) % 10000000) / 100.0)
+        .alias("l_extendedprice"),
+        ((F.abs(F.xxhash64("id", F.lit(7))) % 5000) / 100.0)
+        .alias("l_quantity"),
+        F.element_at(F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+                     (F.abs(F.xxhash64("id", F.lit(8))) % 3 + 1)
+                     .cast("int")).alias("l_returnflag"),
+        F.element_at(F.array(F.lit("F"), F.lit("O")),
+                     (F.abs(F.xxhash64("id", F.lit(9))) % 2 + 1)
+                     .cast("int")).alias("l_linestatus"),
+        F.timestamp_seconds(BASE + (F.col("id") * 1013) % SPAN_S)
+        .alias("l_shipdate"))
+     .write.mode("overwrite").parquet(f"{scratch}/lineitem.parquet"))
+    (spark.range(n_events).select(
+        F.col("id").alias("o_orderkey"),
+        (F.abs(F.xxhash64("id")) % 100_000).alias("o_custkey"),
+        F.lit("O").alias("o_orderstatus"),
+        ((F.abs(F.xxhash64("id", F.lit(4))) % 50000000) / 100.0)
+        .alias("o_totalprice"),
+        F.timestamp_seconds(BASE + (F.col("id") * 1009) % SPAN_S)
+        .alias("o_orderdate"))
+     .write.mode("overwrite").parquet(f"{scratch}/orders.parquet"))
+    # 30-word docs over a 50k shared vocabulary: 5-grams genuinely
+    # repeat across docs (the boilerplate hot path is exercised, not
+    # just the empty branch) and the bigram/Zipf frames stay
+    # vocab-bounded the way a natural-language corpus is
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda i: F.concat(
+            F.lit("w"),
+            (F.abs(F.xxhash64(F.col("id"), i)) % 50_000).cast("string")))
+    (spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", words).alias("text"))
+     .write.mode("overwrite").parquet(f"{scratch}/documents.parquet"))
+
+    timed("win_vwap_20M_items", QUERIES["win_vwap"](spark, scratch), res)
+    timed("agg_grouping_sets_20M",
+          QUERIES["agg_grouping_sets"](spark, scratch), res)
+    timed("agg_cohort_matrix_100k_cust",
+          QUERIES["agg_cohort_matrix"](spark, scratch), res)
+    timed("agg_churn_events", QUERIES["agg_churn"](spark, scratch), res)
+    timed("agg_stickiness_events",
+          QUERIES["agg_stickiness"](spark, scratch), res)
+    timed("win_late_arrivals_events",
+          QUERIES["win_late_arrivals"](spark, scratch), res)
+    timed("win_stochastic_events",
+          QUERIES["win_stochastic"](spark, scratch), res)
+    timed("win_rsi_events", QUERIES["win_rsi"](spark, scratch), res)
+    timed("agg_chisq_events", QUERIES["agg_chisq"](spark, scratch), res)
+    timed("llm_code_detect_docs",
+          QUERIES["llm_code_detect"](spark, scratch), res)
+    timed("llm_boilerplate_docs",
+          QUERIES["llm_boilerplate"](spark, scratch), res)
+    timed("llm_ngram_lm_docs", QUERIES["llm_ngram_lm"](spark, scratch), res)
+    timed("llm_zipf_docs", QUERIES["llm_zipf"](spark, scratch), res)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r7c":
+        r7c_probe(spark, res, n_events=N, n_docs=max(100_000, N // 20))
+        print(json.dumps({"metric": "scale_probe_r7c", "rows": N,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r7b":
         r7b_probe(spark, res, n_events=N)
         print(json.dumps({"metric": "scale_probe_r7b", "rows": N,
