@@ -9455,10 +9455,13 @@ def graph_degree(spark, sf_dir):
     graph op; llm_dedup_groups' components and agg_transitions'
     chains both care). Shape: the orderkey equi-join is the only
     fact×fact step — SMJ/shuffle-hash on the join key with AQE free
-    to pick; the distinct edge set collapses map-side before its
-    (cust, supp) exchange; degrees are two hash-aggs on the EDGE
-    frame (bounded by realized pairs, not the cross product) and the
-    histogram is a degree-frame agg. No windows, no driver loops."""
+    to pick — and it runs ONCE: the edge set unpivots via stack()
+    into (side, node) stubs, so both degree directions ride a single
+    hash-agg chain instead of two branches recomputing the join (the
+    two-branch form measured 2 SMJs / 10 exchanges at 20M; this is
+    1 SMJ / ~5). Distinct edges collapse map-side before their
+    exchange; the histogram is a degree-frame agg. No windows, no
+    driver loops."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     edges = (
@@ -9467,15 +9470,12 @@ def graph_degree(spark, sf_dir):
                 F.col("l_suppkey").alias("supp"))
         .distinct()
     )
-    cd = edges.groupBy("cust").agg(F.count(F.lit(1)).alias("degree"))
-    sd = edges.groupBy("supp").agg(F.count(F.lit(1)).alias("degree"))
-    h = (
-        cd.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
-        .select(F.lit("cust").alias("side"), "degree", "n_nodes")
-        .unionByName(
-            sd.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
-            .select(F.lit("supp").alias("side"), "degree", "n_nodes"))
-    )
+    stubs = edges.select(
+        F.expr("stack(2, 'cust', cust, 'supp', supp) as (side, node)"))
+    deg = stubs.groupBy("side", "node").agg(
+        F.count(F.lit(1)).alias("degree"))
+    h = deg.groupBy("side", "degree").agg(
+        F.count(F.lit(1)).alias("n_nodes"))
     return h.select(
         "side",
         F.col("degree").cast("long").alias("degree"),
