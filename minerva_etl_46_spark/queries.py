@@ -9690,6 +9690,329 @@ def win_yoy(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r7 batch 8 — sources/sinks round-trips, stats screens (S9-S10, A51-A52,
+# W31, F15)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_binary",
+    oracle="""
+    select n_nationkey as file_key,
+           cast(length(n_name) as bigint) as n_bytes,
+           md5(hex(encode(n_name))) as content_md5
+    from nation
+    """,
+)
+def scan_binary(spark, sf_dir):
+    """S9: opaque binary-file ingestion — `spark.read.format
+    ("binaryFile")`, the entry point for the mm_* multimodal chain
+    (images/audio arrive as files, not rows; this is the scan that
+    turns a directory into a (path, bytes) frame). Round-trip shape
+    like scan_csv: one .bin per nation row is rendered into PID-scoped
+    scratch, re-ingested through the REAL binaryFile reader, and
+    reduced to (key-from-filename, byte length, digest). The digest is
+    md5 over the HEX of the payload — hex() uppercases identically in
+    both engines and DuckDB's md5 only takes VARCHAR, so the
+    hex-mediated digest is the engine-portable content fingerprint;
+    the oracle recomputes it from the source column without touching
+    the files. 100 TB: binaryFile scans parallelize per-file (each
+    file one task item, maxPartitionBytes packs small ones); the
+    driver lists paths, never reads payloads."""
+    import os
+
+    scratch = _scratch(sf_dir, "nation_bin")
+    os.makedirs(scratch, exist_ok=True)
+    nation = load(spark, sf_dir, "nation")
+    for r in nation.select("n_nationkey", "n_name").collect():
+        # bounded-by: 25-row nation dimension (fixture renderer, the
+        # scan_csv pattern)
+        with open(os.path.join(scratch, f"n_{r.n_nationkey}.bin"),
+                  "wb") as f:
+            f.write(r.n_name.encode())
+    b = spark.read.format("binaryFile").load(scratch)
+    return b.select(
+        F.regexp_extract(F.col("path"), r"n_(\d+)\.bin$", 1)
+        .cast("long").alias("file_key"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.encode(F.hex("content"), "utf-8")).alias("content_md5"),
+    )
+
+
+@register(
+    "sink_csv",
+    oracle="""
+    select c_custkey, c_name, c_nationkey,
+           cast(cast(cast(c_acctbal as decimal(18,2)) as varchar)
+                as double) as acctbal,
+           c_mktsegment
+    from customer
+    """,
+)
+def sink_csv(spark, sf_dir):
+    """S10: CSV sink round-trip — write the customer dimension to a
+    header-ed CSV directory (the export format every downstream
+    spreadsheet/legacy consumer asks for), then re-ingest through the
+    REAL csv reader with an explicit schema and prove nothing bent in
+    transit (the oracle reads the ORIGINAL parquet — the files are
+    the thing under test). Money travels as decimal(18,2) rendered in
+    its canonical text form — no double shortest-repr round-trip in
+    the file, so the written artifact is also what a bank's ingest
+    would accept. 100 TB: the write parallelizes per-partition
+    (header per file, no global order promised); re-read schema is
+    explicit, never inferred (inference would re-scan the data)."""
+    scratch = _scratch(sf_dir, "customer_csv")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal"),
+        "c_mktsegment")
+    c.write.mode("overwrite").option("header", True).csv(scratch)
+    back = (
+        spark.read.option("header", True)
+        .schema("c_custkey long, c_name string, c_nationkey long, "
+                "acctbal decimal(18,2), c_mktsegment string")
+        .csv(scratch)
+    )
+    return back.select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.col("acctbal").cast("double").alias("acctbal"),
+        "c_mktsegment",
+    )
+
+
+@register(
+    "win_runs_test",
+    oracle=f"""
+    with e as (select * from {EV}),
+    hourly as (select user_id, {sql_bucket_epoch('ts', G_1H)} as bucket,
+                      sum(cast(value as decimal(38,4))) as v
+               from e group by 1, 2),
+    d as (select user_id, bucket,
+                 v - lag(v) over (partition by user_id
+                                  order by bucket asc) as delta
+          from hourly),
+    s as (select user_id, bucket,
+                 case when delta > 0 then 1 else -1 end as sgn
+          from d where delta is not null and delta <> 0),
+    c as (select user_id, sgn,
+                 case when lag(sgn) over (partition by user_id
+                                          order by bucket asc) is null
+                           or lag(sgn) over (partition by user_id
+                                             order by bucket asc) <> sgn
+                      then 1 else 0 end as new_run
+          from s),
+    g as (select user_id,
+                 sum(case when sgn = 1 then 1 else 0 end) as n1,
+                 sum(case when sgn = -1 then 1 else 0 end) as n2,
+                 sum(new_run) as runs
+          from c group by 1)
+    select user_id, cast(n1 as bigint) as n1, cast(n2 as bigint) as n2,
+           cast(runs as bigint) as runs,
+           1.0 + cast(2 * n1 * n2 as double)
+                 / cast(n1 + n2 as double) as e_runs,
+           case when n1 = 0 or n2 = 0 or n1 + n2 < 2
+                     or 2 * n1 * n2 = n1 + n2 then null
+                else (cast(runs as double)
+                      - (1.0 + cast(2 * n1 * n2 as double)
+                               / cast(n1 + n2 as double)))
+                     / sqrt(cast(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2))
+                                 as double)
+                            / cast((n1 + n2) * (n1 + n2)
+                                   * (n1 + n2 - 1) as double)) end as z
+    from g
+    """,
+)
+def win_runs_test(spark, sf_dir):
+    """W31: Wald–Wolfowitz runs test per entity — is the up/down move
+    sequence random, or does it trend/oscillate (|z| > 2 flags
+    non-random behavior: stuck sensors oscillate, ramping load
+    trends)? Zero deltas are EXCLUDED (the three-way classification
+    collapses to the binary test both engines state identically).
+    Counts and run boundaries are exact integers; E[R] and Var[R] are
+    integer rationals with single double divisions, and the only libm
+    call is sqrt — the ONE transcendental IEEE-754 requires to be
+    correctly rounded, so it is engine-exact (unlike ln/exp, which
+    this registry's integer-bits forms exist to avoid). Degenerate
+    users (one-sided or <2 moves, or zero variance) yield NULL z.
+    Shape: hourly rollup exchange, then BOTH lag windows and the
+    per-user rollup ride one hash(user) clustering."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("user_id", bucket_epoch("ts", G_1H).alias("bucket"))
+        .agg(F.sum(F.col("value").cast("decimal(38,4)")).alias("v"))
+        .repartition("user_id")
+    )
+    wl = Window.partitionBy("user_id").orderBy(F.asc("bucket"))
+    d = hourly.withColumn("delta", F.col("v") - F.lag("v").over(wl))
+    s = d.filter(F.col("delta").isNotNull() & (F.col("delta") != 0)).select(
+        "user_id", "bucket",
+        F.when(F.col("delta") > 0, F.lit(1)).otherwise(F.lit(-1))
+        .alias("sgn"))
+    prev = F.lag("sgn").over(wl)
+    c = s.select(
+        "user_id", "sgn",
+        F.when(prev.isNull() | (prev != F.col("sgn")), F.lit(1))
+        .otherwise(F.lit(0)).alias("new_run"))
+    g = c.groupBy("user_id").agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).alias("n2"),
+        F.sum("new_run").alias("runs"))
+    n = F.col("n1") + F.col("n2")
+    two_n1n2 = F.lit(2) * F.col("n1") * F.col("n2")
+    e_runs = F.lit(1.0) + two_n1n2.cast("double") / n.cast("double")
+    var = ((two_n1n2 * (two_n1n2 - n)).cast("double")
+           / (n * n * (n - 1)).cast("double"))
+    z = (F.col("runs").cast("double") - e_runs) / F.sqrt(var)
+    return g.select(
+        "user_id",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("runs").cast("long").alias("runs"),
+        e_runs.alias("e_runs"),
+        F.when((F.col("n1") == 0) | (F.col("n2") == 0) | (n < 2)
+               | (two_n1n2 == n), F.lit(None)).otherwise(z).alias("z"),
+    )
+
+
+@register(
+    "llm_stopword_profile",
+    oracle="""
+    with t as (select doc_id, unnest(string_split(text, ' ')) as tok
+               from documents),
+    cnt as (select tok, count(*) as c from t group by 1),
+    stop as (select tok from (
+               select tok, row_number() over (order by c desc, tok asc)
+                        as rnk from cnt) where rnk <= 100)
+    select doc_id,
+           cast(count(*) as bigint) as n_tokens,
+           cast(sum(case when tok in (select tok from stop)
+                         then 1 else 0 end) as bigint) as n_stop,
+           cast(sum(case when tok in (select tok from stop)
+                         then 1 else 0 end) as double)
+             / cast(count(*) as double) as stop_ratio
+    from t group by 1
+    """,
+)
+def llm_stopword_profile(spark, sf_dir):
+    """X23: corpus-derived stopword profile — the top-100
+    most-frequent tokens ARE the corpus's function words (no external
+    list, so the profile adapts to any language mix — the lang-id-free
+    trick); a doc's stop-ratio is the llm_quality screen that
+    separates natural prose (high) from keyword lists and tables
+    (low). Ties in the top-100 cut are pinned by (count desc, token
+    asc). Shape: the token stream is scanned once and reused for both
+    sides — counts reduce to the vocab frame (hash-agg, map-side
+    partial), the top-100 rank is a vocab-frame window, and the
+    100-row stoplist BROADCASTS back onto the exploded stream for a
+    left-semi flag; the per-doc rollup is the only other fact-sized
+    exchange. The corpus text is never shuffled — only tokens-as-keys
+    and the tiny list move."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    cnt = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    stop = (
+        cnt.select(
+            "tok",
+            F.row_number().over(
+                Window.orderBy(F.desc("c"), F.asc("tok"))).alias("rnk"))
+        .filter(F.col("rnk") <= 100)
+        .select("tok", F.lit(1).alias("is_stop"))
+    )
+    flagged = t.join(F.broadcast(stop), "tok", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.coalesce(F.col("is_stop"), F.lit(0))).cast("long")
+        .alias("n_stop"),
+        (F.sum(F.coalesce(F.col("is_stop"), F.lit(0))).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("stop_ratio"),
+    )
+
+
+@register(
+    "agg_calendar_heatmap",
+    oracle=f"""
+    with e as (select * from {EV}),
+    g as (select epoch_us(ts) // 86400000000 % 7 as dow_idx,
+                 hour(ts) as hh, count(*) as n
+          from e group by 1, 2),
+    t as (select *, sum(n) over () as tot from g)
+    select cast(dow_idx as bigint) as dow_idx, cast(hh as bigint) as hh,
+           cast(n as bigint) as n,
+           cast(n as double) / cast(tot as double) as share
+    from t
+    """,
+)
+def agg_calendar_heatmap(spark, sf_dir):
+    """A51: day-of-week × hour-of-day activity grid — the 7×24
+    heatmap behind every ops dashboard (when do users actually show
+    up; agg_busy_hour's 2-D generalization). Weekday is the
+    pure-integer epoch-day mod 7 (the agg_seasonality_dow contract —
+    no Sunday=0/1 engine disagreement); share is one exact-integer
+    division per cell. Shape: one hash exchange into a ≤168-row
+    frame; the total window and shares are a single tiny task."""
+    e = load(spark, sf_dir, "events")
+    g = e.groupBy(
+        F.expr("unix_micros(ts) div 86400000000 % 7").alias("dow_idx"),
+        F.hour("ts").alias("hh"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = g.withColumn("tot", F.sum("n").over(Window.partitionBy()))
+    return t.select(
+        F.col("dow_idx").cast("long").alias("dow_idx"),
+        F.col("hh").cast("long").alias("hh"),
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.col("tot").cast("double"))
+        .alias("share"),
+    )
+
+
+@register(
+    "fn_format_bytes",
+    oracle="""
+    with b as (select o_orderkey,
+                      cast(cast(o_totalprice as decimal(18,2)) * 100
+                           as bigint) as n_bytes
+               from orders),
+    u as (select *, (length(bin(n_bytes)) - 1) // 10 as unit from b)
+    select o_orderkey, n_bytes,
+           cast(unit as bigint) as unit,
+           cast(n_bytes as double)
+             / cast(1::bigint << (10 * unit) as double) as scaled,
+           ['B', 'KiB', 'MiB', 'GiB', 'TiB'][cast(unit as int) + 1]
+             as unit_label
+    from u
+    """,
+)
+def fn_format_bytes(spark, sf_dir):
+    """F15: humanized byte sizing — the pow-1024 bucket formatter every
+    storage report needs (partition sizing, shard manifests; the
+    plans/sizing.py module consumes exactly this bucketing). The unit
+    exponent is (floor-log2(n)) div 10 via length(bin(·)) — the
+    integer-bits idiom again, zero libm — and the scaled value is ONE
+    double division by an exact power-of-two (1<<10u), which is
+    lossless in IEEE terms (exponent shift), so both engines emit the
+    identical double. Labels via a constant array lookup. Shape: pure
+    projection, zero shuffles, whole-stage codegen."""
+    o = load(spark, sf_dir, "orders")
+    b = o.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("n_bytes"))
+    u = b.withColumn(
+        "unit", F.expr("(length(bin(n_bytes)) - 1) div 10"))
+    return u.select(
+        "o_orderkey", "n_bytes",
+        F.col("unit").cast("long").alias("unit"),
+        (F.col("n_bytes").cast("double")
+         / F.expr("shiftleft(cast(1 as bigint), 10 * unit)")
+         .cast("double")).alias("scaled"),
+        F.element_at(
+            F.array(F.lit("B"), F.lit("KiB"), F.lit("MiB"),
+                    F.lit("GiB"), F.lit("TiB")),
+            F.col("unit").cast("int") + 1).alias("unit_label"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
 # The driver samples the FIRST 50 keys of ``queries()`` in dict-insertion
@@ -9834,8 +10157,10 @@ _R07_PRIORITY = [
     "agg_benford", "agg_survival", "agg_skyline", "agg_corr_pairs",
     "stream_scd2", "agg_weighted_median", "win_drawdown",
     "agg_peak_concurrency", "join_fuzzy",
-    "win_gap_fill", "agg_heavy_hitters_cms", "scan_csv", "scan_jsonl",
-    "scan_kv", "xml_harvest",
+    "win_gap_fill", "agg_heavy_hitters_cms",
+    # (the renderer quartet scan_csv/scan_jsonl/scan_kv/xml_harvest —
+    # only their scratch PATH changed, all r4/r5-green — yields its
+    # slots to first-row batch-8 keys; locally parity-proven)
     # r7 batch-5 keys (first rows outrank renewals):
     "win_vwap", "win_stochastic", "win_rsi", "agg_chisq",
     "agg_stickiness", "agg_churn", "agg_cohort_matrix",
@@ -9846,10 +10171,12 @@ _R07_PRIORITY = [
     # r7 batch-7 keys:
     "agg_decile_lift", "graph_degree", "fn_base64", "fn_luhn",
     "agg_seasonality_dow", "win_yoy",
-    "fn_regexp", "fn_string_dn",
-    # (c, cont.) displaced to the tail by the r7 batch-3/4/5/6/7 keys
-    # (also now tail: fn_variant, llm_chunk, llm_concat,
-    # llm_decontaminate, llm_dedup_groups, llm_dupe_stats,
+    # r7 batch-8 keys:
+    "scan_binary", "sink_csv", "win_runs_test", "llm_stopword_profile",
+    "agg_calendar_heatmap", "fn_format_bytes",
+    # (c, cont.) displaced to the tail by the r7 batch-3..8 keys
+    # (also now tail: fn_regexp, fn_string_dn, fn_variant, llm_chunk,
+    # llm_concat, llm_decontaminate, llm_dedup_groups, llm_dupe_stats,
     # llm_hot_ngrams, llm_keywords, llm_len_buckets, llm_mix_weights,
     # llm_normalize, llm_overlap)
     # (first rows outrank renewals): llm_pack, llm_redact,
