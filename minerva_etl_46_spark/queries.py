@@ -10013,6 +10013,322 @@ def fn_format_bytes(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r7 batch 9 — attribution / latency / corpus mix / codecs (A53-A54,
+# X24-X25, S11, F16)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_attribution",
+    oracle=f"""
+    with e as (select * from {EV}),
+    w as (select user_id, event_id, event_type, epoch_us(ts) as ts_us,
+                 last_value(case when event_type <> 'purchase'
+                                 then event_type end ignore nulls)
+                   over win as src_type,
+                 last_value(case when event_type <> 'purchase'
+                                 then epoch_us(ts) end ignore nulls)
+                   over win as src_us
+          from e
+          window win as (partition by user_id
+                         order by ts asc, event_id asc
+                         rows between unbounded preceding
+                         and 1 preceding)),
+    conv as (select case when src_us is not null
+                              and ts_us - src_us <= 3600000000
+                         then src_type else 'direct' end as channel
+             from w where event_type = 'purchase'),
+    g as (select channel, count(*) as n from conv group by 1),
+    t as (select *, sum(n) over () as tot from g)
+    select channel, cast(n as bigint) as n_conversions,
+           cast(n as double) / cast(tot as double) as share
+    from t
+    """,
+)
+def agg_attribution(spark, sf_dir):
+    """A53: last-touch attribution — every conversion (a 'purchase'
+    event) is
+    credited to the user's most recent OTHER event within a 1-hour
+    lookback, else 'direct'; the marketing report that decides budget
+    (win_funnel asks "did the sequence complete", this asks "who gets
+    the credit"). The two IGNORE-NULLS last_value calls share one
+    condition, so they pick the same source row by construction — no
+    struct packing needed, and both engines state the frame
+    identically (unbounded..1 preceding, ts+id tie-break). All time
+    math is exact µs integers. Shape: ONE hash(user) window exchange
+    over the fact table, then a channel-frame rollup (≤|types|+1
+    rows) with its total window a single tiny task."""
+    e = load(spark, sf_dir, "events")
+    win = (Window.partitionBy("user_id")
+           .orderBy(F.asc("ts"), F.asc("event_id"))
+           .rowsBetween(Window.unboundedPreceding, -1))
+    ts_us = F.expr("unix_micros(ts)")
+    non_conv = F.col("event_type") != "purchase"
+    w = e.select(
+        "user_id", "event_id", "event_type", ts_us.alias("ts_us"),
+        F.last(F.when(non_conv, F.col("event_type")), ignorenulls=True)
+        .over(win).alias("src_type"),
+        F.last(F.when(non_conv, ts_us), ignorenulls=True)
+        .over(win).alias("src_us"),
+    )
+    conv = w.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("src_us").isNotNull()
+            & (F.col("ts_us") - F.col("src_us") <= 3600000000),
+            F.col("src_type")).otherwise(F.lit("direct")).alias("channel"))
+    g = conv.groupBy("channel").agg(F.count(F.lit(1)).alias("n"))
+    t = g.withColumn("tot", F.sum("n").over(Window.partitionBy()))
+    return t.select(
+        "channel",
+        F.col("n").cast("long").alias("n_conversions"),
+        (F.col("n").cast("double") / F.col("tot").cast("double"))
+        .alias("share"),
+    )
+
+
+@register(
+    "agg_latency_histogram",
+    oracle="""
+    with j as (select epoch_us(cast(l_shipdate as timestamp))
+                        // 86400000000
+                      - epoch_us(cast(o_orderdate as timestamp))
+                        // 86400000000 as lat_days
+               from lineitem join orders on l_orderkey = o_orderkey),
+    g as (select lat_days, count(*) as n from j group by 1),
+    t as (select *, sum(n) over () as tot,
+                 sum(n) over (order by lat_days asc
+                              rows unbounded preceding) as cum
+          from g)
+    select cast(lat_days as bigint) as lat_days, cast(n as bigint) as n,
+           cast(n as double) / cast(tot as double) as share,
+           cast(cum as double) / cast(tot as double) as cum_share
+    from t
+    """,
+)
+def agg_latency_histogram(spark, sf_dir):
+    """A54: order-to-ship latency distribution — exact integer-day
+    histogram of l_shipdate − o_orderdate with cumulative share (read
+    p50/p95 straight off cum_share; the SLA chart for any two-stage
+    process). Day indices are exact epoch-day integers, shares exact
+    integer rationals. Shape: the orderkey equi-join is the only
+    fact×fact step (SMJ/shuffle-hash, AQE's call — same class as
+    graph_degree); the day diff collapses immediately to a
+    ≤few-hundred-row day frame via a partial-aggregated hash-agg, and
+    the total/cumulative windows walk that tiny frame in one task."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        (F.expr("unix_micros(l_shipdate) div 86400000000")
+         - F.expr("unix_micros(o_orderdate) div 86400000000"))
+        .alias("lat_days"))
+    g = j.groupBy("lat_days").agg(F.count(F.lit(1)).alias("n"))
+    t = g.select(
+        "lat_days", "n",
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+        F.sum("n").over(
+            Window.orderBy(F.asc("lat_days"))
+            .rowsBetween(Window.unboundedPreceding, 0)).alias("cum"))
+    return t.select(
+        F.col("lat_days").cast("long").alias("lat_days"),
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.col("tot").cast("double"))
+        .alias("share"),
+        (F.col("cum").cast("double") / F.col("tot").cast("double"))
+        .alias("cum_share"),
+    )
+
+
+@register(
+    "llm_lang_mix",
+    oracle="""
+    with g as (select source, lang, count(*) as n from documents
+               group by 1, 2),
+    t as (select *, sum(n) over (partition by source) as src_tot from g),
+    b as (select *, length(bin(src_tot)) - length(bin(n)) as bits from t)
+    select source, lang, cast(n as bigint) as n,
+           cast(src_tot as bigint) as src_tot,
+           cast(n as double) / cast(src_tot as double) as share,
+           cast(sum(n * bits) over (partition by source) as bigint)
+             as src_sum_bits,
+           cast(sum(n * bits) over (partition by source) as double)
+             / cast(src_tot as double) as src_entropy_bits
+    from b
+    """,
+)
+def llm_lang_mix(spark, sf_dir):
+    """X24: per-source language mix — which crawl sources are
+    monolingual and which are mixed (a training-mix guardrail: a
+    'clean English' source whose entropy suddenly rises is
+    contaminated; pairs with llm_mix_weights' sampling and
+    llm_lang_id's tagging). Shares are exact integer rationals;
+    source-level entropy uses the INTEGER-BITS surprisal form
+    (agg_entropy's trade — ±1 bit, zero libm, engine-exact) computed
+    as a window over the (source, lang) frame so each row carries its
+    source's diversity score. Shape: one hash exchange into the
+    |sources|×|langs|-bounded grid; both windows ride a
+    hash(source) re-key of that tiny frame."""
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    ws = Window.partitionBy("source")
+    t = g.withColumn("src_tot", F.sum("n").over(ws))
+    bits = F.length(F.bin("src_tot")) - F.length(F.bin("n"))
+    b = t.withColumn("bits", bits)
+    return b.select(
+        "source", "lang",
+        F.col("n").cast("long").alias("n"),
+        F.col("src_tot").cast("long").alias("src_tot"),
+        (F.col("n").cast("double") / F.col("src_tot").cast("double"))
+        .alias("share"),
+        F.sum(F.col("n") * F.col("bits")).over(ws).cast("long")
+        .alias("src_sum_bits"),
+        (F.sum(F.col("n") * F.col("bits")).over(ws).cast("double")
+         / F.col("src_tot").cast("double")).alias("src_entropy_bits"),
+    )
+
+
+@register(
+    "llm_positional_template",
+    oracle="""
+    with p as (select doc_id,
+                      unnest(string_split(text, ' ')[1:20]) as tok,
+                      unnest(range(1, least(len(string_split(text, ' ')),
+                                            20) + 1)) as pos
+               from documents),
+    c as (select pos, tok, count(*) as n from p group by 1, 2),
+    r as (select pos, tok, n,
+                 row_number() over (partition by pos
+                                    order by n desc, tok asc) as rnk,
+                 sum(n) over (partition by pos) as pos_tot
+          from c)
+    select cast(pos as bigint) as pos, tok as top_tok,
+           cast(n as bigint) as n,
+           cast(n as double) / cast(pos_tot as double) as dominance
+    from r where rnk = 1
+    """,
+)
+def llm_positional_template(spark, sf_dir):
+    """X25: positional template skeleton — the modal token at each of
+    the first 20 positions with its dominance (share of docs showing
+    it there). Template-generated corpora (scraped forms, boilerplate
+    mills) light up with near-1.0 dominance runs; natural prose
+    stays flat — the doc-structure complement to llm_boilerplate's
+    content view. Ties pinned by (count desc, token asc). Shape: the
+    posexplode is clipped to 20 positions IN the row (slice before
+    explode — the stream is 20×docs, not tokens×docs), one hash
+    exchange into the (pos, token) frame, and the rank/total windows
+    re-key the ≤20-partition frame."""
+    d = load(spark, sf_dir, "documents")
+    tk = F.slice(F.split("text", " "), 1, 20)
+    p = d.select(
+        F.posexplode(tk).alias("pos0", "tok")
+    ).select((F.col("pos0") + 1).alias("pos"), "tok")
+    c = p.groupBy("pos", "tok").agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("pos")
+    r = c.select(
+        "pos", "tok", "n",
+        F.row_number().over(
+            wp.orderBy(F.desc("n"), F.asc("tok"))).alias("rnk"),
+        F.sum("n").over(wp).alias("pos_tot"))
+    return r.filter(F.col("rnk") == 1).select(
+        F.col("pos").cast("long").alias("pos"),
+        F.col("tok").alias("top_tok"),
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.col("pos_tot").cast("double"))
+        .alias("dominance"),
+    )
+
+
+@register(
+    "sink_jsonl",
+    oracle="""
+    select p_partkey, p_name, p_brand, p_size,
+           cast(cast(cast(p_retailprice as decimal(18,2)) as varchar)
+                as double) as retailprice
+    from part
+    """,
+)
+def sink_jsonl(spark, sf_dir):
+    """S11: JSON-lines sink round-trip — the scan_jsonl mirror: write
+    the part dimension as newline-delimited JSON (the exchange format
+    for every event bus and data-lake landing zone), re-ingest
+    through the REAL json reader with an explicit schema, and prove
+    nothing bent (the oracle reads the ORIGINAL parquet — the files
+    are the thing under test). Money travels as decimal(18,2) — JSON
+    numbers render the canonical decimal text, no double
+    shortest-repr in the artifact. 100 TB: per-partition parallel
+    write, explicit read schema (inference would re-scan)."""
+    scratch = _scratch(sf_dir, "part_jsonl")
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size",
+        F.col("p_retailprice").cast("decimal(18,2)").alias("retailprice"))
+    p.write.mode("overwrite").json(scratch)
+    back = (
+        spark.read
+        .schema("p_partkey long, p_name string, p_brand string, "
+                "p_size int, retailprice decimal(18,2)")
+        .json(scratch)
+    )
+    return back.select(
+        "p_partkey", "p_name", "p_brand",
+        F.col("p_size").cast("int").alias("p_size"),
+        F.col("retailprice").cast("double").alias("retailprice"),
+    )
+
+
+@register(
+    "fn_uuid3",
+    oracle="""
+    with h as (select s_suppkey,
+                      md5('minerva:supplier:'
+                          || cast(s_suppkey as varchar)) as hx
+               from supplier),
+    v as (select *,
+                 instr('0123456789abcdef', substr(hx, 17, 1)) - 1 as d17
+          from h)
+    select s_suppkey,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-3'
+             || substr(hx, 14, 3) || '-'
+             || substr('89ab', (d17 % 4) + 1, 1) || substr(hx, 18, 3)
+             || '-' || substr(hx, 21, 12) as uuid3,
+           cast(d17 as bigint) as variant_src
+    from v
+    """,
+)
+def fn_uuid3(spark, sf_dir):
+    """F16: deterministic namespace UUID (RFC 4122 version 3 layout) —
+    mint a stable synthetic identifier per supplier from
+    md5(namespace ‖ natural key); the id-unification primitive when
+    several feeds disagree on surrogate keys (same input ⇒ same UUID
+    on every engine, every run — unlike uuid(), which is banned here
+    for determinism). Version nibble pinned to '3'; the variant
+    nibble folds hex digit 17 through (d & 3) | 8 — computed as an
+    instr()-based table lookup, identical in both engines, no
+    conv()/bit ops on chars needed. Shape: pure projection, zero
+    shuffles, whole-stage codegen."""
+    s = load(spark, sf_dir, "supplier")
+    h = s.select(
+        "s_suppkey",
+        F.md5(F.concat(F.lit("minerva:supplier:"),
+                       F.col("s_suppkey").cast("string"))
+              .cast("binary")).alias("hx"))
+    v = h.withColumn(
+        "d17",
+        F.expr("instr('0123456789abcdef', substr(hx, 17, 1)) - 1"))
+    uuid3 = F.concat(
+        F.expr("substr(hx, 1, 8)"), F.lit("-"),
+        F.expr("substr(hx, 9, 4)"), F.lit("-3"),
+        F.expr("substr(hx, 14, 3)"), F.lit("-"),
+        F.expr("substr('89ab', (d17 % 4) + 1, 1)"),
+        F.expr("substr(hx, 18, 3)"), F.lit("-"),
+        F.expr("substr(hx, 21, 12)"))
+    return v.select(
+        "s_suppkey",
+        uuid3.alias("uuid3"),
+        F.col("d17").cast("long").alias("variant_src"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
 # The driver samples the FIRST 50 keys of ``queries()`` in dict-insertion
@@ -10166,31 +10482,39 @@ _R07_PRIORITY = [
     "agg_stickiness", "agg_churn", "agg_cohort_matrix",
     "agg_grouping_sets",
     # r7 batch-6 keys:
-    "llm_code_detect", "llm_boilerplate", "llm_zipf", "llm_ngram_lm",
-    "llm_readability", "win_late_arrivals",
+    "llm_boilerplate", "llm_zipf", "llm_ngram_lm", "win_late_arrivals",
     # r7 batch-7 keys:
-    "agg_decile_lift", "graph_degree", "fn_base64", "fn_luhn",
+    "agg_decile_lift", "graph_degree", "fn_luhn",
     "agg_seasonality_dow", "win_yoy",
     # r7 batch-8 keys:
     "scan_binary", "sink_csv", "win_runs_test", "llm_stopword_profile",
-    "agg_calendar_heatmap", "fn_format_bytes",
-    # (c, cont.) displaced to the tail by the r7 batch-3..8 keys
+    # r7 batch-9 keys:
+    "agg_attribution", "agg_latency_histogram", "llm_lang_mix",
+    "llm_positional_template", "sink_jsonl",
+    # (c, cont.) displaced to the tail by the r7 batch-3..9 keys
     # (also now tail: fn_regexp, fn_string_dn, fn_variant, llm_chunk,
     # llm_concat, llm_decontaminate, llm_dedup_groups, llm_dupe_stats,
     # llm_hot_ngrams, llm_keywords, llm_len_buckets, llm_mix_weights,
-    # llm_normalize, llm_overlap)
-    # (first rows outrank renewals): llm_pack, llm_redact,
+    # llm_normalize, llm_overlap, llm_pack, llm_redact,
     # llm_repetition, llm_sample_stratified, llm_shard, llm_split,
     # llm_vocab, topk_per_group, win_cume, win_delta, win_latest,
     # win_pattern (green r3), agg_bitmap_distinct, agg_entity,
     # agg_histogram, agg_hll_rollup, agg_rollup (green r4).
 ]
 assert len(_R07_PRIORITY) == 50, len(_R07_PRIORITY)
+#: r7-new keys that did NOT fit this round's 50-slot sample — exported
+#: RIGHT AFTER the priority block so they lead the r8 rotation. All are
+#: scan-bound pure projections (zero/one exchange) with local
+#: sf0.001+sf0.01 parity proven this round — the lowest-risk deferrals.
+_R07_OVERFLOW = [
+    "llm_code_detect", "llm_readability", "fn_base64",
+    "agg_calendar_heatmap", "fn_format_bytes", "fn_uuid3",
+]
 _R07_TAIL = [
     k for k in _R06_PRIORITY + _R06_TAIL
     if k not in set(_R07_PRIORITY)
 ]
-_EXPORT_ORDER = _R07_PRIORITY + _R07_TAIL
+_EXPORT_ORDER = _R07_PRIORITY + _R07_OVERFLOW + _R07_TAIL
 
 assert set(_EXPORT_ORDER) == set(QUERIES), (
     sorted(set(_EXPORT_ORDER) ^ set(QUERIES))

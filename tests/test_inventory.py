@@ -12,7 +12,7 @@ from __spark_entry__ import oracle_sql, queries
 KEY_PREFIXES = (
     "scan_", "upsert_", "project_", "filter_", "join_", "agg_", "win_",
     "sort_", "topk_", "set_", "fn_", "stream_", "llm_", "mm_", "kpi_",
-    "xml_", "diff_", "trigger_",
+    "xml_", "diff_", "trigger_", "graph_", "sink_",
 )
 
 
@@ -112,10 +112,20 @@ def test_every_key_eventually_gets_a_driver_row():
         seen |= set(json.loads(artifact.read_text()))
     if not seen:
         return
-    never_sampled = [k for k in queries() if k not in seen]
-    front_50 = list(queries())[:50]
-    stragglers = [k for k in never_sampled if k not in front_50]
+    export = list(queries())
+    never_sampled = [k for k in export if k not in seen]
+    # Never-sampled keys must be packed as early as the builder's
+    # declared renewals allow: with R re-sample slots spent inside the
+    # front-50 (keys that already have rows, deliberately re-proven),
+    # every never-sampled key must sit within the first
+    # len(never_sampled) + R export positions — i.e. a round can defer
+    # new keys past the 50-slot sample ONLY when there are more new
+    # keys than slots, and then only just past it (the overflow block
+    # leads the next round's rotation).
+    renewals_in_window = sum(1 for k in export[:50] if k in seen)
+    window = len(never_sampled) + renewals_in_window
+    stragglers = [k for k in never_sampled if k not in export[:window]]
     assert not stragglers, (
-        f"keys never driver-sampled AND not in the next sample window: "
-        f"{stragglers}"
+        f"keys never driver-sampled AND exported after position "
+        f"{window}: {stragglers}"
     )
