@@ -10329,6 +10329,114 @@ def fn_uuid3(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r7 batch 10 — streaming watermark-drop twin (T10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_late",
+    oracle=f"""
+    with e as (select event_id, epoch_us(ts) as ts_us,
+                      (event_id * 2654435761) % 4294967296 as arrival
+               from {EV}),
+    b as (select *, ntile(3) over (order by arrival asc, event_id asc) - 1
+                      as batch
+          from e),
+    bm as (select batch, max(ts_us) as mx from b group by 1),
+    -- the filter watermark LAGS one extra batch: the wm applied to
+    -- batch k was planned before batch k-1 ran, so it derives from
+    -- data through batch k-2 (empirically pinned: the 1-preceding
+    -- frame mismatched Spark by exactly one batch's rows; the
+    -- 2-preceding frame reproduces the memory-sink output EXACTLY)
+    w as (select batch,
+                 max(mx) over (order by batch asc
+                               rows between unbounded preceding
+                               and 2 preceding) - 600000000 as wm
+          from bm),
+    win as (select b.batch,
+                   (b.ts_us // 3600000000) * 3600000000 as win_start,
+                   ((b.ts_us // 3600000000) + 1) * 3600000000 as win_end
+            from b),
+    kept as (select win.* from win join w using (batch)
+             where w.wm is null or win.win_end > w.wm),
+    fw as (select max(ts_us) - 600000000 as final_wm from e)
+    select win_start as bucket_us, cast(count(*) as bigint) as n
+    from kept, fw
+    where win_end <= final_wm
+    group by 1
+    """,
+)
+def stream_late(spark, sf_dir):
+    """T10 (r7): watermark drop/emit semantics END-TO-END — the
+    Structured Streaming half of win_late_arrivals (that key SIZES the
+    watermark from batch data; this one runs the real
+    `withWatermark("ts", "10 minutes")` hourly tumbling count in
+    APPEND mode and proves exactly which rows Spark drops and which
+    windows it emits). Harness: the fixture splits into three files by
+    ARRIVAL order (the same Knuth scramble of event_id — the ids are
+    time-ordered, probed), one file per micro-batch via
+    maxFilesPerTrigger=1. The oracle replays Spark's ACTUAL mechanics
+    in SQL — including the detail the docs gloss over: the watermark
+    FILTERING batch k was planned before batch k−1 executed, so it
+    derives from event times through batch k−2 (one extra batch of
+    lag; empirically pinned here — the naive through-k−1 model
+    mismatched the memory sink by exactly one batch's rows, the
+    through-k−2 model reproduces it EXACTLY, windows and counts). A
+    row whose hour-window END ≤ that lagged watermark is dropped; a
+    window is EMITTED (append mode) once the final watermark
+    (max-all − 10 min, applied by the trailing no-data batch) passes
+    its end. All comparisons are pure integer-µs on the deterministic
+    split. Parity here is a STRONG claim: it pins this engine's
+    late-data contract to Spark's real state eviction, cross-checked
+    by an independent SQL engine. State: one count per open
+    hour-window per trigger; the watermark bounds it to ~delay/
+    window-size live windows per key group at any scale."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    e = load(spark, sf_dir, "events")
+    ev = e.select(
+        "event_id", "ts",
+        F.expr("(event_id * 2654435761) % 4294967296").alias("arrival"))
+    src = os.path.join(_scratch(sf_dir, "stream_late"), "src")
+    if not os.path.isdir(src):
+        staged = src + "_staged"
+        batch = (F.ntile(3).over(
+            Window.orderBy(F.asc("arrival"), F.asc("event_id"))) - 1
+        ).alias("batch")
+        (ev.select("event_id", "ts", batch)
+         .repartition("batch")
+         .write.partitionBy("batch").mode("overwrite").parquet(staged))
+        os.makedirs(src, exist_ok=True)
+        now = int(_time.time())
+        for b in (0, 1, 2):
+            (part,) = glob.glob(os.path.join(staged, f"batch={b}",
+                                             "part-*.parquet"))
+            dst = os.path.join(src, f"b{b}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (now + b, now + b))
+        shutil.rmtree(staged)
+    from minerva_etl_46_spark.streaming.jobs import _run_to_memory
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour")).count()
+    )
+    out = _run_to_memory(agg, "stream_late_out", spark, mode="append")
+    return out.select(
+        F.unix_micros(F.col("window.start")).alias("bucket_us"),
+        F.col("count").cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
 # The driver samples the FIRST 50 keys of ``queries()`` in dict-insertion
@@ -10488,9 +10596,9 @@ _R07_PRIORITY = [
     "agg_seasonality_dow", "win_yoy",
     # r7 batch-8 keys:
     "scan_binary", "sink_csv", "win_runs_test", "llm_stopword_profile",
-    # r7 batch-9 keys:
+    # r7 batch-9/10 keys:
     "agg_attribution", "agg_latency_histogram", "llm_lang_mix",
-    "llm_positional_template", "sink_jsonl",
+    "llm_positional_template", "stream_late",
     # (c, cont.) displaced to the tail by the r7 batch-3..9 keys
     # (also now tail: fn_regexp, fn_string_dn, fn_variant, llm_chunk,
     # llm_concat, llm_decontaminate, llm_dedup_groups, llm_dupe_stats,
@@ -10507,7 +10615,7 @@ assert len(_R07_PRIORITY) == 50, len(_R07_PRIORITY)
 #: scan-bound pure projections (zero/one exchange) with local
 #: sf0.001+sf0.01 parity proven this round — the lowest-risk deferrals.
 _R07_OVERFLOW = [
-    "llm_code_detect", "llm_readability", "fn_base64",
+    "sink_jsonl", "llm_code_detect", "llm_readability", "fn_base64",
     "agg_calendar_heatmap", "fn_format_bytes", "fn_uuid3",
 ]
 _R07_TAIL = [
