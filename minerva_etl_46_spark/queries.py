@@ -7072,19 +7072,26 @@ def llm_tfidf(spark, sf_dir):
     (±1 bit of log2(N/df)) — exact integers in both engines, zero libm
     (the llm_surprisal trade applied to idf). Shape (same skew argument
     as surprisal): per-doc tf hash-agg (map-side combine kills in-doc
-    repeats) → df hash-agg over the tf frame → tf⋈df on token (a JOIN,
-    so AQE can split the stopword hot keys; window-attach could not) →
-    per-doc top-5 via row_number (WindowGroupLimit pushes the rank
-    filter before the full sort materializes). Exchanges carry the
-    (doc, token) tf frame, never the raw token stream."""
+    repeats) → df hash-agg over the tf frame → tf⋈df on xxhash64(token)
+    (a JOIN, so AQE can split the stopword hot keys; window-attach
+    could not; the 8-byte hash key makes the join-side shuffle/sort
+    move ints, not strings — the llm_boilerplate measurement, same
+    collision bound — while the token string rides the tf side as
+    payload for the output) → per-doc top-5 via row_number
+    (WindowGroupLimit pushes the rank filter before the full sort
+    materializes). Exchanges carry the (doc, token) tf frame, never
+    the raw token stream."""
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    tf = (
+        tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("token_h", F.xxhash64("token"))
+    )
+    dfreq = tf.groupBy("token_h").agg(F.count(F.lit(1)).alias("df"))
     n = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "token")
+        tf.join(dfreq, "token_h")
         .crossJoin(F.broadcast(n))  # 1-row corpus-size frame
         .select(
             "doc_id", "token", "tf", "df",
