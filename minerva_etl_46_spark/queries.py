@@ -10609,7 +10609,7 @@ def join_snowflake(spark, sf_dir):
     and the final rollup is map-side-partial into a
     regions×nations×flags frame. A plan that shuffles the fact side
     for a dimension hop is the regression this key exists to catch
-    (plan-asserted in tests/test_plan_contracts.py at fixture scale
+    (plan-asserted in tests/test_r7h_ops.py at fixture scale
     where customer also broadcasts). Sums exact decimal."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice")
@@ -10719,6 +10719,168 @@ def fn_slugify(spark, sf_dir):
         "p_partkey",
         slug.alias("slug"),
         F.length(slug).cast("long").alias("slug_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r7 batch 12 — streaming attribution twin + HTTP log source (T11, S15)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_attribution",
+    oracle=f"""
+    with e as (select * from {EV}),
+    w as (select user_id, event_id, event_type, epoch_us(ts) as ts_us,
+                 last_value(case when event_type <> 'purchase'
+                                 then event_type end ignore nulls)
+                   over win as src_type,
+                 last_value(case when event_type <> 'purchase'
+                                 then epoch_us(ts) end ignore nulls)
+                   over win as src_us
+          from e
+          window win as (partition by user_id
+                         order by ts asc, event_id asc
+                         rows between unbounded preceding
+                         and 1 preceding)),
+    conv as (select case when src_us is not null
+                              and ts_us - src_us <= 3600000000
+                         then src_type else 'direct' end as channel
+             from w where event_type = 'purchase'),
+    g as (select channel, count(*) as n from conv group by 1),
+    t as (select *, sum(n) over () as tot from g)
+    select channel, cast(n as bigint) as n_conversions,
+           cast(n as double) / cast(tot as double) as share
+    from t
+    """,
+)
+def stream_attribution(spark, sf_dir):
+    """T11 (r7): streaming last-touch attribution — agg_attribution's
+    stateful twin (that key replays history with a window; this one
+    credits conversions AS THEY ARRIVE): per user,
+    applyInPandasWithState carries the most recent non-conversion
+    event (type, µs) and each 'purchase' emits one immutable
+    attribution row the micro-batch it lands. Harness: three
+    time-ranged files (the stream_funnel/scd2 in-order-arrival
+    contract; within-batch (ts, event_id) sort is exactly the batch
+    window's order, and equal-ts ties never span a time cut). The
+    oracle IS agg_attribution's batch SQL — full stream/batch parity
+    under the driver hash. State per user is ONE (type, µs) pair —
+    constant, history-free; emissions are immutable facts, so no
+    convergence fold at the sink."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from minerva_etl_46_spark.streaming.stateful import run_attribution
+
+    e = load(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id", "event_type")
+    src = os.path.join(_scratch(sf_dir, "stream_attribution"), "src")
+    if not os.path.isdir(src):
+        lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+        # bounded-by: two scalars (global min/max) for the batch cuts
+        cut1 = lo + (hi - lo) // 3
+        cut2 = lo + 2 * (hi - lo) // 3
+        staged = src + "_staged"
+        (ev.withColumn(
+            "batch",
+            F.when(F.col("ts_us") <= cut1, 0)
+            .when(F.col("ts_us") <= cut2, 1).otherwise(2))
+         .repartition("batch")
+         .write.partitionBy("batch").mode("overwrite").parquet(staged))
+        os.makedirs(src, exist_ok=True)
+        now = int(_time.time())
+        for b in (0, 1, 2):
+            (part,) = glob.glob(os.path.join(staged, f"batch={b}",
+                                             "part-*.parquet"))
+            dst = os.path.join(src, f"b{b}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (now + b, now + b))
+        shutil.rmtree(staged)
+    rows = run_attribution(
+        spark, src,
+        "user_id long, ts_us long, event_id long, event_type string",
+        name="stream_attribution_out")
+    g = rows.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n"))
+    t = g.withColumn("tot", F.sum("n").over(Window.partitionBy()))
+    return t.select(
+        "channel",
+        F.col("n").cast("long").alias("n_conversions"),
+        (F.col("n").cast("double") / F.col("tot").cast("double"))
+        .alias("share"),
+    )
+
+
+@register(
+    "scan_httplog",
+    oracle="""
+    select o_orderkey,
+           '10.' || cast(o_custkey // 65536 as varchar) || '.'
+                 || cast((o_custkey // 256) % 256 as varchar) || '.'
+                 || cast(o_custkey % 256 as varchar) as ip,
+           strftime(cast(o_orderdate as timestamp),
+                    '%d/%b/%Y:%H:%M:%S') as ts_raw,
+           '/order/' || cast(o_orderkey as varchar) as path,
+           cast(case o_orderstatus when 'F' then 200
+                when 'O' then 202 else 404 end as bigint) as status,
+           cast(cast(cast(o_totalprice as decimal(18,2)) * 100
+                     as bigint) as bigint) as n_bytes
+    from orders
+    """,
+)
+def scan_httplog(spark, sf_dir):
+    """S15: Apache combined-log ingestion — the web/CDN access-log
+    shape every traffic pipeline starts from: render one CLF line per
+    order into PID-scoped scratch (ip from the key, CLF timestamp,
+    request path, status, byte count), re-ingest through
+    spark.read.text, and parse with ONE anchored regexp_extract set —
+    the scan_kv pattern for the quoted-request log family. The CLF
+    month abbreviation is engine-identical (date_format 'MMM' ≡
+    strftime '%b', probed); the oracle re-renders every field from the
+    source table, so a parser that drops or shifts a capture group
+    hash-fails. 100 TB: text scan parallelizes per-file/split, the
+    regexp runs in whole-stage codegen, and the parse is
+    projection-only — zero shuffles."""
+    import os
+
+    scratch = _scratch(sf_dir, "httplog")
+    o = load(spark, sf_dir, "orders")
+    ip = F.concat(
+        F.lit("10."), (F.col("o_custkey") / 65536).cast("long")
+        .cast("string"),
+        F.lit("."), ((F.col("o_custkey") / 256) % 256).cast("long")
+        .cast("string"),
+        F.lit("."), (F.col("o_custkey") % 256).cast("string"))
+    status = (F.when(F.col("o_orderstatus") == "F", 200)
+              .when(F.col("o_orderstatus") == "O", 202).otherwise(404))
+    nbytes = (F.col("o_totalprice").cast("decimal(18,2)") * 100
+              ).cast("long")
+    line = F.concat(
+        ip, F.lit(" - - ["),
+        F.date_format("o_orderdate", "dd/MMM/yyyy:HH:mm:ss"),
+        F.lit(" +0000] \"GET /order/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit(" HTTP/1.1\" "), status.cast("string"),
+        F.lit(" "), nbytes.cast("string"))
+    if not os.path.isdir(scratch):
+        (o.select(line.alias("value"))
+         .write.mode("overwrite").text(scratch))
+    raw = spark.read.text(scratch)
+    pat = (r'^(\S+) - - \[([^ \]]+) \+0000\] '
+           r'"GET /order/(\d+) HTTP/1\.1" (\d+) (\d+)$')
+    return raw.select(
+        F.regexp_extract("value", pat, 3).cast("long").alias("o_orderkey"),
+        F.regexp_extract("value", pat, 1).alias("ip"),
+        F.regexp_extract("value", pat, 2).alias("ts_raw"),
+        F.concat(F.lit("/order/"),
+                 F.regexp_extract("value", pat, 3)).alias("path"),
+        F.regexp_extract("value", pat, 4).cast("long").alias("status"),
+        F.regexp_extract("value", pat, 5).cast("long").alias("n_bytes"),
     )
 
 
@@ -10903,9 +11065,10 @@ assert len(_R07_PRIORITY) == 50, len(_R07_PRIORITY)
 _R07_OVERFLOW = [
     "sink_jsonl", "llm_code_detect", "llm_readability", "fn_base64",
     "agg_calendar_heatmap", "fn_format_bytes", "fn_uuid3",
-    # r7 batch-11 (landed after the 50-slot sample filled; leads r8)
+    # r7 batch-11/12 (landed after the 50-slot sample filled; leads r8)
     "agg_time_to_convert", "agg_user_growth", "join_snowflake",
-    "win_percent_rank", "fn_slugify",
+    "win_percent_rank", "fn_slugify", "stream_attribution",
+    "scan_httplog",
 ]
 _R07_TAIL = [
     k for k in _R06_PRIORITY + _R06_TAIL

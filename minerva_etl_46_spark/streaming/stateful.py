@@ -349,3 +349,92 @@ def run_scd2(spark: SparkSession, source_dir: str, schema: str,
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# T11 (r7): streaming last-touch attribution — agg_attribution's twin
+# ---------------------------------------------------------------------------
+
+ATTR_OUTPUT_SCHEMA = "user_id long, conv_us long, channel string"
+ATTR_STATE_SCHEMA = "src_type string, src_us long"
+
+#: last-touch lookback, µs (must match agg_attribution's 1-hour window)
+ATTR_LOOKBACK_US = 3_600_000_000
+
+
+def _attribution_update(key, pdfs: Iterable[pd.DataFrame],
+                        state: GroupState):
+    """Per-entity last-touch walk across micro-batches: state is the
+    most recent NON-conversion event (type + µs). Each 'purchase' row
+    emits one attribution record — credited to the stored source when
+    it falls inside the 1-hour lookback, else 'direct' — and conversion
+    rows never overwrite the source state (a purchase is not a
+    channel). Within a batch, rows sort by (ts_us, event_id) — the
+    batch window's exact order; cross-batch the harness delivers
+    time-ranged files, so order is global (the stream_funnel/scd2
+    in-order-arrival contract). Emissions are immutable facts (one row
+    per conversion), so update-mode convergence is trivial — no
+    re-emission, no max-fold needed."""
+    (user_id,) = key
+    src_type, src_us = state.get if state.exists else (None, -1)
+    out = []
+    frames = [p for p in pdfs]
+    if frames:
+        pdf = pd.concat(frames).sort_values(["ts_us", "event_id"])
+        for ts_us, et in zip(pdf["ts_us"], pdf["event_type"]):
+            ts_us = int(ts_us)
+            if et == "purchase":
+                if (src_type is not None
+                        and ts_us - src_us <= ATTR_LOOKBACK_US):
+                    channel = src_type
+                else:
+                    channel = "direct"
+                out.append({"user_id": user_id, "conv_us": ts_us,
+                            "channel": channel})
+            else:
+                src_type, src_us = et, ts_us
+    state.update((src_type, src_us))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def attribution_stream(events: DataFrame) -> DataFrame:
+    """Streaming attribution: events(user_id, ts_us, event_id,
+    event_type) in → one immutable (user, conv_ts, channel) row per
+    conversion out. State is ONE (type, µs) pair per user — constant
+    per entity at any scale, partitioned by the grouping key."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _attribution_update,
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_attribution(spark: SparkSession, source_dir: str, schema: str,
+                    name: str = "stateful_attribution",
+                    n_state_partitions: int = 8) -> DataFrame:
+    """Drive attribution_stream over source_dir (one file per
+    micro-batch) and return the memory-sink table of per-conversion
+    emissions (immutable rows — no convergence fold needed)."""
+    from minerva_etl_46_spark.streaming.jobs import state_partitions
+
+    tune(spark)
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    src = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(source_dir)
+    )
+    out = attribution_stream(
+        src.select("user_id", "ts_us", "event_id", "event_type"))
+    with state_partitions(spark, n_state_partitions):
+        q = (
+            out.writeStream.outputMode("update").format("memory")
+            .queryName(name).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
