@@ -10885,6 +10885,167 @@ def scan_httplog(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r7 batch 13 — association rules + multimodal tiling (A57, X46)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_basket_rules",
+    oracle="""
+    with items as (select distinct l_orderkey, l_partkey from lineitem),
+    ic as (select l_partkey, count(*) as c from items group by 1),
+    n as (select count(distinct l_orderkey) as n_orders from items),
+    pairs as (select a.l_partkey as p1, b.l_partkey as p2,
+                     count(*) as pair_cnt
+              from items a join items b
+                on a.l_orderkey = b.l_orderkey
+               and a.l_partkey < b.l_partkey
+              group by 1, 2),
+    rules as (select p1 as antecedent, p2 as consequent, pair_cnt
+              from pairs where pair_cnt >= 2
+              union all
+              select p2, p1, pair_cnt from pairs where pair_cnt >= 2)
+    select r.antecedent, r.consequent,
+           cast(r.pair_cnt as bigint) as pair_cnt,
+           cast(ca.c as bigint) as c_ante,
+           cast(r.pair_cnt as double) / cast(n.n_orders as double)
+             as support,
+           cast(r.pair_cnt as double) / cast(ca.c as double)
+             as confidence,
+           (cast(r.pair_cnt as double) / cast(ca.c as double))
+             / (cast(cc.c as double) / cast(n.n_orders as double))
+             as lift
+    from rules r
+    join ic ca on r.antecedent = ca.l_partkey
+    join ic cc on r.consequent = cc.l_partkey
+    cross join n
+    """,
+)
+def agg_basket_rules(spark, sf_dir):
+    """A57: association rules — the directional layer over
+    agg_basket_pairs' symmetric affinity: each qualifying pair yields
+    BOTH rules A⇒B and B⇒A with support (pair/orders), confidence
+    (pair/antecedent) and lift (confidence / consequent base rate) —
+    the Apriori output surface a recommender consumes ("customers who
+    bought X..."). Each metric is exact-integer operands with pinned
+    division trees (lift = (pair/ca)/(cc/n) — two correctly-rounded
+    divisions then one, identical both engines). Shape: same Σ basket²
+    order-key self-join as agg_basket_pairs (the |parts|² product
+    never exists); the direction union doubles only the RULE frame;
+    item counts and the 1-row order count broadcast onto it."""
+    li = load(spark, sf_dir, "lineitem")
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
+    ic = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    n = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"))
+    b = items.select(F.col("l_orderkey").alias("k"),
+                     F.col("l_partkey").alias("p2"))
+    pairs = (
+        items.join(b, (items.l_orderkey == b.k)
+                   & (items.l_partkey < b.p2))
+        .groupBy(F.col("l_partkey").alias("p1"), "p2")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 2)
+    )
+    rules = (
+        pairs.select(F.col("p1").alias("antecedent"),
+                     F.col("p2").alias("consequent"), "pair_cnt")
+        .unionByName(
+            pairs.select(F.col("p2").alias("antecedent"),
+                         F.col("p1").alias("consequent"), "pair_cnt"))
+    )
+    ca = ic.select(F.col("l_partkey").alias("antecedent"),
+                   F.col("c").alias("c_ante"))
+    cc = ic.select(F.col("l_partkey").alias("consequent"),
+                   F.col("c").alias("c_cons"))
+    j = (
+        rules.join(F.broadcast(ca), "antecedent")
+        .join(F.broadcast(cc), "consequent")
+        .crossJoin(F.broadcast(n))
+    )
+    conf = (F.col("pair_cnt").cast("double")
+            / F.col("c_ante").cast("double"))
+    base = (F.col("c_cons").cast("double")
+            / F.col("n_orders").cast("double"))
+    return j.select(
+        "antecedent", "consequent",
+        F.col("pair_cnt").cast("long").alias("pair_cnt"),
+        F.col("c_ante").cast("long").alias("c_ante"),
+        (F.col("pair_cnt").cast("double")
+         / F.col("n_orders").cast("double")).alias("support"),
+        conf.alias("confidence"),
+        (conf / base).alias("lift"),
+    )
+
+
+@register(
+    "mm_tile_grid",
+    oracle="""
+    with dims as (select doc_id as media_id,
+                         640 + (doc_id % 5) * 160 as w,
+                         480 + (doc_id % 3) * 240 as h
+                  from documents),
+    g as (select media_id, w, h,
+                 (w + 255) // 256 as nx, (h + 255) // 256 as ny
+          from dims),
+    t as (select media_id, w, h, nx, ny,
+                 unnest(generate_series(0, nx * ny - 1)) as i
+          from g)
+    select media_id, cast(i % nx as bigint) as tx,
+           cast(i // nx as bigint) as ty,
+           cast((i % nx) * 256 as bigint) as x0,
+           cast((i // nx) * 256 as bigint) as y0,
+           cast(least(256, w - (i % nx) * 256) as bigint) as tw,
+           cast(least(256, h - (i // nx) * 256) as bigint) as th,
+           cast(least(256, w - (i % nx) * 256)
+                * least(256, h - (i // nx) * 256) as bigint) as n_px
+    from t
+    """,
+)
+def mm_tile_grid(spark, sf_dir):
+    """X46: image tile-grid planning — the patch layout every
+    ViT-style vision pipeline computes before decode (256×256 tiles,
+    edge tiles clamped to the image bounds, row-major ids): pure
+    integer geometry derived from the metadata struct, NOT the pixels
+    — the decode stub never runs, so this is the plumbing that sizes
+    the real mapInPandas decode fan-out (mm_frames' grid sibling).
+    Dimensions are the deterministic stub formula (640+…/480+… from
+    the media id — the mm chain's synthetic-metadata contract).
+    In-row sequence explode: the output is Σ tiles rows, the stream
+    never shuffles (projection + generator only, zero exchanges);
+    at 100 TB the tile frame partitions with its source scan."""
+    d = load(spark, sf_dir, "documents")
+    g = d.select(
+        F.col("doc_id").alias("media_id"),
+        (640 + (F.col("doc_id") % 5) * 160).alias("w"),
+        (480 + (F.col("doc_id") % 3) * 240).alias("h"),
+    ).withColumn("nx", F.expr("(w + 255) div 256")) \
+     .withColumn("ny", F.expr("(h + 255) div 256"))
+    t = g.select(
+        "media_id", "w", "h", "nx",
+        F.explode(F.sequence(
+            F.lit(0), F.col("nx") * F.col("ny") - 1)).alias("i"))
+    tx = F.col("i") % F.col("nx")
+    ty = F.expr("i div nx")
+    tw = F.least(F.lit(256), F.col("w") - tx * 256)
+    th = F.least(F.lit(256), F.col("h") - ty * 256)
+    return t.select(
+        "media_id",
+        tx.cast("long").alias("tx"),
+        ty.cast("long").alias("ty"),
+        (tx * 256).cast("long").alias("x0"),
+        (ty * 256).cast("long").alias("y0"),
+        tw.cast("long").alias("tw"),
+        th.cast("long").alias("th"),
+        (tw * th).cast("long").alias("n_px"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
 # The driver samples the FIRST 50 keys of ``queries()`` in dict-insertion
@@ -11068,7 +11229,7 @@ _R07_OVERFLOW = [
     # r7 batch-11/12 (landed after the 50-slot sample filled; leads r8)
     "agg_time_to_convert", "agg_user_growth", "join_snowflake",
     "win_percent_rank", "fn_slugify", "stream_attribution",
-    "scan_httplog",
+    "scan_httplog", "agg_basket_rules", "mm_tile_grid",
 ]
 _R07_TAIL = [
     k for k in _R06_PRIORITY + _R06_TAIL
