@@ -349,6 +349,24 @@ NOTES = {
     "win_late_arrivals": "repartition(user) shared by the running-max "
                          "window and the per-user rollup — one "
                          "exchange; O(1) window state (running max).",
+    "join_snowflake": "The star probe: ONE fact×fact exchange pair "
+                      "(orders), then customer/nation/region are ALL "
+                      "BroadcastHashJoin — a fact shuffle for a "
+                      "dimension hop is the regression this catches.",
+    "agg_latency_histogram": "Orderkey equi-join collapses immediately "
+                             "to a day-frame hash-agg (map-side "
+                             "partial); cumulative windows walk the "
+                             "tiny frame.",
+    "agg_attribution": "ONE hash(user) window exchange over the fact "
+                       "table; both IGNORE-NULLS last_value calls "
+                       "share the sort; channel rollup is "
+                       "types-bounded.",
+    "agg_user_growth": "repartition(user) fuses the (user, day) "
+                       "distinct with the first-day window (subset "
+                       "rule); calendar frames after.",
+    "graph_degree": "stack() unpivots the distinct edge set so both "
+                    "degree directions ride ONE orderkey join "
+                    "(was 2 SMJs / 10 exchanges as two branches).",
 }
 
 

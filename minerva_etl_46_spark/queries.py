@@ -11178,12 +11178,13 @@ _R06_TAIL = [
 
 _R07_PRIORITY = [
     # Round-7 rotation, same contract (driver samples the FIRST 50
-    # exported keys). Front-load: (a) the 13 brand-new r7 keys, (b) the
-    # 6 keys whose code or oracle changed this round (ADVICE fixes:
-    # gap-fill NULL forward-fill, CMS left-join estimate, PID-scoped
-    # fixture scratch for the renderer quartet), (c) the 31 keys with
-    # the stalest green driver rows (26 last green r3, 5 last green
-    # r4 — per the CORRECTNESS_r01–r06 ledger).
+    # exported keys). Round 7 added 56 new keys (batches 1-13) — more
+    # than the sample window holds — so the front 50 is 48 new keys +
+    # the 2 semantic ADVICE fixes (gap-fill NULL forward-fill, CMS
+    # left-join estimate); the remaining new keys sit in
+    # _R07_OVERFLOW immediately after (positions 51+, leading the r8
+    # rotation), every one locally parity-proven at sf0.001 AND
+    # sf0.01 this round.
     "agg_basket_pairs", "agg_paths", "win_rolling_median", "agg_entropy",
     "agg_gaps", "agg_rfm", "agg_abc", "fn_workdays", "scan_evolved",
     "llm_tfidf", "llm_collocations", "upsert_scd2_build", "win_bollinger",

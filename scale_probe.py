@@ -780,10 +780,105 @@ def r7c_probe(spark, res, n_events, n_docs):
     timed("llm_zipf_docs", QUERIES["llm_zipf"](spark, scratch), res)
 
 
+def r7d_probe(spark, res, n_events, n_docs):
+    """r7 batch-7..13 at 200× fixture scale through the REAL registered
+    builders: the stack-unpivoted degree join, association rules
+    (Σ basket² self-join + direction union), the snowflake broadcast
+    chain, attribution's one-window fact pass, conversion-delay and
+    growth fusions, the 20M-line CLF text parse, and the tile-grid
+    generator over 1M media records."""
+    import os
+    import tempfile
+
+    from minerva_etl_46_spark.queries import QUERIES
+
+    scratch = os.path.join(tempfile.gettempdir(),
+                           f"r7d_probe_{os.getpid()}")
+    (synth_events(spark, n_events)
+     .withColumn("event_type",
+                 F.element_at(
+                     F.array(F.lit("click"), F.lit("view"),
+                             F.lit("signup"), F.lit("purchase"),
+                             F.lit("error")),
+                     (F.abs(F.xxhash64("event_id")) % 5 + 1)
+                     .cast("int")))
+     .withColumn("props", F.lit("{}"))
+     .write.mode("overwrite").parquet(f"{scratch}/events.parquet"))
+    (spark.range(n_events).select(
+        F.col("id").alias("o_orderkey"),
+        (F.abs(F.xxhash64("id")) % 100_000).alias("o_custkey"),
+        F.element_at(F.array(F.lit("F"), F.lit("O"), F.lit("P")),
+                     (F.abs(F.xxhash64("id", F.lit(3))) % 3 + 1)
+                     .cast("int")).alias("o_orderstatus"),
+        ((F.abs(F.xxhash64("id", F.lit(4))) % 50000000) / 100.0)
+        .alias("o_totalprice"),
+        F.timestamp_seconds(BASE + (F.col("id") * 1009) % SPAN_S)
+        .alias("o_orderdate"))
+     .write.mode("overwrite").parquet(f"{scratch}/orders.parquet"))
+    (spark.range(n_events).select(
+        F.expr("id div 6").alias("l_orderkey"),
+        (F.col("id") % 6 + 1).cast("int").alias("l_linenumber"),
+        (F.abs(F.xxhash64("id", F.lit(5))) % 1_000_000).alias("l_partkey"),
+        ((F.abs(F.xxhash64("id", F.lit(6))) % 10000000) / 100.0)
+        .alias("l_extendedprice"),
+        F.element_at(F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+                     (F.abs(F.xxhash64("id", F.lit(8))) % 3 + 1)
+                     .cast("int")).alias("l_returnflag"),
+        F.timestamp_seconds(BASE + (F.col("id") * 1013) % SPAN_S)
+        .alias("l_shipdate"))
+     .write.mode("overwrite").parquet(f"{scratch}/lineitem.parquet"))
+    # dims for the snowflake chain (100k customers / 25 nations / 5 regions)
+    (spark.range(100_000).select(
+        F.col("id").alias("c_custkey"),
+        (F.col("id") % 25).alias("c_nationkey"))
+     .write.mode("overwrite").parquet(f"{scratch}/customer.parquet"))
+    (spark.range(25).select(
+        F.col("id").alias("n_nationkey"),
+        F.concat(F.lit("NATION_"), F.col("id").cast("string"))
+        .alias("n_name"),
+        (F.col("id") % 5).alias("n_regionkey"))
+     .write.mode("overwrite").parquet(f"{scratch}/nation.parquet"))
+    (spark.range(5).select(
+        F.col("id").alias("r_regionkey"),
+        F.concat(F.lit("REGION_"), F.col("id").cast("string"))
+        .alias("r_name"))
+     .write.mode("overwrite").parquet(f"{scratch}/region.parquet"))
+    (spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text"))
+     .write.mode("overwrite").parquet(f"{scratch}/documents.parquet"))
+
+    timed("graph_degree_events", QUERIES["graph_degree"](spark, scratch),
+          res)
+    timed("agg_basket_rules_20M_items",
+          QUERIES["agg_basket_rules"](spark, scratch), res)
+    timed("join_snowflake_20M", QUERIES["join_snowflake"](spark, scratch),
+          res)
+    timed("agg_attribution_events",
+          QUERIES["agg_attribution"](spark, scratch), res)
+    timed("agg_time_to_convert_events",
+          QUERIES["agg_time_to_convert"](spark, scratch), res)
+    timed("agg_user_growth_events",
+          QUERIES["agg_user_growth"](spark, scratch), res)
+    timed("win_percent_rank_events",
+          QUERIES["win_percent_rank"](spark, scratch), res)
+    timed("agg_decile_lift_orders",
+          QUERIES["agg_decile_lift"](spark, scratch), res)
+    timed("scan_httplog_20M_lines",
+          QUERIES["scan_httplog"](spark, scratch), res)
+    timed("mm_tile_grid_1M_media",
+          QUERIES["mm_tile_grid"](spark, scratch), res)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r7d":
+        r7d_probe(spark, res, n_events=N, n_docs=max(100_000, N // 20))
+        print(json.dumps({"metric": "scale_probe_r7d", "rows": N,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r7c":
         r7c_probe(spark, res, n_events=N, n_docs=max(100_000, N // 20))
         print(json.dumps({"metric": "scale_probe_r7c", "rows": N,
