@@ -1,0 +1,124 @@
+"""Graph analytics over entity-relationship graphs derived from fact
+tables (the `graph_degree` key's siblings; SURVEY.md §2.11 extension
+family — no Minerva counterpart, mandated by the large-scale-pipeline
+brief).
+
+Spark ships no graph primitive (GraphFrames is an external package, not
+in-image), but the two workhorse graph diagnostics a data platform runs —
+PageRank-style centrality and triangle counting — decompose into joins +
+hash-aggs that Catalyst plans like any other relational op. Both keep
+every graph frame (edges, degrees, ranks) distributed; nothing collects
+an adjacency structure to the driver.
+
+Cross-engine determinism: PageRank here is ALL-INTEGER — ranks live in
+parts-per-billion (ppb) of total mass, updates use integral division
+(`div` in Spark == `//` in DuckDB for non-negative operands), so a fixed
+iteration count is bit-identical across engines with zero float
+summation-order hazard. The deliberate cost: each `div` floors, so a few
+ppb of mass leak per iteration — documented, deterministic, and
+irrelevant to the ranking use of the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: total rank mass, parts-per-billion scale
+_MASS_PPB = 1_000_000_000
+#: damping 0.85 split into integer numerator/denominator
+_DAMP_NUM, _DAMP_DEN = 85, 100
+#: (1 - damping) * mass, distributed uniformly each step
+_TELEPORT_PPB = 150_000_000
+
+
+def pagerank_ppb(directed_edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Fixed-iteration PageRank over ``(src, dst)`` directed edges,
+    returning ``(node, rank_ppb)`` with integer ppb ranks.
+
+    Shape per iteration: one shuffle join (edges × ranks on src — both
+    sides hash-partition on the node id, and because ranks and degrees
+    share that partitioning across iterations AQE reuses the exchange) +
+    one hash-agg on dst (map-side partial sums collapse multi-edge
+    fan-in early) + one left join back to the degree frame so sinks
+    with no in-edges still receive teleport mass. The edge and degree
+    frames are lineage-cut with localCheckpoint (consumed every
+    iteration; an uncut plan grows linearly and re-derives the edge set
+    per step). Nodes are assumed to all have out-degree ≥ 1 (true for
+    any edge-derived node set); dangling-mass redistribution is
+    therefore not needed.
+
+    At 1000-executor scale the per-iteration cost is the rank shuffle —
+    ranks are (node, long) pairs, orders of magnitude smaller than the
+    fact tables the edges came from, so iteration count (not data
+    volume) dominates; 3 iterations is the conventional "centrality
+    screen" depth, and the caller can raise it without changing shape.
+    """
+    de = directed_edges.select("src", "dst").localCheckpoint(eager=False)
+    deg = (
+        de.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=False)
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes")).localCheckpoint(eager=False)
+    r = (
+        deg.crossJoin(F.broadcast(nn))  # 1-row stats frame
+        .select("node", "outdeg",
+                F.expr(f"{_MASS_PPB} div n_nodes").alias("rank"))
+    )
+    for _ in range(iterations):
+        s = (
+            de.join(r, de["src"] == r["node"])
+            .select(de["dst"].alias("in_node"),
+                    F.expr("rank div outdeg").alias("c"))
+            .groupBy("in_node")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            deg.join(s, deg["node"] == s["in_node"], "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                deg["node"].alias("node"),
+                deg["outdeg"].alias("outdeg"),
+                (F.expr(f"{_TELEPORT_PPB} div n_nodes")
+                 + F.expr(f"({_DAMP_NUM} * coalesce(s, 0)) div {_DAMP_DEN}")
+                 ).alias("rank"),
+            )
+        )
+    return r.select("node", F.col("rank").alias("rank_ppb"))
+
+
+def triangles_per_node(edges: DataFrame) -> DataFrame:
+    """Triangle participation count per node over undirected edges given
+    canonically oriented as ``(u, v)`` with ``u < v`` (one row per edge).
+
+    Compact-forward enumeration: wedges chain two oriented edges
+    (a<b, b<c ⇒ a<b<c), then a semi-check join against the edge set on
+    (a, c) closes each triangle exactly once. Every step is an equi-join
+    Catalyst can SMJ/shuffle-hash; the triangle frame then unpivots via
+    ``stack`` so all three corners ride ONE hash-agg.
+
+    Skew note for 100 TB: id-ordering bounds wedge fan-out by the
+    max forward-degree; on graphs with hub nodes replace the id order
+    with a (degree, id) total order (orient edges low→high degree),
+    which caps forward-degree at O(sqrt(m)) — same plan, different
+    orientation predicate. The fixture graph (co-supplier via shared
+    part) is near-regular, so id order suffices and keeps the oracle
+    SQL trivially portable.
+    """
+    e = edges.select("u", "v").localCheckpoint(eager=False)
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
+                F.col("e2.v").alias("c"))
+    )
+    tri = (
+        wedges.join(
+            e.alias("e3"),
+            (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")),
+        )
+        .select("a", "b", "c")
+    )
+    stubs = tri.select(F.expr("stack(3, a, b, c) as (node)"))
+    return stubs.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))

@@ -11045,6 +11045,273 @@ def mm_tile_grid(spark, sf_dir):
     )
 
 
+@register(
+    "graph_pagerank",
+    oracle="""
+    with e0 as (
+      select distinct o_custkey as cust, l_suppkey as supp
+      from lineitem join orders on l_orderkey = o_orderkey),
+    de as (select cust * 2 as src, supp * 2 + 1 as dst from e0
+           union all
+           select supp * 2 + 1 as src, cust * 2 as dst from e0),
+    deg as (select src as node, count(*) as outdeg from de group by 1),
+    nn as (select count(*) as n_nodes from deg),
+    r0 as (select node, outdeg,
+                  1000000000 // (select n_nodes from nn) as rank
+           from deg),
+    s1 as (select de.dst as node, sum(r0.rank // r0.outdeg) as s
+           from de join r0 on de.src = r0.node group by 1),
+    r1 as (select deg.node, deg.outdeg,
+                  150000000 // (select n_nodes from nn)
+                    + (85 * coalesce(s1.s, 0)) // 100 as rank
+           from deg left join s1 on deg.node = s1.node),
+    s2 as (select de.dst as node, sum(r1.rank // r1.outdeg) as s
+           from de join r1 on de.src = r1.node group by 1),
+    r2 as (select deg.node, deg.outdeg,
+                  150000000 // (select n_nodes from nn)
+                    + (85 * coalesce(s2.s, 0)) // 100 as rank
+           from deg left join s2 on deg.node = s2.node),
+    s3 as (select de.dst as node, sum(r2.rank // r2.outdeg) as s
+           from de join r2 on de.src = r2.node group by 1),
+    r3 as (select deg.node, deg.outdeg,
+                  150000000 // (select n_nodes from nn)
+                    + (85 * coalesce(s3.s, 0)) // 100 as rank
+           from deg left join s3 on deg.node = s3.node)
+    select case when node % 2 = 0 then 'cust' else 'supp' end as side,
+           cast(node // 2 as bigint) as node_key,
+           cast(rank as bigint) as rank_ppb
+    from r3
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """A50: PageRank centrality on the customer↔supplier trading graph
+    (graph_degree's edge set, run through 3 fixed power iterations) —
+    "who matters in the network" beyond raw degree: a customer buying
+    from well-connected suppliers outranks one with the same degree
+    buying from the periphery. The undirected bipartite graph becomes
+    two directed edges per trade pair; node ids disambiguate sides by
+    parity (cust*2, supp*2+1) so one bigint key carries the whole
+    namespace. ALL-INTEGER ppb arithmetic (`div`==`//`) makes the fixed
+    iteration bit-identical cross-engine — no float summation order, no
+    libm (operators/graph.py pagerank_ppb; the oracle unrolls the three
+    iterations as CTEs). Shape: the fact×fact orderkey join runs ONCE
+    into a lineage-cut edge frame; each iteration is rank-frame-sized
+    (node, long) — one join shuffle + one map-partial hash-agg — so
+    iteration depth, not data volume, is the scale knob."""
+    from minerva_etl_46_spark.operators.graph import pagerank_ppb
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"),
+                F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    de = (
+        e0.select((F.col("cust") * 2).alias("src"),
+                  (F.col("supp") * 2 + 1).alias("dst"))
+        .unionAll(
+            e0.select((F.col("supp") * 2 + 1).alias("src"),
+                      (F.col("cust") * 2).alias("dst")))
+    )
+    r = pagerank_ppb(de, iterations=3)
+    return r.select(
+        F.when(F.col("node") % 2 == 0, F.lit("cust"))
+        .otherwise(F.lit("supp")).alias("side"),
+        F.expr("node div 2").cast("long").alias("node_key"),
+        F.col("rank_ppb").cast("long").alias("rank_ppb"),
+    )
+
+
+@register(
+    "graph_triangles",
+    oracle="""
+    with ps as (select distinct l_partkey as part, l_suppkey as supp
+                from lineitem),
+    e as (select a.supp as u, b.supp as v
+          from ps a join ps b on a.part = b.part and a.supp < b.supp
+          group by 1, 2
+          having count(*) >= 2),
+    w as (select e1.u as a, e1.v as b, e2.v as c
+          from e e1 join e e2 on e1.v = e2.u),
+    t as (select a, b, c
+          from w join e e3 on w.a = e3.u and w.c = e3.v),
+    stubs as (select a as node from t
+              union all select b from t
+              union all select c from t),
+    cnt as (select node, count(*) as n_tri from stubs group by 1)
+    select s_suppkey, cast(coalesce(cnt.n_tri, 0) as bigint) as n_triangles
+    from supplier left join cnt on s_suppkey = cnt.node
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """A51: triangle participation per supplier on the co-supplier graph
+    (edge = two suppliers REPEATEDLY ship the same part: co-supply
+    support ≥ 2 distinct parts) — the clustering/cohesion diagnostic:
+    triangle-dense nodes sit in tight substitution clusters,
+    triangle-free hubs are brokers. The support threshold is the
+    SPARSIFIER, and it's load-bearing: a single shared part makes the
+    co-occurrence graph dense (measured: the ≥1 form produced ~120k
+    edges over 1k suppliers at sf0.1 → 14M wedges → 65 s; ≥2 cuts it to
+    the repeat-relationship core and the key runs in ~2 s) — the same
+    min-support lesson basket mining (agg_basket_pairs) already
+    encodes. Per-part pair expansion stays bounded (TPC-H partsupp fans
+    4 wide) and the support count folds into the pair hash-agg — no
+    second pass. Compact-forward counting (operators/graph.py
+    triangles_per_node): oriented u<v edges chain into a<b<c wedges,
+    one closing equi-join, then stack() unpivots the three corners
+    through a single hash-agg — each triangle counted exactly once, no
+    DISTINCT over triangle triples. Suppliers outside any triangle
+    surface with 0 via the left join against the dimension (the CMS
+    left-join lesson: absent ≠ missing row)."""
+    from minerva_etl_46_spark.operators.graph import triangles_per_node
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp"))
+    ps = li.distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    e = (
+        a.join(b, (F.col("a.part") == F.col("b.part"))
+               & (F.col("a.supp") < F.col("b.supp")))
+        .groupBy(F.col("a.supp").alias("u"), F.col("b.supp").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    cnt = triangles_per_node(e)
+    s = load(spark, sf_dir, "supplier").select("s_suppkey")
+    return s.join(cnt, s.s_suppkey == cnt.node, "left").select(
+        "s_suppkey",
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long")
+        .alias("n_triangles"),
+    )
+
+
+@register(
+    "agg_theil_sen",
+    oracle="""
+    with oc as (select o_orderdate, o_totalprice, c_nationkey
+                from orders join customer on o_custkey = c_custkey),
+    m as (select c_nationkey as nation,
+                 year(cast(o_orderdate as timestamp)) * 12
+                   + month(cast(o_orderdate as timestamp)) - 1 as mi,
+                 sum(cast(o_totalprice as decimal(38,4))) as rev
+          from oc group by 1, 2),
+    p as (select a.nation,
+                 cast(b.rev - a.rev as double) / (b.mi - a.mi) as slope
+          from m a join m b on a.nation = b.nation and a.mi < b.mi)
+    select cast(nation as bigint) as nation,
+           cast(count(*) as bigint) as n_pairs,
+           median(slope) as theil_sen_slope
+    from p group by 1
+    """,
+)
+def agg_theil_sen(spark, sf_dir):
+    """A52: Theil–Sen robust trend slope per market — the median of all
+    pairwise slopes of the monthly revenue series. agg_regr_slope's OLS
+    line moves arbitrarily far under one corrupted month; Theil–Sen
+    tolerates ~29% outliers, which is why monitoring pipelines prefer it
+    for KPI drift. Semantics pinned cross-engine: monthly revenue sums
+    ride exact decimal accumulators, each pairwise difference is decimal
+    (exact) before ONE double division, and the median is the
+    interpolated exact percentile both engines share. Shape: the
+    pairwise self-join is quadratic BY DESIGN, so the series is
+    contracted to month grain first — fact tables reduce via one
+    hash-agg to n_groups × n_months rows, and the O(m²) pair frame
+    (~3.5k pairs per group here) never sees fact-table cardinality. At
+    100 TB the contraction is the whole trick: pairs are generated from
+    the aggregate, never the raw facts; for very long series swap in the
+    repeated-median variant (per-anchor median window) at the same
+    shape."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    m = oc.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .alias("mi"),
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    a, b = m.alias("a"), m.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.nation") == F.col("b.nation"))
+        & (F.col("a.mi") < F.col("b.mi")),
+    ).select(
+        F.col("a.nation").alias("nation"),
+        ((F.col("b.rev") - F.col("a.rev")).cast("double")
+         / (F.col("b.mi") - F.col("a.mi"))).alias("slope"),
+    )
+    return p.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.median("slope").alias("theil_sen_slope"),
+    ).select(
+        F.col("nation").cast("long").alias("nation"),
+        "n_pairs", "theil_sen_slope",
+    )
+
+
+@register(
+    "agg_boxplot",
+    oracle=f"""
+    with e as (select * from {EV}),
+    q as (select event_type, value,
+                 quantile_cont(value, 0.25)
+                   over (partition by event_type) as q1,
+                 quantile_cont(value, 0.5)
+                   over (partition by event_type) as med,
+                 quantile_cont(value, 0.75)
+                   over (partition by event_type) as q3
+          from e)
+    select event_type,
+           cast(count(*) as bigint) as n,
+           min(q1) as q1, min(med) as med, min(q3) as q3,
+           min(q3) - min(q1) as iqr,
+           cast(sum(case when value < q1 - 1.5 * (q3 - q1)
+                         then 1 else 0 end) as bigint) as n_low,
+           cast(sum(case when value > q3 + 1.5 * (q3 - q1)
+                         then 1 else 0 end) as bigint) as n_high
+    from q group by 1
+    """,
+)
+def agg_boxplot(spark, sf_dir):
+    """A53: Tukey box-plot profile per series — quartiles, IQR, and the
+    count of points beyond the 1.5·IQR fences on each side. The
+    dashboard-distribution summary agg_percentile doesn't give (fences
+    need the quantiles AND a second look at every point against them).
+    Formulated the win_outlier_mad way: the three exact interpolated
+    percentiles run as whole-partition WINDOWS over the group key, then
+    the fence comparison folds into the SAME grouping's hash-agg — ONE
+    exchange total instead of the agg + join-back form's three (the
+    3-shuffle llm_novelty lesson, applied at design time). min(q1) is
+    the constant-per-group pick (deterministic, unlike first()). Double
+    arithmetic after the percentile is element-wise identical
+    cross-engine; no summation-order hazard because the only sums are
+    integer flag counts."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    q = e.select(
+        "event_type", "value",
+        F.percentile("value", 0.25).over(w).alias("q1"),
+        F.percentile("value", 0.5).over(w).alias("med"),
+        F.percentile("value", 0.75).over(w).alias("q3"),
+    )
+    lo_fence = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi_fence = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("q1").alias("q1"),
+        F.min("med").alias("med"),
+        F.min("q3").alias("q3"),
+        (F.min("q3") - F.min("q1")).alias("iqr"),
+        F.sum(F.when(F.col("value") < lo_fence, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long").alias("n_low"),
+        F.sum(F.when(F.col("value") > hi_fence, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long").alias("n_high"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -11231,6 +11498,8 @@ _R07_OVERFLOW = [
     "agg_time_to_convert", "agg_user_growth", "join_snowflake",
     "win_percent_rank", "fn_slugify", "stream_attribution",
     "scan_httplog", "agg_basket_rules", "mm_tile_grid",
+    # r7 batch-14 (this continuation session; leads r8 with the rest)
+    "graph_pagerank", "graph_triangles", "agg_theil_sen", "agg_boxplot",
 ]
 _R07_TAIL = [
     k for k in _R06_PRIORITY + _R06_TAIL

@@ -1,0 +1,119 @@
+"""r7 batch-14/15 operators property-tested against independent Python
+references — oracle SQL proves cross-engine parity; these prove the MATH
+(a shared misreading of the PageRank update or the triangle orientation
+would pass parity) and the scale-shape contracts."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from minerva_etl_46_spark.operators.graph import pagerank_ppb, triangles_per_node
+from minerva_etl_46_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pagerank_py(directed, iterations=3):
+    """Independent integer-ppb PageRank (pure dict walk)."""
+    outdeg: dict[int, int] = {}
+    for s, _ in directed:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    nodes = sorted(outdeg)
+    n = len(nodes)
+    rank = {v: 1_000_000_000 // n for v in nodes}
+    for _ in range(iterations):
+        s: dict[int, int] = {}
+        for src, dst in directed:
+            s[dst] = s.get(dst, 0) + rank[src] // outdeg[src]
+        rank = {v: 150_000_000 // n + (85 * s.get(v, 0)) // 100
+                for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_reference(spark):
+    # star (hub 0 ↔ leaves 1..5) plus a 3-cycle (10,11,12): asymmetric
+    # degrees AND a sink-free cycle in one graph.
+    und = [(0, i) for i in range(1, 6)] + [(10, 11), (11, 12), (12, 10)]
+    directed = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(directed, "src long, dst long")
+    got = {r.node: r.rank_ppb for r in pagerank_ppb(df, 3).collect()}
+    assert got == _pagerank_py(directed, 3)
+    # hub of the star must outrank every leaf
+    assert all(got[0] > got[i] for i in range(1, 6))
+
+
+def test_pagerank_mass_is_conserved_up_to_floor_leak(spark):
+    und = [(0, i) for i in range(1, 6)] + [(10, 11), (11, 12), (12, 10)]
+    directed = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(directed, "src long, dst long")
+    total = (pagerank_ppb(df, 3)
+             .agg(F.sum("rank_ppb").alias("t")).collect()[0].t)
+    n_nodes = len({v for e in directed for v in e})
+    n_edges = len(directed)
+    # every div floors: ≤1 ppb lost per node per term, per iteration
+    leak_bound = 3 * (n_nodes + n_edges + 1) * 2
+    assert 1_000_000_000 - leak_bound <= total <= 1_000_000_000
+
+
+def test_triangles_match_brute_force(spark):
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5 + a
+    # separate triangle {6,7,8}
+    edges = (list(combinations([1, 2, 3, 4], 2))
+             + [(4, 5)] + list(combinations([6, 7, 8], 2)))
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: r.n_tri for r in triangles_per_node(df).collect()}
+    eset = set(edges)
+    expect: dict[int, int] = {}
+    nodes = sorted({v for e in edges for v in e})
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= eset:
+            for v in (a, b, c):
+                expect[v] = expect.get(v, 0) + 1
+    assert got == expect
+    assert 5 not in got  # pendant node participates in no triangle
+
+
+def test_theil_sen_is_outlier_robust(spark):
+    # exact line y = 7x: every pairwise slope is 7; corrupting ONE point
+    # must not move the median slope (the statistic's whole claim).
+    pts = [(1, m, 7.0 * m) for m in range(12)]
+    corrupted = pts[:6] + [(1, 6, 1e6)] + pts[7:]
+
+    def slope(rows):
+        df = spark.createDataFrame(rows, "nation long, mi long, rev double")
+        a, b = df.alias("a"), df.alias("b")
+        p = a.join(b, (F.col("a.nation") == F.col("b.nation"))
+                   & (F.col("a.mi") < F.col("b.mi"))).select(
+            ((F.col("b.rev") - F.col("a.rev"))
+             / (F.col("b.mi") - F.col("a.mi"))).alias("s"))
+        return p.agg(F.median("s").alias("m")).collect()[0].m
+
+    assert slope(pts) == 7.0
+    assert abs(slope(corrupted) - 7.0) < 1e-9
+
+
+def test_boxplot_fences_flag_planted_outliers(spark):
+    rows = ([("a", float(v)) for v in range(1, 101)]
+            + [("a", 1e5), ("a", -1e5), ("b", 5.0)])
+    df = spark.createDataFrame(
+        rows, "event_type string, value double"
+    ).selectExpr(
+        "monotonically_increasing_id() as event_id",
+        "timestamp'2024-01-01 00:00:00' as ts",
+        "cast(1 as bigint) as user_id", "event_type", "value",
+        "'{}' as props",
+    )
+    q = QUERIES["agg_boxplot"]
+    # drive the registered builder through a temp parquet fixture
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r.event_type: r for r in q(spark, d).collect()}
+    a = out["a"]
+    assert (a.n_low, a.n_high) == (1, 1)
+    assert a.q1 < a.med < a.q3
+    b = out["b"]
+    assert (b.n_low, b.n_high) == (0, 0) and b.iqr == 0.0
