@@ -11312,6 +11312,77 @@ def agg_boxplot(spark, sf_dir):
     )
 
 
+@register(
+    "sink_parquet_partitioned",
+    oracle=f"""
+    with e as (select * from {EV}),
+    d as (select event_id, user_id, event_type, value,
+                 epoch_us(ts) as ts_us,
+                 epoch_us(ts) // 86400000000 as day from e)
+    select event_id, cast(day as bigint) as day, ts_us, user_id,
+           event_type, value
+    from d where day % 7 = 3
+    """,
+)
+def sink_parquet_partitioned(spark, sf_dir):
+    """S11: day-partitioned parquet sink round-trip — the lake layout
+    every trend store lands in (scan_partitioned proves the READ side
+    against a pre-built layout; this proves the engine's own WRITE
+    produces it). Events write partitioned by day, then re-ingest
+    through the real reader with a partition-column predicate, so
+    what's under test is the directory layout + partition-value
+    round-trip (day travels as a dirname, comes back a column) + the
+    pruned scan. Shape decisions that matter at 100 TB: ONE
+    repartition on the partition key before the write — without it
+    every task writes every day and the layout degenerates to
+    tasks×days small files (the classic lake mistake); the read-back
+    filter is a pure partition predicate, so the scan touches 1/7 of
+    the directories (PartitionFilters, plan-asserted in
+    tests/test_r7i_ops.py). Values round-trip bit-exact: parquet
+    doubles and epoch-µs bigints, no text rendering."""
+    scratch = _scratch(sf_dir, "events_daily_parquet")
+    e = load(spark, sf_dir, "events")
+    d = e.select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    (d.repartition(F.col("day"))
+     .write.mode("overwrite").partitionBy("day").parquet(scratch))
+    back = spark.read.parquet(scratch).filter(F.col("day") % 7 == 3)
+    return back.select(
+        "event_id", F.col("day").cast("long").alias("day"),
+        "ts_us", "user_id", "event_type", "value",
+    )
+
+
+@register(
+    "stream_topk",
+    oracle=f"""
+    with e as (select * from {EV}),
+    c as (select {sql_bucket_epoch('ts', G_1H)} as bucket, event_type,
+                 count(*) as n
+          from e group by 1, 2),
+    r as (select *, row_number() over
+            (partition by bucket order by n desc, event_type asc) as rk
+          from c)
+    select bucket, cast(rk as bigint) as rk, event_type,
+           cast(n as bigint) as n
+    from r where rk <= 3
+    """,
+)
+def stream_topk(spark, sf_dir):
+    """T8 streaming twin: trending-now top-3 event types per tumbling
+    hour via real Structured Streaming, checked against the exact batch
+    SQL replay (stream/batch rank parity). The stateful half is the
+    incremental (window, type) count — state bounded by windows×types
+    and watermark-evictable; the rank is a stateless projection of each
+    emission, exactly what a production foreachBatch would apply per
+    trigger (streaming/jobs.py::windowed_topk). Tie rule pinned
+    (n desc, type asc) so count ties are cross-engine stable."""
+    return streaming_jobs.windowed_topk(spark, sf_dir, k=3)
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -11498,8 +11569,9 @@ _R07_OVERFLOW = [
     "agg_time_to_convert", "agg_user_growth", "join_snowflake",
     "win_percent_rank", "fn_slugify", "stream_attribution",
     "scan_httplog", "agg_basket_rules", "mm_tile_grid",
-    # r7 batch-14 (this continuation session; leads r8 with the rest)
+    # r7 batch-14/15 (this continuation session; leads r8 with the rest)
     "graph_pagerank", "graph_triangles", "agg_theil_sen", "agg_boxplot",
+    "sink_parquet_partitioned", "stream_topk",
 ]
 _R07_TAIL = [
     k for k in _R06_PRIORITY + _R06_TAIL

@@ -287,6 +287,36 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "stream_sliding_out", spark)
 
 
+def windowed_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """T8 (extension): top-k event types per tumbling 1-hour window — the
+    "trending now" board. Structured Streaming maintains the per-(window,
+    type) counts incrementally (the stateful part — state is
+    windows × types, bounded and watermark-evictable in append mode); the
+    rank-within-window is a STATELESS projection of that aggregate, so it
+    runs over the sink table per emission exactly as a production
+    foreachBatch would rank each trigger's output. Tie rule pinned:
+    (n desc, event_type asc) — count ties resolve alphabetically,
+    cross-engine stable."""
+    from pyspark.sql import Window
+
+    e = _read_events_stream(spark, sf_dir)
+    agg = (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").cast("long").alias("bucket"),
+                "event_type", "n")
+    )
+    counts = _run_to_memory(agg, "stream_topk_out", spark)
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("bucket", F.col("rk").cast("long").alias("rk"),
+                "event_type", "n")
+    )
+
+
 def interval_join_pairs(spark: SparkSession, sf_dir: str,
                         lookback_s: int = 3600,
                         n_state_partitions: int = 8) -> DataFrame:

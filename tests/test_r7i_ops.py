@@ -117,3 +117,43 @@ def test_boxplot_fences_flag_planted_outliers(spark):
     assert a.q1 < a.med < a.q3
     b = out["b"]
     assert (b.n_low, b.n_high) == (0, 0) and b.iqr == 0.0
+
+
+def test_partitioned_sink_read_back_prunes(spark):
+    """The read side of sink_parquet_partitioned must push the day
+    predicate into PartitionFilters — a scan that reads all day dirs
+    for a 1/7 filter is the bug the key exists to prevent."""
+    df = QUERIES["sink_parquet_partitioned"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the day predicate must appear inside PartitionFilters, not as a
+    # post-scan Filter on the data columns
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "day" in pf and "% 7" in pf, pf
+    # and the written layout must be one file per day (the repartition
+    # contract), not tasks×days small files
+    import glob
+    import os
+
+    from minerva_etl_46_spark.queries import _scratch
+
+    root = _scratch(SF, "events_daily_parquet")
+    days = [d for d in os.listdir(root) if d.startswith("day=")]
+    assert days, root
+    for d in days:
+        files = glob.glob(os.path.join(root, d, "*.parquet"))
+        assert len(files) == 1, (d, files)
+
+
+def test_stream_topk_ranks_every_window(spark):
+    out = QUERIES["stream_topk"](spark, SF).collect()
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert by_bucket
+    for bucket, rows in by_bucket.items():
+        rks = sorted(r.rk for r in rows)
+        assert rks == list(range(1, len(rks) + 1)), (bucket, rks)
+        assert len(rks) <= 3
+        ordered = sorted(rows, key=lambda r: (-r.n, r.event_type))
+        assert [r.rk for r in ordered] == rks, (bucket, ordered)
