@@ -11383,6 +11383,191 @@ def stream_topk(spark, sf_dir):
     return streaming_jobs.windowed_topk(spark, sf_dir, k=3)
 
 
+@register(
+    "llm_bloom_prefilter",
+    oracle="""
+    with idx as (select md5(text) as h from documents
+                 where doc_id % 10 <> 0),
+    probe as (select doc_id, md5(text) as h from documents
+              where doc_id % 10 = 0),
+    ih as (select h,
+                  cast(concat('0x', substr(h, 1, 8)) as bigint) as h1,
+                  cast(concat('0x', substr(h, 9, 8)) as bigint) as h2
+           from idx),
+    ks as (select unnest([0, 1, 2, 3]) as i),
+    bloom as (select distinct (h1 + i * h2) % 8192 as pos from ih, ks),
+    ph as (select doc_id, h,
+                  cast(concat('0x', substr(h, 1, 8)) as bigint) as h1,
+                  cast(concat('0x', substr(h, 9, 8)) as bigint) as h2
+           from probe),
+    pp as (select distinct doc_id, (h1 + i * h2) % 8192 as pos
+           from ph, ks),
+    hit as (select pp.doc_id,
+                   count(*) as n_pos,
+                   sum(case when bloom.pos is not null
+                            then 1 else 0 end) as n_hit
+            from pp left join bloom on pp.pos = bloom.pos group by 1),
+    ex as (select distinct p.doc_id from probe p
+           join idx on p.h = idx.h)
+    select hit.doc_id,
+           cast(case when n_hit = n_pos then 1 else 0 end
+                as bigint) as bloom_hit,
+           cast(case when ex.doc_id is not null then 1 else 0 end
+                as bigint) as exact_dup,
+           cast(case when n_hit = n_pos and ex.doc_id is null
+                then 1 else 0 end as bigint) as false_positive
+    from hit left join ex on hit.doc_id = ex.doc_id
+    """,
+)
+def llm_bloom_prefilter(spark, sf_dir):
+    """X-dedup: Bloom-filter membership prefilter — the cheap gate an
+    incremental dedup pipeline runs BEFORE the expensive exact/near
+    check (llm_dedup_incremental probes stored signatures; this is the
+    step cheaper still: a bitset lookup that never touches the corpus).
+    Split on doc_id parity-of-10: 90% index side builds the filter, 10%
+    probe side queries it. k=4 positions per doc via the double-hashing
+    scheme pos_i = (h1 + i·h2) mod m (m=8192) with h1/h2 carved from
+    the md5 the engines share bit-identically (the llm_split conv
+    pattern) — so filter contents, hits, AND the false-positive audit
+    against exact membership are all cross-engine deterministic; no
+    opaque native bloom state. Shape at 100 TB: the filter materializes
+    as ≤m distinct positions — kilobytes — broadcast to the probe side
+    (a real deployment keeps the bitset in memory; this keeps it a
+    broadcast join), and the probe side does one explode(k) + one
+    broadcast lookup + one per-doc hash-agg: work ∝ batch, never
+    corpus. The false_positive column IS the filter's quality metric —
+    the audit a production rollout runs before trusting the gate."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5("text")
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    hashed = d.select("doc_id", h.alias("h"), h1.alias("h1"),
+                      h2.alias("h2"))
+    idx = hashed.filter(F.col("doc_id") % 10 != 0)
+    probe = hashed.filter(F.col("doc_id") % 10 == 0)
+    ks = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
+    bloom = (
+        idx.select(ks, "h1", "h2")
+        .select(((F.col("h1") + F.col("i") * F.col("h2")) % 8192)
+                .alias("pos"))
+        .distinct()
+    )
+    pp = (
+        probe.select("doc_id", ks, "h1", "h2")
+        .select("doc_id",
+                ((F.col("h1") + F.col("i") * F.col("h2")) % 8192)
+                .alias("pos"))
+        .distinct()
+    )
+    hit = (
+        pp.join(F.broadcast(bloom.withColumnRenamed("pos", "bpos")),
+                pp.pos == F.col("bpos"), "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_pos"),
+             F.sum(F.when(F.col("bpos").isNotNull(), F.lit(1))
+                   .otherwise(F.lit(0))).alias("n_hit"))
+    )
+    ex = (
+        probe.join(F.broadcast(idx.select("h").distinct()
+                               .withColumnRenamed("h", "ih")),
+                   probe.h == F.col("ih"), "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    out = hit.join(ex, "doc_id", "left")
+    bloom_hit = F.when(F.col("n_hit") == F.col("n_pos"), F.lit(1)) \
+        .otherwise(F.lit(0))
+    exact_dup = F.coalesce(F.col("is_dup"), F.lit(0))
+    return out.select(
+        "doc_id",
+        bloom_hit.cast("long").alias("bloom_hit"),
+        exact_dup.cast("long").alias("exact_dup"),
+        (bloom_hit * (1 - exact_dup)).cast("long").alias("false_positive"),
+    )
+
+
+@register(
+    "agg_kendall",
+    oracle="""
+    with oc as (select o_orderdate, o_totalprice, c_nationkey
+                from orders join customer on o_custkey = c_custkey),
+    m as (select c_nationkey as nation,
+                 year(cast(o_orderdate as timestamp)) * 12
+                   + month(cast(o_orderdate as timestamp)) - 1 as mi,
+                 sum(cast(o_totalprice as decimal(38,4))) as rev,
+                 count(*) as n_orders
+          from oc group by 1, 2),
+    p as (select a.nation,
+                 case when (b.rev > a.rev and b.n_orders > a.n_orders)
+                        or (b.rev < a.rev and b.n_orders < a.n_orders)
+                      then 1 else 0 end as conc,
+                 case when (b.rev > a.rev and b.n_orders < a.n_orders)
+                        or (b.rev < a.rev and b.n_orders > a.n_orders)
+                      then 1 else 0 end as disc
+          from m a join m b on a.nation = b.nation and a.mi < b.mi)
+    select cast(nation as bigint) as nation,
+           cast(count(*) as bigint) as n_pairs,
+           cast(sum(conc) as bigint) as concordant,
+           cast(sum(disc) as bigint) as discordant,
+           cast(sum(conc) - sum(disc) as double)
+             / cast(count(*) as double) as tau_a
+    from p group by 1
+    """,
+)
+def agg_kendall(spark, sf_dir):
+    """A54: Kendall rank correlation (τ-a) between two KPIs per market —
+    do monthly revenue and monthly order count move together ORDINALLY?
+    agg_corr_pairs' Pearson answers the linear question and bends under
+    one outlier month; Kendall counts concordant vs discordant pairs —
+    pure comparisons, so it is exact wherever the inputs are exact:
+    revenue compares as decimal (exact), order counts as integers, and
+    the only double op is the final (C−D)/n_pairs division. Tie rule
+    pinned: pairs tied in either variable count as neither (τ-a with
+    the full pair denominator — stated, not engine-inherited). Shape:
+    same contraction trick as agg_theil_sen — facts reduce to month
+    grain via one hash-agg BEFORE the deliberately quadratic pair
+    self-join, so the O(m²) frame is dimension-scaled (~3.5k pairs per
+    group), never fact-scaled."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    m = oc.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .alias("mi"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    a, b = m.alias("a"), m.alias("b")
+    up = (F.col("b.rev") > F.col("a.rev"))
+    dn = (F.col("b.rev") < F.col("a.rev"))
+    oup = (F.col("b.n_orders") > F.col("a.n_orders"))
+    odn = (F.col("b.n_orders") < F.col("a.n_orders"))
+    p = a.join(
+        b,
+        (F.col("a.nation") == F.col("b.nation"))
+        & (F.col("a.mi") < F.col("b.mi")),
+    ).select(
+        F.col("a.nation").alias("nation"),
+        F.when((up & oup) | (dn & odn), F.lit(1)).otherwise(F.lit(0))
+        .alias("conc"),
+        F.when((up & odn) | (dn & oup), F.lit(1)).otherwise(F.lit(0))
+        .alias("disc"),
+    )
+    return p.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("conc").alias("concordant"),
+        F.sum("disc").alias("discordant"),
+        ((F.sum("conc") - F.sum("disc")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("tau_a"),
+    ).select(
+        F.col("nation").cast("long").alias("nation"),
+        "n_pairs", "concordant", "discordant", "tau_a",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -11571,7 +11756,8 @@ _R07_OVERFLOW = [
     "scan_httplog", "agg_basket_rules", "mm_tile_grid",
     # r7 batch-14/15 (this continuation session; leads r8 with the rest)
     "graph_pagerank", "graph_triangles", "agg_theil_sen", "agg_boxplot",
-    "sink_parquet_partitioned", "stream_topk",
+    "sink_parquet_partitioned", "stream_topk", "llm_bloom_prefilter",
+    "agg_kendall",
 ]
 _R07_TAIL = [
     k for k in _R06_PRIORITY + _R06_TAIL

@@ -145,6 +145,55 @@ def test_partitioned_sink_read_back_prunes(spark):
         assert len(files) == 1, (d, files)
 
 
+def test_bloom_prefilter_has_no_false_negatives(spark):
+    """The Bloom contract: false positives allowed, false NEGATIVES never
+    — every exact duplicate must pass the filter."""
+    out = QUERIES["llm_bloom_prefilter"](spark, SF).collect()
+    assert out
+    for r in out:
+        if r.exact_dup == 1:
+            assert r.bloom_hit == 1, r
+        assert r.false_positive == (1 if r.bloom_hit and not r.exact_dup
+                                    else 0), r
+
+
+def test_kendall_matches_python_reference(spark):
+    rows = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .join(spark.read.parquet(f"{SF}/customer.parquet"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .selectExpr("c_nationkey as nation",
+                    "year(cast(o_orderdate as timestamp)) * 12"
+                    " + month(cast(o_orderdate as timestamp)) - 1 as mi",
+                    "cast(o_totalprice as decimal(38,4)) as rev")
+        .collect()
+    )  # bounded-by: sf0.001 fixture
+    from collections import defaultdict
+    from decimal import Decimal
+
+    series: dict[int, dict[int, list]] = defaultdict(
+        lambda: defaultdict(lambda: [Decimal(0), 0]))
+    for r in rows:
+        cell = series[r.nation][r.mi]
+        cell[0] += r.rev
+        cell[1] += 1
+    expect = {}
+    for nation, months in series.items():
+        ms = sorted(months)
+        conc = disc = pairs = 0
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                (xa, ya), (xb, yb) = months[ms[i]], months[ms[j]]
+                pairs += 1
+                s = ((xb > xa) - (xb < xa)) * ((yb > ya) - (yb < ya))
+                conc += s > 0
+                disc += s < 0
+        expect[nation] = (pairs, conc, disc)
+    got = {r.nation: (r.n_pairs, r.concordant, r.discordant)
+           for r in QUERIES["agg_kendall"](spark, SF).collect()}
+    assert got == expect
+
+
 def test_stream_topk_ranks_every_window(spark):
     out = QUERIES["stream_topk"](spark, SF).collect()
     by_bucket: dict[int, list] = {}
