@@ -32,27 +32,32 @@ _DAMP_NUM, _DAMP_DEN = 85, 100
 _TELEPORT_PPB = 150_000_000
 
 
-def pagerank_ppb(directed_edges: DataFrame, iterations: int = 3) -> DataFrame:
+def pagerank_ppb(directed_edges: DataFrame, iterations: int = 3,
+                 broadcast_ranks: bool = True) -> DataFrame:
     """Fixed-iteration PageRank over ``(src, dst)`` directed edges,
     returning ``(node, rank_ppb)`` with integer ppb ranks.
 
-    Shape per iteration: one shuffle join (edges × ranks on src — both
-    sides hash-partition on the node id, and because ranks and degrees
-    share that partitioning across iterations AQE reuses the exchange) +
-    one hash-agg on dst (map-side partial sums collapse multi-edge
-    fan-in early) + one left join back to the degree frame so sinks
-    with no in-edges still receive teleport mass. The edge and degree
-    frames are lineage-cut with localCheckpoint (consumed every
-    iteration; an uncut plan grows linearly and re-derives the edge set
-    per step). Nodes are assumed to all have out-degree ≥ 1 (true for
-    any edge-derived node set); dangling-mass redistribution is
-    therefore not needed.
-
-    At 1000-executor scale the per-iteration cost is the rank shuffle —
-    ranks are (node, long) pairs, orders of magnitude smaller than the
-    fact tables the edges came from, so iteration count (not data
-    volume) dominates; 3 iterations is the conventional "centrality
-    screen" depth, and the caller can raise it without changing shape.
+    Shape per iteration: edges × ranks on src, then one hash-agg on dst
+    (map-side partial sums collapse multi-edge fan-in early), then a
+    left join back to the degree frame so sinks with no in-edges still
+    receive teleport mass. With ``broadcast_ranks=True`` (default) the
+    NODE-scale rank frame broadcasts into the EDGE-scale join — the
+    explicit hint is load-bearing because the lineage-cut frames hide
+    size stats from Catalyst, which otherwise plans an SMJ that
+    re-shuffles the full edge set every iteration (A/B at 36M directed
+    edges / 110k nodes, 3 iterations: SMJ ~25 s warm vs broadcast
+    ~9-10 s warm — scale_probe r7e + SCALE.md). Per-iteration cost is
+    then one edge
+    SCAN plus a node-scale partial-agg shuffle — the scan is
+    irreducible (every edge carries mass), the shuffle is rank-sized.
+    Set ``broadcast_ranks=False`` when the node set exceeds the
+    broadcast budget (billions of nodes); then pre-partition the edge
+    frame by src so the sort-merge reuses one exchange across
+    iterations. The edge and degree frames are lineage-cut with
+    localCheckpoint (consumed every iteration; an uncut plan grows
+    linearly and re-derives the edge set per step). Nodes are assumed
+    to all have out-degree ≥ 1 (true for any edge-derived node set);
+    dangling-mass redistribution is therefore not needed.
     """
     de = directed_edges.select("src", "dst").localCheckpoint(eager=False)
     deg = (
@@ -67,8 +72,9 @@ def pagerank_ppb(directed_edges: DataFrame, iterations: int = 3) -> DataFrame:
                 F.expr(f"{_MASS_PPB} div n_nodes").alias("rank"))
     )
     for _ in range(iterations):
+        r_side = F.broadcast(r) if broadcast_ranks else r
         s = (
-            de.join(r, de["src"] == r["node"])
+            de.join(r_side, de["src"] == r_side["node"])
             .select(de["dst"].alias("in_node"),
                     F.expr("rank div outdeg").alias("c"))
             .groupBy("in_node")

@@ -11568,6 +11568,212 @@ def agg_kendall(spark, sf_dir):
     )
 
 
+@register(
+    "agg_ab_test",
+    oracle=f"""
+    with e as (select * from {EV}),
+    g as (select event_type,
+                 count(*) as n,
+                 sum(case when value > 50 then 1 else 0 end) as conv
+          from e group by 1),
+    ctl as (select n as n_b, conv as conv_b from g
+            where event_type = 'click'),
+    v as (select * from g where event_type <> 'click')
+    select v.event_type as variant,
+           cast(v.n as bigint) as n_a,
+           cast(v.conv as bigint) as conv_a,
+           cast(ctl.n_b as bigint) as n_b,
+           cast(ctl.conv_b as bigint) as conv_b,
+           cast(v.conv as double) / cast(v.n as double) as p_a,
+           cast(ctl.conv_b as double) / cast(ctl.n_b as double) as p_b,
+           (cast(v.conv as double) / cast(v.n as double)
+            - cast(ctl.conv_b as double) / cast(ctl.n_b as double))
+           / sqrt((cast(v.conv + ctl.conv_b as double)
+                   / cast(v.n + ctl.n_b as double))
+                  * (1.0 - cast(v.conv + ctl.conv_b as double)
+                           / cast(v.n + ctl.n_b as double))
+                  * (1.0 / cast(v.n as double)
+                     + 1.0 / cast(ctl.n_b as double))) as z
+    from v cross join ctl
+    """,
+)
+def agg_ab_test(spark, sf_dir):
+    """A55: two-proportion z-test — each event-type variant's conversion
+    rate (value > 50) against the 'click' control, the experiment
+    readout every growth team ships. agg_ttest compares MEANS of a
+    continuous metric; this is the categorical-outcome sibling with the
+    pooled-proportion denominator. Counts are exact integers from ONE
+    conditional hash-agg over the fact table; everything after is
+    element-wise double math on a 5-row frame plus the one
+    transcendental IEEE-754 pins (sqrt — the runs-test precedent). The
+    control row is a 1-row broadcast cross join, the same shape
+    llm_bm25 uses for corpus stats. At 100 TB the fact pass IS the
+    query; the z arithmetic is free."""
+    e = load(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") > 50, F.lit(1)).otherwise(F.lit(0)))
+        .alias("conv"),
+    )
+    ctl = (g.filter(F.col("event_type") == "click")
+           .select(F.col("n").alias("n_b"), F.col("conv").alias("conv_b")))
+    v = g.filter(F.col("event_type") != "click")
+    out = v.crossJoin(F.broadcast(ctl))
+    p_a = F.col("conv").cast("double") / F.col("n").cast("double")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    p_pool = ((F.col("conv") + F.col("conv_b")).cast("double")
+              / (F.col("n") + F.col("n_b")).cast("double"))
+    se = F.sqrt(p_pool * (F.lit(1.0) - p_pool)
+                * (F.lit(1.0) / F.col("n").cast("double")
+                   + F.lit(1.0) / F.col("n_b").cast("double")))
+    return out.select(
+        F.col("event_type").alias("variant"),
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a"),
+        F.col("n_b"), F.col("conv_b"),
+        p_a.alias("p_a"), p_b.alias("p_b"),
+        ((p_a - p_b) / se).alias("z"),
+    )
+
+
+@register(
+    "agg_mann_whitney",
+    oracle=f"""
+    with e as (select * from {EV}),
+    f as (select value,
+                 case when event_type = 'click' then 1 else 0 end as g1
+          from e where event_type in ('click', 'error')),
+    v as (select value, count(*) as n_v, sum(g1) as n1_v
+          from f group by 1),
+    r as (select *,
+                 2 * sum(n_v) over (order by value asc
+                                    rows between unbounded preceding
+                                    and current row)
+                   - n_v + 1 as twice_avg_rank
+          from v),
+    s as (select sum(n1_v) as n1,
+                 sum(n_v - n1_v) as n2,
+                 sum(n_v) as n,
+                 sum(n1_v * twice_avg_rank) as r1_twice,
+                 sum(n_v * n_v * n_v - n_v) as tie_sum
+          from r)
+    select cast(n1 as bigint) as n1, cast(n2 as bigint) as n2,
+           cast(r1_twice - n1 * (n1 + 1) as double) / 2.0 as u1,
+           cast(n1 * n2 as double) / 2.0 as mu_u,
+           (cast(r1_twice - n1 * (n1 + 1) as double) / 2.0
+            - cast(n1 * n2 as double) / 2.0)
+           / sqrt(cast(n1 as double) * cast(n2 as double) / 12.0
+                  * (cast(n + 1 as double)
+                     - cast(tie_sum as double)
+                       / (cast(n as double) * cast(n - 1 as double))))
+             as z
+    from s
+    """,
+)
+def agg_mann_whitney(spark, sf_dir):
+    """A56: Mann–Whitney U (rank-sum) test — do 'click' and 'error'
+    values come from the same distribution? The nonparametric sibling
+    of agg_ttest: no normality assumption, outlier-immune, the test a
+    latency comparison actually wants. Exactness trick: tie-averaged
+    ranks are half-integers, so the rank sum rides in DOUBLED units
+    (2·avg_rank = min_rank + max_rank = 2·cum − n_v + 1 — all integers)
+    and every accumulation is an exact integer sum, with tie-corrected
+    variance from Σ(t³−t); doubles appear only in the final divisions
+    and the one sqrt (the runs-test precedent). Shape: the fact table
+    collapses to DISTINCT VALUES via one hash-agg; the rank walk is a
+    single-partition window over that value frame — bounded by value
+    cardinality, NOT row count (the same contraction that makes
+    agg_theil_sen scale) — then one 1-row reduce."""
+    e = load(spark, sf_dir, "events")
+    f = e.filter(F.col("event_type").isin("click", "error")).select(
+        "value",
+        F.when(F.col("event_type") == "click", F.lit(1)).otherwise(F.lit(0))
+        .alias("g1"),
+    )
+    v = f.groupBy("value").agg(
+        F.count(F.lit(1)).alias("n_v"), F.sum("g1").alias("n1_v"))
+    w = Window.orderBy(F.asc("value")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    r = v.select(
+        "n_v", "n1_v",
+        (2 * F.sum("n_v").over(w) - F.col("n_v") + 1)
+        .alias("twice_avg_rank"),
+    )
+    s = r.agg(
+        F.sum("n1_v").alias("n1"),
+        F.sum(F.col("n_v") - F.col("n1_v")).alias("n2"),
+        F.sum("n_v").alias("n"),
+        F.sum(F.col("n1_v") * F.col("twice_avg_rank")).alias("r1_twice"),
+        F.sum(F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v"))
+        .alias("tie_sum"),
+    )
+    u1 = (F.col("r1_twice") - F.col("n1") * (F.col("n1") + 1)) \
+        .cast("double") / F.lit(2.0)
+    mu = (F.col("n1") * F.col("n2")).cast("double") / F.lit(2.0)
+    var = (F.col("n1").cast("double") * F.col("n2").cast("double")
+           / F.lit(12.0)
+           * ((F.col("n") + 1).cast("double")
+              - F.col("tie_sum").cast("double")
+              / (F.col("n").cast("double")
+                 * (F.col("n") - 1).cast("double"))))
+    return s.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        u1.alias("u1"), mu.alias("mu_u"),
+        ((u1 - mu) / F.sqrt(var)).alias("z"),
+    )
+
+
+@register(
+    "agg_profile",
+    oracle="""
+    with u as (
+      select 'o_orderkey' as col_name,
+             cast(o_orderkey as varchar) as val from orders
+      union all
+      select 'o_custkey', cast(o_custkey as varchar) from orders
+      union all
+      select 'o_orderstatus', o_orderstatus from orders
+      union all
+      select 'o_orderpriority', o_orderpriority from orders)
+    select col_name,
+           cast(count(*) as bigint) as n,
+           cast(sum(case when val is null then 1 else 0 end)
+                as bigint) as n_null,
+           cast(count(distinct val) as bigint) as n_distinct,
+           min(val) as min_val,
+           max(val) as max_val
+    from u group by 1
+    """,
+)
+def agg_profile(spark, sf_dir):
+    """A57: data-profiling pass — per-column row/null/distinct counts and
+    lexicographic min/max over a table, the first query every ingest
+    pipeline runs against a new feed (and the summary the instance-diff
+    admin loop wants before schema evolution). Columns unpivot via
+    stack() into (col_name, val) stubs — graph_degree's trick — so ALL
+    columns profile in ONE scan + one hash-agg chain instead of a
+    per-column query fan-out; values travel as strings (bigint→string
+    is canonical and identical cross-engine; doubles are deliberately
+    excluded — shortest-repr rendering differs between engines, the
+    known trap). count(distinct) is exact per column; swap in
+    approx_count_distinct at 100 TB if a sketch suffices — same plan
+    shape minus the distinct expansion."""
+    o = load(spark, sf_dir, "orders")
+    u = o.select(F.expr(
+        "stack(4, 'o_orderkey', cast(o_orderkey as string), "
+        "'o_custkey', cast(o_custkey as string), "
+        "'o_orderstatus', o_orderstatus, "
+        "'o_orderpriority', o_orderpriority) as (col_name, val)"))
+    return u.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("val").isNull(), F.lit(1)).otherwise(F.lit(0)))
+        .cast("long").alias("n_null"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -11757,7 +11963,7 @@ _R07_OVERFLOW = [
     # r7 batch-14/15 (this continuation session; leads r8 with the rest)
     "graph_pagerank", "graph_triangles", "agg_theil_sen", "agg_boxplot",
     "sink_parquet_partitioned", "stream_topk", "llm_bloom_prefilter",
-    "agg_kendall",
+    "agg_kendall", "agg_ab_test", "agg_mann_whitney", "agg_profile",
 ]
 _R07_TAIL = [
     k for k in _R06_PRIORITY + _R06_TAIL

@@ -869,10 +869,96 @@ def r7d_probe(spark, res, n_events, n_docs):
           QUERIES["mm_tile_grid"](spark, scratch), res)
 
 
+def r7e_probe(spark, res, n_events, n_docs):
+    """r7 batch-14..17 at 200× fixture scale through the REAL registered
+    builders: integer-ppb PageRank over a ~20M-edge bipartite trade
+    graph, support-sparsified triangle counting, the month-contracted
+    robust stats (Theil–Sen, Kendall), one-exchange boxplot fences over
+    20M values, the day-partitioned parquet sink write+pruned-read, and
+    the Bloom prefilter over 1M docs."""
+    import os
+    import tempfile
+
+    from minerva_etl_46_spark.queries import QUERIES
+
+    scratch = os.path.join(tempfile.gettempdir(),
+                           f"r7e_probe_{os.getpid()}")
+    (synth_events(spark, n_events)
+     .withColumn("event_type",
+                 F.element_at(
+                     F.array(F.lit("click"), F.lit("view"),
+                             F.lit("signup"), F.lit("purchase"),
+                             F.lit("error")),
+                     (F.abs(F.xxhash64("event_id")) % 5 + 1)
+                     .cast("int")))
+     .withColumn("props", F.lit("{}"))
+     .write.mode("overwrite").parquet(f"{scratch}/events.parquet"))
+    (spark.range(n_events).select(
+        F.col("id").alias("o_orderkey"),
+        (F.abs(F.xxhash64("id")) % 100_000).alias("o_custkey"),
+        ((F.abs(F.xxhash64("id", F.lit(4))) % 50000000) / 100.0)
+        .alias("o_totalprice"),
+        F.timestamp_seconds(BASE + (F.col("id") * 1009) % SPAN_S)
+        .alias("o_orderdate"))
+     .write.mode("overwrite").parquet(f"{scratch}/orders.parquet"))
+    # lineitem with partsupp-like structure: 4 suppliers per part, so the
+    # co-supplier expansion stays bounded per part (the production shape)
+    (spark.range(n_events).select(
+        F.expr("id div 6").alias("l_orderkey"),
+        (F.abs(F.xxhash64("id", F.lit(5))) % 1_000_000).alias("l_partkey"),
+        F.timestamp_seconds(BASE + (F.col("id") * 1013) % SPAN_S)
+        .alias("l_shipdate"))
+     .select(
+        "l_orderkey", "l_partkey", "l_shipdate",
+        ((F.col("l_partkey") * 7
+          + F.abs(F.xxhash64("l_orderkey", "l_partkey")) % 4) % 10_000)
+        .alias("l_suppkey"))
+     .write.mode("overwrite").parquet(f"{scratch}/lineitem.parquet"))
+    (spark.range(100_000).select(
+        F.col("id").alias("c_custkey"),
+        (F.col("id") % 25).alias("c_nationkey"))
+     .write.mode("overwrite").parquet(f"{scratch}/customer.parquet"))
+    (spark.range(10_000).select(F.col("id").alias("s_suppkey"))
+     .write.mode("overwrite").parquet(f"{scratch}/supplier.parquet"))
+    # ~1% of docs are exact dups of an earlier doc (cross-split members)
+    (spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document body "),
+                 (F.col("id") % int(n_docs * 0.99)).cast("string"))
+        .alias("text"))
+     .write.mode("overwrite").parquet(f"{scratch}/documents.parquet"))
+
+    timed("graph_pagerank_20M_edges",
+          QUERIES["graph_pagerank"](spark, scratch), res)
+    timed("graph_triangles_1M_parts",
+          QUERIES["graph_triangles"](spark, scratch), res)
+    timed("agg_theil_sen_20M_orders",
+          QUERIES["agg_theil_sen"](spark, scratch), res)
+    timed("agg_kendall_20M_orders",
+          QUERIES["agg_kendall"](spark, scratch), res)
+    timed("agg_boxplot_20M_events",
+          QUERIES["agg_boxplot"](spark, scratch), res)
+    # the partitioned WRITE runs eagerly inside the builder — time it
+    # separately from the pruned read-back that timed() measures
+    t0 = time.perf_counter()
+    sink_df = QUERIES["sink_parquet_partitioned"](spark, scratch)
+    write_sec = round(time.perf_counter() - t0, 2)
+    timed("sink_parquet_partitioned_20M", sink_df, res)
+    res["sink_parquet_partitioned_20M"]["write_sec"] = write_sec
+    timed("llm_bloom_prefilter_1M_docs",
+          QUERIES["llm_bloom_prefilter"](spark, scratch), res)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r7e":
+        r7e_probe(spark, res, n_events=N, n_docs=max(100_000, N // 20))
+        print(json.dumps({"metric": "scale_probe_r7e", "rows": N,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r7d":
         r7d_probe(spark, res, n_events=N, n_docs=max(100_000, N // 20))
         print(json.dumps({"metric": "scale_probe_r7d", "rows": N,

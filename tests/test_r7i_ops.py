@@ -194,6 +194,61 @@ def test_kendall_matches_python_reference(spark):
     assert got == expect
 
 
+def test_mann_whitney_matches_python_reference(spark):
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type").isin("click", "error"))
+        .select("event_type", "value").collect()
+    )  # bounded-by: sf0.001 fixture
+    xs = sorted((r.value, r.event_type) for r in rows)
+    n = len(xs)
+    # tie-averaged ranks, computed independently
+    ranks: list[float] = [0.0] * n
+    i = 0
+    while i < n:
+        j = i
+        while j < n and xs[j][0] == xs[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        for k in range(i, j):
+            ranks[k] = avg
+        i = j
+    n1 = sum(1 for _, t in xs if t == "click")
+    n2 = n - n1
+    r1 = sum(rk for rk, (_, t) in zip(ranks, xs) if t == "click")
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    got = QUERIES["agg_mann_whitney"](spark, SF).collect()[0]
+    assert (got.n1, got.n2) == (n1, n2)
+    assert abs(got.u1 - u1) < 1e-9
+    # z magnitude should be sane for same-distribution fixture groups
+    assert abs(got.z) < 10
+
+
+def test_ab_test_z_matches_formula(spark):
+    import math
+
+    out = {r.variant: r for r in QUERIES["agg_ab_test"](spark, SF).collect()}
+    assert set(out) == {"view", "signup", "purchase", "error"}
+    for r in out.values():
+        p_pool = (r.conv_a + r.conv_b) / (r.n_a + r.n_b)
+        se = math.sqrt(p_pool * (1 - p_pool) * (1 / r.n_a + 1 / r.n_b))
+        assert abs(r.z - (r.p_a - r.p_b) / se) < 1e-12
+
+
+def test_profile_counts_are_exact(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    total = o.count()
+    out = {r.col_name: r for r in QUERIES["agg_profile"](spark, SF).collect()}
+    assert set(out) == {"o_orderkey", "o_custkey", "o_orderstatus",
+                        "o_orderpriority"}
+    for r in out.values():
+        assert r.n == total
+    assert out["o_orderkey"].n_distinct == total  # primary key
+    assert out["o_orderstatus"].n_distinct <= 3
+    assert out["o_orderpriority"].min_val == "1-URGENT"
+    assert out["o_orderpriority"].max_val == "5-LOW"
+
+
 def test_stream_topk_ranks_every_window(spark):
     out = QUERIES["stream_topk"](spark, SF).collect()
     by_bucket: dict[int, list] = {}
