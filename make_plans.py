@@ -367,6 +367,31 @@ NOTES = {
     "graph_degree": "stack() unpivots the distinct edge set so both "
                     "degree directions ride ONE orderkey join "
                     "(was 2 SMJs / 10 exchanges as two branches).",
+    "graph_pagerank": "Per iteration the node-scale rank frame must show "
+                      "BroadcastHashJoin into the edge scan (lineage-cut "
+                      "frames hide stats; an SMJ here re-shuffles 36M "
+                      "edges per iteration — 2.5x slower at 20M, "
+                      "SCALE.md r7e).",
+    "graph_triangles": "Support >= 2 sparsifier folds into the pair "
+                       "hash-agg; wedge + closing joins run on the "
+                       "sparse edge frame, never the dense >= 1 graph.",
+    "agg_boxplot": "Three exact percentile windows + the fence-count "
+                   "hash-agg share ONE hash(event_type) exchange — the "
+                   "win_outlier_mad fusion applied at design time.",
+    "agg_mann_whitney": "Facts collapse to DISTINCT VALUES first; the "
+                        "single-partition rank window walks the value "
+                        "frame (bounded by value cardinality, not rows).",
+    "sink_parquet_partitioned": "Read-back scan must show the day "
+                                "predicate under PartitionFilters (also "
+                                "plan-asserted in tests); the write side "
+                                "repartitions on day — one file per day.",
+    "llm_bloom_prefilter": "Filter and exact-membership sides are "
+                           "BroadcastHashJoins (kilobyte frames); probe "
+                           "work is explode(4) + one hash-agg — batch-"
+                           "proportional.",
+    "agg_theil_sen": "Month-grain hash-agg BEFORE the quadratic pair "
+                     "self-join; the pair frame is nation x months^2, "
+                     "never fact-scaled.",
 }
 
 
