@@ -372,9 +372,11 @@ NOTES = {
                       "frames hide stats; an SMJ here re-shuffles 36M "
                       "edges per iteration — 2.5x slower at 20M, "
                       "SCALE.md r7e).",
-    "graph_triangles": "Support >= 2 sparsifier folds into the pair "
-                       "hash-agg; wedge + closing joins run on the "
-                       "sparse edge frame, never the dense >= 1 graph.",
+    "graph_triangles": "Top-3 partner (kNN) edges bound degree <= 2k by "
+                       "construction; wedge + closing joins run on that "
+                       "sparse frame — a support threshold cannot "
+                       "sparsify a dense co-occurrence structure "
+                       "(SCALE.md r7e).",
     "agg_boxplot": "Three exact percentile windows + the fence-count "
                    "hash-agg share ONE hash(event_type) exchange — the "
                    "win_outlier_mad fusion applied at design time.",
