@@ -11792,6 +11792,126 @@ def agg_profile(spark, sf_dir):
     )
 
 
+@register(
+    "sink_overwrite_partition",
+    oracle=f"""
+    with e as (select * from {EV}),
+    b0 as (select min((epoch_us(ts) // 86400000000) * 86400) as b0 from e)
+    select event_id,
+           (epoch_us(ts) // 86400000000) * 86400 as p_bucket,
+           epoch_us(ts) as ts_us, user_id, event_type,
+           case when (epoch_us(ts) // 86400000000) * 86400
+                     = (select b0 from b0) + 3 * 86400
+                then value + 1000.0 else value end as value
+    from e
+    """,
+)
+def sink_overwrite_partition(spark, sf_dir):
+    """S17: dynamic partition overwrite — the late-data re-materialization
+    verb (§3.2 T3): a revised batch for ONE day must replace exactly
+    that day's partition and leave every other directory byte-
+    untouched. Routes through the PRODUCTION trend-store write path
+    (sources/trendstore.py::TrendStorePartStorage.write — per-write
+    `partitionOverwriteMode=dynamic`, never the session conf, + the
+    modified-log side effect): first the full history lands
+    day-partitioned, then a value-bumped revision of min-day+3 rewrites
+    only its own bucket. The read-back proves the merge semantics the
+    oracle states: revised rows carry the bump, all other days the
+    original values — a STATIC overwrite here would have erased them
+    (the classic re-materialization data-loss bug this mode exists to
+    prevent). Idempotent per process: re-running resets every
+    partition then re-applies the revision. Work ∝ revised partitions,
+    independent of store size — the incremental contract."""
+    from minerva_etl_46_spark.sources.trendstore import TrendStorePartStorage
+
+    store = TrendStorePartStorage(
+        base_dir=_scratch(sf_dir, "events_dpo_store"), name="events_v")
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    store.write(e, ts_col="ts")
+    b0 = e.agg(F.min(
+        F.expr("(unix_micros(ts) div 86400000000) * 86400")).alias("b0"))
+    rev = (
+        e.crossJoin(F.broadcast(b0))  # 1-row stats frame
+        .filter(F.expr("(unix_micros(ts) div 86400000000) * 86400")
+                == F.col("b0") + 3 * 86400)
+        .withColumn("value", F.col("value") + F.lit(1000.0))
+        .drop("b0")
+    )
+    store.write(rev, ts_col="ts")
+    back = spark.read.parquet(store.path)
+    return back.select(
+        "event_id",
+        F.col("p_bucket").cast("long").alias("p_bucket"),
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id", "event_type", "value",
+    )
+
+
+@register(
+    "agg_skew_report",
+    oracle="""
+    with u as (
+      select 'l_orderkey' as col_name, l_orderkey as key from lineitem
+      union all
+      select 'l_partkey', l_partkey from lineitem
+      union all
+      select 'l_suppkey', l_suppkey from lineitem),
+    c as (select col_name, key, count(*) as cnt from u group by 1, 2),
+    r as (select col_name, sum(cnt) as n_rows, count(*) as n_distinct,
+                 max(cnt) as max_cnt
+          from c group by 1),
+    h as (select col_name, key as hot_key from (
+            select col_name, key, row_number() over
+              (partition by col_name order by cnt desc, key asc) as rk
+            from c) x
+          where rk = 1)
+    select r.col_name, cast(n_rows as bigint) as n_rows,
+           cast(n_distinct as bigint) as n_distinct,
+           cast(max_cnt as bigint) as max_cnt,
+           cast(hot_key as bigint) as hot_key,
+           cast(max_cnt as double) * cast(n_distinct as double)
+             / cast(n_rows as double) as skew_ratio
+    from r join h on r.col_name = h.col_name
+    """,
+)
+def agg_skew_report(spark, sf_dir):
+    """A66: join-key skew audit — for every candidate join/partition key,
+    the distinct count, the hottest key and its share vs uniform
+    (skew_ratio = max_cnt / (n_rows / n_distinct)) — the report you run
+    BEFORE picking a join strategy at 100 TB: ratio ≈ 1 means hash
+    partitioning balances, a hot ratio says salt it (operators/skew.py)
+    or lean on AQE skew-join. The operator practices what it preaches:
+    all three key columns profile in ONE scan via the stack() unpivot
+    (the A63 shape), per-key counts collapse map-side, and the
+    hottest-key pick is a deterministic (cnt desc, key asc) rank over
+    the already-aggregated count frame — never a second fact pass.
+    Output is columns-count-sized; only exact integer counts and one
+    final double expression per row."""
+    li = load(spark, sf_dir, "lineitem")
+    u = li.select(F.expr(
+        "stack(3, 'l_orderkey', l_orderkey, "
+        "'l_partkey', l_partkey, "
+        "'l_suppkey', l_suppkey) as (col_name, key)"))
+    c = u.groupBy("col_name", "key").agg(F.count(F.lit(1)).alias("cnt"))
+    r = c.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    wk = Window.partitionBy("col_name").orderBy(
+        F.desc("cnt"), F.asc("key"))
+    h = (c.withColumn("rk", F.row_number().over(wk))
+         .filter(F.col("rk") == 1)
+         .select("col_name", F.col("key").alias("hot_key")))
+    return r.join(h, "col_name").select(
+        "col_name", "n_rows", "n_distinct", "max_cnt",
+        F.col("hot_key").cast("long").alias("hot_key"),
+        (F.col("max_cnt").cast("double") * F.col("n_distinct").cast("double")
+         / F.col("n_rows").cast("double")).alias("skew_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -11982,6 +12102,7 @@ _R07_OVERFLOW = [
     "graph_pagerank", "graph_triangles", "agg_theil_sen", "agg_boxplot",
     "sink_parquet_partitioned", "stream_topk", "llm_bloom_prefilter",
     "agg_kendall", "agg_ab_test", "agg_mann_whitney", "agg_profile",
+    "sink_overwrite_partition", "agg_skew_report",
 ]
 _R07_TAIL = [
     k for k in _R06_PRIORITY + _R06_TAIL

@@ -249,6 +249,74 @@ def test_profile_counts_are_exact(spark):
     assert out["o_orderpriority"].max_val == "5-LOW"
 
 
+def test_overwrite_partition_touches_only_the_revised_day(spark):
+    """Dynamic overwrite's whole contract: the revision write must leave
+    every other day's files byte-identical (same names, sizes, mtimes)."""
+    import os
+
+    from minerva_etl_46_spark.queries import _scratch
+    from minerva_etl_46_spark.sources.trendstore import TrendStorePartStorage
+
+    store = TrendStorePartStorage(
+        base_dir=_scratch(SF, "events_dpo_isolation"), name="events_v")
+    e = (spark.read.parquet(f"{SF}/events.parquet")
+         .selectExpr("event_id", "cast(ts as timestamp) as ts",
+                     "user_id", "event_type", "value"))
+    store.write(e, ts_col="ts")
+
+    def snapshot():
+        snap = {}
+        for d in os.listdir(store.path):
+            if not d.startswith("p_bucket="):
+                continue
+            for f in os.listdir(os.path.join(store.path, d)):
+                p = os.path.join(store.path, d, f)
+                st = os.stat(p)
+                snap[p] = (st.st_size, st.st_mtime_ns)
+        return snap
+
+    before = snapshot()
+    b0 = min(int(d.split("=")[1]) for d in os.listdir(store.path)
+             if d.startswith("p_bucket="))
+    target = b0 + 3 * 86400
+    from pyspark.sql import functions as SF_
+
+    rev = (e.filter(SF_.expr("(unix_micros(ts) div 86400000000) * 86400")
+                    == target)
+           .withColumn("value", SF_.col("value") + 1000.0))
+    assert rev.count() > 0
+    store.write(rev, ts_col="ts")
+    after = snapshot()
+    changed_dirs = set()
+    for p in set(before) | set(after):
+        if before.get(p) != after.get(p):
+            changed_dirs.add(p.split("p_bucket=")[1].split("/")[0])
+    assert changed_dirs == {str(target)}, changed_dirs
+
+
+def test_skew_report_flags_a_planted_hot_key(spark):
+    import tempfile
+
+    rows = [(i % 1000, i % 100, i % 10) for i in range(10_000)]
+    rows += [(7, 7, 7)] * 5_000  # hot key on every column
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long")
+    with tempfile.TemporaryDirectory() as d:
+        df.selectExpr("l_orderkey", "l_partkey", "l_suppkey",
+                      "timestamp'2024-01-01' as l_shipdate") \
+          .write.parquet(f"{d}/lineitem.parquet")
+        out = {r.col_name: r
+               for r in QUERIES["agg_skew_report"](spark, d).collect()}
+    for col, n_distinct in (("l_orderkey", 1000), ("l_partkey", 100),
+                            ("l_suppkey", 10)):
+        r = out[col]
+        assert r.hot_key == 7
+        assert r.n_rows == 15_000 and r.n_distinct == n_distinct
+        uniform = r.n_rows / r.n_distinct
+        assert abs(r.skew_ratio - r.max_cnt / uniform) < 1e-12
+        assert r.skew_ratio > 3  # the planted skew is flagged
+
+
 def test_stream_topk_ranks_every_window(spark):
     out = QUERIES["stream_topk"](spark, SF).collect()
     by_bucket: dict[int, list] = {}
