@@ -11912,6 +11912,115 @@ def agg_skew_report(spark, sf_dir):
     )
 
 
+@register(
+    "fn_zorder",
+    oracle=f"""
+    with e as (select * from {EV}),
+    xy as (select event_id, user_id % 1024 as x, event_id % 1024 as y
+           from e)
+    select event_id, cast(x as bigint) as x, cast(y as bigint) as y,
+           cast((select sum(((x >> i) & 1) * (1 << (2 * i))
+                           + ((y >> i) & 1) * (1 << (2 * i + 1)))
+                 from range(10) t(i)) as bigint) as z,
+           cast((select sum(((x >> i) & 1) * (1 << (2 * i))
+                           + ((y >> i) & 1) * (1 << (2 * i + 1)))
+                 from range(10) t(i)) >> 8 as bigint) as z_tile
+    from xy
+    """,
+)
+def fn_zorder(spark, sf_dir):
+    """F18: Z-order (Morton) curve encoding — the multi-dimension lake
+    layout key (Delta's OPTIMIZE ZORDER, Hudi/Iceberg clustering): bit-
+    interleaving two 10-bit dimensions into one sort key keeps rows
+    close in (x, y) close in z, so ONE sorted/partitioned layout serves
+    range predicates on EITHER dimension (min/max file stats prune on
+    both — a lexicographic (x, y) sort prunes only on x). Pure integer
+    bit math via an in-row aggregate HOF over the bit positions —
+    whole-stage codegen, zero shuffles, zero UDFs; the oracle replays
+    the identical fold as a correlated range(10) sum. z_tile (z >> 8)
+    is the 16-cell clustering bucket a writer would repartition on.
+    Deterministic demo coordinates derive from ids (the join_spatial
+    recipe — the fixture carries no geometry)."""
+    e = load(spark, sf_dir, "events")
+    xy = e.select(
+        "event_id",
+        (F.col("user_id") % 1024).alias("x"),
+        (F.col("event_id") % 1024).alias("y"),
+    )
+    z = F.expr(
+        "aggregate(sequence(0, 9), cast(0 as bigint), (acc, i) -> "
+        "acc + shiftleft((x >> i) & 1, 2 * i) "
+        "+ shiftleft((y >> i) & 1, 2 * i + 1))")
+    return xy.select(
+        "event_id",
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        z.alias("z"),
+        F.shiftright(z, 8).cast("long").alias("z_tile"),
+    )
+
+
+@register(
+    "win_records",
+    oracle=f"""
+    with e as (select * from {EV}),
+    r as (select event_id, user_id, value,
+                 max(value) over (partition by user_id
+                                  order by ts asc, event_id asc
+                                  rows between unbounded preceding
+                                  and 1 preceding) as prev_max
+          from e),
+    f as (select event_id, user_id, value,
+                 case when prev_max is null or value > prev_max
+                      then 1 else 0 end as is_record
+          from r),
+    g as (select *, sum(is_record) over
+            (partition by user_id
+             order by event_id asc
+             rows between unbounded preceding and current row) as rec_no
+          from f)
+    select event_id, user_id, value,
+           cast(is_record as bigint) as is_record,
+           cast(rec_no as bigint) as record_no
+    from g
+    """,
+)
+def win_records(spark, sf_dir):
+    """W35: running record-high detector — flag each sample that sets a
+    new all-time high for its entity, and number the records ("third
+    record-breaking reading this month" — the alerting complement of
+    win_drawdown, which measures distance BELOW the peak after the
+    fact). Strict inequality pinned: equalling the record is not
+    breaking it; the first sample is record #1 (empty preceding frame →
+    NULL max, stated). Tie order (ts, event_id) pinned cross-engine.
+    Shape: running max over the 1-preceding frame and the record
+    cumsum are BOTH windows on the same entity partitioning — ONE
+    exchange, O(1) frame state, no joins. The record numbering
+    deliberately re-sorts on event_id (a total order) so the hash can
+    compare a deterministic column set."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id"))
+    r = e.select(
+        "event_id", "user_id", "value",
+        F.max("value").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)).alias("prev_max"),
+    )
+    f = r.select(
+        "event_id", "user_id", "value",
+        F.when(F.col("prev_max").isNull()
+               | (F.col("value") > F.col("prev_max")), F.lit(1))
+        .otherwise(F.lit(0)).alias("is_record"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.asc("event_id")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return f.select(
+        "event_id", "user_id", "value",
+        F.col("is_record").cast("long").alias("is_record"),
+        F.sum("is_record").over(w2).cast("long").alias("record_no"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -12102,7 +12211,8 @@ _R07_OVERFLOW = [
     "graph_pagerank", "graph_triangles", "agg_theil_sen", "agg_boxplot",
     "sink_parquet_partitioned", "stream_topk", "llm_bloom_prefilter",
     "agg_kendall", "agg_ab_test", "agg_mann_whitney", "agg_profile",
-    "sink_overwrite_partition", "agg_skew_report",
+    "sink_overwrite_partition", "agg_skew_report", "fn_zorder",
+    "win_records",
 ]
 _R07_TAIL = [
     k for k in _R06_PRIORITY + _R06_TAIL

@@ -317,6 +317,52 @@ def test_skew_report_flags_a_planted_hot_key(spark):
         assert r.skew_ratio > 3  # the planted skew is flagged
 
 
+def test_zorder_is_a_bijective_interleave(spark):
+    """Morton code contract: z is a bijection of (x, y) on the 10-bit
+    grid, and matches the python bit-interleave reference."""
+    pts = [(x, y) for x in (0, 1, 5, 511, 1023) for y in (0, 2, 7, 1023)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    z_expr = F.expr(
+        "aggregate(sequence(0, 9), cast(0 as bigint), (acc, i) -> "
+        "acc + shiftleft((x >> i) & 1, 2 * i) "
+        "+ shiftleft((y >> i) & 1, 2 * i + 1))")
+    got = {(r.x, r.y): r.z for r in df.select("x", "y",
+                                              z_expr.alias("z")).collect()}
+
+    def morton(x, y):
+        z = 0
+        for i in range(10):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y)
+    assert len(set(got.values())) == len(got)  # bijective on the sample
+
+
+def test_records_match_brute_force(spark):
+    rows = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_id", "user_id", "value",
+        "unix_micros(cast(ts as timestamp)) as ts_us").collect()
+    # bounded-by: sf0.001 fixture
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    expect = {}
+    for rs in by_user.values():
+        best = None
+        for r in sorted(rs, key=lambda r: (r.ts_us, r.event_id)):
+            rec = 1 if best is None or r.value > best else 0
+            best = r.value if rec else best
+            expect[r.event_id] = rec
+    got = {r.event_id: r.is_record
+           for r in QUERIES["win_records"](spark, SF).collect()}
+    assert got == expect
+
+
 def test_stream_topk_ranks_every_window(spark):
     out = QUERIES["stream_topk"](spark, SF).collect()
     by_bucket: dict[int, list] = {}
