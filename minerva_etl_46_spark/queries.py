@@ -12021,6 +12021,273 @@ def win_records(spark, sf_dir):
     )
 
 
+@register(
+    "llm_embed_outliers",
+    oracle="""
+    with el as (select vec_id, label, i,
+                       cast(floor(embedding[i]::double * 1000000000 + 0.5)
+                            as bigint) as xq
+                from embeddings, generate_series(1, 64) t(i)
+                where i <= len(embedding)),
+    s as (select label, i, cast(sum(xq) as bigint) as sxq
+          from el group by 1, 2),
+    nv as (select vec_id, label,
+                  sum(cast(xq as hugeint) * xq) as nv2
+           from el group by 1, 2),
+    ns as (select label,
+                  sum(cast(sxq as hugeint) * sxq) as ns2
+           from s group by 1),
+    dots as (select el.vec_id, el.label,
+                    sum(cast(el.xq as hugeint) * s.sxq) as dot
+             from el join s on el.label = s.label and el.i = s.i
+             group by 1, 2),
+    scored as (select d.vec_id, d.label,
+                      -- decimal → varchar → double (the corr_pairs
+                      -- mediation: DuckDB's direct cast double-rounds)
+                      cast(cast(d.dot as varchar) as double)
+                      / sqrt(cast(cast(nv.nv2 as varchar) as double)
+                             * cast(cast(ns.ns2 as varchar) as double))
+                        as cos_centroid
+               from dots d
+               join nv on d.vec_id = nv.vec_id
+               join ns on d.label = ns.label)
+    select cast(label as bigint) as label, vec_id, cos_centroid,
+           cast(rk as bigint) as rk
+    from (select *, row_number() over
+            (partition by label
+             order by cos_centroid asc, vec_id asc) as rk
+          from scored) x
+    where rk <= 3
+    """,
+)
+def llm_embed_outliers(spark, sf_dir):
+    """X-curation: embedding outlier detection — per label, the 3
+    vectors least aligned with their own class centroid (mislabeled or
+    noise candidates; the per-CLASS complement of llm_semdedup's
+    within-cluster near-dups). The centroid never materializes: cosine
+    to the MEAN vector equals cosine to the SUM vector (the 1/n scaling
+    cancels in the ratio), so the whole statistic is exact decimal
+    sums (element sums, self-norms, centroid-sum norms, dot products)
+    with IEEE division + sqrt only at the end — cross-engine
+    deterministic with zero float accumulation. The elements are
+    FIXED-POINT QUANTIZED first (xq = floor(x·1e9 + 0.5), identical
+    IEEE multiply+floor both engines) because raw float32 values cast
+    to decimal can land exactly on a rounding tie and the engines
+    break ties differently (half-up vs half-even — ONE element sum of
+    320k diverged by 1e-12 at sf0.01 and moved cosines at 1e-15;
+    integer quantization has no ties by construction); the 1e-9 grid
+    is stated semantics, negligible vs float32's own noise, and the
+    scaling cancels in the cosine ratio. Shape: one posexplode
+    to element grain (vectors × 64 rows), per-(label, dim) sums
+    collapse map-side into a labels×64 frame that BROADCASTS back onto
+    the element stream, then one per-vector hash-agg; the rank window
+    walks labels×vectors scores. Self-inclusion in the centroid is
+    stated (standard; leave-one-out shifts scores but rarely the
+    ranking)."""
+    emb = load(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "vec_id", "label",
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("xf").cast("double") * 1e9 + F.lit(0.5))
+        .cast("long").alias("xq"),
+    )
+    D18 = "decimal(18,0)"
+    s = el.groupBy("label", "i").agg(F.sum("xq").alias("sxq"))
+    nv = el.groupBy("vec_id", "label").agg(
+        F.sum(F.col("xq").cast(D18) * F.col("xq").cast(D18)).alias("nv2"))
+    ns = s.groupBy("label").agg(
+        F.sum(F.col("sxq").cast(D18) * F.col("sxq").cast(D18))
+        .alias("ns2"))
+    dots = (
+        el.join(F.broadcast(s), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("xq").cast(D18) * F.col("sxq").cast(D18))
+             .alias("dot"))
+    )
+    scored = (
+        dots.join(nv, ["vec_id", "label"])
+        .join(F.broadcast(ns), "label")
+        .select("vec_id", "label",
+                (F.col("dot").cast("double")
+                 / F.sqrt(F.col("nv2").cast("double")
+                          * F.col("ns2").cast("double")))
+                .alias("cos_centroid"))
+    )
+    wk = Window.partitionBy("label").orderBy(
+        F.asc("cos_centroid"), F.asc("vec_id"))
+    return (scored.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= 3)
+            .select(F.col("label").cast("long").alias("label"),
+                    "vec_id", "cos_centroid",
+                    F.col("rk").cast("long").alias("rk")))
+
+
+@register(
+    "agg_revenue_bridge",
+    oracle="""
+    with oc as (select o_custkey as cust,
+                       year(cast(o_orderdate as timestamp)) * 12
+                         + month(cast(o_orderdate as timestamp)) - 1 as mi,
+                       o_totalprice
+                from orders),
+    r as (select cust, mi,
+                 sum(cast(o_totalprice as decimal(38,4))) as rev
+          from oc group by 1, 2),
+    months as (select distinct mi from r),
+    p as (select cust, mi + 1 as mi, rev as prev_rev from r),
+    j as (select coalesce(r.cust, p.cust) as cust,
+                 coalesce(r.mi, p.mi) as mi,
+                 r.rev, p.prev_rev
+          from r full outer join p
+            on r.cust = p.cust and r.mi = p.mi)
+    select cast(j.mi as bigint) as mi,
+           cast(sum(case when prev_rev is null then 1 else 0 end)
+                as bigint) as n_new,
+           cast(sum(case when rev is null then 1 else 0 end)
+                as bigint) as n_churned,
+           cast(sum(case when rev is not null and prev_rev is not null
+                              and rev > prev_rev
+                         then 1 else 0 end) as bigint) as n_expanded,
+           cast(sum(case when rev is not null and prev_rev is not null
+                              and rev < prev_rev
+                         then 1 else 0 end) as bigint) as n_contracted,
+           cast(sum(case when prev_rev is null then rev
+                         else cast(0 as decimal(38,4)) end)
+                as double) as new_rev,
+           cast(sum(case when rev is null then prev_rev
+                         else cast(0 as decimal(38,4)) end)
+                as double) as churned_rev,
+           cast(sum(case when rev is not null and prev_rev is not null
+                              and rev > prev_rev then rev - prev_rev
+                         else cast(0 as decimal(38,4)) end)
+                as double) as expansion,
+           cast(sum(case when rev is not null and prev_rev is not null
+                              and rev < prev_rev then prev_rev - rev
+                         else cast(0 as decimal(38,4)) end)
+                as double) as contraction
+    from j join months on j.mi = months.mi
+    group by 1
+    """,
+)
+def agg_revenue_bridge(spark, sf_dir):
+    """A67: month-over-month revenue bridge (growth accounting on
+    MONEY, the revenue sibling of agg_user_growth's user counts):
+    each month's change decomposed into new-customer revenue, churned
+    revenue, expansion and contraction — the waterfall every revenue
+    review opens with, and an identity the property test enforces:
+    Δtotal ≡ new − churned + expansion − contraction (exact decimals,
+    so the identity holds to the cent, not approximately). Customers
+    absent in BOTH adjacent months never appear (the full-outer join
+    carries only active-either-side rows); the artificial month after
+    the data's end is dropped by the months semi-join; the first
+    month is all-new by construction (stated). Shape: one hash(cust)
+    rollup of the fact table, then a (cust, mi) full-outer self-join
+    of the month frame against its shift — customer×active-months
+    scale, never fact scale; the bridge rollup is months-sized."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .alias("mi"),
+        "o_totalprice")
+    r = o.groupBy("cust", "mi").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    p = r.select("cust", (F.col("mi") + 1).alias("mi"),
+                 F.col("rev").alias("prev_rev"))
+    j = r.join(p, ["cust", "mi"], "full")
+    months = r.select("mi").distinct()
+    j = j.join(months, "mi", "left_semi")
+    zero = F.lit(0).cast(DEC)
+    both = F.col("rev").isNotNull() & F.col("prev_rev").isNotNull()
+    return j.groupBy("mi").agg(
+        F.sum(F.when(F.col("prev_rev").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_new"),
+        F.sum(F.when(F.col("rev").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_churned"),
+        F.sum(F.when(both & (F.col("rev") > F.col("prev_rev")), 1)
+              .otherwise(0)).cast("long").alias("n_expanded"),
+        F.sum(F.when(both & (F.col("rev") < F.col("prev_rev")), 1)
+              .otherwise(0)).cast("long").alias("n_contracted"),
+        F.sum(F.when(F.col("prev_rev").isNull(), F.col("rev"))
+              .otherwise(zero)).cast("double").alias("new_rev"),
+        F.sum(F.when(F.col("rev").isNull(), F.col("prev_rev"))
+              .otherwise(zero)).cast("double").alias("churned_rev"),
+        F.sum(F.when(both & (F.col("rev") > F.col("prev_rev")),
+                     F.col("rev") - F.col("prev_rev"))
+              .otherwise(zero)).cast("double").alias("expansion"),
+        F.sum(F.when(both & (F.col("rev") < F.col("prev_rev")),
+                     F.col("prev_rev") - F.col("rev"))
+              .otherwise(zero)).cast("double").alias("contraction"),
+    ).select(
+        F.col("mi").cast("long").alias("mi"),
+        "n_new", "n_churned", "n_expanded", "n_contracted",
+        "new_rev", "churned_rev", "expansion", "contraction",
+    )
+
+
+@register(
+    "agg_target_encode",
+    oracle=f"""
+    with e as (select * from {EV}),
+    g as (select event_id, event_type, value,
+                 sum(cast(value as decimal(38,4)))
+                   over (partition by event_type) as s,
+                 count(*) over (partition by event_type) as n
+          from e),
+    tot as (select sum(cast(value as decimal(38,4))) as ts,
+                   count(*) as tn from e)
+    select event_id, event_type, value,
+           case when n > 1
+                then cast(s - cast(value as decimal(38,4)) as double)
+                     / cast(n - 1 as double)
+                else null end as loo_mean,
+           (cast(s - cast(value as decimal(38,4)) as double)
+            + 10.0 * (cast((select ts from tot) as double)
+                      / cast((select tn from tot) as double)))
+             / cast(n - 1 + 10 as double) as smoothed
+    from g
+    """,
+)
+def agg_target_encode(spark, sf_dir):
+    """A68: leave-one-out target encoding — the categorical-feature
+    transform a training pipeline runs before gradient models: each
+    row's category replaced by the mean target of OTHER rows in that
+    category (self excluded, else the feature leaks its own label),
+    plus the m=10 smoothed variant that shrinks rare categories toward
+    the global mean. Exactness: category sums are exact decimals, the
+    self-subtraction is decimal, the global-mean prior is a decimal
+    division both engines round identically at scale 4+ (the DEC
+    contract) — one IEEE division per row at the end. Singleton
+    categories yield NULL loo (no other rows to average — NULL is in
+    the double-output contract). Shape: both window statistics ride
+    ONE hash(event_type) exchange; the global prior is a 1-row
+    broadcast cross join, never a whole-frame window."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    g = e.select(
+        "event_id", "event_type", "value",
+        F.sum(F.col("value").cast(DEC)).over(w).alias("s"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    tot = e.agg(F.sum(F.col("value").cast(DEC)).alias("ts"),
+                F.count(F.lit(1)).alias("tn"))
+    g = g.crossJoin(F.broadcast(tot))  # 1-row stats frame
+    vd = F.col("value").cast(DEC)
+    return g.select(
+        "event_id", "event_type", "value",
+        F.when(F.col("n") > 1,
+               (F.col("s") - vd).cast("double")
+               / (F.col("n") - 1).cast("double"))
+        .otherwise(F.lit(None).cast("double")).alias("loo_mean"),
+        (((F.col("s") - vd).cast("double")
+          + F.lit(10.0) * (F.col("ts").cast("double")
+                           / F.col("tn").cast("double")))
+         / (F.col("n") - 1 + 10).cast("double")).alias("smoothed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -12212,7 +12479,8 @@ _R07_OVERFLOW = [
     "sink_parquet_partitioned", "stream_topk", "llm_bloom_prefilter",
     "agg_kendall", "agg_ab_test", "agg_mann_whitney", "agg_profile",
     "sink_overwrite_partition", "agg_skew_report", "fn_zorder",
-    "win_records",
+    "win_records", "llm_embed_outliers", "agg_revenue_bridge",
+    "agg_target_encode",
 ]
 _R07_TAIL = [
     k for k in _R06_PRIORITY + _R06_TAIL

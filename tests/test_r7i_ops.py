@@ -363,6 +363,72 @@ def test_records_match_brute_force(spark):
     assert got == expect
 
 
+def test_embed_outlier_finds_a_planted_flipped_vector(spark):
+    """Negating one vector of a tight cluster must make it that label's
+    rank-1 outlier (cosine to centroid ≈ −1)."""
+    import tempfile
+
+    base = [0.1 * (i % 7) + 0.3 for i in range(64)]
+    rows = []
+    for v in range(20):
+        vec = [x + 0.001 * v for x in base]
+        rows.append((v, vec, 0))
+    rows.append((99, [-x for x in base], 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/embeddings.parquet")
+        out = QUERIES["llm_embed_outliers"](spark, d).collect()
+    r1 = [r for r in out if r.rk == 1][0]
+    assert r1.vec_id == 99
+    assert r1.cos_centroid < -0.5
+
+
+def test_revenue_bridge_identity_holds_exactly(spark):
+    """Delta(total revenue) must equal new - churned + expansion -
+    contraction for every month after the first — the waterfall's
+    defining identity, exact to the cent."""
+    rows = QUERIES["agg_revenue_bridge"](spark, SF).collect()
+    o = spark.read.parquet(f"{SF}/orders.parquet").selectExpr(
+        "year(cast(o_orderdate as timestamp)) * 12"
+        " + month(cast(o_orderdate as timestamp)) - 1 as mi",
+        "cast(o_totalprice as decimal(38,4)) as rev")
+    totals = {r.mi: float(r.t) for r in
+              o.groupBy("mi").agg(F.sum("rev").alias("t")).collect()}
+    months = sorted(totals)
+    by_mi = {r.mi: r for r in rows}
+    for prev, cur in zip(months, months[1:]):
+        if cur != prev + 1:
+            continue  # bridge rows only decompose adjacent months
+        r = by_mi[cur]
+        delta = totals[cur] - totals[prev]
+        decomp = r.new_rev - r.churned_rev + r.expansion - r.contraction
+        assert abs(delta - decomp) < 1e-6, (cur, delta, decomp)
+
+
+def test_target_encode_matches_brute_force(spark):
+    rows = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "event_type", "value").collect()
+    # bounded-by: sf0.001 fixture
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    ns = defaultdict(int)
+    for r in rows:
+        sums[r.event_type] += r.value
+        ns[r.event_type] += 1
+    got = {r.event_id: r for r in
+           QUERIES["agg_target_encode"](spark, SF).collect()}
+    assert len(got) == len(rows)
+    for r in rows:
+        g = got[r.event_id]
+        if ns[r.event_type] > 1:
+            expect = (sums[r.event_type] - r.value) / (ns[r.event_type] - 1)
+            assert abs(g.loo_mean - expect) < 1e-6
+        else:
+            assert g.loo_mean is None
+
+
 def test_stream_topk_ranks_every_window(spark):
     out = QUERIES["stream_topk"](spark, SF).collect()
     by_bucket: dict[int, list] = {}
