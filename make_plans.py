@@ -394,6 +394,20 @@ NOTES = {
     "agg_theil_sen": "Month-grain hash-agg BEFORE the quadratic pair "
                      "self-join; the pair frame is nation x months^2, "
                      "never fact-scaled.",
+    "agg_skew_report": "All three key columns ride ONE stack() scan "
+                       "into a (col, key) hash-agg with map-side "
+                       "partials; the hot-key rank walks the count "
+                       "frame, never a second fact pass.",
+    "fn_zorder": "Single WholeStageCodegen span (the HOF bit fold) - "
+                 "zero exchanges, zero UDFs.",
+    "agg_target_encode": "Both window statistics share one "
+                         "hash(event_type) exchange; the global prior "
+                         "is a 1-row broadcast, never a whole-frame "
+                         "window.",
+    "llm_embed_outliers": "The labels x 64 sum frame and the label "
+                          "norms broadcast back onto the element "
+                          "stream; fact-scaled work is one posexplode "
+                          "+ two hash-aggs.",
 }
 
 

@@ -12194,6 +12194,9 @@ def agg_revenue_bridge(spark, sf_dir):
         "o_totalprice")
     r = o.groupBy("cust", "mi").agg(
         F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    # consumed three times below (self, +1 shift, months) — an uncut
+    # plan re-runs the 20M-row rollup per consumer (13.8 → ~5 s at 20M)
+    r = r.localCheckpoint(eager=False)
     p = r.select("cust", (F.col("mi") + 1).alias("mi"),
                  F.col("rev").alias("prev_rev"))
     j = r.join(p, ["cust", "mi"], "full")
@@ -12261,16 +12264,26 @@ def agg_target_encode(spark, sf_dir):
     division both engines round identically at scale 4+ (the DEC
     contract) — one IEEE division per row at the end. Singleton
     categories yield NULL loo (no other rows to average — NULL is in
-    the double-output contract). Shape: both window statistics ride
-    ONE hash(event_type) exchange; the global prior is a 1-row
-    broadcast cross join, never a whole-frame window."""
+    the double-output contract). Shape: per-category stats come from
+    a map-side-collapsing hash-agg BROADCAST back onto the facts —
+    never a whole-partition window, which would shuffle the entire
+    fact table into |categories| giant partitions and sort them
+    (measured: window 16.0 s vs this 3.9 s warm at 20M rows /
+    5 categories, SCALE.md r7f); the fact table is scanned twice but
+    never shuffled. Global prior = 1-row broadcast cross join."""
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
-    g = e.select(
-        "event_id", "event_type", "value",
-        F.sum(F.col("value").cast(DEC)).over(w).alias("s"),
-        F.count(F.lit(1)).over(w).alias("n"),
+    # per-category stats via hash-agg + broadcast join back, NOT a
+    # whole-partition window: a category window shuffles the full fact
+    # table into |categories| giant partitions and sorts them (measured
+    # 16 s at 20M / 5 types); the agg pass collapses map-side to a
+    # |categories|-row frame and the join back is broadcast — the fact
+    # table is scanned twice but never shuffled
+    stats = e.groupBy("event_type").agg(
+        F.sum(F.col("value").cast(DEC)).alias("s"),
+        F.count(F.lit(1)).alias("n"),
     )
+    g = e.select("event_id", "event_type", "value").join(
+        F.broadcast(stats), "event_type")
     tot = e.agg(F.sum(F.col("value").cast(DEC)).alias("ts"),
                 F.count(F.lit(1)).alias("tn"))
     g = g.crossJoin(F.broadcast(tot))  # 1-row stats frame

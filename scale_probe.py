@@ -949,10 +949,81 @@ def r7e_probe(spark, res, n_events, n_docs):
           QUERIES["llm_bloom_prefilter"](spark, scratch), res)
 
 
+def r7f_probe(spark, res, n_events, n_vec):
+    """r7 batch-19..21 at 200× fixture scale through the REAL registered
+    builders: dynamic-partition-overwrite (full write + one-day
+    revision), the three-key skew audit over 20M lineitem rows, Morton
+    encoding as pure codegen, record detection windows, centroid
+    outliers over 1M 64-dim vectors, the month-contracted revenue
+    bridge, and LOO target encoding's one-exchange window pass."""
+    import os
+    import tempfile
+
+    from minerva_etl_46_spark.queries import QUERIES
+
+    scratch = os.path.join(tempfile.gettempdir(),
+                           f"r7f_probe_{os.getpid()}")
+    (synth_events(spark, n_events)
+     .withColumn("event_type",
+                 F.element_at(
+                     F.array(F.lit("click"), F.lit("view"),
+                             F.lit("signup"), F.lit("purchase"),
+                             F.lit("error")),
+                     (F.abs(F.xxhash64("event_id")) % 5 + 1)
+                     .cast("int")))
+     .withColumn("props", F.lit("{}"))
+     .write.mode("overwrite").parquet(f"{scratch}/events.parquet"))
+    (spark.range(n_events).select(
+        F.col("id").alias("o_orderkey"),
+        (F.abs(F.xxhash64("id")) % 100_000).alias("o_custkey"),
+        ((F.abs(F.xxhash64("id", F.lit(4))) % 50000000) / 100.0)
+        .alias("o_totalprice"),
+        F.timestamp_seconds(BASE + (F.col("id") * 1009) % SPAN_S)
+        .alias("o_orderdate"))
+     .write.mode("overwrite").parquet(f"{scratch}/orders.parquet"))
+    (spark.range(n_events).select(
+        F.expr("id div 6").alias("l_orderkey"),
+        (F.abs(F.xxhash64("id", F.lit(5))) % 1_000_000).alias("l_partkey"),
+        (F.abs(F.xxhash64("id", F.lit(6))) % 10_000).alias("l_suppkey"),
+        F.timestamp_seconds(BASE + (F.col("id") * 1013) % SPAN_S)
+        .alias("l_shipdate"))
+     .write.mode("overwrite").parquet(f"{scratch}/lineitem.parquet"))
+    (spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 64), i -> "
+               "cast((xxhash64(id, i) % 1000) / 1000.0 as float))")
+        .alias("embedding"),
+        (F.col("id") % 10).cast("int").alias("label"))
+     .write.mode("overwrite").parquet(f"{scratch}/embeddings.parquet"))
+
+    timed("agg_skew_report_20M_x3cols",
+          QUERIES["agg_skew_report"](spark, scratch), res)
+    timed("fn_zorder_20M", QUERIES["fn_zorder"](spark, scratch), res)
+    timed("win_records_20M", QUERIES["win_records"](spark, scratch), res)
+    timed("agg_revenue_bridge_20M_orders",
+          QUERIES["agg_revenue_bridge"](spark, scratch), res)
+    timed("agg_target_encode_20M",
+          QUERIES["agg_target_encode"](spark, scratch), res)
+    timed("llm_embed_outliers_1M_vec",
+          QUERIES["llm_embed_outliers"](spark, scratch), res)
+    # the two partitioned writes run eagerly inside the builder
+    t0 = time.perf_counter()
+    dpo = QUERIES["sink_overwrite_partition"](spark, scratch)
+    write_sec = round(time.perf_counter() - t0, 2)
+    timed("sink_overwrite_partition_20M", dpo, res)
+    res["sink_overwrite_partition_20M"]["write_sec"] = write_sec
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r7f":
+        r7f_probe(spark, res, n_events=N, n_vec=max(100_000, N // 20))
+        print(json.dumps({"metric": "scale_probe_r7f", "rows": N,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r7e":
         r7e_probe(spark, res, n_events=N, n_docs=max(100_000, N // 20))
         print(json.dumps({"metric": "scale_probe_r7e", "rows": N,
