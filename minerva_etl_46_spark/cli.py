@@ -289,6 +289,31 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Ingest QA: per-column profile of any parquet table (one scan)."""
+    from minerva_etl_46_spark.operators.profile import profile_table
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.table)
+    cols = args.cols.split(",") if args.cols else None
+    rows = profile_table(df, cols).orderBy("col_name").collect()
+    # bounded-by: one row per profiled column
+    print(json.dumps({"table": args.table, "columns": [r.asDict() for r in rows]}))
+    return 0
+
+
+def cmd_skew(args) -> int:
+    """Pre-join audit: hottest key + skew ratio per candidate key col."""
+    from minerva_etl_46_spark.operators.profile import skew_report
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.table)
+    rows = skew_report(df, args.keys.split(",")).orderBy("col_name").collect()
+    # bounded-by: one row per audited key column
+    print(json.dumps({"table": args.table, "keys": [r.asDict() for r in rows]}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="minerva-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -381,6 +406,20 @@ def build_parser() -> argparse.ArgumentParser:
     co.add_argument("--min-tokens", type=int, default=5)
     co.add_argument("--shards", type=int, default=16)
     co.set_defaults(fn=cmd_corpus)
+
+    pf = sub.add_parser("profile", help="per-column profile of a parquet "
+                        "table (rows, nulls, distinct, min/max)")
+    pf.add_argument("--table", required=True, help="parquet path")
+    pf.add_argument("--cols", default=None,
+                    help="comma-separated subset (default: all columns)")
+    pf.set_defaults(fn=cmd_profile)
+
+    sk = sub.add_parser("skew", help="join-key skew audit (hottest key, "
+                        "max-vs-uniform ratio) per key column")
+    sk.add_argument("--table", required=True, help="parquet path")
+    sk.add_argument("--keys", required=True,
+                    help="comma-separated candidate key columns")
+    sk.set_defaults(fn=cmd_skew)
     return p
 
 

@@ -268,3 +268,30 @@ triggers:
     assert out["triggers"] == ["hot"]
     import os
     assert os.path.isdir(os.path.join(root, "pm", "Cell"))  # attr base dir
+
+
+def test_cli_profile_and_skew(spark, tmp_path, capsys):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, "b", 5.0), (3, "b", 7.0)],
+        "k long, cat string, v double",
+    )
+    df.write.parquet(str(tmp_path / "t.parquet"))
+
+    rc = main(["profile", "--table", str(tmp_path / "t.parquet"),
+               "--cols", "k,cat"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    cols = {c["col_name"]: c for c in out["columns"]}
+    assert cols["k"]["n"] == 4 and cols["k"]["n_distinct"] == 3
+    assert cols["cat"]["min_val"] == "a" and cols["cat"]["max_val"] == "b"
+    assert cols["cat"]["n_null"] == 0
+
+    rc = main(["skew", "--table", str(tmp_path / "t.parquet"),
+               "--keys", "k,cat"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    keys = {c["col_name"]: c for c in out["keys"]}
+    assert keys["cat"]["hot_key"] == "b"
+    assert keys["cat"]["max_cnt"] == 3
+    assert abs(keys["cat"]["skew_ratio"] - 3 * 2 / 4) < 1e-12
+    assert keys["k"]["hot_key"] == "3"
