@@ -12301,6 +12301,190 @@ def agg_target_encode(spark, sf_dir):
     )
 
 
+@register(
+    "agg_drift_tv",
+    oracle=f"""
+    with e as (select * from {EV}),
+    f as (select event_type,
+                 cast(floor(epoch_us(ts) / (86400000000 * 7)) as bigint)
+                   % 2 as grp,
+                 cast(floor(value / 20) as bigint) as bucket
+          from e),
+    c as (select event_type, bucket,
+                 sum(case when grp = 0 then 1 else 0 end) as na_b,
+                 sum(case when grp = 1 then 1 else 0 end) as nb_b
+          from f group by 1, 2),
+    t as (select event_type,
+                 sum(na_b) as na, sum(nb_b) as nb,
+                 count(*) as n_buckets
+          from c group by 1)
+    select c.event_type,
+           cast(t.na as bigint) as n_a, cast(t.nb as bigint) as n_b,
+           cast(t.n_buckets as bigint) as n_buckets,
+           cast(sum(abs(c.na_b * t.nb - c.nb_b * t.na)) as double)
+             / (2.0 * cast(t.na as double) * cast(t.nb as double))
+             as tv_distance
+    from c join t on c.event_type = t.event_type
+    group by 1, t.na, t.nb, t.n_buckets
+    """,
+)
+def agg_drift_tv(spark, sf_dir):
+    """A69: distribution-drift monitor via total-variation distance —
+    per series, how far the value distribution of even epoch-weeks sits
+    from odd epoch-weeks (the A/B split every drift detector needs; in
+    production the two groups are "this week" vs "reference window").
+    TV chosen over PSI/KL DELIBERATELY: TV = ½Σ|p_b − q_b| is pure
+    rational arithmetic — with count ratios it becomes
+    Σ|nA_b·nB − nB_b·nA| / (2·nA·nB), exact integer cross-products and
+    ONE double division per series, no libm (the agg_gini lesson
+    applied to drift; PSI's ln(p/q) is at the mercy of libm and blows
+    up on empty buckets — TV is bounded [0,1] and empty-bucket-safe by
+    construction). Shape: one (series, bucket) conditional hash-agg
+    over the facts, then bucket-frame-sized rollups — the per-bucket
+    integer cross-product needs both marginals, a join on the
+    |series|-row totals frame."""
+    e = load(spark, sf_dir, "events")
+    f = e.select(
+        "event_type",
+        (F.expr("floor(unix_micros(ts) / (86400000000 * 7))")
+         .cast("long") % 2).alias("grp"),
+        F.floor(F.col("value") / 20).cast("long").alias("bucket"),
+    )
+    c = f.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("na_b"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("nb_b"),
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("na_b").alias("na"), F.sum("nb_b").alias("nb"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    j = c.join(F.broadcast(t), "event_type")
+    return j.groupBy("event_type", "na", "nb", "n_buckets").agg(
+        F.sum(F.abs(F.col("na_b") * F.col("nb")
+                    - F.col("nb_b") * F.col("na"))).cast("double")
+        .alias("cross_sum"),
+    ).select(
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        (F.col("cross_sum")
+         / (F.lit(2.0) * F.col("na").cast("double")
+            * F.col("nb").cast("double"))).alias("tv_distance"),
+    )
+
+
+@register(
+    "fn_unit_parse",
+    oracle="""
+    with s as (select p_partkey,
+                      concat(cast(p_size as varchar),
+                             case p_partkey % 6
+                               when 0 then 'B'    when 1 then 'KB'
+                               when 2 then 'MB'   when 3 then 'GiB'
+                               when 4 then ' MiB' when 5 then 'KiB'
+                             end) as size_str
+               from part),
+    p as (select p_partkey, size_str,
+                 cast(regexp_extract(size_str, '^([0-9]+)', 1)
+                      as bigint) as num,
+                 upper(trim(regexp_extract(size_str,
+                                           '([KMGT]?i?B)$', 1))) as unit
+          from s)
+    select p_partkey, size_str,
+           num * case unit
+                   when 'B' then 1
+                   when 'KB' then 1000
+                   when 'MB' then 1000000
+                   when 'GB' then 1000000000
+                   when 'KIB' then 1024
+                   when 'MIB' then 1048576
+                   when 'GIB' then 1073741824
+                 end as n_bytes
+    from p
+    """,
+)
+def fn_unit_parse(spark, sf_dir):
+    """F20: size-string parsing — the inverse of fn_format_bytes and the
+    scalar every config/manifest ingest needs ("quota: 10GiB" → bytes):
+    anchored regexp splits magnitude and unit, a CASE ladder maps SI
+    (decimal) vs IEC (binary) multipliers as INTEGER literals — no
+    pow(), no float, so a 3GiB quota is exactly 3221225472 in both
+    engines. Whitespace and case tolerated ('512 MiB' == '512MIB');
+    fixture strings render deterministically from part sizes (the
+    llm_dedup_url messy-column recipe). Pure projection, zero
+    shuffles, whole-stage codegen."""
+    p = load(spark, sf_dir, "part")
+    unit_of = (F.col("p_partkey") % 6)
+    size_str = F.concat(
+        F.col("p_size").cast("string"),
+        F.when(unit_of == 0, "B").when(unit_of == 1, "KB")
+        .when(unit_of == 2, "MB").when(unit_of == 3, "GiB")
+        .when(unit_of == 4, " MiB").otherwise("KiB"))
+    s = p.select("p_partkey", size_str.alias("size_str"))
+    num = F.regexp_extract("size_str", r"^([0-9]+)", 1).cast("long")
+    unit = F.upper(F.trim(F.regexp_extract("size_str",
+                                           r"([KMGT]?i?B)$", 1)))
+    mult = (F.when(unit == "B", 1).when(unit == "KB", 1000)
+            .when(unit == "MB", 1000000).when(unit == "GB", 1000000000)
+            .when(unit == "KIB", 1024).when(unit == "MIB", 1048576)
+            .when(unit == "GIB", 1073741824))
+    return s.select(
+        "p_partkey", "size_str",
+        (num * mult).cast("long").alias("n_bytes"),
+    )
+
+
+@register(
+    "agg_freshness",
+    oracle=f"""
+    with e as (select * from {EV}),
+    m as (select user_id, max(epoch_us(ts)) as last_us,
+                 count(*) as n_events
+          from e group by 1),
+    anchor as (select max(last_us) as now_us from m)
+    select user_id, n_events,
+           cast((select now_us from anchor) - last_us as bigint) as lag_us,
+           cast(((select now_us from anchor) - last_us)
+                // 3600000000 as bigint) as lag_hours,
+           case when (select now_us from anchor) - last_us
+                     < 3600000000 then 'fresh'
+                when (select now_us from anchor) - last_us
+                     < 86400000000 then 'stale'
+                else 'dead' end as status
+    from m
+    """,
+)
+def agg_freshness(spark, sf_dir):
+    """A70: feed-freshness report — per entity, how long since its last
+    sample, bucketed fresh (<1 h) / stale (<1 d) / dead — the first
+    page of every monitoring dashboard and the input to the
+    materialization scheduler's stability decision. The "now" anchor
+    is the corpus-wide max timestamp, NOT wall clock — deterministic
+    across engines, runs and replays (current_timestamp() is banned
+    from oracle-checked outputs for the same reason random() is).
+    Integer µs arithmetic end to end; the hour bucket is integral
+    division. Shape: one hash(entity) agg over the facts; the anchor
+    is a 1-row broadcast (the agg_ab_test control pattern)."""
+    e = load(spark, sf_dir, "events")
+    m = e.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    anchor = m.agg(F.max("last_us").alias("now_us"))
+    j = m.crossJoin(F.broadcast(anchor))  # 1-row stats frame
+    lag = F.col("now_us") - F.col("last_us")
+    return j.select(
+        "user_id", "n_events",
+        lag.cast("long").alias("lag_us"),
+        F.expr("(now_us - last_us) div 3600000000").cast("long")
+        .alias("lag_hours"),
+        F.when(lag < 3600000000, "fresh")
+        .when(lag < 86400000000, "stale")
+        .otherwise("dead").alias("status"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -12493,7 +12677,8 @@ _R07_OVERFLOW = [
     "agg_kendall", "agg_ab_test", "agg_mann_whitney", "agg_profile",
     "sink_overwrite_partition", "agg_skew_report", "fn_zorder",
     "win_records", "llm_embed_outliers", "agg_revenue_bridge",
-    "agg_target_encode",
+    "agg_target_encode", "agg_drift_tv", "fn_unit_parse",
+    "agg_freshness",
 ]
 _R07_TAIL = [
     k for k in _R06_PRIORITY + _R06_TAIL

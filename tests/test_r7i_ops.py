@@ -429,6 +429,74 @@ def test_target_encode_matches_brute_force(spark):
             assert g.loo_mean is None
 
 
+def test_drift_tv_bounds_and_identical_distributions(spark):
+    """TV is 0 for identical distributions, 1 for disjoint ones, and the
+    registered key must match a brute-force python TV on the fixture."""
+    import tempfile
+    from collections import Counter
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, "
+                  "value double, week long"
+        ).selectExpr(
+            "event_id",
+            "timestamp_seconds(week * 7 * 86400 + 1) as ts",
+            "user_id", "event_type", "value", "'{}' as props")
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(f"{d}/events.parquet")
+            return {r.event_type: r
+                    for r in QUERIES["agg_drift_tv"](spark, d).collect()}
+
+    same = [(i, 1, "a", float(i % 5), i % 2) for i in range(200)]
+    out = run(same)
+    assert abs(out["a"].tv_distance) < 1e-12
+
+    disjoint = ([(i, 1, "b", 0.0, 0) for i in range(100)]
+                + [(100 + i, 1, "b", 100.0, 1) for i in range(100)])
+    out = run(disjoint)
+    assert abs(out["b"].tv_distance - 1.0) < 1e-12
+
+    # fixture brute force
+    rows = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_type",
+        "cast(floor(unix_micros(cast(ts as timestamp))"
+        " / (86400000000 * 7)) as long) % 2 as grp",
+        "cast(floor(value / 20) as long) as bucket").collect()
+    a, b = Counter(), Counter()
+    na, nb = Counter(), Counter()
+    for r in rows:
+        (a if r.grp == 0 else b)[(r.event_type, r.bucket)] += 1
+        (na if r.grp == 0 else nb)[r.event_type] += 1
+    got = {r.event_type: r for r in QUERIES["agg_drift_tv"](spark, SF).collect()}
+    for et in na:
+        buckets = {k[1] for k in list(a) + list(b) if k[0] == et}
+        tv = sum(abs(a[(et, bk)] / na[et] - b[(et, bk)] / nb[et])
+                 for bk in buckets) / 2
+        assert abs(got[et].tv_distance - tv) < 1e-9
+
+
+def test_unit_parse_known_values(spark):
+    out = {r.size_str: r.n_bytes
+           for r in QUERIES["fn_unit_parse"](spark, SF).collect()}
+    for s, n in out.items():
+        num = int("".join(ch for ch in s if ch.isdigit()))
+        u = s.replace(str(num), "").strip().upper()
+        mult = {"B": 1, "KB": 1000, "MB": 10**6, "GIB": 2**30,
+                "MIB": 2**20, "KIB": 2**10}[u]
+        assert n == num * mult, (s, n)
+
+
+def test_freshness_anchor_is_data_max_not_wallclock(spark):
+    rows = QUERIES["agg_freshness"](spark, SF).collect()
+    assert min(r.lag_us for r in rows) == 0  # the newest feed lags zero
+    for r in rows:
+        assert r.lag_hours == r.lag_us // 3600000000
+        expect = ("fresh" if r.lag_us < 3600000000
+                  else "stale" if r.lag_us < 86400000000 else "dead")
+        assert r.status == expect
+
+
 def test_stream_topk_ranks_every_window(spark):
     out = QUERIES["stream_topk"](spark, SF).collect()
     by_bucket: dict[int, list] = {}
