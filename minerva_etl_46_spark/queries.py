@@ -12485,6 +12485,89 @@ def agg_freshness(spark, sf_dir):
     )
 
 
+@register(
+    "stream_records",
+    oracle=f"""
+    with e as (select * from {EV}),
+    r as (select event_id, user_id, value,
+                 max(value) over (partition by user_id
+                                  order by ts asc, event_id asc
+                                  rows between unbounded preceding
+                                  and 1 preceding) as prev_max
+          from e),
+    f as (select event_id, user_id, value,
+                 case when prev_max is null or value > prev_max
+                      then 1 else 0 end as is_record
+          from r),
+    g as (select e2.event_id, f.user_id, f.value, f.is_record,
+                 sum(f.is_record) over
+                   (partition by f.user_id
+                    order by e2.ts asc, f.event_id asc
+                    rows between unbounded preceding and current row)
+                   as rec_no
+          from f join e e2 on f.event_id = e2.event_id)
+    select event_id, user_id, value,
+           cast(is_record as bigint) as is_record,
+           cast(rec_no as bigint) as record_no
+    from g
+    """,
+)
+def stream_records(spark, sf_dir):
+    """T13 (r7): streaming record-high detection — win_records' stateful
+    twin (that key replays history with windows; this one flags records
+    AS SAMPLES ARRIVE — the live leaderboard/alerting form): per
+    entity, applyInPandasWithState carries (running max, record count)
+    — two scalars, history-free — and every sample emits one immutable
+    flagged row its micro-batch. Record NUMBERING follows the arrival
+    order (ts, event_id) — stated explicitly because the batch
+    win_records numbers by event_id; this oracle replays the
+    arrival-order cumsum. Harness: the stream_attribution three
+    time-ranged files (in-order-arrival contract; equal-ts ties never
+    span a cut). Full stream/batch parity under the driver hash."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from minerva_etl_46_spark.streaming.stateful import run_records
+
+    e = load(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id", "value")
+    src = os.path.join(_scratch(sf_dir, "stream_records"), "src")
+    if not os.path.isdir(src):
+        lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+        # bounded-by: two scalars (global min/max) for the batch cuts
+        cut1 = lo + (hi - lo) // 3
+        cut2 = lo + 2 * (hi - lo) // 3
+        staged = src + "_staged"
+        (ev.withColumn(
+            "batch",
+            F.when(F.col("ts_us") <= cut1, 0)
+            .when(F.col("ts_us") <= cut2, 1).otherwise(2))
+         .repartition("batch")
+         .write.partitionBy("batch").mode("overwrite").parquet(staged))
+        os.makedirs(src, exist_ok=True)
+        now = int(_time.time())
+        for b in (0, 1, 2):
+            (part,) = glob.glob(os.path.join(staged, f"batch={b}",
+                                             "part-*.parquet"))
+            dst = os.path.join(src, f"b{b}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (now + b, now + b))
+        shutil.rmtree(staged)
+    rows = run_records(
+        spark, src,
+        "user_id long, ts_us long, event_id long, value double",
+        name="stream_records_out")
+    return rows.select(
+        "event_id", "user_id", "value",
+        F.col("is_record").cast("long").alias("is_record"),
+        F.col("record_no").cast("long").alias("record_no"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -12678,7 +12761,7 @@ _R07_OVERFLOW = [
     "sink_overwrite_partition", "agg_skew_report", "fn_zorder",
     "win_records", "llm_embed_outliers", "agg_revenue_bridge",
     "agg_target_encode", "agg_drift_tv", "fn_unit_parse",
-    "agg_freshness",
+    "agg_freshness", "stream_records",
 ]
 _R07_TAIL = [
     k for k in _R06_PRIORITY + _R06_TAIL

@@ -438,3 +438,77 @@ def run_attribution(spark: SparkSession, source_dir: str, schema: str,
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+RECORDS_OUTPUT_SCHEMA = ("user_id long, event_id long, value double, "
+                         "is_record long, record_no long")
+RECORDS_STATE_SCHEMA = "max_val double, n_records long"
+
+
+def _records_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Per-entity record-high walk across micro-batches: state is the
+    running maximum plus the record count so far — two scalars,
+    constant per entity at any history length. Each arriving sample
+    emits one immutable row (is_record, record_no) the micro-batch it
+    lands; strict inequality pinned (equalling the record is not
+    breaking it), the entity's first-ever sample is record #1. Order
+    contract as stream_attribution: within a batch rows sort by
+    (ts_us, event_id); the harness delivers time-ranged files so the
+    walk order equals the batch window's (ts, event_id) order."""
+    (user_id,) = key
+    max_val, n_records = state.get if state.exists else (None, 0)
+    out = []
+    frames = [p for p in pdfs]
+    if frames:
+        pdf = pd.concat(frames).sort_values(["ts_us", "event_id"])
+        for event_id, value in zip(pdf["event_id"], pdf["value"]):
+            value = float(value)
+            rec = 1 if (max_val is None or value > max_val) else 0
+            if rec:
+                max_val = value
+                n_records += 1
+            out.append({"user_id": user_id, "event_id": int(event_id),
+                        "value": value, "is_record": rec,
+                        "record_no": n_records})
+    state.update((max_val, n_records))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def records_stream(events: DataFrame) -> DataFrame:
+    """Streaming record detection: events(user_id, ts_us, event_id,
+    value) in → one immutable flagged row per sample out."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _records_update,
+        outputStructType=RECORDS_OUTPUT_SCHEMA,
+        stateStructType=RECORDS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_records(spark: SparkSession, source_dir: str, schema: str,
+                name: str = "stateful_records",
+                n_state_partitions: int = 8) -> DataFrame:
+    """Drive records_stream over source_dir (one file per micro-batch)
+    and return the memory-sink table of per-sample emissions."""
+    from minerva_etl_46_spark.streaming.jobs import state_partitions
+
+    tune(spark)
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    src = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(source_dir)
+    )
+    out = records_stream(
+        src.select("user_id", "ts_us", "event_id", "value"))
+    with state_partitions(spark, n_state_partitions):
+        q = (
+            out.writeStream.outputMode("update").format("memory")
+            .queryName(name).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
