@@ -12575,6 +12575,146 @@ def stream_records(spark, sf_dir):
     )
 
 
+@register(
+    "agg_decay_score",
+    oracle=f"""
+    with e as (select * from {EV}),
+    d as (select user_id,
+                 cast(epoch_us(ts) // 86400000000 as bigint) as day,
+                 cast(floor(value * 100 + 0.5) as bigint) as v_centi
+          from e),
+    anchor as (select max(day) as now_day from d),
+    w as (select user_id, v_centi,
+                 (select now_day from anchor) - day as age
+          from d)
+    select user_id,
+           cast(count(*) as bigint) as n_events,
+           cast(cast(sum(case when age <= 40
+                              then v_centi * (cast(1 as bigint) << (40 - age))
+                              else 0 end) as varchar) as double)
+             / 1099511627776.0 / 100.0 as decayed_score,
+           cast(cast(sum(v_centi) as varchar) as double) / 100.0 as raw_sum
+    from w group by 1
+    """,
+)
+def agg_decay_score(spark, sf_dir):
+    """A71: half-life recency score — each entity's engagement with a
+    one-day half-life (today's sample counts full, yesterday's half,
+    ...), the ranking signal feeds/recommenders use where a plain sum
+    overweights dead history. Exactness without exp(): the weight
+    2^(−age_days) is an INTEGER shift — values quantize to cents
+    (floor(v·100+0.5), the llm_embed_outliers tie-proof trick), each
+    term is v_centi · 2^(40−age) exact integer, the sum is an exact
+    decimal, and the final normalization divides by the exact powers
+    2^40·100 (IEEE exponent arithmetic, lossless) — zero libm, zero
+    float accumulation, engine-identical. Ages beyond the 40-day
+    window weigh 0 (stated; 2^-40 is below any ranking resolution).
+    The "now" anchor is the corpus max day (the agg_freshness
+    determinism rule). Shape: one hash(entity) agg + a 1-row broadcast
+    anchor; oracle doubles are varchar-mediated (the corr_pairs
+    decimal→double rule)."""
+    e = load(spark, sf_dir, "events")
+    d = e.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("v_centi"),
+    )
+    anchor = d.agg(F.max("day").alias("now_day"))
+    w = d.crossJoin(F.broadcast(anchor)).select(
+        "user_id", "v_centi",
+        (F.col("now_day") - F.col("day")).alias("age"))
+    term = F.when(
+        F.col("age") <= 40,
+        F.expr("v_centi * shiftleft(cast(1 as bigint), "
+               "cast(40 - age as int))").cast("decimal(38,0)"),
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    return w.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(term).cast("double") / F.lit(1099511627776.0)
+         / F.lit(100.0)).alias("decayed_score"),
+        (F.sum(F.col("v_centi").cast("decimal(38,0)")).cast("double")
+         / F.lit(100.0)).alias("raw_sum"),
+    )
+
+
+@register(
+    "win_interval_merge",
+    oracle=f"""
+    with e as (select * from {EV}),
+    iv as (select user_id, event_id, epoch_us(ts) as s,
+                  epoch_us(ts) + 1800000000 as f
+           from e),
+    m as (select *, max(f) over (partition by user_id
+                                 order by s asc, event_id asc
+                                 rows between unbounded preceding
+                                 and 1 preceding) as prev_max
+          from iv),
+    g as (select *, case when prev_max is null or s > prev_max
+                         then 1 else 0 end as new_island
+          from m),
+    isl as (select *, sum(new_island) over
+              (partition by user_id order by s asc, event_id asc
+               rows between unbounded preceding and current row)
+              as island
+            from g)
+    select user_id, cast(island as bigint) as island,
+           cast(min(s) as bigint) as island_start_us,
+           cast(max(f) as bigint) as island_end_us,
+           cast(max(f) - min(s) as bigint) as duration_us,
+           cast(count(*) as bigint) as n_events
+    from isl group by 1, 2
+    """,
+)
+def win_interval_merge(spark, sf_dir):
+    """W34: overlapping-interval coalescing (gaps-and-islands on
+    intervals) — every sample opens a 30-minute activity window; merge
+    the overlaps into maximal islands per entity (outage stitching,
+    maintenance-window union, billable-session merging). The dual of
+    agg_peak_concurrency: that key counts depth at the sweep line,
+    this one emits the MERGED SEGMENTS. Islands form where a start
+    exceeds the running max of all preceding ends — the running max
+    must be over ENDS (an interval fully inside a longer one doesn't
+    reopen; ordering by start alone would split it). (s, event_id) tie
+    order pinned. Shape: running-max window + island cumsum + the
+    island rollup all ride ONE hash(entity) exchange, O(1) frame
+    state, no self-joins — interval merging without an
+    interval×interval product."""
+    e = load(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 1800000000).alias("f"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("s"), F.asc("event_id"))
+    m = iv.select(
+        "user_id", "event_id", "s", "f",
+        F.max("f").over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_max"),
+    )
+    g = m.select(
+        "user_id", "s", "f",
+        F.when(F.col("prev_max").isNull()
+               | (F.col("s") > F.col("prev_max")), F.lit(1))
+        .otherwise(F.lit(0)).alias("new_island"),
+        "event_id",
+    )
+    isl = g.select(
+        "user_id", "s", "f",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("island"),
+    )
+    return isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_start_us"),
+        F.max("f").alias("island_end_us"),
+        (F.max("f") - F.min("s")).alias("duration_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "user_id", F.col("island").cast("long").alias("island"),
+        "island_start_us", "island_end_us", "duration_us", "n_events",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -12768,7 +12908,8 @@ _R07_OVERFLOW = [
     "sink_overwrite_partition", "agg_skew_report", "fn_zorder",
     "win_records", "llm_embed_outliers", "agg_revenue_bridge",
     "agg_target_encode", "agg_drift_tv", "fn_unit_parse",
-    "agg_freshness", "stream_records",
+    "agg_freshness", "stream_records", "agg_decay_score",
+    "win_interval_merge",
 ]
 _R07_TAIL = [
     k for k in _R06_PRIORITY + _R06_TAIL

@@ -497,6 +497,56 @@ def test_freshness_anchor_is_data_max_not_wallclock(spark):
         assert r.status == expect
 
 
+def test_decay_score_halves_per_day(spark):
+    """A sample k days old must contribute value/2^k exactly."""
+    import tempfile
+
+    rows = [(i, 1, "a", 100.0, i) for i in range(5)]  # day 0..4, val 100
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "value double, day long"
+    ).selectExpr("event_id", "timestamp_seconds(day * 86400) as ts",
+                 "user_id", "event_type", "value", "'{}' as props")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = QUERIES["agg_decay_score"](spark, d).collect()[0]
+    # anchor = day 4; ages 4..0 → weights 1/16..1
+    expect = sum(100.0 / 2 ** age for age in range(5))
+    assert abs(out.decayed_score - expect) < 1e-9
+    assert out.raw_sum == 500.0
+
+
+def test_interval_merge_matches_brute_force(spark):
+    rows = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "user_id", "event_id",
+        "unix_micros(cast(ts as timestamp)) as s").collect()
+    # bounded-by: sf0.001 fixture
+    W = 1_800_000_000
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.s, r.event_id))
+    expect = {}
+    for u, iv in by_user.items():
+        iv.sort()
+        islands = []
+        for s, _ in iv:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], s + W)
+                islands[-1][2] += 1
+            else:
+                islands.append([s, s + W, 1])
+        expect[u] = [(a, b, n) for a, b, n in islands]
+    got = defaultdict(list)
+    for r in sorted(QUERIES["win_interval_merge"](spark, SF).collect(),
+                    key=lambda r: (r.user_id, r.island)):
+        got[r.user_id].append(
+            (r.island_start_us, r.island_end_us, r.n_events))
+        assert r.duration_us == r.island_end_us - r.island_start_us
+    assert dict(got) == expect
+
+
 def test_stream_topk_ranks_every_window(spark):
     out = QUERIES["stream_topk"](spark, SF).collect()
     by_bucket: dict[int, list] = {}
