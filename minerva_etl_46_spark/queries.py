@@ -12715,6 +12715,194 @@ def win_interval_merge(spark, sf_dir):
     )
 
 
+@register(
+    "agg_ri_audit",
+    oracle="""
+    with fks as (
+      select 'l_orderkey->orders' as fk, count(*) as n_rows,
+             sum(case when o.o_orderkey is null then 1 else 0 end)
+               as n_orphans
+      from lineitem l left join orders o on l.l_orderkey = o.o_orderkey
+      union all
+      select 'l_partkey->part', count(*),
+             sum(case when p.p_partkey is null then 1 else 0 end)
+      from lineitem l left join part p on l.l_partkey = p.p_partkey
+      union all
+      select 'l_suppkey->supplier', count(*),
+             sum(case when s.s_suppkey is null then 1 else 0 end)
+      from lineitem l left join supplier s on l.l_suppkey = s.s_suppkey
+      union all
+      select 'o_custkey->customer', count(*),
+             sum(case when c.c_custkey is null then 1 else 0 end)
+      from orders o left join customer c on o.o_custkey = c.c_custkey)
+    select fk, cast(n_rows as bigint) as n_rows,
+           cast(n_orphans as bigint) as n_orphans,
+           cast(n_orphans as double) / cast(n_rows as double)
+             as orphan_rate
+    from fks
+    """,
+)
+def agg_ri_audit(spark, sf_dir):
+    """A72: referential-integrity audit — per declared foreign key, the
+    count of fact rows whose key has no dimension match (orphans from
+    partial loads, late dims, or id drift) — the ingest gate a
+    warehouse runs before exposing a batch, and the companion of
+    agg_profile's single-table view. Shape: each FK is one LEFT join
+    counting nulls on the dimension side — dimensions broadcast
+    (explicitly hinted; at any fact scale the dim side is the small
+    one), so the audit costs one scan per fact table with zero fact
+    shuffles; the four audits union into one 4-row report. A healthy
+    TPC-H-shaped fixture reports zero orphans everywhere — the value
+    is the gate, not the fixture's answer."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+
+    def audit(fact, key, dim, dkey, name):
+        d = load(spark, sf_dir, dim).select(dkey)
+        j = fact.select(F.col(key)).join(
+            F.broadcast(d), fact[key] == d[dkey], "left")
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(dkey).isNull(), 1).otherwise(0))
+            .alias("n_orphans"),
+        )
+
+    rep = (
+        audit(li, "l_orderkey", "orders", "o_orderkey",
+              "l_orderkey->orders")
+        .unionAll(audit(li, "l_partkey", "part", "p_partkey",
+                        "l_partkey->part"))
+        .unionAll(audit(li, "l_suppkey", "supplier", "s_suppkey",
+                        "l_suppkey->supplier"))
+        .unionAll(audit(o, "o_custkey", "customer", "c_custkey",
+                        "o_custkey->customer"))
+    )
+    return rep.select(
+        "fk",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_orphans").cast("long").alias("n_orphans"),
+        (F.col("n_orphans").cast("double") / F.col("n_rows").cast("double"))
+        .alias("orphan_rate"),
+    )
+
+
+@register(
+    "fn_calendar_spine",
+    oracle="""
+    with b as (select cast(min(epoch_us(cast(o_orderdate as timestamp))
+                            // 86400000000) as bigint) as d0,
+                      cast(max(epoch_us(cast(o_orderdate as timestamp))
+                            // 86400000000) as bigint) as d1
+               from orders),
+    days as (select d0 + i as day from b, range(0, 10000) t(i)
+             where d0 + i <= d1)
+    select day,
+           cast(day * 86400 as bigint) as epoch_s,
+           cast((day + 4) % 7 as bigint) as dow,
+           cast(case when (day + 4) % 7 in (0, 6)
+                     then 0 else 1 end as bigint) as is_workday,
+           cast((day + 3) // 7 as bigint) as iso_week
+    from days
+    """,
+)
+def fn_calendar_spine(spark, sf_dir):
+    """F21: calendar-spine generation — the date dimension every star
+    schema joins to and every gap-fill densifies against, generated
+    (not loaded) to span exactly the data's [min, max] day range.
+    Weekday via PURE INTEGER epoch-day arithmetic ((day+4) mod 7, day 0
+    = Thursday — the fn_workdays/agg_seasonality_dow contract; Spark's
+    Sunday=1 vs DuckDB's Sunday=0 never enters), weekend flag and the
+    epoch-aligned week index likewise. Shape: the bounds are a 1-row
+    broadcast; the spine explodes from an in-row sequence — one
+    generator task per range chunk, no shuffle; at 100 TB the spine is
+    still only span-days rows (a 30-year spine is 11k rows — generate,
+    broadcast, never store)."""
+    o = load(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min(F.expr("unix_micros(o_orderdate) div 86400000000"))
+        .cast("long").alias("d0"),
+        F.max(F.expr("unix_micros(o_orderdate) div 86400000000"))
+        .cast("long").alias("d1"),
+    )
+    days = b.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"))
+    dow = (F.col("day") + 4) % 7
+    return days.select(
+        "day",
+        (F.col("day") * 86400).cast("long").alias("epoch_s"),
+        dow.cast("long").alias("dow"),
+        F.when(dow.isin(0, 6), F.lit(0)).otherwise(F.lit(1))
+        .cast("long").alias("is_workday"),
+        F.expr("(day + 3) div 7").cast("long").alias("iso_week"),
+    )
+
+
+@register(
+    "agg_dq_checks",
+    oracle="""
+    select 'quantity_positive' as rule,
+           cast(count(*) as bigint) as n_rows,
+           cast(sum(case when l_quantity > 0 then 0 else 1 end)
+                as bigint) as n_violations
+    from lineitem
+    union all
+    select 'discount_in_range', cast(count(*) as bigint),
+           cast(sum(case when l_discount >= 0 and l_discount <= 0.1
+                         then 0 else 1 end) as bigint)
+    from lineitem
+    union all
+    select 'price_nonnull_positive', cast(count(*) as bigint),
+           cast(sum(case when l_extendedprice is not null
+                              and l_extendedprice > 0
+                         then 0 else 1 end) as bigint)
+    from lineitem
+    union all
+    select 'flag_in_domain', cast(count(*) as bigint),
+           cast(sum(case when l_returnflag in ('A', 'N', 'R')
+                         then 0 else 1 end) as bigint)
+    from lineitem
+    """,
+)
+def agg_dq_checks(spark, sf_dir):
+    """A73: declarative data-quality rules — a rule set (name, SQL
+    predicate) evaluated over a table in ONE scan, reporting violation
+    counts per rule: the trigger engine's pattern (rules as data,
+    plans/triggers.py) applied to ingest QA instead of alerting.
+    Rules fuse as conditional sums inside a single aggregate — N rules
+    never cost N scans (the oracle unions per-rule scans because SQL
+    has no struct-of-aggs; the Spark side is the production shape:
+    one pass, one 1-row result exploded to the report). Violation
+    semantics: NULL fails a positive assertion (count what is NOT
+    provably valid — the safe polarity for a gate)."""
+    li = load(spark, sf_dir, "lineitem")
+    rules = [
+        ("quantity_positive", F.col("l_quantity") > 0),
+        ("discount_in_range",
+         (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1)),
+        ("price_nonnull_positive",
+         F.col("l_extendedprice").isNotNull()
+         & (F.col("l_extendedprice") > 0)),
+        ("flag_in_domain", F.col("l_returnflag").isin("A", "N", "R")),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, pred in rules:
+        aggs.append(
+            F.sum(F.when(pred, F.lit(0)).otherwise(F.lit(1)))
+            .alias(f"v_{name}"))
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', v_{name}" for name, _ in rules)
+    return one.select(
+        F.expr(f"stack({len(rules)}, {stack}) as (rule, n_violations)"),
+        "n_rows",
+    ).select(
+        "rule",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -12909,7 +13097,8 @@ _R07_OVERFLOW = [
     "win_records", "llm_embed_outliers", "agg_revenue_bridge",
     "agg_target_encode", "agg_drift_tv", "fn_unit_parse",
     "agg_freshness", "stream_records", "agg_decay_score",
-    "win_interval_merge",
+    "win_interval_merge", "agg_ri_audit", "fn_calendar_spine",
+    "agg_dq_checks",
 ]
 _R07_TAIL = [
     k for k in _R06_PRIORITY + _R06_TAIL

@@ -547,6 +547,54 @@ def test_interval_merge_matches_brute_force(spark):
     assert dict(got) == expect
 
 
+def test_ri_audit_flags_planted_orphans(spark):
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        for t in ("orders", "part", "supplier", "customer"):
+            spark.read.parquet(f"{SF}/{t}.parquet").write.parquet(
+                f"{d}/{t}.parquet")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        # corrupt 3 rows' partkey to an id no dimension carries
+        bad = li.limit(3).withColumn("l_partkey",
+                                     F.lit(99_999_999).cast("long"))
+        li.unionByName(bad).write.parquet(f"{d}/lineitem.parquet")
+        out = {r.fk: r for r in QUERIES["agg_ri_audit"](spark, d).collect()}
+    assert out["l_partkey->part"].n_orphans == 3
+    assert out["l_orderkey->orders"].n_orphans == 0
+    assert abs(out["l_partkey->part"].orphan_rate
+               - 3 / out["l_partkey->part"].n_rows) < 1e-15
+
+
+def test_calendar_spine_is_dense_and_flags_weekends(spark):
+    rows = sorted(QUERIES["fn_calendar_spine"](spark, SF).collect(),
+                  key=lambda r: r.day)
+    days = [r.day for r in rows]
+    assert days == list(range(days[0], days[-1] + 1))  # no holes
+    import datetime
+
+    for r in rows[:30]:
+        d = datetime.date(1970, 1, 1) + datetime.timedelta(days=r.day)
+        # dow contract: (day+4) % 7 with 0 = Sunday
+        assert r.dow == (d.weekday() + 1) % 7
+        assert r.is_workday == (0 if r.dow in (0, 6) else 1)
+
+
+def test_dq_checks_count_planted_violations(spark):
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        bad = (li.limit(2)
+               .withColumn("l_quantity", F.lit(-5.0))
+               .withColumn("l_returnflag", F.lit("X")))
+        li.unionByName(bad).write.parquet(f"{d}/lineitem.parquet")
+        out = {r.rule: r for r in QUERIES["agg_dq_checks"](spark, d).collect()}
+    assert out["quantity_positive"].n_violations == 2
+    assert out["flag_in_domain"].n_violations == 2
+    assert out["discount_in_range"].n_violations == 0
+
+
 def test_stream_topk_ranks_every_window(spark):
     out = QUERIES["stream_topk"](spark, SF).collect()
     by_bucket: dict[int, list] = {}
