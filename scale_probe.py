@@ -1014,10 +1014,86 @@ def r7f_probe(spark, res, n_events, n_vec):
     res["sink_overwrite_partition_20M"]["write_sec"] = write_sec
 
 
+def r7g_probe(spark, res, n_events):
+    """r7 batch-22..25 at 200× fixture scale through the REAL registered
+    builders: exact-integer TV drift, the freshness/decay anchored
+    aggs, interval coalescing windows, the broadcast RI audit, fused
+    DQ rules, streaming record detection excluded (micro-batch fixed
+    cost, probed at fixture scale)."""
+    import os
+    import tempfile
+
+    from minerva_etl_46_spark.queries import QUERIES
+
+    scratch = os.path.join(tempfile.gettempdir(),
+                           f"r7g_probe_{os.getpid()}")
+    (synth_events(spark, n_events)
+     .withColumn("event_type",
+                 F.element_at(
+                     F.array(F.lit("click"), F.lit("view"),
+                             F.lit("signup"), F.lit("purchase"),
+                             F.lit("error")),
+                     (F.abs(F.xxhash64("event_id")) % 5 + 1)
+                     .cast("int")))
+     .withColumn("props", F.lit("{}"))
+     .write.mode("overwrite").parquet(f"{scratch}/events.parquet"))
+    (spark.range(n_events).select(
+        F.expr("id div 6").alias("l_orderkey"),
+        (F.abs(F.xxhash64("id", F.lit(5))) % 1_000_000).alias("l_partkey"),
+        (F.abs(F.xxhash64("id", F.lit(6))) % 10_000).alias("l_suppkey"),
+        ((F.col("id") % 50) + 1.0).alias("l_quantity"),
+        ((F.abs(F.xxhash64("id", F.lit(7))) % 10) / 100.0)
+        .alias("l_discount"),
+        ((F.abs(F.xxhash64("id", F.lit(8))) % 10000000) / 100.0)
+        .alias("l_extendedprice"),
+        F.element_at(F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+                     (F.abs(F.xxhash64("id", F.lit(9))) % 3 + 1)
+                     .cast("int")).alias("l_returnflag"),
+        F.timestamp_seconds(BASE + (F.col("id") * 1013) % SPAN_S)
+        .alias("l_shipdate"))
+     .write.mode("overwrite").parquet(f"{scratch}/lineitem.parquet"))
+    (spark.range(n_events).select(
+        F.col("id").alias("o_orderkey"),
+        (F.abs(F.xxhash64("id")) % 100_000).alias("o_custkey"),
+        F.timestamp_seconds(BASE + (F.col("id") * 1009) % SPAN_S)
+        .alias("o_orderdate"))
+     .write.mode("overwrite").parquet(f"{scratch}/orders.parquet"))
+    (spark.range(1_000_000).select(F.col("id").alias("p_partkey"),
+                                   (F.col("id") % 50 + 1).cast("int")
+                                   .alias("p_size"))
+     .write.mode("overwrite").parquet(f"{scratch}/part.parquet"))
+    (spark.range(10_000).select(F.col("id").alias("s_suppkey"))
+     .write.mode("overwrite").parquet(f"{scratch}/supplier.parquet"))
+    (spark.range(100_000).select(F.col("id").alias("c_custkey"))
+     .write.mode("overwrite").parquet(f"{scratch}/customer.parquet"))
+
+    timed("agg_drift_tv_20M", QUERIES["agg_drift_tv"](spark, scratch), res)
+    timed("agg_freshness_20M", QUERIES["agg_freshness"](spark, scratch),
+          res)
+    timed("agg_decay_score_20M",
+          QUERIES["agg_decay_score"](spark, scratch), res)
+    timed("win_interval_merge_20M",
+          QUERIES["win_interval_merge"](spark, scratch), res)
+    timed("agg_ri_audit_20M", QUERIES["agg_ri_audit"](spark, scratch),
+          res)
+    timed("agg_dq_checks_20M", QUERIES["agg_dq_checks"](spark, scratch),
+          res)
+    timed("fn_unit_parse_1M_parts",
+          QUERIES["fn_unit_parse"](spark, scratch), res)
+    timed("fn_calendar_spine", QUERIES["fn_calendar_spine"](spark, scratch),
+          res)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r7g":
+        r7g_probe(spark, res, n_events=N)
+        print(json.dumps({"metric": "scale_probe_r7g", "rows": N,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r7f":
         r7f_probe(spark, res, n_events=N, n_vec=max(100_000, N // 20))
         print(json.dumps({"metric": "scale_probe_r7f", "rows": N,
