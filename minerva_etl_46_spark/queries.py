@@ -12921,6 +12921,133 @@ def agg_dq_checks(spark, sf_dir):
     )
 
 
+@register(
+    "scan_csv_gzip",
+    oracle="""
+    select c_custkey, c_name, c_nationkey,
+           cast(cast(cast(c_acctbal as decimal(18,2)) as varchar)
+                as double) as acctbal
+    from customer
+    """,
+)
+def scan_csv_gzip(spark, sf_dir):
+    """S18: gzip-compressed CSV ingest — the shape most third-party
+    drops actually arrive in. The customer dimension renders into FOUR
+    .csv.gz files (python gzip, deterministic custkey%4 split) and
+    re-ingests through the real csv reader — Spark's Hadoop codec layer
+    decompresses transparently, schema explicit as always. THE scale
+    lesson this key exists to pin: gzip is NOT splittable — each .gz
+    file is exactly one task regardless of size, so parallelism ==
+    file count (here 4 tasks, visible in the scan). At 100 TB that
+    means: receive many medium .gz files (or bzip2/zstd-seekable if
+    the sender can), and convert to parquet in the FIRST pass — never
+    let a 50 GB single .gz become the pipeline's one-core bottleneck.
+    Money rides decimal(18,2) canonical text (the sink_csv rule)."""
+    import gzip
+    import os
+
+    scratch = _scratch(sf_dir, "customer_csv_gz")  # PID-scoped
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal"))
+    if not os.path.isdir(scratch):
+        os.makedirs(scratch, exist_ok=True)
+        rows = c.collect()  # bounded-by: customer dimension (15k at sf0.1)
+        files = [[] for _ in range(4)]
+        for r in rows:
+            files[r.c_custkey % 4].append(
+                f"{r.c_custkey},{r.c_name},{r.c_nationkey},{r.acctbal}\n")
+        for i, lines in enumerate(files):
+            with gzip.open(os.path.join(scratch, f"b{i}.csv.gz"),
+                           "wt", encoding="utf-8") as fh:
+                fh.write("c_custkey,c_name,c_nationkey,acctbal\n")
+                fh.writelines(lines)
+    back = spark.read.csv(
+        scratch, header=True,
+        schema="c_custkey long, c_name string, c_nationkey long, "
+               "acctbal decimal(18,2)")
+    return back.select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.col("acctbal").cast("double").alias("acctbal"),
+    )
+
+
+@register(
+    "agg_cohort_ltv",
+    oracle="""
+    with oc as (select o_custkey as cust,
+                       year(cast(o_orderdate as timestamp)) * 12
+                         + month(cast(o_orderdate as timestamp)) - 1 as mi,
+                       o_totalprice
+                from orders),
+    r as (select cust, mi,
+                 sum(cast(o_totalprice as decimal(38,4))) as rev
+          from oc group by 1, 2),
+    w as (select *, min(mi) over (partition by cust) as cohort from r),
+    grid as (select cohort, mi - cohort as age,
+                    sum(rev) as rev, count(*) as n_active
+             from w group by 1, 2),
+    cum as (select *,
+                   sum(rev) over (partition by cohort order by age asc
+                                  rows between unbounded preceding
+                                  and current row) as cum_rev,
+                   max(case when age = 0 then n_active end)
+                     over (partition by cohort) as cohort_size
+            from grid)
+    select cast(cohort as bigint) as cohort, cast(age as bigint) as age,
+           cast(n_active as bigint) as n_active,
+           cast(cohort_size as bigint) as cohort_size,
+           cast(cast(cum_rev as varchar) as double) as cum_rev,
+           cast(cast(cum_rev as varchar) as double)
+             / cast(cohort_size as double) as ltv_per_customer
+    from cum
+    """,
+)
+def agg_cohort_ltv(spark, sf_dir):
+    """A74: cohort lifetime-value curves — cumulative revenue per
+    first-order-month cohort by month age, normalized to LTV per
+    cohort customer (the money sibling of agg_cohort_matrix's
+    headcount triangle; the payback chart under every acquisition
+    budget). Exactness: per-(cust, month) revenue and every cumulative
+    sum stay decimal to the end (order-free), cohort size recovered
+    from the grid's OWN age-0 cell via a partition window (every
+    cohort member orders in its cohort month by definition — no
+    second fact pass, the A46 trick), ONE double division per row;
+    oracle doubles varchar-mediated. Shape: one hash(cust) rollup is
+    the only fact-scaled step; the min-month window rides that frame,
+    the grid/cumsum/size windows ride the cohort×age frame —
+    calendar-bounded, never data-sized."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .alias("mi"),
+        "o_totalprice")
+    r = o.groupBy("cust", "mi").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    w = r.withColumn(
+        "cohort", F.min("mi").over(Window.partitionBy("cust")))
+    grid = w.groupBy("cohort", (F.col("mi") - F.col("cohort")).alias("age")) \
+        .agg(F.sum("rev").alias("rev"), F.count(F.lit(1)).alias("n_active"))
+    wc = Window.partitionBy("cohort")
+    cum = grid.select(
+        "cohort", "age", "n_active",
+        F.sum("rev").over(
+            wc.orderBy(F.asc("age"))
+            .rowsBetween(Window.unboundedPreceding, 0)).alias("cum_rev"),
+        F.max(F.when(F.col("age") == 0, F.col("n_active")))
+        .over(wc).alias("cohort_size"),
+    )
+    return cum.select(
+        F.col("cohort").cast("long").alias("cohort"),
+        F.col("age").cast("long").alias("age"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.col("cum_rev").cast("double").alias("cum_rev"),
+        (F.col("cum_rev").cast("double")
+         / F.col("cohort_size").cast("double")).alias("ltv_per_customer"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -13116,7 +13243,7 @@ _R07_OVERFLOW = [
     "agg_target_encode", "agg_drift_tv", "fn_unit_parse",
     "agg_freshness", "stream_records", "agg_decay_score",
     "win_interval_merge", "agg_ri_audit", "fn_calendar_spine",
-    "agg_dq_checks",
+    "agg_dq_checks", "scan_csv_gzip", "agg_cohort_ltv",
 ]
 _R07_TAIL = [
     k for k in _R06_PRIORITY + _R06_TAIL
