@@ -13048,6 +13048,74 @@ def agg_cohort_ltv(spark, sf_dir):
     )
 
 
+@register(
+    "win_twr",
+    oracle=f"""
+    with e as (select * from {EV}),
+    daily as (select user_id,
+                     cast(epoch_us(ts) // 86400000000 as bigint) as day,
+                     sum(cast(value as decimal(38,4))) as v
+              from e group by 1, 2),
+    d as (select *, lag(v) over (partition by user_id
+                                 order by day asc) as v_prev
+          from daily),
+    f as (select user_id, day,
+                 case when v_prev is not null and v_prev > 0
+                      then 1.0 + cast(v - v_prev as double)
+                                 / cast(v_prev as double)
+                      else 1.0 end as factor
+          from d),
+    g as (select user_id, count(*) as n_days,
+                 list_sort(list({{'day': day, 'f': factor}})) as s
+          from f group by 1)
+    select user_id, cast(n_days as bigint) as n_days,
+           list_reduce(list_prepend(cast(1.0 as double),
+                                    list_transform(s, x -> x.f)),
+                       (a, b) -> a * b) - 1.0 as twr
+    from g
+    """,
+)
+def win_twr(spark, sf_dir):
+    """W36: time-weighted return per entity — the chained growth factor
+    Π(1 + r_t) − 1 over the daily series (the portfolio-performance
+    metric that, unlike a plain end/start ratio, is insensitive to
+    WHEN volume arrived — each period's relative change multiplies in
+    exactly once). Exactness: daily levels are exact decimal sums,
+    each return's numerator is a decimal difference cast once to
+    double, and the product is an ORDERED left fold over
+    day-sorted factors in BOTH engines (array_sort + F.aggregate vs
+    list_sort + list_reduce — the agg_survival KM-product machinery) —
+    same multiply order, bit-identical, no exp(Σlog) drift. First day
+    and zero-level predecessors contribute factor 1 (pinned: no
+    return is measurable there). Shape: one hash(entity) rollup, a
+    lag on the (entity, day) frame riding the same partitioning, then
+    an in-row sort+fold per entity — the day list is
+    calendar-bounded, never event-scaled."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day"),
+    ).agg(F.sum(F.col("value").cast(DEC)).alias("v"))
+    w = Window.partitionBy("user_id").orderBy(F.asc("day"))
+    d = daily.withColumn("v_prev", F.lag("v").over(w))
+    factor = F.when(
+        F.col("v_prev").isNotNull() & (F.col("v_prev") > 0),
+        F.lit(1.0) + (F.col("v") - F.col("v_prev")).cast("double")
+        / F.col("v_prev").cast("double"),
+    ).otherwise(F.lit(1.0))
+    g = d.select("user_id", "day", factor.alias("f")).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.array_sort(F.collect_list(F.struct("day", "f"))).alias("s"),
+    )
+    return g.select(
+        "user_id",
+        F.col("n_days").cast("long").alias("n_days"),
+        (F.aggregate(
+            F.transform(F.col("s"), lambda x: x["f"]),
+            F.lit(1.0), lambda a, x: a * x) - F.lit(1.0)).alias("twr"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -13243,7 +13311,7 @@ _R07_OVERFLOW = [
     "agg_target_encode", "agg_drift_tv", "fn_unit_parse",
     "agg_freshness", "stream_records", "agg_decay_score",
     "win_interval_merge", "agg_ri_audit", "fn_calendar_spine",
-    "agg_dq_checks", "scan_csv_gzip", "agg_cohort_ltv",
+    "agg_dq_checks", "scan_csv_gzip", "agg_cohort_ltv", "win_twr",
 ]
 _R07_TAIL = [
     k for k in _R06_PRIORITY + _R06_TAIL

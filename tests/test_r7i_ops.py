@@ -595,6 +595,31 @@ def test_dq_checks_count_planted_violations(spark):
     assert out["discount_in_range"].n_violations == 0
 
 
+def test_twr_matches_python_chain(spark):
+    """TWR must equal the chained product of daily relative changes,
+    and be invariant to WHEN a doubling happens (the metric's claim)."""
+    import tempfile
+
+    def run(levels):
+        rows = [(i, 1, "a", float(v), i) for i, v in enumerate(levels)]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, "
+                  "value double, day long"
+        ).selectExpr("event_id", "timestamp_seconds(day * 86400) as ts",
+                     "user_id", "event_type", "value", "'{}' as props")
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(f"{d}/events.parquet")
+            return QUERIES["win_twr"](spark, d).collect()[0].twr
+
+    assert abs(run([100, 200, 200, 200]) - 1.0) < 1e-12  # early doubling
+    assert abs(run([100, 100, 100, 200]) - 1.0) < 1e-12  # late doubling
+    levels = [100, 150, 120, 240, 180]
+    expect = 1.0
+    for a, b in zip(levels, levels[1:]):
+        expect *= 1.0 + (b - a) / a
+    assert abs(run(levels) - (expect - 1.0)) < 1e-12
+
+
 def test_stream_topk_ranks_every_window(spark):
     out = QUERIES["stream_topk"](spark, SF).collect()
     by_bucket: dict[int, list] = {}
