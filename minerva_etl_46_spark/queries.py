@@ -13116,6 +13116,65 @@ def win_twr(spark, sf_dir):
     )
 
 
+@register(
+    "scan_json_nested",
+    oracle="""
+    select r.r_regionkey, r.r_name, n.n_nationkey, n.n_name
+    from region r join nation n on n.n_regionkey = r.r_regionkey
+    """,
+)
+def scan_json_nested(spark, sf_dir):
+    """S19: nested-JSON ingest — the manifest/config shape with an
+    ARRAY OF STRUCTS inside each record (one JSON line per region, its
+    nations nested as a list): the path scan_json_multiline (one
+    document) and scan_jsonl (flat lines) don't cover. The parse is
+    schema-DECLARED including the nested array type (inference banned
+    as everywhere), and the explode is inline: one generator per
+    parent row, fan-out bounded by the nested list length — never a
+    join. Rendered from the region⋈nation dimensions (the scan_csv
+    round-trip recipe) so the oracle checks the full
+    render→parse→explode path against the original tables. At 100 TB
+    nested feeds this shape stays linear: explode fan-out is data
+    carried IN the row, and the child columns project straight out of
+    the struct (no re-shuffle, no second scan)."""
+    import json as _json
+    import os
+
+    scratch = _scratch(sf_dir, "region_nested_json")  # PID-scoped
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    if not os.path.isdir(scratch):
+        os.makedirs(scratch, exist_ok=True)
+        regs = {r.r_regionkey: r.r_name for r in region.collect()}
+        # bounded-by: region (5 rows) + nation (25 rows) dimensions
+        nats = sorted(
+            (r.n_regionkey, r.n_nationkey, r.n_name)
+            for r in nation.collect())
+        with open(os.path.join(scratch, "regions.jsonl"), "w") as fh:
+            for rk in sorted(regs):
+                doc = {
+                    "r_regionkey": rk, "r_name": regs[rk],
+                    "nations": [
+                        {"n_nationkey": nk, "n_name": nm}
+                        for (rgk, nk, nm) in nats if rgk == rk
+                    ],
+                }
+                fh.write(_json.dumps(doc) + "\n")
+    raw = spark.read.schema(
+        "r_regionkey long, r_name string, "
+        "nations array<struct<n_nationkey: long, n_name: string>>"
+    ).json(scratch)
+    return raw.select(
+        "r_regionkey", "r_name",
+        F.explode("nations").alias("nat"),
+    ).select(
+        "r_regionkey", "r_name",
+        F.col("nat.n_nationkey").alias("n_nationkey"),
+        F.col("nat.n_name").alias("n_name"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Export order for the verification driver
 # ---------------------------------------------------------------------------
@@ -13312,6 +13371,7 @@ _R07_OVERFLOW = [
     "agg_freshness", "stream_records", "agg_decay_score",
     "win_interval_merge", "agg_ri_audit", "fn_calendar_spine",
     "agg_dq_checks", "scan_csv_gzip", "agg_cohort_ltv", "win_twr",
+    "scan_json_nested",
 ]
 _R07_TAIL = [
     k for k in _R06_PRIORITY + _R06_TAIL
