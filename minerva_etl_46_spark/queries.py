@@ -7820,19 +7820,54 @@ def agg_peak_concurrency(spark, sf_dir):
 def join_fuzzy(spark, sf_dir):
     """J12: fuzzy string join (entity resolution) — match possibly
     corrupted external names to a dimension without an O(n·m) distance
-    matrix: equi-join on a 4-char prefix BLOCK (AQE-splittable like any
-    hot-key join), exact levenshtein ≤ 2 verify inside blocks only,
-    best match per probe by (distance, key). The probe set is a
-    deterministic corruption of every 5th part name (one char deleted
-    or substituted near the END, so the blocking key survives — the
-    production caveat is stated honestly: a corruption inside the block
-    key is a blocking miss, mitigated by multi-key blocking).
-    Levenshtein is the classic DP distance in both engines — the value
-    hash proves the two implementations agree on every pair. 100 TB:
-    work = Σ block² verify pairs, never |probes|×|dim|; the rank cap
-    rewrites to WindowGroupLimit."""
+    matrix. r8 rewrite of the r7 low-cardinality blocking, three
+    stacked levers:
+    (1) DISTINCT-NAME DEDUPE — distance depends only on the string, so
+    both sides collapse to distinct names before any verify (the dim
+    side keeps min(p_partkey) per name for tie-breaks). Verify work is
+    |name vocab|², never |rows|²: on a fixture with 48 distinct names
+    over 20k rows this is a ~10⁵× pair cut, and at 100 TB it bounds
+    verify by vocabulary, not corpus.
+    (2) COMPOUND block key — equi-join on (4-char prefix, floor(len/2)
+    length band), probe side exploding bands {b-1, b, b+1}. lev ≤ 2 ⇒
+    |Δlen| ≤ 2 ⇒ |Δband| ≤ 1, so the band axis is a NECESSARY
+    condition of the final filter: output byte-identical to
+    prefix-only blocking (the oracle), but the band axis keeps
+    subdividing blocks as the vocabulary grows where prefix
+    cardinality is constant. A cheap |Δlen| ≤ 2 guard drops
+    band-adjacent stragglers pre-verify.
+    (3) THRESHOLD-BOUNDED levenshtein (Spark 3.5+ banded DP: O(len·k)
+    per pair, not O(len²); returns -1 past the threshold, the exact
+    distance otherwise — the hash still proves both engines agree on
+    every surviving pair).
+    Rank equivalence proof for (1): per-probe best row under
+    (lev, p_partkey) = best name under (lev, min p_partkey per name),
+    since within the min-lev set the row minimum equals the per-name
+    minimum. Winners re-attach to probe ROWS via a vocabulary-sized
+    broadcast join. The rank cap rewrites to WindowGroupLimit.
+    Production caveat stated honestly: a corruption inside the PREFIX
+    component is a blocking miss (this corpus corrupts near the end);
+    a corruption-induced length change > 2 is impossible here
+    (delete/substitute = Δlen ≤ 1). 100 TB: name-dedup is one
+    hash-agg; verify ∝ Σ block-pair products over the 2-axis key on
+    vocab-sized frames (AQE skew-splittable); row re-attach is a
+    broadcast."""
     p = load(spark, sf_dir, "part")
-    dim = p.select("p_partkey", "p_name")
+    # Distance depends only on the STRING — dedupe both sides to
+    # distinct names first (vocabulary-sized frames), verify on names,
+    # re-attach rows at the end. Rank equivalence: the per-probe best
+    # row under (lev, p_partkey) is, name-wise, the best name under
+    # (lev, min p_partkey within that name) — because within the
+    # min-lev set, min over rows = min over names of per-name minima.
+    dnames = (
+        p.groupBy("p_name")
+        .agg(F.min("p_partkey").alias("pk_min"))
+        .select(
+            "p_name", "pk_min",
+            F.substring("p_name", 1, 4).alias("blk"),
+            F.floor(F.length("p_name") / 2).alias("band"),
+        )
+    )
     nm = F.col("p_name")
     ln = F.length(nm)
     head = F.substring(nm, F.lit(1), ln - 3)
@@ -7846,21 +7881,33 @@ def join_fuzzy(spark, sf_dir):
             .alias("probe_name"),
         )
     )
-    cand = (
-        probes.join(
-            dim,
-            F.substring("probe_name", 1, 4) == F.substring("p_name", 1, 4))
-        .withColumn("lev", F.levenshtein("probe_name", "p_name"))
-        .filter(F.col("lev") <= 2)
+    pnames = (
+        probes.select("probe_name").distinct()
+        .withColumn("blk", F.substring("probe_name", 1, 4))
+        .withColumn("b0", F.floor(F.length("probe_name") / 2))
+        .withColumn(
+            "band",
+            F.explode(F.array(F.col("b0") - 1, F.col("b0"),
+                              F.col("b0") + 1)))
+        .drop("b0")
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("lev").asc(), F.col("p_partkey").asc())
-    return (
+    cand = (
+        pnames.join(dnames, ["blk", "band"])
+        .filter(
+            F.abs(F.length("probe_name") - F.length("p_name")) <= 2)
+        .withColumn("lev", F.levenshtein("probe_name", "p_name", 2))
+        .filter(F.col("lev") >= 0)
+    )
+    w = Window.partitionBy("probe_name").orderBy(
+        F.col("lev").asc(), F.col("pk_min").asc())
+    best = (
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("probe_id", "probe_name", "p_partkey", "p_name",
-                F.col("lev").cast("long").alias("lev"))
+        .select("probe_name", F.col("pk_min").alias("p_partkey"),
+                "p_name", F.col("lev").cast("long").alias("lev"))
     )
+    return probes.join(F.broadcast(best), "probe_name").select(
+        "probe_id", "probe_name", "p_partkey", "p_name", "lev")
 
 
 @register(
@@ -13377,7 +13424,43 @@ _R07_TAIL = [
     k for k in _R06_PRIORITY + _R06_TAIL
     if k not in set(_R07_PRIORITY)
 ]
-_EXPORT_ORDER = _R07_PRIORITY + _R07_OVERFLOW + _R07_TAIL
+
+_R08_PRIORITY = [
+    # Round-8 rotation: the 47 keys that have NEVER had a driver
+    # CORRECTNESS row (exactly the _R07_OVERFLOW block — r7 batches
+    # 11-27, every one locally parity-proven at sf0.001 AND sf0.01 in
+    # rounds 7 and 8) packed into the 50-slot sample window, plus 3
+    # renewals of the oldest-green keys (win_latest / win_delta /
+    # topk_per_group, last driver-sampled in round 3). A green round
+    # here makes the registry 100% externally verified: 259/259 keys
+    # with a green driver row.
+    "sink_jsonl", "llm_code_detect", "llm_readability", "fn_base64",
+    "agg_calendar_heatmap", "fn_format_bytes", "fn_uuid3",
+    "agg_time_to_convert", "agg_user_growth", "join_snowflake",
+    "win_percent_rank", "fn_slugify", "stream_attribution",
+    "scan_httplog", "agg_basket_rules", "mm_tile_grid",
+    "graph_pagerank", "graph_triangles", "agg_theil_sen", "agg_boxplot",
+    "sink_parquet_partitioned", "stream_topk", "llm_bloom_prefilter",
+    "agg_kendall", "agg_ab_test", "agg_mann_whitney", "agg_profile",
+    "sink_overwrite_partition", "agg_skew_report", "fn_zorder",
+    "win_records", "llm_embed_outliers", "agg_revenue_bridge",
+    "agg_target_encode", "agg_drift_tv", "fn_unit_parse",
+    "agg_freshness", "stream_records", "agg_decay_score",
+    "win_interval_merge", "agg_ri_audit", "fn_calendar_spine",
+    "agg_dq_checks", "scan_csv_gzip", "agg_cohort_ltv", "win_twr",
+    "scan_json_nested",
+    # 3 oldest-green renewals (round-3 rows; refreshed on current code):
+    "win_latest", "win_delta", "topk_per_group",
+]
+assert len(_R08_PRIORITY) == 50, len(_R08_PRIORITY)
+assert set(_R08_PRIORITY[:47]) == set(_R07_OVERFLOW), (
+    sorted(set(_R08_PRIORITY[:47]) ^ set(_R07_OVERFLOW))
+)
+_R08_TAIL = [
+    k for k in _R07_PRIORITY + _R07_TAIL
+    if k not in set(_R08_PRIORITY)
+]
+_EXPORT_ORDER = _R08_PRIORITY + _R08_TAIL
 
 assert set(_EXPORT_ORDER) == set(QUERIES), (
     sorted(set(_EXPORT_ORDER) ^ set(QUERIES))
