@@ -55,14 +55,34 @@ def pagerank_ppb(directed_edges: DataFrame, iterations: int = 3,
     frame by src so the sort-merge reuses one exchange across
     iterations. The edge and degree frames are lineage-cut with
     localCheckpoint (consumed every iteration; an uncut plan grows
-    linearly and re-derives the edge set per step). Nodes are assumed
-    to all have out-degree ≥ 1 (true for any edge-derived node set);
-    dangling-mass redistribution is therefore not needed.
+    linearly and re-derives the edge set per step).
+
+    The node set is union(src, dst) — a node appearing only as a
+    destination (a SINK: out-degree 0) gets a rank row, and the mass
+    it would otherwise swallow is redistributed uniformly each step
+    (the standard dangling-mass correction): rank' = teleport/n +
+    d·(inflow + dangling/n), all in integral ppb arithmetic. On a
+    graph with no sinks the dangling term is exactly 0 and the update
+    reduces to the plain form — bit-identical output. The per-step
+    dangling sum is a node-scale agg folded into the plan as a
+    broadcast 1-row frame; each iteration's rank frame is lineage-cut
+    because it feeds BOTH the inflow join and the dangling agg (an
+    uncut plan would double per step).
     """
     de = directed_edges.select("src", "dst").localCheckpoint(eager=False)
-    deg = (
+    out_c = (
         de.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
         .withColumnRenamed("src", "node")
+    )
+    nodes = (
+        de.select(F.col("src").alias("node"))
+        .union(de.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = (
+        nodes.join(out_c, "node", "left")
+        .select("node",
+                F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"))
         .localCheckpoint(eager=False)
     )
     nn = deg.agg(F.count(F.lit(1)).alias("n_nodes")).localCheckpoint(eager=False)
@@ -72,6 +92,11 @@ def pagerank_ppb(directed_edges: DataFrame, iterations: int = 3,
                 F.expr(f"{_MASS_PPB} div n_nodes").alias("rank"))
     )
     for _ in range(iterations):
+        # consumed twice below (inflow join + dangling agg): cut the
+        # lineage or the plan doubles per iteration
+        r = r.localCheckpoint(eager=False)
+        dang = r.filter(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).alias("dm"))
         r_side = F.broadcast(r) if broadcast_ranks else r
         s = (
             de.join(r_side, de["src"] == r_side["node"])
@@ -83,11 +108,13 @@ def pagerank_ppb(directed_edges: DataFrame, iterations: int = 3,
         r = (
             deg.join(s, deg["node"] == s["in_node"], "left")
             .crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dang))  # 1-row dangling-mass frame
             .select(
                 deg["node"].alias("node"),
                 deg["outdeg"].alias("outdeg"),
                 (F.expr(f"{_TELEPORT_PPB} div n_nodes")
-                 + F.expr(f"({_DAMP_NUM} * coalesce(s, 0)) div {_DAMP_DEN}")
+                 + F.expr(f"({_DAMP_NUM} * (coalesce(s, 0)"
+                          f" + dm div n_nodes)) div {_DAMP_DEN}")
                  ).alias("rank"),
             )
         )

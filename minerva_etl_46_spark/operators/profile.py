@@ -4,11 +4,15 @@ fixed column sets so their DuckDB oracles stay literal; these builders
 derive the column set from the schema for the CLI `profile` / `skew`
 admin verbs).
 
-Both profile ALL requested columns in ONE scan via a stack() unpivot —
-never a per-column query fan-out — and keep every statistic exact
-integers until the final element-wise expression. Values travel as
-strings (bigint→string is canonical cross-engine; min/max are
-lexicographic on the string form, stated)."""
+Both profile ALL requested columns in ONE scan — never a per-column
+query fan-out — and keep every statistic exact integers until the final
+element-wise expression. profile_table computes min/max on the NATIVE
+column type (numeric columns order numerically — '9' < '10'; r8 fix of
+the lexicographic-on-string trap) and casts to string only in the
+output row, so one uniform schema covers mixed-type tables. Non-
+orderable columns (maps) fall back to string-form ordering, flagged by
+the docs below. skew_report keys travel as strings (bigint→string is
+canonical cross-engine and grouping is order-free)."""
 
 from __future__ import annotations
 
@@ -23,19 +27,39 @@ def _stack(df: DataFrame, cols: list[str], value_alias: str) -> DataFrame:
 
 
 def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
-    """Per-column row/null/exact-distinct/min/max. One scan + one
-    hash-agg chain for every column; swap countDistinct for
+    """Per-column row/null/exact-distinct/min/max in ONE scan: every
+    column's five aggregates ride a single agg() (the multi-distinct
+    plans as one Expand pass — same single-scan cost as an unpivot),
+    min/max on the NATIVE type (numeric order for numerics, temporal
+    for timestamps), cast to string only in the output row. Map-typed
+    columns are not orderable in Spark; they fall back to min/max on
+    the string form. The aggregated 1-row frame unpivots JVM-side via
+    stack() — no driver round-trip. Swap countDistinct for
     approx_count_distinct at 100 TB if a sketch suffices (same shape
     minus the distinct expansion)."""
+    from pyspark.sql.types import MapType
+
     cols = cols or [f.name for f in df.schema.fields]
-    u = _stack(df, cols, "val")
-    return u.groupBy("col_name").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("val").isNull(), F.lit(1)).otherwise(F.lit(0)))
-        .cast("long").alias("n_null"),
-        F.countDistinct("val").alias("n_distinct"),
-        F.min("val").alias("min_val"),
-        F.max("val").alias("max_val"),
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    aggs = []
+    for c in cols:
+        v = df[c]
+        ordv = v.cast("string") if isinstance(dtypes[c], MapType) else v
+        aggs.append(F.struct(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(v.isNull(), F.lit(1)).otherwise(F.lit(0)))
+            .cast("long").alias("n_null"),
+            F.countDistinct(v).alias("n_distinct"),
+            F.min(ordv).cast("string").alias("min_val"),
+            F.max(ordv).cast("string").alias("max_val"),
+        ).alias(c))
+    wide = df.agg(*aggs)
+    pairs = ", ".join(f"'{c}', `{c}`" for c in cols)
+    return (
+        wide.select(F.expr(
+            f"stack({len(cols)}, {pairs}) as (col_name, s)"))
+        .select("col_name", "s.n", "s.n_null", "s.n_distinct",
+                "s.min_val", "s.max_val")
     )
 
 

@@ -44,6 +44,13 @@ class TrendStorePartStorage:
     base_dir: str
     name: str
     partition_size_s: int = 86400
+    #: write fan-out per partition bucket. 1 (default) routes each bucket
+    #: to exactly one task — one file per bucket per write, maximum
+    #: cross-bucket parallelism (a multi-day backfill writes all days in
+    #: parallel). Raise for a HUGE single-bucket batch (one day of a
+    #: 100 TB feed): >1 adds an intra-bucket salt so the bucket's rows
+    #: spread over N tasks/files.
+    files_per_partition: int = 1
 
     @property
     def path(self) -> str:
@@ -59,7 +66,26 @@ class TrendStorePartStorage:
         spark = df.sparkSession
         out = df.withColumn("p_bucket", bucket_of(ts_col, self.partition_size_s))
         # bounded-by: distinct partition buckets of ONE batch (≤ batch span / partition_size)
+        # (column-pruned pass: only p_bucket's source column is read)
         touched = [r[0] for r in out.select("p_bucket").distinct().collect()]
+        # co-locate each bucket's rows before partitionBy: without this,
+        # every input task opens a writer per bucket it sees — T input
+        # tasks × B buckets small files, and a single-file source writes
+        # ALL buckets serially in one task. With it, bucket count (times
+        # the salt fan-out) is the write parallelism AND the file count.
+        # explicit numPartitions (known driver-side from `touched`): an
+        # unnumbered repartition lets AQE coalesce the tiny-batch case
+        # back to 1-2 tasks, serializing one directory write per bucket
+        n_parts = max(1, len(touched)) * self.files_per_partition
+        if self.files_per_partition > 1:
+            salted = out.withColumn(
+                "_w_salt",
+                F.pmod(F.hash(*[c for c in df.columns]),
+                       F.lit(self.files_per_partition)))
+            out = salted.repartition(
+                n_parts, "p_bucket", "_w_salt").drop("_w_salt")
+        else:
+            out = out.repartition(n_parts, "p_bucket")
         # per-write option, not session conf: mutating the session would
         # silently flip every later overwrite on this session to dynamic
         (out.write.mode("overwrite")
@@ -69,12 +95,30 @@ class TrendStorePartStorage:
         return sorted(touched)
 
     def _log_modified(self, spark: SparkSession, buckets: list[int], job_id: int | None) -> None:
+        # Driver-side bookkeeping append (bounded by touched buckets —
+        # already a driver-side list). Written with pyarrow directly:
+        # routing ~30 rows through spark.createDataFrame costs a
+        # Python-worker-backed LocalTableScan job (~5 s per store write
+        # on a cold worker pool) for a file any parquet writer can
+        # produce. Schema matches the Spark reader exactly
+        # (string/int64/double/nullable-int64).
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         now = time.time()
-        rows = [(self.name, int(b), float(now), job_id) for b in buckets]
-        log = spark.createDataFrame(
-            rows, schema="part string, p_bucket long, modified_at double, job_id long"
-        )
-        log.coalesce(1).write.mode("append").parquet(self.modified_log_path)
+        tbl = pa.table({
+            "part": pa.array([self.name] * len(buckets), pa.string()),
+            "p_bucket": pa.array([int(b) for b in buckets], pa.int64()),
+            "modified_at": pa.array([now] * len(buckets), pa.float64()),
+            "job_id": pa.array([job_id] * len(buckets), pa.int64()),
+        })
+        os.makedirs(self.modified_log_path, exist_ok=True)
+        pq.write_table(
+            tbl,
+            os.path.join(self.modified_log_path,
+                         f"part-{uuid.uuid4().hex}.parquet"))
 
     def upsert(self, staged: DataFrame, keys: list[str], version_cols: list[str],
                ts_col: str = "ts", job_id: int | None = None) -> list[int]:

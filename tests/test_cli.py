@@ -272,7 +272,8 @@ triggers:
 
 def test_cli_profile_and_skew(spark, tmp_path, capsys):
     df = spark.createDataFrame(
-        [(1, "a", None), (2, "b", 5.0), (3, "b", 5.0), (3, "b", 7.0)],
+        [(1, "a", None), (2, "b", 5.0), (3, "b", 5.0), (3, "b", 7.0),
+         (10, "b", 8.0)],
         "k long, cat string, v double",
     )
     df.write.parquet(str(tmp_path / "t.parquet"))
@@ -282,7 +283,10 @@ def test_cli_profile_and_skew(spark, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     cols = {c["col_name"]: c for c in out["columns"]}
-    assert cols["k"]["n"] == 4 and cols["k"]["n_distinct"] == 3
+    assert cols["k"]["n"] == 5 and cols["k"]["n_distinct"] == 4
+    # NATIVE-type ordering: max over {1,2,3,10} is 10 (the string form
+    # would pick '3' — the lexicographic trap the r8 fix removes)
+    assert cols["k"]["min_val"] == "1" and cols["k"]["max_val"] == "10"
     assert cols["cat"]["min_val"] == "a" and cols["cat"]["max_val"] == "b"
     assert cols["cat"]["n_null"] == 0
 
@@ -292,6 +296,6 @@ def test_cli_profile_and_skew(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     keys = {c["col_name"]: c for c in out["keys"]}
     assert keys["cat"]["hot_key"] == "b"
-    assert keys["cat"]["max_cnt"] == 3
-    assert abs(keys["cat"]["skew_ratio"] - 3 * 2 / 4) < 1e-12
+    assert keys["cat"]["max_cnt"] == 4
+    assert abs(keys["cat"]["skew_ratio"] - 4 * 2 / 5) < 1e-12
     assert keys["k"]["hot_key"] == "3"

@@ -57,6 +57,49 @@ def test_pagerank_mass_is_conserved_up_to_floor_leak(spark):
     assert 1_000_000_000 - leak_bound <= total <= 1_000_000_000
 
 
+def _pagerank_py_dangling(directed, iterations=3):
+    """Independent reference WITH sink handling: nodes = union(src,dst),
+    dangling mass redistributed uniformly each step (mirrors the r8
+    operator contract)."""
+    outdeg: dict[int, int] = {}
+    nodes_s: set[int] = set()
+    for s, d in directed:
+        outdeg[s] = outdeg.get(s, 0) + 1
+        nodes_s |= {s, d}
+    nodes = sorted(nodes_s)
+    n = len(nodes)
+    rank = {v: 1_000_000_000 // n for v in nodes}
+    for _ in range(iterations):
+        dm = sum(rank[v] for v in nodes if outdeg.get(v, 0) == 0)
+        s: dict[int, int] = {}
+        for src, dst in directed:
+            s[dst] = s.get(dst, 0) + rank[src] // outdeg[src]
+        rank = {v: 150_000_000 // n
+                + (85 * (s.get(v, 0) + dm // n)) // 100
+                for v in nodes}
+    return rank
+
+
+def test_pagerank_handles_sink_nodes(spark):
+    # ordinary DIRECTED graph with sinks: 1→2→3, 1→3, 4→3 — node 3 is a
+    # pure sink (dst-only). Pre-r8 the operator silently dropped node 3
+    # and its inflow mass; now it ranks highest (all paths lead to it)
+    # and the dangling correction recycles its mass.
+    directed = [(1, 2), (2, 3), (1, 3), (4, 3)]
+    df = spark.createDataFrame(directed, "src long, dst long")
+    got = {r.node: r.rank_ppb for r in pagerank_ppb(df, 3).collect()}
+    assert got == _pagerank_py_dangling(directed, 3)
+    assert set(got) == {1, 2, 3, 4}          # sink 3 has a rank row
+    assert got[3] == max(got.values())       # and wins the ranking
+    # sink-free graph: the dangling term is identically 0, so the
+    # update must reduce to the plain reference bit-for-bit
+    und = [(0, i) for i in range(1, 6)] + [(10, 11), (11, 12), (12, 10)]
+    sym = und + [(b, a) for a, b in und]
+    df2 = spark.createDataFrame(sym, "src long, dst long")
+    got2 = {r.node: r.rank_ppb for r in pagerank_ppb(df2, 3).collect()}
+    assert got2 == _pagerank_py(sym, 3)
+
+
 def test_triangles_match_brute_force(spark):
     # K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5 + a
     # separate triangle {6,7,8}
