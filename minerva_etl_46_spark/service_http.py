@@ -47,6 +47,8 @@ def _jsonable(v):
 
 
 def _row_us(ts) -> int:
+    if isinstance(ts, int):  # epoch-seconds time column (rollup `bucket`)
+        return ts * 1_000_000
     return calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
 
 
@@ -115,6 +117,13 @@ class DataServiceHandler(BaseHTTPRequestHandler):
             after = (int(one("after_us")), int(one("after_entity", "0")))
         cols = [c for c in (one("columns", "") or "").split(",") if c]
         ents = [int(e) for e in (one("entities", "") or "").split(",") if e]
+        # rollup parts carry their period label in `bucket` (epoch-s),
+        # raw parts in `ts` (timestamp) — ts_col/entity_col let one
+        # service route page either (TrendQuery.run already supported
+        # them; the HTTP surface previously pinned "ts"/"entity_id", so
+        # ladder outputs were unservable)
+        ts_col = one("ts_col", "ts")
+        entity_col = one("entity_col", "entity_id")
         query = TrendQuery(
             part=storage,
             start_epoch=int(one("start")),
@@ -124,12 +133,13 @@ class DataServiceHandler(BaseHTTPRequestHandler):
             page_size=int(one("page_size", "1000")),
             after=after,
         )
-        rows = query.run(self.server.spark).collect()
+        rows = query.run(self.server.spark, entity_col=entity_col,
+                         ts_col=ts_col).collect()
         out = [{k: _jsonable(v) for k, v in r.asDict().items()} for r in rows]
         next_after = None
         if len(rows) == query.page_size:
             last = rows[-1]
-            next_after = [_row_us(last["ts"]), last["entity_id"]]
+            next_after = [_row_us(last[ts_col]), last[entity_col]]
         return {"rows": out, "next_after": next_after}
 
 

@@ -187,19 +187,42 @@ def compact_partitions(storage: TrendStorePartStorage, spark: SparkSession,
     """Small-file compaction (operational need S6-adjacent): repeated
     incremental upserts leave each partition with one file per write;
     at fleet scale that degrades scan planning and NameNode/listing cost.
-    Rewrites every partition directory to N files. Returns partitions
-    compacted. Run off-peak; the rewrite is per-partition-bounded work."""
+
+    ONE job for the whole store (r8; the per-directory loop it replaces
+    ran one sequential Spark job per partition — a day-partitioned year
+    is 365 serial rewrites): list the directories needing work
+    driver-side (bounded by partition count), partition-prune a single
+    read to exactly those buckets, co-locate each bucket's rows on one
+    task, dynamic-overwrite them in one write. Untouched partitions are
+    never read or rewritten; lineage is cut before the overwrite (Spark
+    cannot overwrite a path it is still reading). Returns partitions
+    compacted."""
     if not os.path.isdir(storage.path):
         return 0
-    parts = [e for e in os.listdir(storage.path) if e.startswith("p_bucket=")]
-    done = 0
-    for entry in sorted(parts):
+    need: list[int] = []
+    for entry in sorted(os.listdir(storage.path)):
+        if not entry.startswith("p_bucket="):
+            continue
         pdir = os.path.join(storage.path, entry)
         files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
-        if len(files) <= target_files_per_partition:
-            continue
-        df = spark.read.parquet(pdir).coalesce(target_files_per_partition)
-        df = df.localCheckpoint(eager=True)  # cut lineage before overwrite
-        df.write.mode("overwrite").parquet(pdir)
-        done += 1
-    return done
+        if len(files) > target_files_per_partition:
+            need.append(int(entry.split("=", 1)[1]))
+    if not need:
+        return 0
+    df = storage.read(spark).filter(
+        F.col("p_bucket").isin(need))  # partition-pruned read
+    n_parts = len(need) * target_files_per_partition
+    if target_files_per_partition > 1:
+        cols = [c for c in df.columns if c != "p_bucket"]
+        df = (df.withColumn("_c_salt",
+                            F.pmod(F.xxhash64(*cols),
+                                   F.lit(target_files_per_partition)))
+              .repartition(n_parts, "p_bucket", "_c_salt")
+              .drop("_c_salt"))
+    else:
+        df = df.repartition(n_parts, "p_bucket")
+    df = df.localCheckpoint(eager=True)
+    (df.write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy("p_bucket").parquet(storage.path))
+    return len(need)

@@ -1084,10 +1084,71 @@ def r7g_probe(spark, res, n_events):
           res)
 
 
+def r8_probe(spark, res, n_base):
+    """r8: join_fuzzy growth laws through the REAL registered builder.
+    Two levers, probed separately:
+    (a) rows grow 1M→5M with a FIXED 50k name vocabulary (the TPC-H
+        shape) — the distinct-name dedupe bounds verify work by vocab,
+        so wall-clock must stay near-flat (growth = the linear dedup
+        scan + row re-attach, never pairs);
+    (b) vocabulary grows WITH rows 1M→5M (names near-unique, prefix
+        space expanding like a real name corpus) — the compound
+        (prefix4, length-band) blocking keeps verify pairs ∝ names,
+        so wall-clock must grow ~linearly (5×), not ~quadratically
+        (25×)."""
+    import os
+    import tempfile
+
+    from minerva_etl_46_spark.queries import QUERIES
+
+    # v → name: 4-letter word + ' ' + 3-letter word + 0..4 'x' padding.
+    # Bijective in v up to 26^7 — prefix4 cardinality grows with the
+    # vocabulary (up to 26^4 = 457k), lengths spread over 5 bands.
+    name = (
+        "concat("
+        "char(97 + (v % 26)), char(97 + ((v div 26) % 26)),"
+        "char(97 + ((v div 676) % 26)), char(97 + ((v div 17576) % 26)),"
+        "' ',"
+        "char(97 + ((v div 456976) % 26)),"
+        "char(97 + ((v div 11881376) % 26)),"
+        "char(97 + ((v div 308915776) % 26)),"
+        "repeat('x', cast(v % 5 as int)))"
+    )
+
+    def write_part(n_rows, vocab, tag):
+        scratch = os.path.join(tempfile.gettempdir(),
+                               f"r8_fuzzy_{os.getpid()}_{tag}")
+        (spark.range(n_rows)
+         .select(F.col("id").alias("p_partkey"),
+                 F.expr(f"abs(xxhash64(id)) % {vocab}").alias("v"))
+         .select("p_partkey", F.expr(name).alias("p_name"))
+         .write.mode("overwrite").parquet(f"{scratch}/part.parquet"))
+        return scratch
+
+    # untimed warmup: absorb session JIT/codegen so shape 1 isn't cold
+    warm = write_part(100_000, 10_000, "warm")
+    QUERIES["join_fuzzy"](spark, warm).write.format("noop") \
+        .mode("overwrite").save()
+    for n in (n_base, 5 * n_base):
+        sc = write_part(n, 50_000, f"rows{n}")
+        timed(f"join_fuzzy_rows_{n // 1_000_000}M_vocab50k",
+              QUERIES["join_fuzzy"](spark, sc), res)
+    for n in (n_base, 5 * n_base):
+        sc = write_part(n, n, f"names{n}")
+        timed(f"join_fuzzy_names_{n // 1_000_000}M",
+              QUERIES["join_fuzzy"](spark, sc), res)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r8":
+        r8_probe(spark, res, n_base=min(N, 1_000_000))
+        print(json.dumps({"metric": "scale_probe_r8", "rows": N,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r7g":
         r7g_probe(spark, res, n_events=N)
         print(json.dumps({"metric": "scale_probe_r7g", "rows": N,

@@ -145,6 +145,50 @@ def test_compact_partitions(spark, tmp_path):
     assert st.read(spark).count() == 3
 
 
+def test_compact_only_touches_multifile_partitions(spark, tmp_path):
+    """r8 one-job compaction: a partition already at the file target is
+    neither read nor rewritten (byte-identical dir listing)."""
+    from minerva_etl_46_spark.sources.trendstore import compact_partitions
+
+    st = TrendStorePartStorage(str(tmp_path), "part_d", partition_size_s=3600)
+    st.write(_mini(spark, [
+        (1, "2024-01-01 00:10:00", 1, 1.0),   # bucket A: stays 1 file
+        (2, "2024-01-01 01:10:00", 1, 2.0),   # bucket B: gets appends
+    ]), ts_col="ts")
+    pdir_b = os.path.join(st.path, "p_bucket=1704070800")
+    cols = spark.read.parquet(pdir_b).columns
+    for j in (5, 6):
+        _mini(spark, [(j, "2024-01-01 01:20:00", j, float(j))]) \
+            .select(*cols).coalesce(1).write.mode("append").parquet(pdir_b)
+    pdir_a = os.path.join(st.path, "p_bucket=1704067200")
+    listing_a = sorted(
+        (f, os.path.getmtime(os.path.join(pdir_a, f)))
+        for f in os.listdir(pdir_a) if f.endswith(".parquet"))
+
+    assert compact_partitions(st, spark) == 1  # only bucket B
+    after_a = sorted(
+        (f, os.path.getmtime(os.path.join(pdir_a, f)))
+        for f in os.listdir(pdir_a) if f.endswith(".parquet"))
+    assert after_a == listing_a  # untouched: same files, same mtimes
+    nb = [f for f in os.listdir(pdir_b) if f.endswith(".parquet")]
+    assert len(nb) == 1
+    assert st.read(spark).count() == 4
+
+
+def test_write_files_per_partition_fans_out(spark, tmp_path):
+    """r8 write fan-out knob: files_per_partition=2 salts each bucket's
+    rows over 2 tasks/files (the huge-single-day-batch escape hatch)."""
+    st = TrendStorePartStorage(str(tmp_path), "part_e",
+                               partition_size_s=3600,
+                               files_per_partition=2)
+    rows = [(i, "2024-01-01 00:10:00", 1, float(i)) for i in range(64)]
+    st.write(_mini(spark, rows), ts_col="ts")
+    pdir = os.path.join(st.path, "p_bucket=1704067200")
+    files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+    assert len(files) == 2
+    assert spark.read.parquet(st.path).count() == 64
+
+
 def test_jsonl_harvest_equals_csv_harvest(spark, tmp_path):
     """S1 sibling format: a JSON-lines drop of the same vendor rows must
     resolve/align identically to the CSV path (format equivalence), and a
