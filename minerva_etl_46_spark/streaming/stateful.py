@@ -281,7 +281,7 @@ def _scd2_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     (user_id,) = key
     cur_type, cur_from = state.get if state.exists else (None, -1)
     out = []
-    frames = [p for p in pdfs]
+    frames = [p for p in pdfs if len(p)]  # drop empty batches: concat of empty/all-NA frames is a pandas dtype trap (FutureWarning)
     if frames:
         pdf = pd.concat(frames)
         pdf = (pdf.sort_values(["ts_us", "event_id"])
@@ -378,7 +378,7 @@ def _attribution_update(key, pdfs: Iterable[pd.DataFrame],
     (user_id,) = key
     src_type, src_us = state.get if state.exists else (None, -1)
     out = []
-    frames = [p for p in pdfs]
+    frames = [p for p in pdfs if len(p)]  # drop empty batches: concat of empty/all-NA frames is a pandas dtype trap (FutureWarning)
     if frames:
         pdf = pd.concat(frames).sort_values(["ts_us", "event_id"])
         for ts_us, et in zip(pdf["ts_us"], pdf["event_type"]):
@@ -458,7 +458,7 @@ def _records_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     (user_id,) = key
     max_val, n_records = state.get if state.exists else (None, 0)
     out = []
-    frames = [p for p in pdfs]
+    frames = [p for p in pdfs if len(p)]  # drop empty batches: concat of empty/all-NA frames is a pandas dtype trap (FutureWarning)
     if frames:
         pdf = pd.concat(frames).sort_values(["ts_us", "event_id"])
         for event_id, value in zip(pdf["event_id"], pdf["value"]):
