@@ -284,10 +284,12 @@ NOTES = {
                             "peak and first-peak-time all on "
                             "hash(event_type); frame is 2× events — "
                             "no interval self-product.",
-    "join_fuzzy": "Block equi-join on the 4-char prefix (never a "
-                  "cross product) → levenshtein verify INSIDE blocks "
-                  "→ WindowGroupLimit best-match cap; work is "
-                  "Σ block² pairs, never probes×dim.",
+    "join_fuzzy": "Distinct-name dedupe FIRST (verify is vocab², "
+                  "never rows²) → compound (prefix4, length-band) "
+                  "block equi-join (never a cross product) → "
+                  "threshold-bounded levenshtein INSIDE blocks → "
+                  "WindowGroupLimit best-match cap → broadcast "
+                  "re-attach of the vocab-sized winner frame.",
     "agg_basket_pairs": "Pair generation self-joins ON THE ORDER KEY "
                         "(work = Σ basket², never |parts|²); the "
                         "repartition(order) exchange is the only "
