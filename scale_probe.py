@@ -1139,10 +1139,60 @@ def r8_probe(spark, res, n_base):
               QUERIES["join_fuzzy"](spark, sc), res)
 
 
+def r8b_probe(spark, res, n_events):
+    """r8b: the trend-store WRITE path at 200× fixture scale after the
+    r8 fixes (explicit-numPartitions repartition before partitionBy;
+    pyarrow modified-log append): full 30-day dynamic-overwrite write,
+    a one-bucket revision write, and the one-job compaction of a store
+    with appended small files."""
+    import os
+    import shutil
+    import tempfile
+    import time as _t
+
+    from minerva_etl_46_spark.sources.trendstore import (
+        TrendStorePartStorage,
+        compact_partitions,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), f"r8b_store_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    st = TrendStorePartStorage(base, "events_v")
+    e = synth_events(spark, n_events).select(
+        "event_id", "ts", "user_id", "value")
+    e.write.format("noop").mode("overwrite").save()  # warm the scan
+    t0 = _t.perf_counter()
+    touched = st.write(e, ts_col="ts")
+    res["trendstore_write_20M_30buckets"] = {
+        "sec": round(_t.perf_counter() - t0, 2), "buckets": len(touched)}
+    rev = e.filter(
+        F.col("ts").cast("long") < touched[0] + 86400)
+    t0 = _t.perf_counter()
+    st.write(rev, ts_col="ts")
+    res["trendstore_revision_1bucket"] = {
+        "sec": round(_t.perf_counter() - t0, 2)}
+    # simulate incremental small files: 3 appends into one partition
+    pdir = os.path.join(st.path, f"p_bucket={touched[1]}")
+    one = spark.read.parquet(pdir)
+    for _ in range(3):
+        one.coalesce(1).write.mode("append").parquet(pdir)
+    t0 = _t.perf_counter()
+    n = compact_partitions(st, spark)
+    res["trendstore_compact_onejob"] = {
+        "sec": round(_t.perf_counter() - t0, 2), "partitions": n}
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r8b":
+        r8b_probe(spark, res, n_events=N)
+        print(json.dumps({"metric": "scale_probe_r8b", "rows": N,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r8":
         r8_probe(spark, res, n_base=min(N, 1_000_000))
         print(json.dumps({"metric": "scale_probe_r8", "rows": N,
