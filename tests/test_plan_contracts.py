@@ -119,6 +119,59 @@ CONTRACTS = {
     "agg_peak_concurrency": (1, None, "Join"),
     # block equi-join (never a cross product) + WindowGroupLimit cap
     "join_fuzzy": (4, "WindowGroupLimit", "CartesianProduct"),
+    # --- r8: lock in the rotation keys' shapes (counts from the r8
+    # full-registry plan audit; ceilings, not exact) ---
+    # per-iteration: one edge-scan + node-scale agg; rank frame must
+    # BROADCAST into the edge join (SCALE.md r7e: SMJ re-shuffles 36M
+    # edges per iteration without the hint)
+    "graph_pagerank": (4, "BroadcastHashJoin", "CartesianProduct"),
+    # kNN partner graph: pair hash-agg + wedge/close equi-joins only
+    "graph_triangles": (6, None, "CartesianProduct"),
+    # four-hop star: every dim hop broadcasts; the single exchange is
+    # the final rollup's
+    "join_snowflake": (1, "BroadcastHashJoin", "SortMergeJoin"),
+    # ONE scan: multi-distinct plans as one Expand pass + final agg
+    "agg_profile": (2, None, "CartesianProduct"),
+    # stack() unpivot rides one scan; hot-key rank caps via WGL
+    "agg_skew_report": (4, "WindowGroupLimit", "CartesianProduct"),
+    # 8 KiB filter + exact-membership audit frames broadcast; probe
+    # work ∝ batch
+    "llm_bloom_prefilter": (5, "BroadcastHashJoin", "CartesianProduct"),
+    # month frame checkpointed (consumed 3x); self-join on cust×months
+    "agg_revenue_bridge": (4, "BroadcastHashJoin", "CartesianProduct"),
+    # HOF bit-fold is pure projection — scan-bound, ZERO shuffles
+    "fn_zorder": (0, None, "Exchange"),
+    # running max + record cumsum share one hash(user) exchange
+    "win_records": (1, None, "CartesianProduct"),
+    # bucket-count frame checkpointed; integer TV math on bucket frame
+    "agg_drift_tv": (2, "BroadcastHashJoin", "CartesianProduct"),
+    # sweep: running-max-of-ends + island cumsum + rollup on ONE
+    # hash(user) exchange
+    "win_interval_merge": (1, None, "CartesianProduct"),
+    # all rules as conditional sums in ONE aggregate — one scan
+    "agg_dq_checks": (1, None, "CartesianProduct"),
+    # anchored half-life weights: one hash(entity) agg + anchor frame
+    "agg_decay_score": (2, None, "CartesianProduct"),
+    "agg_freshness": (2, None, "CartesianProduct"),
+    # hash-agg stats + broadcast join back — facts scanned, never
+    # shuffled (the r7f window→join rewrite)
+    "agg_target_encode": (2, "BroadcastHashJoin", "CartesianProduct"),
+    # month-grain contraction before the O(m²) pair self-join
+    "agg_theil_sen": (4, None, "CartesianProduct"),
+    "agg_kendall": (4, None, "CartesianProduct"),
+    # three exact percentiles + fences share one hash(type) exchange
+    "agg_boxplot": (1, None, "CartesianProduct"),
+    "win_twr": (2, None, "CartesianProduct"),
+    "agg_cohort_ltv": (4, None, "CartesianProduct"),
+    # three FKs fused into ONE fact scan w/ chained broadcast joins
+    "agg_ri_audit": (2, "BroadcastHashJoin", "SortMergeJoin"),
+    "fn_calendar_spine": (1, None, "CartesianProduct"),
+    # label×dim sums + norms broadcast onto the element stream
+    "llm_embed_outliers": (6, "WindowGroupLimit", "CartesianProduct"),
+    "win_percent_rank": (2, None, "CartesianProduct"),
+    # pair-frame shuffles by design (Σ basket² self-join); item counts
+    # and the 1-row order count broadcast onto the RULE frame
+    "agg_basket_rules": (12, "BroadcastHashJoin", "CartesianProduct"),
 }
 
 
