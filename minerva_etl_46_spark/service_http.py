@@ -172,11 +172,15 @@ class DataServiceHandler(BaseHTTPRequestHandler):
             if one("ts") is None:
                 raise KeyError("ts is required for /attributes/at")
             ts = int(one("ts"))
-            facts = spark.createDataFrame(
-                [(e, ts) for e in ents], "entity_id long, __at_epoch long"
-            ).select(
-                "entity_id",
-                F.timestamp_seconds("__at_epoch").alias("__at_ts"),
+            # JVM-side literal frame: createDataFrame-from-rows costs a
+            # Python-worker round-trip per REQUEST (~0.4-2 s of served
+            # latency); range + literal array stays in the JVM
+            facts = spark.range(len(ents)).select(
+                F.element_at(
+                    F.array(*[F.lit(int(e)) for e in ents]),
+                    (F.col("id") + 1).cast("int"),
+                ).cast("long").alias("entity_id"),
+                F.timestamp_seconds(F.lit(ts)).alias("__at_ts"),
             )
             df = store.at(spark, facts, fact_ts="__at_ts")
             rows = df.collect()  # bounded-by: one row per requested entity
