@@ -44,10 +44,23 @@ class EntityDirectory:
         new_entities.write.mode("append").parquet(self.entities_path)
 
     def tag(self, spark: SparkSession, entity_ids: list[int], tag: str) -> None:
-        df = spark.createDataFrame(
-            [(int(e), tag) for e in entity_ids], schema="entity_id long, tag string"
-        )
-        df.write.mode("append").parquet(self.tags_path)
+        # driver-side bookkeeping append (bounded by the tag list) —
+        # pyarrow direct write, same rationale as the trend store's
+        # modified log: createDataFrame-from-rows costs a Python-worker
+        # round-trip per call
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table({
+            "entity_id": pa.array([int(e) for e in entity_ids], pa.int64()),
+            "tag": pa.array([tag] * len(entity_ids), pa.string()),
+        })
+        os.makedirs(self.tags_path, exist_ok=True)
+        pq.write_table(
+            tbl, os.path.join(self.tags_path,
+                              f"part-{uuid.uuid4().hex}.parquet"))
 
     def tagged(self, spark: SparkSession, tag: str) -> DataFrame:
         if not os.path.isdir(self.tags_path):
