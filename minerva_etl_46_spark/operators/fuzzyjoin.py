@@ -1,0 +1,111 @@
+"""Blocked fuzzy string join (J12's reusable core; SURVEY.md §2.3).
+
+Entity resolution — match possibly-corrupted external names against a
+reference dimension — without an O(|probe|·|dim|) distance matrix.
+Three stacked levers, each load-bearing at 100 TB:
+
+1. **Distinct-name dedupe.** Edit distance depends only on the STRING,
+   so both sides collapse to distinct names before any verify (the dim
+   side keeps ``min(key)`` per name for deterministic tie-breaks).
+   Verify work is vocabulary-sized, never corpus-row-sized.
+2. **Compound block key** ``(prefix, length-band)``: equi-join on the
+   first ``prefix_len`` chars plus ``floor(len / max_distance)``, probe
+   side exploding bands ``{b-1, b, b+1}``. Because ``lev ≤ k`` implies
+   ``|Δlen| ≤ k`` implies adjacent bands (width = k), the band axis is
+   a NECESSARY condition of the final filter — it never changes the
+   result, only bounds pair formation, and it keeps subdividing blocks
+   as the vocabulary grows where prefix cardinality is constant.
+3. **Threshold-bounded levenshtein** (Spark 3.5+ banded DP: O(len·k)
+   per pair; returns −1 past the threshold, the exact distance
+   otherwise).
+
+Blocking contract (stated, not hidden): a candidate must share the
+``prefix_len``-char prefix — a corruption INSIDE the prefix is a
+blocking miss. Extend with a prefix∪suffix block union if the
+corruption model requires it.
+
+Rank equivalence for lever 1: the per-probe best row under
+``(distance, key)`` equals the best NAME under ``(distance, min key
+within name)`` because within the minimum-distance set the row-minimum
+key equals the per-name minimum. Winners re-attach to probe rows via a
+vocabulary-sized broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def blocked_fuzzy_join(
+    probes: DataFrame,
+    dim: DataFrame,
+    probe_name_col: str,
+    dim_name_col: str,
+    dim_key_col: str,
+    max_distance: int = 2,
+    prefix_len: int = 4,
+) -> DataFrame:
+    """Best fuzzy match per probe row.
+
+    Returns every ``probes`` row that has a dimension name within
+    ``max_distance`` edits (inner-join semantics), plus three columns:
+    the matched ``dim_key_col`` (the MINIMUM key among dim rows sharing
+    the winning name), the matched ``dim_name_col``, and ``lev`` (the
+    exact distance, long). Winner per probe = minimum ``(distance,
+    key)``. Candidates are restricted to names sharing the
+    ``prefix_len``-char prefix (the blocking contract above).
+
+    ``dim`` may carry payload columns; they are ignored here — re-join
+    them on the returned key. Work at scale: one hash-agg per side for
+    the name dedupe, a vocab-sized compound-key equi-join for the
+    verify, one broadcast back onto probe rows.
+    """
+    if max_distance < 1:
+        raise ValueError("max_distance must be >= 1 (use an equi-join "
+                         "for exact matching)")
+    if prefix_len < 1:
+        raise ValueError("prefix_len must be >= 1")
+    k = int(max_distance)
+
+    dnames = (
+        dim.groupBy(dim_name_col)
+        .agg(F.min(dim_key_col).alias("__pk_min"))
+        .select(
+            F.col(dim_name_col).alias("__d_name"), "__pk_min",
+            F.substring(dim_name_col, 1, prefix_len).alias("__blk"),
+            F.floor(F.length(dim_name_col) / k).alias("__band"),
+        )
+    )
+    pnames = (
+        probes.select(F.col(probe_name_col).alias("__p_name")).distinct()
+        .withColumn("__blk", F.substring("__p_name", 1, prefix_len))
+        .withColumn("__b0", F.floor(F.length("__p_name") / k))
+        .withColumn(
+            "__band",
+            F.explode(F.array(F.col("__b0") - 1, F.col("__b0"),
+                              F.col("__b0") + 1)))
+        .drop("__b0")
+    )
+    cand = (
+        pnames.join(dnames, ["__blk", "__band"])
+        .filter(F.abs(F.length("__p_name") - F.length("__d_name")) <= k)
+        .withColumn("lev", F.levenshtein("__p_name", "__d_name", k))
+        .filter(F.col("lev") >= 0)
+    )
+    w = Window.partitionBy("__p_name").orderBy(
+        F.col("lev").asc(), F.col("__pk_min").asc())
+    best = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "__p_name",
+            F.col("__pk_min").alias(dim_key_col),
+            F.col("__d_name").alias(dim_name_col),
+            F.col("lev").cast("long").alias("lev"),
+        )
+    )
+    return probes.join(
+        F.broadcast(best),
+        probes[probe_name_col] == best["__p_name"],
+    ).drop("__p_name")

@@ -7820,8 +7820,11 @@ def agg_peak_concurrency(spark, sf_dir):
 def join_fuzzy(spark, sf_dir):
     """J12: fuzzy string join (entity resolution) — match possibly
     corrupted external names to a dimension without an O(n·m) distance
-    matrix. r8 rewrite of the r7 low-cardinality blocking, three
-    stacked levers:
+    matrix, via the reusable operator
+    (operators/fuzzyjoin.py::blocked_fuzzy_join, hypothesis-proven
+    equivalent to bruteforce-within-the-blocking-contract in
+    tests/test_fuzzyjoin.py). r8 rewrite of the r7 low-cardinality
+    blocking, three stacked levers:
     (1) DISTINCT-NAME DEDUPE — distance depends only on the string, so
     both sides collapse to distinct names before any verify (the dim
     side keeps min(p_partkey) per name for tie-breaks). Verify work is
@@ -7852,22 +7855,9 @@ def join_fuzzy(spark, sf_dir):
     hash-agg; verify ∝ Σ block-pair products over the 2-axis key on
     vocab-sized frames (AQE skew-splittable); row re-attach is a
     broadcast."""
+    from minerva_etl_46_spark.operators.fuzzyjoin import blocked_fuzzy_join
+
     p = load(spark, sf_dir, "part")
-    # Distance depends only on the STRING — dedupe both sides to
-    # distinct names first (vocabulary-sized frames), verify on names,
-    # re-attach rows at the end. Rank equivalence: the per-probe best
-    # row under (lev, p_partkey) is, name-wise, the best name under
-    # (lev, min p_partkey within that name) — because within the
-    # min-lev set, min over rows = min over names of per-name minima.
-    dnames = (
-        p.groupBy("p_name")
-        .agg(F.min("p_partkey").alias("pk_min"))
-        .select(
-            "p_name", "pk_min",
-            F.substring("p_name", 1, 4).alias("blk"),
-            F.floor(F.length("p_name") / 2).alias("band"),
-        )
-    )
     nm = F.col("p_name")
     ln = F.length(nm)
     head = F.substring(nm, F.lit(1), ln - 3)
@@ -7881,33 +7871,11 @@ def join_fuzzy(spark, sf_dir):
             .alias("probe_name"),
         )
     )
-    pnames = (
-        probes.select("probe_name").distinct()
-        .withColumn("blk", F.substring("probe_name", 1, 4))
-        .withColumn("b0", F.floor(F.length("probe_name") / 2))
-        .withColumn(
-            "band",
-            F.explode(F.array(F.col("b0") - 1, F.col("b0"),
-                              F.col("b0") + 1)))
-        .drop("b0")
-    )
-    cand = (
-        pnames.join(dnames, ["blk", "band"])
-        .filter(
-            F.abs(F.length("probe_name") - F.length("p_name")) <= 2)
-        .withColumn("lev", F.levenshtein("probe_name", "p_name", 2))
-        .filter(F.col("lev") >= 0)
-    )
-    w = Window.partitionBy("probe_name").orderBy(
-        F.col("lev").asc(), F.col("pk_min").asc())
-    best = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("probe_name", F.col("pk_min").alias("p_partkey"),
-                "p_name", F.col("lev").cast("long").alias("lev"))
-    )
-    return probes.join(F.broadcast(best), "probe_name").select(
-        "probe_id", "probe_name", "p_partkey", "p_name", "lev")
+    return blocked_fuzzy_join(
+        probes, p.select("p_partkey", "p_name"),
+        probe_name_col="probe_name", dim_name_col="p_name",
+        dim_key_col="p_partkey", max_distance=2, prefix_len=4,
+    ).select("probe_id", "probe_name", "p_partkey", "p_name", "lev")
 
 
 @register(

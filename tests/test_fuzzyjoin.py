@@ -1,0 +1,86 @@
+"""blocked_fuzzy_join property tests: the three-lever implementation
+(name dedupe + compound blocking + threshold levenshtein) must be
+EXACTLY equivalent to brute force within the stated blocking contract —
+candidates share the prefix, distance ≤ k, winner by (distance, key).
+Random short strings hit the hazards the fixture can't: names shorter
+than the prefix, length-band boundaries, duplicate names, probes with
+no match, ties across different names."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from minerva_etl_46_spark.operators.fuzzyjoin import blocked_fuzzy_join
+
+NAME = st.text(alphabet="ab ", min_size=1, max_size=9).map(str.strip) \
+    .filter(lambda s: len(s) >= 1)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute(probes, dim, k, prefix_len):
+    """The blocking contract, row-at-a-time: candidates share the
+    prefix_len prefix; lev ≤ k; winner = min (lev, key)."""
+    out = {}
+    for pid, pname in probes:
+        best = None
+        for key, dname in dim:
+            if pname[:prefix_len] != dname[:prefix_len]:
+                continue
+            d = _lev(pname, dname)
+            if d > k:
+                continue
+            c = (d, key, dname)
+            if best is None or c[:2] < best[:2]:
+                best = c
+        if best is not None:
+            out[pid] = best
+    return out
+
+
+@given(
+    dim_names=st.lists(NAME, min_size=1, max_size=12),
+    probe_names=st.lists(NAME, min_size=1, max_size=8),
+    k=st.integers(min_value=1, max_value=3),
+    prefix_len=st.integers(min_value=1, max_value=4),
+    dup=st.booleans(),
+)
+@settings(max_examples=12, deadline=None)
+def test_matches_bruteforce_within_blocking_contract(
+        spark, dim_names, probe_names, k, prefix_len, dup):
+    dim = [(i, n) for i, n in enumerate(dim_names)]
+    if dup:  # duplicate names with distinct keys: min-key tie-break
+        dim += [(len(dim) + i, n) for i, n in enumerate(dim_names[:3])]
+    probes = [(100 + i, n) for i, n in enumerate(probe_names)]
+
+    got_df = blocked_fuzzy_join(
+        spark.createDataFrame(probes, "probe_id long, probe_name string"),
+        spark.createDataFrame(dim, "key long, name string"),
+        probe_name_col="probe_name", dim_name_col="name",
+        dim_key_col="key", max_distance=k, prefix_len=prefix_len,
+    )
+    got = {r.probe_id: (r.lev, r.key, r.name) for r in got_df.collect()}
+    assert got == _brute(probes, dim, k, prefix_len)
+
+
+def test_rejects_degenerate_parameters(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "probe_id long, probe_name string")
+    dim = spark.createDataFrame([(1, "a")], "key long, name string")
+    with pytest.raises(ValueError, match="max_distance"):
+        blocked_fuzzy_join(df, dim, "probe_name", "name", "key",
+                           max_distance=0)
+    with pytest.raises(ValueError, match="prefix_len"):
+        blocked_fuzzy_join(df, dim, "probe_name", "name", "key",
+                           prefix_len=0)
