@@ -12,6 +12,8 @@ Subcommands mirror the reference verbs a migrating user runs today:
                 append notifications
   diff          diff two instance-definition YAMLs → typed change list
   retention     drop partitions older than N days from a store part
+  fuzzy-match   blocked entity resolution: best levenshtein match of
+                an input column against a reference dimension
 
 python -m minerva_etl_46_spark.cli <subcommand> --help
 """
@@ -314,6 +316,43 @@ def cmd_skew(args) -> int:
     return 0
 
 
+def cmd_fuzzy_match(args) -> int:
+    """Entity resolution: best fuzzy match of an input column against a
+    reference dimension (operators/fuzzyjoin.py — blocked, never
+    all-pairs). Writes the matched frame; prints match statistics."""
+    from pyspark.sql import functions as F
+
+    from minerva_etl_46_spark.operators.fuzzyjoin import blocked_fuzzy_join
+
+    spark = _spark(args)
+    probes = spark.read.parquet(args.input)
+    dim = spark.read.parquet(args.dim)
+    matched = blocked_fuzzy_join(
+        probes, dim,
+        probe_name_col=args.input_col, dim_name_col=args.dim_col,
+        dim_key_col=args.dim_key,
+        max_distance=args.max_distance, prefix_len=args.prefix_len,
+    )
+    matched.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    # bounded-by: a handful of scalar aggregates
+    stats = back.agg(
+        F.count(F.lit(1)).alias("matched"),
+        F.avg("lev").alias("avg_distance"),
+        F.sum(F.when(F.col("lev") == 0, 1).otherwise(0)).alias("exact"),
+    ).first()
+    total = probes.count()
+    print(json.dumps({
+        "input_rows": total,
+        "matched": stats["matched"],
+        "unmatched": total - stats["matched"],
+        "exact": int(stats["exact"] or 0),
+        "avg_distance": stats["avg_distance"],
+        "out": args.out,
+    }))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="minerva-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -413,6 +452,20 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("--cols", default=None,
                     help="comma-separated subset (default: all columns)")
     pf.set_defaults(fn=cmd_profile)
+
+    fm = sub.add_parser("fuzzy-match", help="best fuzzy match of an input "
+                        "column against a reference dimension (blocked "
+                        "levenshtein, never all-pairs)")
+    fm.add_argument("--input", required=True, help="probe parquet path")
+    fm.add_argument("--input-col", required=True, help="probe name column")
+    fm.add_argument("--dim", required=True, help="dimension parquet path")
+    fm.add_argument("--dim-col", required=True, help="dimension name column")
+    fm.add_argument("--dim-key", required=True, help="dimension key column "
+                    "(tie-break; payload re-join key)")
+    fm.add_argument("--out", required=True, help="output parquet path")
+    fm.add_argument("--max-distance", type=int, default=2)
+    fm.add_argument("--prefix-len", type=int, default=4)
+    fm.set_defaults(fn=cmd_fuzzy_match)
 
     sk = sub.add_parser("skew", help="join-key skew audit (hottest key, "
                         "max-vs-uniform ratio) per key column")

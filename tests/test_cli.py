@@ -416,3 +416,35 @@ triggers:
         assert got == {k: v for k, v in rolled.items()}
     finally:
         srv.shutdown()
+
+
+def test_cli_fuzzy_match(spark, tmp_path, capsys):
+    """fuzzy-match verb: blocked entity resolution end to end — corrupted
+    probe names resolve to the reference dim, stats line reports the
+    unmatched remainder."""
+    dim = tmp_path / "dim.parquet"
+    spark.createDataFrame(
+        [(1, "alpha node"), (2, "beta node"), (3, "gamma node")],
+        "ref_id long, ref_name string",
+    ).write.parquet(str(dim))
+    probes = tmp_path / "probes.parquet"
+    spark.createDataFrame(
+        [(10, "alpha nodX"),   # 1 substitution → ref 1
+         (11, "beta node"),    # exact → ref 2
+         (12, "zzz unrelated")],  # no match within distance 2
+        "probe_id long, name string",
+    ).write.parquet(str(probes))
+    out = str(tmp_path / "matched.parquet")
+
+    rc = main([
+        "fuzzy-match", "--input", str(probes), "--input-col", "name",
+        "--dim", str(dim), "--dim-col", "ref_name", "--dim-key", "ref_id",
+        "--out", out,
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["input_rows"] == 3 and stats["matched"] == 2
+    assert stats["unmatched"] == 1 and stats["exact"] == 1
+    got = {r.probe_id: (r.ref_id, r.lev)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {10: (1, 1), 11: (2, 0)}
