@@ -209,3 +209,49 @@ def test_http_attribute_routes(spark, tmp_path):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_http_query_custom_entity_and_ts_columns(spark, tmp_path):
+    """r8: /query pages stores whose entity/time columns aren't the
+    defaults (ladder rollups: bucket; external stores: any key name)."""
+    import json
+    import threading
+    import urllib.request
+
+    from minerva_etl_46_spark.service_http import make_server
+
+    st = TrendStorePartStorage(str(tmp_path), "ext", partition_size_s=3600)
+    rows = [(e, H0 + 600 * i, float(e + i)) for e in (1, 2) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, schema="cell_id long, epoch long, v double"
+    ).select("cell_id", F.timestamp_seconds("epoch").alias("ts"), "v")
+    st.write(df, ts_col="ts")
+
+    srv = make_server(spark, str(tmp_path), partition_size_s=3600)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}", timeout=60
+            ) as resp:
+                return json.loads(resp.read())
+
+        # page with a 3-row page size: cursor tuple must carry cell_id
+        rows_out, cursor, pages = [], "", 0
+        while True:
+            body = get(
+                f"/query?part=ext&start={H0}&end={H0 + 3600}"
+                f"&columns=v&entity_col=cell_id&page_size=3{cursor}")
+            rows_out.extend(body["rows"])
+            pages += 1
+            if not body["next_after"]:
+                break
+            us, ent = body["next_after"]
+            cursor = f"&after_us={us}&after_entity={ent}"
+        assert len(rows_out) == 8 and pages >= 3
+        assert {r["cell_id"] for r in rows_out} == {1, 2}
+        keys = [(r["ts"], r["cell_id"]) for r in rows_out]
+        assert keys == sorted(keys)
+    finally:
+        srv.shutdown()
