@@ -332,14 +332,20 @@ def cmd_fuzzy_match(args) -> int:
         probe_name_col=args.input_col, dim_name_col=args.dim_col,
         dim_key_col=args.dim_key,
         max_distance=args.max_distance, prefix_len=args.prefix_len,
+        # fixed output names: immune to --input-col == --dim-col (the
+        # common case) and to probe frames already carrying key/lev
+        # columns
+        out_key_col="match_key", out_name_col="match_name",
+        out_dist_col="match_lev",
     )
     matched.write.mode("overwrite").parquet(args.out)
     back = spark.read.parquet(args.out)
     # bounded-by: a handful of scalar aggregates
     stats = back.agg(
         F.count(F.lit(1)).alias("matched"),
-        F.avg("lev").alias("avg_distance"),
-        F.sum(F.when(F.col("lev") == 0, 1).otherwise(0)).alias("exact"),
+        F.avg("match_lev").alias("avg_distance"),
+        F.sum(F.when(F.col("match_lev") == 0, 1).otherwise(0))
+        .alias("exact"),
     ).first()
     total = probes.count()
     print(json.dumps({

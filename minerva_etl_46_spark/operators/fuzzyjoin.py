@@ -45,16 +45,26 @@ def blocked_fuzzy_join(
     dim_key_col: str,
     max_distance: int = 2,
     prefix_len: int = 4,
+    out_key_col: str | None = None,
+    out_name_col: str | None = None,
+    out_dist_col: str = "lev",
 ) -> DataFrame:
     """Best fuzzy match per probe row.
 
     Returns every ``probes`` row that has a dimension name within
     ``max_distance`` edits (inner-join semantics), plus three columns:
-    the matched ``dim_key_col`` (the MINIMUM key among dim rows sharing
-    the winning name), the matched ``dim_name_col``, and ``lev`` (the
-    exact distance, long). Winner per probe = minimum ``(distance,
-    key)``. Candidates are restricted to names sharing the
-    ``prefix_len``-char prefix (the blocking contract above).
+    ``out_key_col`` (default ``dim_key_col``) — the matched key, the
+    MINIMUM among dim rows sharing the winning name; ``out_name_col``
+    (default ``dim_name_col``) — the matched name; and ``out_dist_col``
+    (default ``lev``) — the exact distance, long. Winner per probe =
+    minimum ``(distance, key)``. Candidates are restricted to names
+    sharing the ``prefix_len``-char prefix (the blocking contract
+    above). The three output names must not collide with each other or
+    with any ``probes`` column — when the defaults collide (e.g. both
+    sides name their column ``name``), pass explicit ``out_*`` names;
+    a collision raises ValueError instead of producing a frame with
+    duplicate column names (which Spark rejects at write time or
+    resolves ambiguously).
 
     ``dim`` may carry payload columns; they are ignored here — re-join
     them on the returned key. Work at scale: one hash-agg per side for
@@ -67,6 +77,17 @@ def blocked_fuzzy_join(
     if prefix_len < 1:
         raise ValueError("prefix_len must be >= 1")
     k = int(max_distance)
+    out_key = out_key_col or dim_key_col
+    out_name = out_name_col or dim_name_col
+    outs = [out_key, out_name, out_dist_col]
+    if len(set(outs)) != 3:
+        raise ValueError(f"output columns must be distinct, got {outs}")
+    clash = [c for c in outs if c in probes.columns]
+    if clash:
+        raise ValueError(
+            f"output column(s) {clash} collide with probe columns "
+            f"{probes.columns}; pass out_key_col/out_name_col/"
+            f"out_dist_col to rename them")
 
     dnames = (
         dim.groupBy(dim_name_col)
@@ -100,9 +121,9 @@ def blocked_fuzzy_join(
         .filter(F.col("__rn") == 1)
         .select(
             "__p_name",
-            F.col("__pk_min").alias(dim_key_col),
-            F.col("__d_name").alias(dim_name_col),
-            F.col("lev").cast("long").alias("lev"),
+            F.col("__pk_min").alias(out_key),
+            F.col("__d_name").alias(out_name),
+            F.col("lev").cast("long").alias(out_dist_col),
         )
     )
     return probes.join(

@@ -86,17 +86,24 @@ def pagerank_ppb(directed_edges: DataFrame, iterations: int = 3,
         .localCheckpoint(eager=False)
     )
     nn = deg.agg(F.count(F.lit(1)).alias("n_nodes")).localCheckpoint(eager=False)
+    # one-time sink check on the (already checkpointed) node-scale deg
+    # frame: sink-free graphs — the common case for symmetric edge sets
+    # — skip the per-iteration dangling agg + crossJoin entirely; the
+    # update below is bit-identical either way (dm ≡ 0 when no sinks)
+    has_sinks = bool(
+        deg.filter(F.col("outdeg") == 0).limit(1).count())
     r = (
         deg.crossJoin(F.broadcast(nn))  # 1-row stats frame
         .select("node", "outdeg",
                 F.expr(f"{_MASS_PPB} div n_nodes").alias("rank"))
     )
     for _ in range(iterations):
-        # consumed twice below (inflow join + dangling agg): cut the
-        # lineage or the plan doubles per iteration
-        r = r.localCheckpoint(eager=False)
-        dang = r.filter(F.col("outdeg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0)).alias("dm"))
+        if has_sinks:
+            # consumed twice below (inflow join + dangling agg): cut
+            # the lineage or the plan doubles per iteration
+            r = r.localCheckpoint(eager=False)
+            dang = r.filter(F.col("outdeg") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0)).alias("dm"))
         r_side = F.broadcast(r) if broadcast_ranks else r
         s = (
             de.join(r_side, de["src"] == r_side["node"])
@@ -105,18 +112,25 @@ def pagerank_ppb(directed_edges: DataFrame, iterations: int = 3,
             .groupBy("in_node")
             .agg(F.sum("c").alias("s"))
         )
-        r = (
+        nxt = (
             deg.join(s, deg["node"] == s["in_node"], "left")
             .crossJoin(F.broadcast(nn))
-            .crossJoin(F.broadcast(dang))  # 1-row dangling-mass frame
-            .select(
-                deg["node"].alias("node"),
-                deg["outdeg"].alias("outdeg"),
-                (F.expr(f"{_TELEPORT_PPB} div n_nodes")
-                 + F.expr(f"({_DAMP_NUM} * (coalesce(s, 0)"
-                          f" + dm div n_nodes)) div {_DAMP_DEN}")
-                 ).alias("rank"),
-            )
+        )
+        if has_sinks:
+            nxt = nxt.crossJoin(F.broadcast(dang))  # 1-row mass frame
+            rank_expr = (
+                F.expr(f"{_TELEPORT_PPB} div n_nodes")
+                + F.expr(f"({_DAMP_NUM} * (coalesce(s, 0)"
+                         f" + dm div n_nodes)) div {_DAMP_DEN}"))
+        else:
+            rank_expr = (
+                F.expr(f"{_TELEPORT_PPB} div n_nodes")
+                + F.expr(f"({_DAMP_NUM} * coalesce(s, 0))"
+                         f" div {_DAMP_DEN}"))
+        r = nxt.select(
+            deg["node"].alias("node"),
+            deg["outdeg"].alias("outdeg"),
+            rank_expr.alias("rank"),
         )
     return r.select("node", F.col("rank").alias("rank_ppb"))
 

@@ -11855,16 +11855,20 @@ def sink_overwrite_partition(spark, sf_dir):
     # PID-scoped store already exists the initial full write is a no-op
     # state-wise — skip it (first run pays it; warm re-runs pay only the
     # one-partition revision, which is the operation under test)
-    if not os.path.isdir(store.path):
-        # write() returns the touched buckets sorted — min bucket free
-        touched = store.write(e, ts_col="ts")
-        b0 = touched[0]
-    else:
+    existing = (
+        [int(d.split("=", 1)[1]) for d in os.listdir(store.path)
+         if d.startswith("p_bucket=")]
+        if os.path.isdir(store.path) else [])
+    if existing:
         # store pre-exists: min bucket from the partition directory
         # names (bounded-by: bucket count), no data job
-        b0 = min(
-            int(d.split("=", 1)[1]) for d in os.listdir(store.path)
-            if d.startswith("p_bucket="))
+        b0 = min(existing)
+    else:
+        # fresh OR half-created dir (e.g. an interrupted write left
+        # only _temporary): (re)write the full history; write() returns
+        # the touched buckets sorted — min bucket free
+        touched = store.write(e, ts_col="ts")
+        b0 = touched[0]
     rev = (
         e.filter(F.expr("(unix_micros(ts) div 86400000000) * 86400")
                  == F.lit(b0 + 3 * 86400))

@@ -172,16 +172,18 @@ class DataServiceHandler(BaseHTTPRequestHandler):
             if one("ts") is None:
                 raise KeyError("ts is required for /attributes/at")
             ts = int(one("ts"))
-            # JVM-side literal frame: createDataFrame-from-rows costs a
-            # Python-worker round-trip per REQUEST (~0.4-2 s of served
-            # latency); range + literal array stays in the JVM
-            facts = spark.range(len(ents)).select(
-                F.element_at(
-                    F.array(*[F.lit(int(e)) for e in ents]),
-                    (F.col("id") + 1).cast("int"),
-                ).cast("long").alias("entity_id"),
-                F.timestamp_seconds(F.lit(ts)).alias("__at_ts"),
+            # JVM-side literal frame for small entity lists
+            # (functions/frames.py: createDataFrame-from-rows costs a
+            # Python-worker round-trip per REQUEST; past the helper's
+            # literal limit it falls back before the expression tree
+            # bloats analysis cost)
+            from minerva_etl_46_spark.functions.frames import (
+                small_literal_frame,
             )
+
+            facts = small_literal_frame(
+                spark, [int(e) for e in ents], "entity_id", "long",
+            ).withColumn("__at_ts", F.timestamp_seconds(F.lit(ts)))
             df = store.at(spark, facts, fact_ts="__at_ts")
             rows = df.collect()  # bounded-by: one row per requested entity
         else:

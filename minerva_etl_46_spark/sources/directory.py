@@ -44,23 +44,16 @@ class EntityDirectory:
         new_entities.write.mode("append").parquet(self.entities_path)
 
     def tag(self, spark: SparkSession, entity_ids: list[int], tag: str) -> None:
-        # driver-side bookkeeping append (bounded by the tag list) —
-        # pyarrow direct write, same rationale as the trend store's
-        # modified log: createDataFrame-from-rows costs a Python-worker
-        # round-trip per call
-        import uuid
-
+        # driver-side bookkeeping append (bounded by the tag list);
+        # see sources/paio.py for why this bypasses createDataFrame
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        tbl = pa.table({
+        from minerva_etl_46_spark.sources.paio import append_table
+
+        append_table(self.tags_path, pa.table({
             "entity_id": pa.array([int(e) for e in entity_ids], pa.int64()),
             "tag": pa.array([tag] * len(entity_ids), pa.string()),
-        })
-        os.makedirs(self.tags_path, exist_ok=True)
-        pq.write_table(
-            tbl, os.path.join(self.tags_path,
-                              f"part-{uuid.uuid4().hex}.parquet"))
+        }))
 
     def tagged(self, spark: SparkSession, tag: str) -> DataFrame:
         if not os.path.isdir(self.tags_path):

@@ -96,29 +96,20 @@ class TrendStorePartStorage:
 
     def _log_modified(self, spark: SparkSession, buckets: list[int], job_id: int | None) -> None:
         # Driver-side bookkeeping append (bounded by touched buckets —
-        # already a driver-side list). Written with pyarrow directly:
-        # routing ~30 rows through spark.createDataFrame costs a
-        # Python-worker-backed LocalTableScan job (~5 s per store write
-        # on a cold worker pool) for a file any parquet writer can
-        # produce. Schema matches the Spark reader exactly
-        # (string/int64/double/nullable-int64).
-        import uuid
-
+        # already a driver-side list); see sources/paio.py for why this
+        # bypasses spark.createDataFrame. Schema matches the Spark
+        # reader exactly (string/int64/double/nullable-int64).
         import pyarrow as pa
-        import pyarrow.parquet as pq
+
+        from minerva_etl_46_spark.sources.paio import append_table
 
         now = time.time()
-        tbl = pa.table({
+        append_table(self.modified_log_path, pa.table({
             "part": pa.array([self.name] * len(buckets), pa.string()),
             "p_bucket": pa.array([int(b) for b in buckets], pa.int64()),
             "modified_at": pa.array([now] * len(buckets), pa.float64()),
             "job_id": pa.array([job_id] * len(buckets), pa.int64()),
-        })
-        os.makedirs(self.modified_log_path, exist_ok=True)
-        pq.write_table(
-            tbl,
-            os.path.join(self.modified_log_path,
-                         f"part-{uuid.uuid4().hex}.parquet"))
+        }))
 
     def upsert(self, staged: DataFrame, keys: list[str], version_cols: list[str],
                ts_col: str = "ts", job_id: int | None = None) -> list[int]:

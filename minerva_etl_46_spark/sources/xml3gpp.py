@@ -106,20 +106,12 @@ def harvest_3gpp_xml(spark: SparkSession, paths: list[str]) -> DataFrame:
     """Distributed parse: the PATH LIST parallelizes (one task per slice of
     files), each executor parses locally — the standard pattern for
     many-small-vendor-files ingest at fleet scale. The list frame builds
-    JVM-side (range + literal array, not createDataFrame-from-rows: the
-    pickled LocalTableScan path costs a Python-worker round-trip per
-    call — measured ~1.9 s cold / 0.4 s warm vs ~0.1 s for this form)."""
-    from pyspark.sql import functions as F
+    JVM-side for small lists (functions/frames.py::small_literal_frame
+    — a pickled LocalTableScan costs a Python-worker round-trip per
+    call; huge lists fall back past the helper's literal limit)."""
+    from minerva_etl_46_spark.functions.frames import small_literal_frame
 
-    if len(paths) <= 1000:
-        pdf = spark.range(len(paths)).select(
-            F.element_at(F.array(*[F.lit(p) for p in paths]),
-                         (F.col("id") + 1).cast("int")).alias("file"))
-    else:
-        # huge path lists would bloat the literal-array expression tree;
-        # the pickled-rows path amortizes fine at that size
-        pdf = spark.createDataFrame([(p,) for p in paths],
-                                    schema="file string")
+    pdf = small_literal_frame(spark, paths, "file", "string")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

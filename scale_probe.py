@@ -1172,7 +1172,9 @@ def r8b_probe(spark, res, n_events):
     res["trendstore_revision_1bucket"] = {
         "sec": round(_t.perf_counter() - t0, 2)}
     # simulate incremental small files: 3 appends into one partition
-    pdir = os.path.join(st.path, f"p_bucket={touched[1]}")
+    # (last touched bucket — index-safe for tiny SCALE_PROBE_ROWS runs
+    # whose span fits one bucket)
+    pdir = os.path.join(st.path, f"p_bucket={touched[-1]}")
     one = spark.read.parquet(pdir)
     for _ in range(3):
         one.coalesce(1).write.mode("append").parquet(pdir)

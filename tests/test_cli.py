@@ -423,9 +423,11 @@ def test_cli_fuzzy_match(spark, tmp_path, capsys):
     probe names resolve to the reference dim, stats line reports the
     unmatched remainder."""
     dim = tmp_path / "dim.parquet"
+    # dim name column deliberately named like the probe column — the
+    # common real-world case the fixed match_* output names exist for
     spark.createDataFrame(
         [(1, "alpha node"), (2, "beta node"), (3, "gamma node")],
-        "ref_id long, ref_name string",
+        "ref_id long, name string",
     ).write.parquet(str(dim))
     probes = tmp_path / "probes.parquet"
     spark.createDataFrame(
@@ -438,13 +440,13 @@ def test_cli_fuzzy_match(spark, tmp_path, capsys):
 
     rc = main([
         "fuzzy-match", "--input", str(probes), "--input-col", "name",
-        "--dim", str(dim), "--dim-col", "ref_name", "--dim-key", "ref_id",
+        "--dim", str(dim), "--dim-col", "name", "--dim-key", "ref_id",
         "--out", out,
     ])
     assert rc == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["input_rows"] == 3 and stats["matched"] == 2
     assert stats["unmatched"] == 1 and stats["exact"] == 1
-    got = {r.probe_id: (r.ref_id, r.lev)
+    got = {r.probe_id: (r.match_key, r.match_lev)
            for r in spark.read.parquet(out).collect()}
     assert got == {10: (1, 1), 11: (2, 0)}

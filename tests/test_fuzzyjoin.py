@@ -84,3 +84,28 @@ def test_rejects_degenerate_parameters(spark):
     with pytest.raises(ValueError, match="prefix_len"):
         blocked_fuzzy_join(df, dim, "probe_name", "name", "key",
                            prefix_len=0)
+
+
+def test_output_column_collisions_are_rejected_and_renameable(spark):
+    """Same-named name columns on both sides (the common case) must not
+    produce a duplicate-column frame — explicit out_* names resolve it."""
+    import pytest
+
+    probes = spark.createDataFrame([(1, "alpha x")],
+                                   "probe_id long, name string")
+    dim = spark.createDataFrame([(7, "alpha y")], "key long, name string")
+    with pytest.raises(ValueError, match="collide"):
+        blocked_fuzzy_join(probes, dim, "name", "name", "key")
+    got = blocked_fuzzy_join(
+        probes, dim, "name", "name", "key",
+        out_key_col="match_key", out_name_col="match_name",
+        out_dist_col="match_lev",
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.match_key, r.match_name, r.match_lev) == (7, "alpha y", 1)
+    # distinct out names are enforced too
+    with pytest.raises(ValueError, match="distinct"):
+        blocked_fuzzy_join(probes, dim, "name", "name", "key",
+                           out_key_col="x", out_name_col="x",
+                           out_dist_col="y")
