@@ -98,10 +98,13 @@ def pagerank_ppb(directed_edges: DataFrame, iterations: int = 3,
                 F.expr(f"{_MASS_PPB} div n_nodes").alias("rank"))
     )
     for _ in range(iterations):
+        # cut the lineage each step: with sinks r is consumed twice
+        # (inflow join + dangling agg — uncut, the plan DOUBLES per
+        # iteration); sink-free it is consumed once but the uncut plan
+        # still grows linearly with iterations (analysis cost + plan-
+        # contract stability)
+        r = r.localCheckpoint(eager=False)
         if has_sinks:
-            # consumed twice below (inflow join + dangling agg): cut
-            # the lineage or the plan doubles per iteration
-            r = r.localCheckpoint(eager=False)
             dang = r.filter(F.col("outdeg") == 0).agg(
                 F.coalesce(F.sum("rank"), F.lit(0)).alias("dm"))
         r_side = F.broadcast(r) if broadcast_ranks else r
