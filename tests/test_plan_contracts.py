@@ -219,3 +219,45 @@ def test_no_key_plans_a_cartesian_product(spark):
 def test_win_gap_fill_contract(spark):
     plan = plan_of(spark, "win_gap_fill")
     assert shuffles(plan) <= 2 and "Join" not in plan
+
+
+def test_plan_budget_every_key(spark):
+    """Full-registry plan budget (r8): every non-streaming key's
+    shuffle-exchange count is snapshotted in tests/plan_budget.json and
+    asserted as a ceiling, so a plan regression on ANY key — not just
+    the hand-annotated CONTRACTS — turns the suite red. A key that
+    legitimately changes shape (or a new key) regenerates the file:
+
+        python - <<'PY'
+        import json
+        from minerva_etl_46_spark.session import get_spark
+        from minerva_etl_46_spark.queries import QUERIES
+        from tests.test_plan_contracts import plan_of, shuffles
+        s = get_spark(cpus=8, shuffle_partitions=8)
+        b = {k: shuffles(plan_of(s, k)) for k in QUERIES
+             if not k.startswith(("stream_", "trigger_"))}
+        json.dump(dict(sorted(b.items())),
+                  open("tests/plan_budget.json", "w"), indent=1)
+        PY
+
+    Streaming/trigger keys are excluded (their plans live inside the
+    micro-batch engine); the cross-cutting no-CartesianProduct test
+    still covers them."""
+    import json
+    import pathlib
+
+    budget = json.loads(
+        (pathlib.Path(__file__).parent / "plan_budget.json").read_text())
+    over, missing = [], []
+    for key in QUERIES:
+        if key.startswith(("stream_", "trigger_")):
+            continue
+        if key not in budget:
+            missing.append(key)
+            continue
+        got = shuffles(plan_of(spark, key))
+        if got > budget[key]:
+            over.append((key, got, budget[key]))
+    assert not over, f"plan regressions (key, got, budget): {over}"
+    assert not missing, (
+        f"keys without a plan budget (regenerate the file): {missing}")
