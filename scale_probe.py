@@ -1185,10 +1185,71 @@ def r8b_probe(spark, res, n_events):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def r8c_probe(spark, res, n_events):
+    """r8c: the r7 batch-9/10 keys never scale-probed, at 200× fixture
+    scale through the REAL registered builders — last-touch attribution
+    (one hash(user) window over the fact), order-to-ship latency
+    histogram (one fact×fact equi-join collapsing to a day frame),
+    Wald–Wolfowitz runs test (hourly rollup + shared hash(user)
+    windows), per-source language mix (|sources|×|langs| grid)."""
+    import os
+    import tempfile
+
+    from minerva_etl_46_spark.queries import QUERIES
+
+    scratch = os.path.join(tempfile.gettempdir(),
+                           f"r8c_probe_{os.getpid()}")
+    (synth_events(spark, n_events)
+     .withColumn("event_type",
+                 F.element_at(
+                     F.array(F.lit("click"), F.lit("view"),
+                             F.lit("signup"), F.lit("purchase"),
+                             F.lit("error")),
+                     (F.abs(F.xxhash64("event_id")) % 5 + 1)
+                     .cast("int")))
+     .write.mode("overwrite").parquet(f"{scratch}/events.parquet"))
+    (spark.range(n_events).select(
+        F.expr("id div 6").alias("l_orderkey"),
+        F.timestamp_seconds(BASE + (F.col("id") * 1013) % SPAN_S)
+        .alias("l_shipdate"))
+     .write.mode("overwrite").parquet(f"{scratch}/lineitem.parquet"))
+    (spark.range(n_events // 6).select(
+        F.col("id").alias("o_orderkey"),
+        F.timestamp_seconds(BASE + (F.col("id") * 1009) % SPAN_S)
+        .alias("o_orderdate"))
+     .write.mode("overwrite").parquet(f"{scratch}/orders.parquet"))
+    (spark.range(max(100_000, n_events // 20)).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"),
+                 (F.abs(F.xxhash64("id")) % 200).cast("string"))
+        .alias("source"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("nl"),
+                    F.lit("es")),
+            (F.abs(F.xxhash64("id", F.lit(2))) % 5 + 1).cast("int"))
+        .alias("lang"))
+     .write.mode("overwrite").parquet(f"{scratch}/documents.parquet"))
+
+    timed("agg_attribution_20M", QUERIES["agg_attribution"](spark, scratch),
+          res)
+    timed("agg_latency_histogram_20M",
+          QUERIES["agg_latency_histogram"](spark, scratch), res)
+    timed("win_runs_test_20M", QUERIES["win_runs_test"](spark, scratch),
+          res)
+    timed("llm_lang_mix_1M_docs", QUERIES["llm_lang_mix"](spark, scratch),
+          res)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r8c":
+        r8c_probe(spark, res, n_events=N)
+        print(json.dumps({"metric": "scale_probe_r8c", "rows": N,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r8b":
         r8b_probe(spark, res, n_events=N)
         print(json.dumps({"metric": "scale_probe_r8b", "rows": N,
