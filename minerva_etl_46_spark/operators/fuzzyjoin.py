@@ -114,8 +114,14 @@ def blocked_fuzzy_join(
         .withColumn("lev", F.levenshtein("__p_name", "__d_name", k))
         .filter(F.col("lev") >= 0)
     )
+    # __d_name is the final tie-break: when dim keys are NOT unique,
+    # two different names can tie on (lev, __pk_min) and row_number
+    # alone would pick arbitrarily — the name key pins the winner so
+    # the promised deterministic minimum-(distance, key) contract
+    # holds for duplicate-key dims too.
     w = Window.partitionBy("__p_name").orderBy(
-        F.col("lev").asc(), F.col("__pk_min").asc())
+        F.col("lev").asc(), F.col("__pk_min").asc(),
+        F.col("__d_name").asc())
     best = (
         cand.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -37,6 +37,16 @@ def pagerank_ppb(directed_edges: DataFrame, iterations: int = 3,
     """Fixed-iteration PageRank over ``(src, dst)`` directed edges,
     returning ``(node, rank_ppb)`` with integer ppb ranks.
 
+    NOT LAZY at construction: the one-time sink-existence check below
+    runs a small Spark job (a limit-1 count on the node-scale degree
+    frame) while the plan is being BUILT, so merely calling this
+    builder — e.g. from explain/plan-contract tooling — triggers
+    cluster work and materializes the localCheckpoints. The payoff is
+    that sink-free graphs (the common case for symmetric edge sets)
+    skip the per-iteration dangling agg + crossJoin entirely, with
+    bit-identical output either way (dangling mass is provably 0
+    without sinks).
+
     Shape per iteration: edges × ranks on src, then one hash-agg on dst
     (map-side partial sums collapse multi-edge fan-in early), then a
     left join back to the degree frame so sinks with no in-edges still

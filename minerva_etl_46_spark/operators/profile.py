@@ -20,8 +20,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _sql_ident(c: str) -> str:
+    """Backtick-quote a column name for interpolation into a SQL
+    string; embedded backticks double per the Spark identifier
+    grammar, so names like ``a`b`` survive the round-trip."""
+    return "`" + c.replace("`", "``") + "`"
+
+
+def _sql_label(c: str) -> str:
+    """Single-quote a column name as a SQL string literal; embedded
+    quotes double so the stack() label is the exact column name."""
+    return "'" + c.replace("'", "''") + "'"
+
+
 def _stack(df: DataFrame, cols: list[str], value_alias: str) -> DataFrame:
-    pairs = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
+    pairs = ", ".join(
+        f"{_sql_label(c)}, cast({_sql_ident(c)} as string)" for c in cols)
     return df.select(F.expr(
         f"stack({len(cols)}, {pairs}) as (col_name, {value_alias})"))
 
@@ -43,7 +57,9 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     aggs = []
     for c in cols:
-        v = df[c]
+        # F.col on the backtick-quoted form, not df[c]: Dataset.apply
+        # parses the raw name and rejects names containing a backtick
+        v = F.col(_sql_ident(c))
         ordv = v.cast("string") if isinstance(dtypes[c], MapType) else v
         aggs.append(F.struct(
             F.count(F.lit(1)).alias("n"),
@@ -54,7 +70,7 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             F.max(ordv).cast("string").alias("max_val"),
         ).alias(c))
     wide = df.agg(*aggs)
-    pairs = ", ".join(f"'{c}', `{c}`" for c in cols)
+    pairs = ", ".join(f"{_sql_label(c)}, {_sql_ident(c)}" for c in cols)
     return (
         wide.select(F.expr(
             f"stack({len(cols)}, {pairs}) as (col_name, s)"))

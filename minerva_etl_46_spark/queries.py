@@ -13442,7 +13442,47 @@ _R08_TAIL = [
     k for k in _R07_PRIORITY + _R07_TAIL
     if k not in set(_R08_PRIORITY)
 ]
-_EXPORT_ORDER = _R08_PRIORITY + _R08_TAIL
+
+_R09_PRIORITY = [
+    # Round-9 rotation: rolling renewal (the standing ~50/round policy
+    # adopted at r8 close). With every key driver-green at least once,
+    # the weakest external evidence is AGE — these 50 are the oldest
+    # latest-driver-row keys: the entire round-3 block (23 keys, last
+    # sampled 6 rounds and several rewrites ago: the r3 LLM corpus ops,
+    # fn_regexp/string_dn/variant, win_cume/win_pattern) plus the 27
+    # alphabetically-first round-4 keys (core joins, rollups, dedup
+    # family, sketches). Selection is deterministic: sort keys by
+    # (latest CORRECTNESS_r0N round, name) ascending, take 50.
+    # The 16 remaining r4-row keys lead the r10 rotation.
+    "fn_regexp", "fn_string_dn", "fn_variant", "llm_chunk", "llm_concat",
+    "llm_decontaminate", "llm_dedup_groups", "llm_dupe_stats",
+    "llm_hot_ngrams", "llm_keywords", "llm_len_buckets",
+    "llm_mix_weights", "llm_normalize", "llm_overlap", "llm_pack",
+    "llm_redact", "llm_repetition", "llm_sample_stratified", "llm_shard",
+    "llm_split", "llm_vocab", "win_cume", "win_pattern",
+    "agg_bitmap_distinct", "agg_entity", "agg_histogram",
+    "agg_hll_rollup", "agg_rollup", "agg_time", "agg_weighted_avg",
+    "fn_date_parts", "fn_ts_align", "join_anti", "join_left",
+    "join_parts", "join_range", "join_salted", "join_semi", "kpi_expr",
+    "llm_dedup_exact", "llm_dedup_incremental", "llm_dedup_near",
+    "llm_fingerprint", "llm_lang_id", "llm_minhash_est",
+    "llm_ngram_jaccard", "llm_quality", "llm_sim_topk", "llm_simhash",
+    "llm_text_stats",
+]
+assert len(_R09_PRIORITY) == 50, len(_R09_PRIORITY)
+#: r4-row keys that did not fit the 50-slot window; they lead _R10.
+_R10_CANDIDATES = [
+    "llm_tokens", "mm_meta", "scan_jsonl", "scan_parquet", "set_except",
+    "set_union", "sort_limit", "sort_order", "stream_session",
+    "stream_sliding", "stream_tumbling", "trigger_notify",
+    "win_change_detect", "win_intervals", "win_moving_avg", "win_rank",
+]
+assert not set(_R09_PRIORITY) & set(_R10_CANDIDATES)
+_R09_TAIL = [
+    k for k in _R08_PRIORITY + _R08_TAIL
+    if k not in set(_R09_PRIORITY)
+]
+_EXPORT_ORDER = _R09_PRIORITY + _R09_TAIL
 
 assert set(_EXPORT_ORDER) == set(QUERIES), (
     sorted(set(_EXPORT_ORDER) ^ set(QUERIES))

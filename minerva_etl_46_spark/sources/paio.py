@@ -22,6 +22,15 @@ def append_table(path: str, table) -> str:
     import pyarrow.parquet as pq
 
     os.makedirs(path, exist_ok=True)
-    out = os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")
-    pq.write_table(table, out)
+    # Stage under a dotted temp name and rename into place: a crash
+    # mid-write must not leave a truncated part-*.parquet that poisons
+    # every later spark.read of the directory (the Spark writer this
+    # replaced staged via _temporary+rename for the same reason).
+    # os.replace is atomic on the local/POSIX filesystems this targets,
+    # and Spark's parquet reader skips dot-prefixed files as hidden.
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    out = os.path.join(path, name)
+    tmp = os.path.join(path, f".{name}.tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, out)
     return out

@@ -109,3 +109,21 @@ def test_output_column_collisions_are_rejected_and_renameable(spark):
         blocked_fuzzy_join(probes, dim, "name", "name", "key",
                            out_key_col="x", out_name_col="x",
                            out_dist_col="y")
+
+
+def test_duplicate_dim_keys_tie_break_by_name(spark):
+    """When dim keys are NOT unique, two different names can tie on
+    (lev, min-key); the winner must then be pinned by name — the r9
+    determinism fix. Both candidate names are lev=1 from the probe and
+    share key 1, so only the name orders them."""
+    probes = spark.createDataFrame([(100, "aaaa")],
+                                   "probe_id long, probe_name string")
+    dim = spark.createDataFrame([(1, "aaac"), (1, "aaab")],
+                                "key long, name string")
+    for _ in range(3):  # repeat: row_number on an unpinned order can
+        r = blocked_fuzzy_join(  # flip run-to-run; three runs catch it
+            probes, dim, "probe_name", "name", "key",
+            max_distance=1, prefix_len=3,
+        ).collect()
+        assert len(r) == 1
+        assert (r[0].lev, r[0].key, r[0].name) == (1, 1, "aaab")

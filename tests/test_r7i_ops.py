@@ -675,3 +675,47 @@ def test_stream_topk_ranks_every_window(spark):
         assert len(rks) <= 3
         ordered = sorted(rows, key=lambda r: (-r.n, r.event_type))
         assert [r.rk for r in ordered] == rks, (bucket, ordered)
+
+
+def test_profile_handles_quoted_and_backticked_column_names(spark):
+    """Column names carrying a single quote or a backtick must survive
+    the stack() SQL interpolation (r9 escaping fix): the label is the
+    exact name and the identifier resolves — no parse error, no
+    mislabeled col_name."""
+    from minerva_etl_46_spark.operators.profile import (
+        profile_table, skew_report)
+
+    df = (spark.range(10)
+          .selectExpr("id as `it's`", "id % 3 as `a``b`"))
+    prof = {r.col_name: r for r in profile_table(df).collect()}
+    assert set(prof) == {"it's", "a`b"}
+    assert prof["it's"].n == 10 and prof["it's"].n_distinct == 10
+    assert prof["a`b"].n_distinct == 3
+    sk = {r.col_name: r for r in skew_report(df, ["it's", "a`b"]).collect()}
+    assert sk["a`b"].n_distinct == 3 and sk["it's"].n_rows == 10
+
+
+def test_paio_append_is_staged_and_spark_readable(spark):
+    """append_table must leave NO temp residue (it stages via a dotted
+    .tmp and os.replace — the r9 crash-safety fix) and the directory
+    must read back through spark.read.parquet; a leftover dotted file
+    from a simulated crash is ignored by the reader as hidden."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+
+    from minerva_etl_46_spark.sources.paio import append_table
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "log")
+        append_table(p, pa.table({"a": [1, 2], "b": ["x", "y"]}))
+        append_table(p, pa.table({"a": [3], "b": ["z"]}))
+        names = sorted(os.listdir(p))
+        assert all(n.startswith("part-") and n.endswith(".parquet")
+                   for n in names), names
+        # simulate a crashed writer: truncated dotted temp left behind
+        with open(os.path.join(p, ".part-dead.parquet.tmp"), "wb") as f:
+            f.write(b"\x00garbage")
+        got = sorted((r.a, r.b) for r in spark.read.parquet(p).collect())
+        assert got == [(1, "x"), (2, "y"), (3, "z")]
