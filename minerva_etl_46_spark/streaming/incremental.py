@@ -21,6 +21,7 @@ from minerva_etl_46_spark.plans.materialize import (
 )
 from minerva_etl_46_spark.session import tune
 from minerva_etl_46_spark.sources.trendstore import TrendStorePartStorage
+from minerva_etl_46_spark.streaming.jobs import record_progress
 
 
 def ingest_available_now(
@@ -63,4 +64,5 @@ def ingest_available_now(
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()
     q.awaitTermination()
+    record_progress(q)
     return done

@@ -18,6 +18,29 @@ EVENTS_STREAM_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
 )
 
+#: Per-query micro-batch progress, captured by record_progress at every
+#: driver site just before the query stops: queryName -> list of
+#: StreamingQueryProgress dicts (one per micro-batch). This is the
+#: streaming twin of the batch plan budget: static plans don't exist
+#: inside the micro-batch engine, but the progress stream exposes the
+#: two machinery knobs that must not drift — the state-store partition
+#: count frozen into each query's checkpoint (stateOperators[*].
+#: numShufflePartitions) and the number of micro-batches the source
+#: splitting produced. tests/test_stream_contracts.py pins both per
+#: key against tests/stream_budget.json.
+LAST_PROGRESS: dict[str, list[dict]] = {}
+
+
+def record_progress(q) -> None:
+    """Snapshot a (finished) streaming query's recentProgress into
+    LAST_PROGRESS under its queryName. Call after processAllAvailable/
+    awaitTermination and before stop() — recentProgress lives on the
+    JVM query object and survives termination, but not a new start
+    under the same name."""
+    import json
+
+    LAST_PROGRESS[q.name] = [json.loads(p.json) for p in q.recentProgress]
+
 
 @contextlib.contextmanager
 def state_partitions(spark: SparkSession, n: int):
@@ -84,6 +107,7 @@ def _run_to_memory(agg: DataFrame, name: str, spark: SparkSession,
         )
         try:
             q.processAllAvailable()
+            record_progress(q)
         finally:
             q.stop()
         q.awaitTermination(30)
@@ -174,6 +198,7 @@ def tumbling_rollup_append(
     )
     try:
         q.processAllAvailable()
+        record_progress(q)
     finally:
         q.stop()
     q.awaitTermination(30)
@@ -270,6 +295,7 @@ def session_rollup_append(
     )
     try:
         q.processAllAvailable()
+        record_progress(q)
     finally:
         q.stop()
     q.awaitTermination(30)

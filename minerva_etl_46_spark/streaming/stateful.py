@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from minerva_etl_46_spark.session import tune
+from minerva_etl_46_spark.streaming.jobs import record_progress
 
 OUTPUT_SCHEMA = "user_id long, n long, total double"
 STATE_SCHEMA = "n long, total double"
@@ -67,6 +68,7 @@ def run_running_totals(spark: SparkSession, source_dir: str, schema: str,
         .queryName(name).trigger(availableNow=True).start()
     )
     q.awaitTermination()
+    record_progress(q)
     return spark.table(name)
 
 
@@ -157,6 +159,7 @@ def run_running_totals_tws(spark: SparkSession, source_dir: str, schema: str,
             .queryName(name).trigger(availableNow=True).start()
         )
         q.awaitTermination()
+        record_progress(q)
         return spark.table(name)
     finally:
         if prev is not None:
@@ -254,6 +257,7 @@ def run_funnel(spark: SparkSession, source_dir: str, schema: str,
             .queryName(name).trigger(availableNow=True).start()
         )
         q.awaitTermination()
+        record_progress(q)
     return spark.table(name)
 
 
@@ -348,6 +352,7 @@ def run_scd2(spark: SparkSession, source_dir: str, schema: str,
             .queryName(name).trigger(availableNow=True).start()
         )
         q.awaitTermination()
+        record_progress(q)
     return spark.table(name)
 
 
@@ -437,6 +442,7 @@ def run_attribution(spark: SparkSession, source_dir: str, schema: str,
             .queryName(name).trigger(availableNow=True).start()
         )
         q.awaitTermination()
+        record_progress(q)
     return spark.table(name)
 
 
@@ -511,4 +517,5 @@ def run_records(spark: SparkSession, source_dir: str, schema: str,
             .queryName(name).trigger(availableNow=True).start()
         )
         q.awaitTermination()
+        record_progress(q)
     return spark.table(name)

@@ -199,7 +199,7 @@ def test_no_key_plans_a_cartesian_product(spark):
         # these RUN work when invoked (streaming queries / scratch
         # renders / bucketed-table writes) — exercised elsewhere
         "stream_tumbling", "stream_sliding", "stream_session",
-        "stream_trigger", "stream_dedup", "trigger_notify",
+        "stream_trigger", "stream_dedup",
         "join_bucketed", "stream_join", "stream_funnel",
     }
     offenders = []
@@ -235,14 +235,15 @@ def test_plan_budget_every_key(spark):
         from tests.test_plan_contracts import plan_of, shuffles
         s = get_spark(cpus=8, shuffle_partitions=8)
         b = {k: shuffles(plan_of(s, k)) for k in QUERIES
-             if not k.startswith(("stream_", "trigger_"))}
+             if not k.startswith("stream_")}
         json.dump(dict(sorted(b.items())),
                   open("tests/plan_budget.json", "w"), indent=1)
         PY
 
-    Streaming/trigger keys are excluded (their plans live inside the
-    micro-batch engine); the cross-cutting no-CartesianProduct test
-    still covers them."""
+    Streaming keys are excluded (their plans live inside the
+    micro-batch engine — tests/test_stream_contracts.py pins their
+    state-partition count and micro-batch count instead); the batch
+    trigger_* keys are budgeted like any other key (r9)."""
     import json
     import pathlib
 
@@ -250,7 +251,7 @@ def test_plan_budget_every_key(spark):
         (pathlib.Path(__file__).parent / "plan_budget.json").read_text())
     over, missing = [], []
     for key in QUERIES:
-        if key.startswith(("stream_", "trigger_")):
+        if key.startswith("stream_"):
             continue
         if key not in budget:
             missing.append(key)
