@@ -21,8 +21,24 @@ Three stacked levers, each load-bearing at 100 TB:
 
 Blocking contract (stated, not hidden): a candidate must share the
 ``prefix_len``-char prefix — a corruption INSIDE the prefix is a
-blocking miss. Extend with a prefix∪suffix block union if the
-corruption model requires it.
+blocking miss. ``block_suffix=True`` (r9) widens the contract to a
+prefix∪suffix block UNION: a candidate must share the prefix OR the
+last-``prefix_len``-chars suffix, so a corruption confined to one end
+of the name is always caught (only a corruption touching BOTH ends
+within ``max_distance`` edits can still miss). Cost: candidate pairs
+roughly double in the worst case (each side blocks twice; pairs
+sharing both ends are verified twice and collapse at the winner
+window — measured 1.3× wall at a 1M-name end-entropic vocabulary
+even with pairs exactly doubled, SCALE.md r9b: the verify is not the
+dominant term). HAZARD the prefix side doesn't have: real name corpora often
+carry LOW-ENTROPY TAILS (legal forms — "Inc.", "GmbH"; padded serial
+suffixes), and a suffix key shared by a large fraction of the
+vocabulary is a quadratic hot block (measured: a padded-tail
+vocabulary at 20k names made the union 5.7× the prefix-only cost and
+grows quadratically from there). Before enabling block_suffix on an
+unknown corpus, audit suffix-key cardinality (operators/profile.py::
+skew_report on ``substring(name, -prefix_len, prefix_len)``) exactly
+as you would audit a join key.
 
 Rank equivalence for lever 1: the per-probe best row under
 ``(distance, key)`` equals the best NAME under ``(distance, min key
@@ -48,6 +64,7 @@ def blocked_fuzzy_join(
     out_key_col: str | None = None,
     out_name_col: str | None = None,
     out_dist_col: str = "lev",
+    block_suffix: bool = False,
 ) -> DataFrame:
     """Best fuzzy match per probe row.
 
@@ -59,7 +76,9 @@ def blocked_fuzzy_join(
     (default ``lev``) — the exact distance, long. Winner per probe =
     minimum ``(distance, key)``. Candidates are restricted to names
     sharing the ``prefix_len``-char prefix (the blocking contract
-    above). The three output names must not collide with each other or
+    above); with ``block_suffix=True`` the restriction widens to
+    prefix OR last-``prefix_len``-chars suffix, catching corruptions
+    confined to the front of the name at ~2× candidate cost. The three output names must not collide with each other or
     with any ``probes`` column — when the defaults collide (e.g. both
     sides name their column ``name``), pass explicit ``out_*`` names;
     a collision raises ValueError instead of producing a frame with
@@ -89,18 +108,34 @@ def blocked_fuzzy_join(
             f"{probes.columns}; pass out_key_col/out_name_col/"
             f"out_dist_col to rename them")
 
+    def blocks(name):
+        # block keys per name: prefix always; with block_suffix also the
+        # last-prefix_len-chars suffix, tagged so a prefix block never
+        # equi-joins a suffix block (substring(-n, n) == Python s[-n:]
+        # for every length incl. short/empty names — probed on this
+        # Spark version). A pair sharing BOTH ends forms under both
+        # tags; the duplicate carries identical (lev, key, name) values
+        # and collapses at the winner window.
+        pre = F.struct(F.lit("p").alias("side"),
+                       F.substring(name, 1, prefix_len).alias("key"))
+        if not block_suffix:
+            return F.array(pre)
+        suf = F.struct(F.lit("s").alias("side"),
+                       F.substring(name, -prefix_len, prefix_len).alias("key"))
+        return F.array(pre, suf)
+
     dnames = (
         dim.groupBy(dim_name_col)
         .agg(F.min(dim_key_col).alias("__pk_min"))
         .select(
             F.col(dim_name_col).alias("__d_name"), "__pk_min",
-            F.substring(dim_name_col, 1, prefix_len).alias("__blk"),
+            F.explode(blocks(F.col(dim_name_col))).alias("__blk"),
             F.floor(F.length(dim_name_col) / k).alias("__band"),
         )
     )
     pnames = (
         probes.select(F.col(probe_name_col).alias("__p_name")).distinct()
-        .withColumn("__blk", F.substring("__p_name", 1, prefix_len))
+        .withColumn("__blk", F.explode(blocks(F.col("__p_name"))))
         .withColumn("__b0", F.floor(F.length("__p_name") / k))
         .withColumn(
             "__band",

@@ -1240,10 +1240,195 @@ def r8c_probe(spark, res, n_events):
           res)
 
 
+def r9_probe(spark, res, n_events):
+    """r9: the §3 admin loop END-TO-END at 200× fixture scale — the
+    lifecycle integration test's exact shape (harvest-load → raw trend
+    store → materialization tick → trigger eval → notification store),
+    but on a 20M-row / 30-day store. The contract under test is
+    incremental recompute: a tick's latency must be proportional to the
+    TOUCHED windows (via the modified log), never to store size —
+    measured as (a) full-backlog tick over 30 daily windows, (b) a
+    late one-day revision batch re-ticking exactly ONE window at
+    roughly 1/30 the cost, and (c) a no-op tick (fingerprints equal)
+    that runs zero Spark jobs over fact data."""
+    import os
+    import shutil
+    import tempfile
+    import time as _t
+
+    from minerva_etl_46_spark.catalog import Trend, TriggerRule
+    from minerva_etl_46_spark.functions.timestamps import G_1D
+    from minerva_etl_46_spark.plans.materialize import (
+        MaterializationEngine,
+        MaterializationSpec,
+    )
+    from minerva_etl_46_spark.plans.triggers import evaluate_rules
+    from minerva_etl_46_spark.sources.trendstore import TrendStorePartStorage
+
+    base = os.path.join(tempfile.gettempdir(), f"r9_loop_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+
+    # 1. harvest load: 20M events over 30 days into the raw store
+    raw = TrendStorePartStorage(base, "events_raw")
+    e = synth_events(spark, n_events).select(
+        "event_id", "ts", "user_id", "value")
+    e.write.format("noop").mode("overwrite").save()  # warm the scan
+    t0 = _t.perf_counter()
+    touched = raw.write(e, ts_col="ts")
+    res["r9_harvest_write_30d"] = {
+        "sec": round(_t.perf_counter() - t0, 2), "buckets": len(touched)}
+
+    # 2. materialization spec: raw events -> per-user daily rollup
+    target = TrendStorePartStorage(base, "user_daily")
+    trends = {"value": Trend("value", time_aggregation="sum")}
+
+    def src_fn(spark_, w_start, w_end):
+        rows = raw.read_window(spark_, w_start, w_end).filter(
+            (F.col("ts").cast("long") >= w_start)
+            & (F.col("ts").cast("long") < w_end))
+        return time_rollup(rows, "user_id", "ts", G_1D, trends,
+                           bucket_col="bucket")
+
+    spec = MaterializationSpec(
+        name="user_daily", granularity=G_1D, target=target, src_fn=src_fn,
+        sources=[raw], ts_col="bucket", reprocessing_period_s=10**12,
+    )
+    engine = MaterializationEngine(base)
+    # modified_at in the log is REAL wall-clock; now must sit beyond it
+    # (and beyond every window end) for the stability gate to open
+    now = 4e9
+
+    # 3a. full-backlog tick: every daily window is dirty
+    t0 = _t.perf_counter()
+    done = engine.tick(spark, spec, now=now)
+    full_sec = _t.perf_counter() - t0
+    res["r9_tick_full_backlog"] = {
+        "sec": round(full_sec, 2), "windows": len(done)}
+
+    # 3b. late one-day revision batch -> re-tick touches ONE window
+    rev = e.filter(F.col("ts").cast("long") < touched[0] + 86400) \
+           .withColumn("value", F.col("value") + 1.0)
+    raw.write(rev, ts_col="ts")
+    t0 = _t.perf_counter()
+    done = engine.tick(spark, spec, now=now + 3600)
+    one_sec = _t.perf_counter() - t0
+    res["r9_tick_late_one_window"] = {
+        "sec": round(one_sec, 2), "windows": len(done),
+        "vs_full": round(one_sec / max(full_sec, 1e-9), 3)}
+
+    # 3c. no-op tick: fingerprints unchanged -> zero windows, zero
+    # fact-data jobs (modified-log scan + state compare only)
+    t0 = _t.perf_counter()
+    done = engine.tick(spark, spec, now=now + 7200)
+    res["r9_tick_noop"] = {
+        "sec": round(_t.perf_counter() - t0, 2), "windows": len(done)}
+
+    # 4. trigger eval over the materialized rollup -> notification store
+    rules = [TriggerRule(name="daily_value_surge",
+                         predicate_sql="value > 1200.0",
+                         weight_sql="10", details_cols=("value",))]
+    kpi = target.read(spark).select(
+        F.col("user_id").alias("entity_id"),
+        F.timestamp_seconds("bucket").alias("ts"),
+        F.col("value").cast("double").alias("value"))
+    notes = evaluate_rules(kpi, rules)
+    nstore = TrendStorePartStorage(base, "notifications")
+    t0 = _t.perf_counter()
+    nstore.write(notes, ts_col="ts")
+    res["r9_trigger_eval_and_store"] = {
+        "sec": round(_t.perf_counter() - t0, 2),
+        "notifications": nstore.read(spark).count()}
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def r9b_probe(spark, res, n_names):
+    """r9b: cost of the blocked_fuzzy_join prefix∪suffix block union
+    (block_suffix=True, the r9 recall extension) at a 1M near-unique
+    name vocabulary — the worst shape for blocking (r8b showed fixed
+    vocab is flat). Expectation: each side emits 2 block keys instead
+    of 1, so candidate pairs at most double and wall should land
+    around 2× prefix-only, never more.
+
+    The generator is END-ENTROPIC by construction: front-4 and back-4
+    chars hash independently (26⁴ cardinality EACH), with the length
+    padding in the MIDDLE. The r8 generator's trailing padding made
+    every suffix one of ~a dozen keys — a quadratic hot block that
+    measured 5.7× at just 20k names; that shape is the documented
+    low-entropy-tail hazard (fuzzyjoin.py docstring), not a fair cost
+    measurement of the union on a healthy vocabulary."""
+    from minerva_etl_46_spark.operators.fuzzyjoin import blocked_fuzzy_join
+
+    name = (
+        "concat("
+        "char(97 + (v1 % 26)), char(97 + ((v1 div 26) % 26)),"
+        "char(97 + ((v1 div 676) % 26)), char(97 + ((v1 div 17576) % 26)),"
+        "' ', repeat('x', cast(v1 % 5 as int)), ' ',"
+        "char(97 + (v2 % 26)), char(97 + ((v2 div 26) % 26)),"
+        "char(97 + ((v2 div 676) % 26)), char(97 + ((v2 div 17576) % 26)))"
+    )
+    dim = (spark.range(n_names)
+           .select(F.col("id").alias("key"),
+                   F.expr("abs(xxhash64(id)) % 456976").alias("v1"),
+                   F.expr("abs(xxhash64(id, 7)) % 456976").alias("v2"))
+           .select("key", F.expr(name).alias("name"))
+           .localCheckpoint())  # freeze: both variants verify the same frame
+    # probes: the dim names with a suffix-side corruption (append 'q'),
+    # so every probe needs a real lev=1 verify, never a trivial 0
+    probes = dim.select(F.col("key").alias("probe_id"),
+                        F.concat("name", F.lit("q")).alias("probe_name")) \
+                .localCheckpoint()
+    # untimed warmup: absorb JIT/codegen so the first timed variant
+    # isn't cold (the r8 probe's lesson)
+    blocked_fuzzy_join(probes.limit(50_000), dim.limit(50_000),
+                       "probe_name", "name", "key", max_distance=2,
+                       prefix_len=4).write.format("noop") \
+        .mode("overwrite").save()
+    # two interleaved passes, keep the min per variant: position in the
+    # run order is worth more than the work delta here (first timed job
+    # pays shuffle-file/page-cache warmup — measured 5.3 vs 3.4 s with
+    # the MORE expensive variant second), so a single-pass comparison
+    # is pure ordering noise
+    # exact-name probes = the worst case for the union: every candidate
+    # pair shares BOTH ends, so it forms under both tags (exactly 2×
+    # verify rows) before collapsing at the winner window
+    probes_worst = dim.select(F.col("key").alias("probe_id"),
+                              F.col("name").alias("probe_name")) \
+                      .localCheckpoint()
+    cases = (
+        ("prefix_only", probes, False),
+        ("prefix_or_suffix", probes, True),
+        ("worstcase_prefix_only", probes_worst, False),
+        ("worstcase_union_2x_pairs", probes_worst, True),
+    )
+    for _pass in range(2):
+        for tag, p, flag in cases:
+            out = blocked_fuzzy_join(
+                p, dim, "probe_name", "name", "key",
+                max_distance=2, prefix_len=4, block_suffix=flag)
+            tmp: dict = {}
+            timed(f"fuzzy_1M_names_{tag}", out, tmp)
+            got = tmp[f"fuzzy_1M_names_{tag}"]
+            prev = res.get(f"fuzzy_1M_names_{tag}")
+            if prev is None or got["sec"] < prev["sec"]:
+                res[f"fuzzy_1M_names_{tag}"] = got
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r9b":
+        r9b_probe(spark, res, n_names=min(N, 1_000_000))
+        print(json.dumps({"metric": "scale_probe_r9b", "rows": N,
+                          "shapes": res}))
+        spark.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "r9":
+        r9_probe(spark, res, n_events=N)
+        print(json.dumps({"metric": "scale_probe_r9", "rows": N,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r8c":
         r8c_probe(spark, res, n_events=N)
         print(json.dumps({"metric": "scale_probe_r8c", "rows": N,

@@ -28,20 +28,24 @@ def _lev(a: str, b: str) -> int:
     return prev[-1]
 
 
-def _brute(probes, dim, k, prefix_len):
+def _brute(probes, dim, k, prefix_len, block_suffix=False):
     """The blocking contract, row-at-a-time: candidates share the
-    prefix_len prefix; lev ≤ k; winner = min (lev, key)."""
+    prefix_len prefix (with block_suffix also: OR the last-prefix_len
+    suffix); lev ≤ k; winner = min (lev, key, name)."""
     out = {}
     for pid, pname in probes:
         best = None
         for key, dname in dim:
-            if pname[:prefix_len] != dname[:prefix_len]:
+            blocked = pname[:prefix_len] == dname[:prefix_len]
+            if block_suffix:
+                blocked = blocked or pname[-prefix_len:] == dname[-prefix_len:]
+            if not blocked:
                 continue
             d = _lev(pname, dname)
             if d > k:
                 continue
             c = (d, key, dname)
-            if best is None or c[:2] < best[:2]:
+            if best is None or c < best:
                 best = c
         if best is not None:
             out[pid] = best
@@ -71,6 +75,51 @@ def test_matches_bruteforce_within_blocking_contract(
     )
     got = {r.probe_id: (r.lev, r.key, r.name) for r in got_df.collect()}
     assert got == _brute(probes, dim, k, prefix_len)
+
+
+@given(
+    dim_names=st.lists(NAME, min_size=1, max_size=12),
+    probe_names=st.lists(NAME, min_size=1, max_size=8),
+    k=st.integers(min_value=1, max_value=3),
+    prefix_len=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=12, deadline=None)
+def test_suffix_union_matches_bruteforce(
+        spark, dim_names, probe_names, k, prefix_len):
+    """block_suffix=True must be exactly equivalent to brute force
+    under the widened prefix-OR-suffix blocking contract. Random short
+    strings exercise the hazards: names shorter than prefix_len (both
+    blocks degenerate to the whole string), pairs sharing both ends
+    (duplicate candidates must collapse), and empty-suffix edge."""
+    dim = [(i, n) for i, n in enumerate(dim_names)]
+    probes = [(100 + i, n) for i, n in enumerate(probe_names)]
+    got_df = blocked_fuzzy_join(
+        spark.createDataFrame(probes, "probe_id long, probe_name string"),
+        spark.createDataFrame(dim, "key long, name string"),
+        probe_name_col="probe_name", dim_name_col="name",
+        dim_key_col="key", max_distance=k, prefix_len=prefix_len,
+        block_suffix=True,
+    )
+    got = {r.probe_id: (r.lev, r.key, r.name) for r in got_df.collect()}
+    assert got == _brute(probes, dim, k, prefix_len, block_suffix=True)
+
+
+def test_prefix_corruption_caught_only_by_suffix_union(spark):
+    """The motivating case (the docstring's stated blocking miss): a
+    corruption INSIDE the prefix4 window. Prefix-only blocking misses
+    it; the r9 prefix∪suffix union catches it via the intact tail."""
+    probes = spark.createDataFrame([(1, "Xlpha centauri")],
+                                   "probe_id long, probe_name string")
+    dim = spark.createDataFrame([(7, "alpha centauri")],
+                                "key long, name string")
+    miss = blocked_fuzzy_join(probes, dim, "probe_name", "name", "key",
+                              max_distance=1, prefix_len=4)
+    assert miss.count() == 0  # honest prefix-only contract
+    hit = blocked_fuzzy_join(probes, dim, "probe_name", "name", "key",
+                             max_distance=1, prefix_len=4,
+                             block_suffix=True).collect()
+    assert len(hit) == 1
+    assert (hit[0].key, hit[0].name, hit[0].lev) == (7, "alpha centauri", 1)
 
 
 def test_rejects_degenerate_parameters(spark):
