@@ -74,11 +74,14 @@ def blocked_fuzzy_join(
     MINIMUM among dim rows sharing the winning name; ``out_name_col``
     (default ``dim_name_col``) — the matched name; and ``out_dist_col``
     (default ``lev``) — the exact distance, long. Winner per probe =
-    minimum ``(distance, key)``. Candidates are restricted to names
+    minimum ``(distance, key, name)`` — the name term only matters
+    when dim keys repeat, where two names can tie on (distance, key);
+    it pins that edge deterministically. Candidates are restricted to names
     sharing the ``prefix_len``-char prefix (the blocking contract
     above); with ``block_suffix=True`` the restriction widens to
     prefix OR last-``prefix_len``-chars suffix, catching corruptions
-    confined to the front of the name at ~2× candidate cost. The three output names must not collide with each other or
+    confined to the front of the name at ~2× candidate cost.
+    The three output names must not collide with each other or
     with any ``probes`` column — when the defaults collide (e.g. both
     sides name their column ``name``), pass explicit ``out_*`` names;
     a collision raises ValueError instead of producing a frame with
