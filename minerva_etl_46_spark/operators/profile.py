@@ -29,8 +29,12 @@ def _sql_ident(c: str) -> str:
 
 def _sql_label(c: str) -> str:
     """Single-quote a column name as a SQL string literal; embedded
-    quotes double so the stack() label is the exact column name."""
-    return "'" + c.replace("'", "''") + "'"
+    backslashes double FIRST (Spark string literals process backslash
+    escapes by default — undoubled, a trailing backslash eats the
+    closing quote and interior ones silently collapse, mislabeling
+    col_name), then embedded quotes double, so the stack() label is
+    the exact column name."""
+    return "'" + c.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _stack(df: DataFrame, cols: list[str], value_alias: str) -> DataFrame:

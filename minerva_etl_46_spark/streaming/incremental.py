@@ -59,7 +59,11 @@ def ingest_available_now(
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     stream = reader.option("maxFilesPerTrigger", "1").load(source_dir)
-    writer = stream.writeStream.foreachBatch(handle).trigger(availableNow=True)
+    # named so record_progress files the snapshot under a stable key
+    # (an unnamed query would record under None)
+    writer = (stream.writeStream.foreachBatch(handle)
+              .queryName(f"ingest_{spec.name}")
+              .trigger(availableNow=True))
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()

@@ -36,9 +36,12 @@ def record_progress(q) -> None:
     LAST_PROGRESS under its queryName. Call after processAllAvailable/
     awaitTermination and before stop() — recentProgress lives on the
     JVM query object and survives termination, but not a new start
-    under the same name."""
+    under the same name. Unnamed queries are skipped — a None key
+    would collide across every unnamed query in the session."""
     import json
 
+    if q.name is None:
+        return
     LAST_PROGRESS[q.name] = [json.loads(p.json) for p in q.recentProgress]
 
 

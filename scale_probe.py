@@ -1418,8 +1418,9 @@ def main():
     res: dict = {}
 
     if len(sys.argv) > 1 and sys.argv[1] == "r9b":
-        r9b_probe(spark, res, n_names=min(N, 1_000_000))
-        print(json.dumps({"metric": "scale_probe_r9b", "rows": N,
+        n_names = min(N, 1_000_000)
+        r9b_probe(spark, res, n_names=n_names)
+        print(json.dumps({"metric": "scale_probe_r9b", "rows": n_names,
                           "shapes": res}))
         spark.stop()
         return
@@ -1442,8 +1443,9 @@ def main():
         spark.stop()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "r8":
-        r8_probe(spark, res, n_base=min(N, 1_000_000))
-        print(json.dumps({"metric": "scale_probe_r8", "rows": N,
+        n_base = min(N, 1_000_000)
+        r8_probe(spark, res, n_base=n_base)
+        print(json.dumps({"metric": "scale_probe_r8", "rows": n_base,
                           "shapes": res}))
         spark.stop()
         return

@@ -686,13 +686,23 @@ def test_profile_handles_quoted_and_backticked_column_names(spark):
         profile_table, skew_report)
 
     df = (spark.range(10)
-          .selectExpr("id as `it's`", "id % 3 as `a``b`"))
+          .selectExpr("id as c1", "id % 3 as c2", "id % 3 as c3")
+          .withColumnRenamed("c1", "it's")    # raw names, no SQL parse
+          .withColumnRenamed("c2", "a`b")
+          .withColumnRenamed("c3", "a\\b"))
     prof = {r.col_name: r for r in profile_table(df).collect()}
-    assert set(prof) == {"it's", "a`b"}
+    # backslash names: trailing-\ would eat the literal's closing quote
+    # and interior \ silently collapses without doubling (r9 escape fix)
+    assert set(prof) == {"it's", "a`b", "a\\b"}
     assert prof["it's"].n == 10 and prof["it's"].n_distinct == 10
     assert prof["a`b"].n_distinct == 3
-    sk = {r.col_name: r for r in skew_report(df, ["it's", "a`b"]).collect()}
+    assert prof["a\\b"].n_distinct == 3
+    df2 = spark.range(4).toDF("tail\\")
+    assert [r.col_name for r in profile_table(df2).collect()] == ["tail\\"]
+    sk = {r.col_name: r
+          for r in skew_report(df, ["it's", "a`b", "a\\b"]).collect()}
     assert sk["a`b"].n_distinct == 3 and sk["it's"].n_rows == 10
+    assert sk["a\\b"].n_distinct == 3
 
 
 def test_paio_append_is_staged_and_spark_readable(spark):
