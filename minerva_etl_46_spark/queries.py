@@ -13443,6 +13443,71 @@ _R08_TAIL = [
     if k not in set(_R08_PRIORITY)
 ]
 
+@register(
+    "scan_avro",
+    oracle="""
+    select c_custkey,
+           case when c_custkey % 97 = 0 then null else c_name end as name,
+           c_nationkey, c_acctbal as acctbal
+    from customer
+    where c_custkey % 10 = 0
+    """,
+)
+def scan_avro(spark, sf_dir):
+    """S20 (r9): Avro OCF ingest WITHOUT the spark-avro DataSource
+    module (absent from the image; avro CORE jars only — the 'missing'
+    item of rounds 6-9, now closed Spark-first). A bounded customer
+    subset renders into FOUR .avro files through the JVM avro-core
+    decoder's pure-Python encoder twin (sources/avro.py::encode_ocf —
+    validated against the JVM avro-core reference implementation in
+    tests/test_avro.py, both directions: our bytes read back through
+    org.apache.avro, and JVM-written bytes through our decoder), two
+    null-codec and two deflate, with c_name a nullable
+    union (null planted at custkey%97==0); re-ingest is the real path:
+    binaryFile scan (one task per file, payloads never on the driver)
+    → Arrow-batched mapInPandas running the pure-Python OCF decoder
+    (sources/avro.py: zigzag varints, union branches, block sync
+    verification, raw-deflate blocks). Doubles round-trip BINARY
+    (avro stores IEEE754 LE), so acctbal needs no text
+    canonicalization — the oracle compares the exact doubles. Scale
+    lesson, same as scan_csv_gzip: row-major Avro decodes whole
+    records (no projection pushdown) and a .avro file is one task —
+    convert to parquet in the first pass at 100 TB."""
+    import os
+
+    from minerva_etl_46_spark.sources.avro import encode_ocf, read_avro
+
+    scratch = _scratch(sf_dir, "customer_avro")  # PID-scoped
+    if not os.path.isdir(scratch):
+        os.makedirs(scratch, exist_ok=True)
+        rows = (load(spark, sf_dir, "customer")
+                .filter(F.col("c_custkey") % 10 == 0)
+                .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+                .collect())  # bounded-by: 1/10 of the customer dimension
+        schema_json = (
+            '{"type":"record","name":"customer","fields":['
+            '{"name":"c_custkey","type":"long"},'
+            '{"name":"name","type":["null","string"]},'
+            '{"name":"c_nationkey","type":"long"},'
+            '{"name":"acctbal","type":"double"}]}')
+        parts = [[] for _ in range(4)]
+        for r in rows:
+            parts[r.c_custkey % 7 % 4].append({
+                "c_custkey": r.c_custkey,
+                "name": None if r.c_custkey % 97 == 0 else r.c_name,
+                "c_nationkey": r.c_nationkey,
+                "acctbal": float(r.c_acctbal),
+            })
+        for i, chunk in enumerate(parts):
+            buf = encode_ocf(schema_json, chunk,
+                             codec="deflate" if i % 2 == 0 else "null")
+            with open(os.path.join(scratch, f"b{i}.avro"), "wb") as fh:
+                fh.write(buf)
+    return read_avro(
+        spark, scratch,
+        "c_custkey long, name string, c_nationkey long, acctbal double")
+
+
 _R09_PRIORITY = [
     # Round-9 rotation: rolling renewal (the standing ~50/round policy
     # adopted at r8 close). With every key driver-green at least once,
@@ -13452,8 +13517,14 @@ _R09_PRIORITY = [
     # fn_regexp/string_dn/variant, win_cume/win_pattern) plus the 27
     # alphabetically-first round-4 keys (core joins, rollups, dedup
     # family, sketches). Selection is deterministic: sort keys by
-    # (latest CORRECTNESS_r0N round, name) ascending, take 50.
-    # The 16 remaining r4-row keys lead the r10 rotation.
+    # (latest CORRECTNESS_r0N round, name) ascending, take 50 — minus
+    # one: the NEW scan_avro key (S20, closing the four-round avro
+    # 'missing' item with a pure-Python OCF decoder over binaryFile)
+    # takes the 50th slot so it gets its first driver row THIS round
+    # instead of becoming the registry's only never-sampled key (the
+    # r8 priority rule: never-sampled beats stale). llm_text_stats,
+    # the newest of the stale set, joins the r10 leads.
+    # The 17 remaining r4-row keys lead the r10 rotation.
     "fn_regexp", "fn_string_dn", "fn_variant", "llm_chunk", "llm_concat",
     "llm_decontaminate", "llm_dedup_groups", "llm_dupe_stats",
     "llm_hot_ngrams", "llm_keywords", "llm_len_buckets",
@@ -13467,12 +13538,13 @@ _R09_PRIORITY = [
     "llm_dedup_exact", "llm_dedup_incremental", "llm_dedup_near",
     "llm_fingerprint", "llm_lang_id", "llm_minhash_est",
     "llm_ngram_jaccard", "llm_quality", "llm_sim_topk", "llm_simhash",
-    "llm_text_stats",
+    "scan_avro",
 ]
 assert len(_R09_PRIORITY) == 50, len(_R09_PRIORITY)
 #: r4-row keys that did not fit the 50-slot window; they lead _R10.
 _R10_CANDIDATES = [
-    "llm_tokens", "mm_meta", "scan_jsonl", "scan_parquet", "set_except",
+    "llm_text_stats", "llm_tokens", "mm_meta", "scan_jsonl",
+    "scan_parquet", "set_except",
     "set_union", "sort_limit", "sort_order", "stream_session",
     "stream_sliding", "stream_tumbling", "trigger_notify",
     "win_change_detect", "win_intervals", "win_moving_avg", "win_rank",

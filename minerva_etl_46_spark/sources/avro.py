@@ -1,0 +1,451 @@
+"""Avro OCF ingest without the spark-avro DataSource module.
+
+The image ships avro CORE jars only (no ``format("avro")`` source — the
+DataSource module is absent and there is no network to fetch it), yet
+Avro object-container files are a first-class harvest format (SURVEY.md
+§2.1). This module closes the gap Spark-first:
+
+- **Scan**: ``spark.read.format("binaryFile")`` — one task per file,
+  the driver never touches payloads — then an Arrow-batched
+  ``mapInPandas`` decodes each file's records with the pure-Python OCF
+  decoder below. Parallelism == file count, exactly like every other
+  non-splittable harvest input (the scan_csv_gzip lesson): at 100 TB,
+  receive many medium .avro files and convert to parquet in the first
+  pass.
+- **Decoder**: a complete implementation of the OCF spec's core —
+  zigzag-varint longs, all eight primitive types, record / enum /
+  fixed / array / map / union, ``null`` and ``deflate`` codecs (the
+  two the spec requires; others raise with the codec named). Logical
+  types decode as their base type — cast downstream.
+- **Independence**: the test fixture and the `scan_avro` gate key are
+  written by the JVM avro-core library (org.apache.avro via the
+  driver's py4j bridge — a wholly independent implementation), so the
+  decoder is validated against the reference encoder, never against
+  itself.
+
+No column projection reaches the decoder (an OCF block is
+record-sequential; skipping a field still walks its bytes), so select
+AFTER the scan — pruning saves Arrow transfer, not decode work. That
+is inherent to row-major Avro, not this reader.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+MAGIC = b"Obj\x01"
+
+
+class AvroDecodeError(ValueError):
+    """Malformed or unsupported Avro object-container bytes."""
+
+
+class _Cursor:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise AvroDecodeError(
+                f"truncated: need {n} bytes at offset {self.pos}, "
+                f"have {len(self.buf) - self.pos}")
+        out = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+    def at_end(self) -> bool:
+        return self.pos >= len(self.buf)
+
+
+def _read_long(c: _Cursor) -> int:
+    """Zigzag varint (the wire form of both int and long)."""
+    shift, acc = 0, 0
+    while True:
+        b = c.read(1)[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 70:
+            raise AvroDecodeError("varint longer than 10 bytes")
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _read_bytes(c: _Cursor) -> bytes:
+    n = _read_long(c)
+    if n < 0:
+        raise AvroDecodeError(f"negative bytes length {n}")
+    return c.read(n)
+
+
+def _decoder_of(schema) -> Callable[[_Cursor], object]:
+    """Compile a schema (parsed JSON: str | dict | list) into a decode
+    function. Named-type REFERENCES are not resolved (the fixture
+    surface doesn't recurse); a reference to an unknown name raises."""
+    if isinstance(schema, str):
+        t = schema
+    elif isinstance(schema, dict):
+        t = schema["type"]
+    elif isinstance(schema, list):  # union: branch index then value
+        branches = [_decoder_of(s) for s in schema]
+
+        def dec_union(c: _Cursor):
+            i = _read_long(c)
+            if not 0 <= i < len(branches):
+                raise AvroDecodeError(f"union branch {i} of {len(branches)}")
+            return branches[i](c)
+        return dec_union
+    else:
+        raise AvroDecodeError(f"unsupported schema node {schema!r}")
+
+    if t == "null":
+        return lambda c: None
+    if t == "boolean":
+        return lambda c: c.read(1) != b"\x00"
+    if t in ("int", "long"):
+        return _read_long
+    if t == "float":
+        return lambda c: struct.unpack("<f", c.read(4))[0]
+    if t == "double":
+        return lambda c: struct.unpack("<d", c.read(8))[0]
+    if t == "bytes":
+        return _read_bytes
+    if t == "string":
+        return lambda c: _read_bytes(c).decode("utf-8")
+    if t == "record":
+        fields = [(f["name"], _decoder_of(f["type"]))
+                  for f in schema["fields"]]
+
+        def dec_record(c: _Cursor):
+            return {name: dec(c) for name, dec in fields}
+        return dec_record
+    if t == "enum":
+        symbols = schema["symbols"]
+
+        def dec_enum(c: _Cursor):
+            i = _read_long(c)
+            if not 0 <= i < len(symbols):
+                raise AvroDecodeError(f"enum index {i} of {len(symbols)}")
+            return symbols[i]
+        return dec_enum
+    if t == "fixed":
+        size = schema["size"]
+        return lambda c: c.read(size)
+    if t == "array":
+        item = _decoder_of(schema["items"])
+
+        def dec_array(c: _Cursor):
+            out = []
+            while True:
+                n = _read_long(c)
+                if n == 0:
+                    return out
+                if n < 0:  # negative count: byte size follows (skippable
+                    n = -n  # form) — we decode anyway, so just consume it
+                    _read_long(c)
+                for _ in range(n):
+                    out.append(item(c))
+        return dec_array
+    if t == "map":
+        val = _decoder_of(schema["values"])
+
+        def dec_map(c: _Cursor):
+            out = {}
+            while True:
+                n = _read_long(c)
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    _read_long(c)
+                for _ in range(n):
+                    k = _read_bytes(c).decode("utf-8")
+                    out[k] = val(c)
+        return dec_map
+    raise AvroDecodeError(f"unsupported avro type {t!r} "
+                          "(named-type references are not resolved)")
+
+
+def decode_ocf(buf: bytes) -> tuple[dict, list[dict]]:
+    """Decode one Avro object-container file; returns
+    ``(writer_schema_json, records)`` where each record is a plain
+    dict. Codecs: null, deflate (raw zlib per the spec); anything else
+    raises AvroDecodeError naming the codec."""
+    c = _Cursor(buf)
+    if c.read(4) != MAGIC:
+        raise AvroDecodeError("bad magic: not an Avro object-container file")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _read_long(c)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _read_long(c)
+        for _ in range(n):
+            k = _read_bytes(c).decode("utf-8")
+            meta[k] = _read_bytes(c)
+    sync = c.read(16)
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise AvroDecodeError(
+            f"unsupported avro codec {codec!r} (null/deflate implemented; "
+            "snappy/zstandard need their python codecs)")
+    try:
+        schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    except KeyError:
+        raise AvroDecodeError("header missing avro.schema") from None
+    dec = _decoder_of(schema)
+    records: list[dict] = []
+    while not c.at_end():
+        count = _read_long(c)
+        size = _read_long(c)
+        block = c.read(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        bc = _Cursor(block)
+        for _ in range(count):
+            records.append(dec(bc))
+        if not bc.at_end():
+            raise AvroDecodeError(
+                f"block decoded {count} records with {len(block) - bc.pos} "
+                "bytes left over — schema/data mismatch")
+        if c.read(16) != sync:
+            raise AvroDecodeError("sync marker mismatch mid-file")
+    return schema, records
+
+
+def _encoder_of(schema) -> Callable[[io.BytesIO, object], None]:
+    """Compile a schema into an encode function — the exact mirror of
+    _decoder_of, same core-type coverage. Unions encode by FIRST
+    MATCHING branch (None → the null branch; anything else → the first
+    non-null branch), which covers the nullable-union shape; general
+    multi-branch type dispatch is out of scope and raises."""
+    if isinstance(schema, str):
+        t = schema
+    elif isinstance(schema, dict):
+        t = schema["type"]
+    elif isinstance(schema, list):
+        null_i = next((i for i, s in enumerate(schema) if s == "null"), None)
+        val_i = next((i for i, s in enumerate(schema) if s != "null"), None)
+        if null_i is None or val_i is None or len(schema) != 2:
+            raise AvroDecodeError(
+                "encoder supports exactly the 2-branch nullable union")
+        val_enc = _encoder_of(schema[val_i])
+
+        def enc_union(out: io.BytesIO, v):
+            if v is None:
+                _write_long(out, null_i)
+            else:
+                _write_long(out, val_i)
+                val_enc(out, v)
+        return enc_union
+    else:
+        raise AvroDecodeError(f"unsupported schema node {schema!r}")
+
+    if t == "null":
+        return lambda out, v: None
+    if t == "boolean":
+        return lambda out, v: out.write(b"\x01" if v else b"\x00")
+    if t in ("int", "long"):
+        return _write_long
+    if t == "float":
+        return lambda out, v: out.write(struct.pack("<f", v))
+    if t == "double":
+        return lambda out, v: out.write(struct.pack("<d", v))
+    if t == "bytes":
+        return _write_bytes
+    if t == "string":
+        return lambda out, v: _write_bytes(out, v.encode("utf-8"))
+    if t == "record":
+        fields = [(f["name"], _encoder_of(f["type"]))
+                  for f in schema["fields"]]
+
+        def enc_record(out: io.BytesIO, v):
+            for name, enc in fields:
+                enc(out, v.get(name))
+        return enc_record
+    if t == "enum":
+        index = {s: i for i, s in enumerate(schema["symbols"])}
+        return lambda out, v: _write_long(out, index[v])
+    if t == "fixed":
+        size = schema["size"]
+
+        def enc_fixed(out: io.BytesIO, v):
+            if len(v) != size:
+                raise AvroDecodeError(f"fixed size {len(v)} != {size}")
+            out.write(bytes(v))
+        return enc_fixed
+    if t == "array":
+        item = _encoder_of(schema["items"])
+
+        def enc_array(out: io.BytesIO, v):
+            if v:
+                _write_long(out, len(v))
+                for x in v:
+                    item(out, x)
+            _write_long(out, 0)
+        return enc_array
+    if t == "map":
+        val = _encoder_of(schema["values"])
+
+        def enc_map(out: io.BytesIO, v):
+            if v:
+                _write_long(out, len(v))
+                for k, x in v.items():
+                    _write_bytes(out, k.encode("utf-8"))
+                    val(out, x)
+            _write_long(out, 0)
+        return enc_map
+    raise AvroDecodeError(f"unsupported avro type {t!r}")
+
+
+def _write_long(out: io.BytesIO, v: int) -> None:
+    v = (v << 1) ^ (v >> 63) if v >= 0 else ((-v - 1) << 1) | 1
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.write(bytes([b | 0x80]))
+        else:
+            out.write(bytes([b]))
+            return
+
+
+def _write_bytes(out: io.BytesIO, v: bytes) -> None:
+    _write_long(out, len(v))
+    out.write(bytes(v))
+
+
+def encode_ocf(schema_json: str, records: list[dict],
+               codec: str = "deflate", block_records: int = 1000) -> bytes:
+    """Encode records into Avro OCF bytes — the pure-Python mirror of
+    decode_ocf, used for fixture renders (the JVM writer below is
+    row-at-a-time over py4j — correct but slow; this is one pass).
+    Independence is preserved in tests, which read these bytes back
+    through the JVM avro-core library and compare. The 16-byte sync
+    marker derives deterministically from the schema + record count
+    (no randomness — reproducible fixtures)."""
+    import hashlib
+
+    schema = json.loads(schema_json)
+    enc = _encoder_of(schema)
+    if codec not in ("null", "deflate"):
+        raise AvroDecodeError(f"unsupported write codec {codec!r}")
+    sync = hashlib.md5(
+        f"{schema_json}|{len(records)}".encode()).digest()
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {"avro.schema": schema_json.encode("utf-8"),
+            "avro.codec": codec.encode("utf-8")}
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        _write_bytes(out, k.encode("utf-8"))
+        _write_bytes(out, v)
+    _write_long(out, 0)
+    out.write(sync)
+    for i in range(0, max(len(records), 1), block_records):
+        chunk = records[i:i + block_records]
+        if not chunk:
+            break
+        body = io.BytesIO()
+        for r in chunk:
+            enc(body, r)
+        payload = body.getvalue()
+        if codec == "deflate":
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            payload = co.compress(payload) + co.flush()
+        _write_long(out, len(chunk))
+        _write_long(out, len(payload))
+        out.write(payload)
+        out.write(sync)
+    return out.getvalue()
+
+
+def read_avro(spark: SparkSession, path: str, ddl_schema: str,
+              path_glob: str = "*.avro") -> DataFrame:
+    """Avro OCF files as a DataFrame: binaryFile scan (per-file tasks)
+    → mapInPandas decode. ``ddl_schema`` names the output columns and
+    types (explicit schema, like every harvest reader here); fields
+    are taken from each record by name, missing fields surface as
+    null. Timestamps/decimals ride their base types — cast after."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    target = _parse_datatype_string(ddl_schema)
+    names = [f.name for f in target.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, recs = decode_ocf(bytes(content))
+                yield pd.DataFrame(
+                    {n: [r.get(n) for r in recs] for n in names})
+
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", path_glob).load(path)
+             .select("content"))
+    return files.mapInPandas(gen, schema=target)
+
+
+def write_avro_jvm(spark: SparkSession, rows: list[dict],
+                   schema_json: str, out_path: str,
+                   codec: str | None = None) -> None:
+    """Write an OCF file through the JVM avro-core library (the
+    independent reference implementation; avro core jars ship with
+    pyspark even though the DataSource module does not). Driver-side
+    and row-at-a-time over py4j — a FIXTURE/TEST writer for bounded
+    data, not a data path; bulk export at scale stays parquet."""
+    jvm = spark._jvm
+    sch = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    fields = json.loads(schema_json)["fields"]
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch))
+    if codec == "deflate":
+        writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    elif codec not in (None, "null"):
+        raise ValueError(f"fixture writer supports null/deflate, got {codec}")
+    def conv(jschema, v):
+        # py4j auto-converts list/dict/str/int; the typed avro values
+        # need explicit JVM wrappers: ByteBuffer for bytes, Float for
+        # float (py4j sends Python float as Double), EnumSymbol /
+        # Fixed for their named types; unions dispatch on null
+        t = jschema.getType().getName()
+        if t == "union":
+            if v is None:
+                return None
+            branch = next(b for b in jschema.getTypes()
+                          if b.getType().getName() != "null")
+            return conv(branch, v)
+        if t == "bytes":
+            return jvm.java.nio.ByteBuffer.wrap(bytes(v))
+        if t == "fixed":
+            return jvm.org.apache.avro.generic.GenericData.Fixed(
+                jschema, bytes(v))
+        if t == "enum":
+            return jvm.org.apache.avro.generic.GenericData.EnumSymbol(
+                jschema, v)
+        if t == "float":
+            return jvm.java.lang.Float(float(v))
+        return v
+
+    jfields = {f["name"]: sch.getField(f["name"]).schema() for f in fields}
+    writer.create(sch, jvm.java.io.File(out_path))
+    try:
+        for row in rows:
+            rec = jvm.org.apache.avro.generic.GenericData.Record(sch)
+            for f in fields:
+                name = f["name"]
+                rec.put(name, conv(jfields[name], row.get(name)))
+            writer.append(rec)
+    finally:
+        writer.close()

@@ -1,0 +1,177 @@
+"""Avro OCF decoder tests (sources/avro.py, the S20 scan_avro path).
+
+Validation is always against the JVM avro-core library — the
+independent reference implementation that ships with pyspark — never
+against our own encoder (there isn't one for data): write_avro_jvm
+produces the bytes, decode_ocf/read_avro must reproduce the records
+exactly, for both spec-required codecs.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+
+from minerva_etl_46_spark.sources.avro import (
+    AvroDecodeError,
+    decode_ocf,
+    encode_ocf,
+    read_avro,
+    write_avro_jvm,
+)
+
+FULL_SCHEMA = json.dumps({
+    "type": "record", "name": "t", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "string"]},
+        {"name": "c", "type": "double"},
+        {"name": "d", "type": "boolean"},
+        {"name": "e", "type": {"type": "array", "items": "long"}},
+        {"name": "f", "type": {"type": "map", "values": "string"}},
+        {"name": "g", "type": "bytes"},
+        {"name": "h", "type": "float"},
+        {"name": "i", "type": "int"},
+        {"name": "j", "type": {"type": "enum", "name": "col",
+                               "symbols": ["red", "green", "blue"]}},
+        {"name": "k", "type": {"type": "fixed", "name": "f4", "size": 4}},
+    ]})
+
+ROWS = [
+    {"a": 2**62, "b": "héllo", "c": -0.0, "d": True, "e": [1, -2, 3],
+     "f": {"k": "v", "": "empty-key"}, "g": b"\x00\xff", "h": 2.5,
+     "i": -2**31, "j": "green", "k": b"\x01\x02\x03\x04"},
+    {"a": -1, "b": None, "c": float("inf"), "d": False, "e": [],
+     "f": {}, "g": b"", "h": -1.5, "i": 0, "j": "blue",
+     "k": b"\xff\xff\xff\xff"},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_decoder_reproduces_jvm_written_records(spark, tmp_path, codec):
+    """Every core avro type, zigzag extremes (±2^62), unicode strings,
+    empty collections, null union branch — both spec codecs."""
+    p = str(tmp_path / f"t_{codec}.avro")
+    write_avro_jvm(spark, ROWS, FULL_SCHEMA, p, codec=codec)
+    schema, recs = decode_ocf(open(p, "rb").read())
+    assert schema["name"] == "t" and len(recs) == len(ROWS)
+    for got, want in zip(recs, ROWS):
+        for key, v in want.items():
+            g = got[key]
+            if isinstance(v, float) and math.isnan(v):
+                assert math.isnan(g)
+            elif key == "h":  # float32 round-trip, not float64 equality
+                assert abs(g - v) < 1e-6
+            else:
+                assert g == v, (key, g, v)
+
+
+def test_read_avro_scan_shape_and_missing_field(spark, tmp_path):
+    """binaryFile → mapInPandas path: per-file tasks, explicit output
+    schema, absent fields surface as null (schema-projection contract),
+    mixed codecs in one directory."""
+    d = tmp_path / "mix"
+    d.mkdir()
+    write_avro_jvm(spark, ROWS, FULL_SCHEMA, str(d / "a.avro"),
+                   codec="deflate")
+    write_avro_jvm(spark, ROWS, FULL_SCHEMA, str(d / "b.avro"),
+                   codec="null")
+    df = read_avro(spark, str(d),
+                   "a long, b string, c double, nosuch string")
+    rows = sorted(df.collect(), key=lambda r: (r.a, r.b or ""))
+    assert len(rows) == 4
+    assert all(r.nosuch is None for r in rows)
+    assert {r.a for r in rows} == {2**62, -1}
+    # one task per file: avro files are not splittable
+    assert df.rdd.getNumPartitions() <= 2
+
+
+def test_malformed_inputs_fail_loudly(spark, tmp_path):
+    p = str(tmp_path / "ok.avro")
+    write_avro_jvm(spark, ROWS, FULL_SCHEMA, p, codec="null")
+    good = open(p, "rb").read()
+
+    with pytest.raises(AvroDecodeError, match="magic"):
+        decode_ocf(b"PAR1" + good[4:])
+    with pytest.raises(AvroDecodeError, match="truncated"):
+        decode_ocf(good[:len(good) - 7])
+    # flip a byte inside the trailing sync marker
+    bad_sync = good[:-3] + bytes([good[-3] ^ 0xFF]) + good[-2:]
+    with pytest.raises(AvroDecodeError, match="sync"):
+        decode_ocf(bad_sync)
+
+
+def test_unsupported_codec_named_in_error(spark, tmp_path):
+    """An unknown-codec file must raise naming the codec, not garble."""
+    p = str(tmp_path / "n.avro")
+    write_avro_jvm(spark, ROWS[:1], FULL_SCHEMA, p, codec="deflate")
+    raw = open(p, "rb").read()
+    # rewrite the header metadata value 'deflate' -> 'zzflate' in
+    # place: same length, so offsets and sync stay valid (\x0e is the
+    # zigzag varint for length 7)
+    assert raw.count(b"\x0edeflate") == 1
+    with pytest.raises(AvroDecodeError, match="zzflate"):
+        decode_ocf(raw.replace(b"\x0edeflate", b"\x0ezzflate"))
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_jvm_reads_python_encoded_bytes(spark, tmp_path, codec):
+    """The encoder half of independence: bytes from encode_ocf (the
+    fixture writer) must parse in the JVM avro-core reference reader
+    with identical values. Without this, encoder+decoder could agree
+    on a private dialect and every fixture round-trip would still
+    pass."""
+    p = str(tmp_path / f"py_{codec}.avro")
+    with open(p, "wb") as fh:
+        fh.write(encode_ocf(FULL_SCHEMA, ROWS, codec=codec,
+                            block_records=1))  # multi-block on 2 rows
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p),
+        jvm.org.apache.avro.generic.GenericDatumReader())
+    got = []
+    while reader.hasNext():
+        got.append(reader.next())
+    reader.close()
+    assert len(got) == len(ROWS)
+    for jrec, want in zip(got, ROWS):
+        assert jrec.get("a") == want["a"]
+        b = jrec.get("b")
+        assert (b is None) == (want["b"] is None)
+        if b is not None:
+            assert str(b) == want["b"]  # avro Utf8 -> str
+        assert jrec.get("c") == want["c"]
+        assert jrec.get("d") == want["d"]
+        assert list(jrec.get("e")) == want["e"]
+        assert str(jrec.get("j")) == want["j"]
+        assert bytes(jrec.get("k").bytes()) == want["k"]
+
+
+def test_python_roundtrip_both_codecs():
+    """encode_ocf -> decode_ocf closes exactly (no Spark needed)."""
+    for codec in ("null", "deflate"):
+        schema, recs = decode_ocf(encode_ocf(FULL_SCHEMA, ROWS,
+                                             codec=codec))
+        assert len(recs) == 2 and recs[0]["a"] == 2**62
+        assert recs[1]["b"] is None and recs[0]["f"] == ROWS[0]["f"]
+    # empty file: header only, zero blocks, still well-formed
+    schema, recs = decode_ocf(encode_ocf(FULL_SCHEMA, []))
+    assert recs == []
+
+
+def test_scan_avro_fixture_is_cached_per_process(spark):
+    """Second invocation reuses the rendered scratch dir (same PID) —
+    the render-once pattern every scan fixture uses."""
+    from minerva_etl_46_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    n1 = QUERIES["scan_avro"](spark, sf).count()
+    from minerva_etl_46_spark.queries import _scratch
+    d = _scratch(sf, "customer_avro")
+    mtimes = {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+    n2 = QUERIES["scan_avro"](spark, sf).count()
+    assert n1 == n2 > 0
+    assert mtimes == {f: os.path.getmtime(os.path.join(d, f))
+                      for f in os.listdir(d)}
