@@ -1413,10 +1413,65 @@ def r9b_probe(spark, res, n_names):
                 res[f"fuzzy_1M_names_{tag}"] = got
 
 
+def r9c_probe(spark, res, n_rows):
+    """r9c: the pure-Python avro decode path (scan_avro / S20) at 1M
+    rows — where does the no-DataSource reader stand vs the formats it
+    feeds? 32 .avro files (one per core at probe scale; a file is one
+    task) vs the same rows as parquet. The decode IS the slow path —
+    row-major python decode vs columnar JVM scan — which is exactly
+    the operator's documented contract: avro is an INGEST format; the
+    first pass converts to parquet and everything downstream scans
+    columnar. The probe quantifies the conversion toll."""
+    import os
+    import shutil
+    import tempfile
+
+    from minerva_etl_46_spark.sources.avro import encode_ocf, read_avro
+
+    d = os.path.join(tempfile.gettempdir(), f"r9c_avro_{os.getpid()}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    schema_json = (
+        '{"type":"record","name":"customer","fields":['
+        '{"name":"c_custkey","type":"long"},'
+        '{"name":"name","type":["null","string"]},'
+        '{"name":"c_nationkey","type":"long"},'
+        '{"name":"acctbal","type":"double"}]}')
+    n_files = 32
+    per = n_rows // n_files
+    for i in range(n_files):
+        rows = [{"c_custkey": i * per + j,
+                 "name": None if (i * per + j) % 97 == 0
+                 else f"Customer#{i * per + j:012d}",
+                 "c_nationkey": (i * per + j) % 25,
+                 "acctbal": ((i * per + j) % 999999) / 100.0}
+                for j in range(per)]
+        with open(os.path.join(d, f"b{i}.avro"), "wb") as fh:
+            fh.write(encode_ocf(schema_json, rows, codec="deflate"))
+    av = read_avro(
+        spark, d, "c_custkey long, name string, c_nationkey long, "
+                  "acctbal double")
+    timed(f"avro_decode_{n_rows // 1_000_000}M_32files", av, res)
+    av.write.mode("overwrite").parquet(f"{d}/pq")  # the convert pass
+    timed(f"parquet_rescan_{n_rows // 1_000_000}M",
+          spark.read.parquet(f"{d}/pq"), res)
+    res["avro_mb"] = round(sum(
+        os.path.getsize(os.path.join(d, f))
+        for f in os.listdir(d) if f.endswith(".avro")) / 1e6, 1)
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r9c":
+        n = min(N, 1_000_000)
+        r9c_probe(spark, res, n_rows=n)
+        print(json.dumps({"metric": "scale_probe_r9c", "rows": n,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r9b":
         n_names = min(N, 1_000_000)
         r9b_probe(spark, res, n_names=n_names)

@@ -1,10 +1,14 @@
-"""Avro OCF decoder tests (sources/avro.py, the S20 scan_avro path).
+"""Avro OCF codec tests (sources/avro.py, the S20 scan_avro path).
 
-Validation is always against the JVM avro-core library — the
-independent reference implementation that ships with pyspark — never
-against our own encoder (there isn't one for data): write_avro_jvm
-produces the bytes, decode_ocf/read_avro must reproduce the records
-exactly, for both spec-required codecs.
+Independence discipline: the pure-Python decoder AND encoder are each
+validated against the JVM avro-core library — the reference
+implementation that ships with pyspark — in BOTH directions
+(JVM-written bytes through decode_ocf; encode_ocf bytes through the
+JVM DataFileReader), for both spec-required codecs. Our own
+encode→decode round-trips (fixed vectors + a hypothesis property over
+the value space) then extend coverage without self-consistency risk,
+because the dialect itself is pinned by the cross-implementation
+cases.
 """
 
 from __future__ import annotations
@@ -175,3 +179,40 @@ def test_scan_avro_fixture_is_cached_per_process(spark):
     assert n1 == n2 > 0
     assert mtimes == {f: os.path.getmtime(os.path.join(d, f))
                       for f in os.listdir(d)}
+
+
+def test_python_roundtrip_property():
+    """Property: encode→decode closes for random records over the full
+    core-type schema (nullable union, unicode, zigzag extremes, nested
+    array/map). Pure python — no Spark, so hypothesis can afford real
+    example counts. The JVM cross-validation above pins the DIALECT;
+    this pins the codec over the value space."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    txt = st.text(max_size=20)
+    row = st.fixed_dictionaries({
+        "a": st.integers(min_value=-2**63, max_value=2**63 - 1),
+        "b": st.one_of(st.none(), txt),
+        "c": st.floats(allow_nan=False),
+        "d": st.booleans(),
+        "e": st.lists(st.integers(min_value=-2**40, max_value=2**40),
+                      max_size=5),
+        "f": st.dictionaries(txt, txt, max_size=4),
+        "g": st.binary(max_size=16),
+        "h": st.just(0.0),  # float32 loses precision; exactness via 0
+        "i": st.integers(min_value=-2**31, max_value=2**31 - 1),
+        "j": st.sampled_from(["red", "green", "blue"]),
+        "k": st.binary(min_size=4, max_size=4),
+    })
+
+    @given(rows=st.lists(row, max_size=7),
+           codec=st.sampled_from(["null", "deflate"]),
+           block=st.integers(min_value=1, max_value=3))
+    @settings(max_examples=100, deadline=None)
+    def check(rows, codec, block):
+        _, got = decode_ocf(encode_ocf(FULL_SCHEMA, rows, codec=codec,
+                                       block_records=block))
+        assert got == rows
+
+    check()
