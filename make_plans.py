@@ -127,6 +127,13 @@ NOTES = {
     "scan_orc": "The ORC scan carries ReadSchema pruning exactly like "
                 "parquet (same DSv2 path); the rollup is the standard "
                 "partial+final hash-agg pair.",
+    "scan_avro": "ZERO exchanges: binaryFile FileScan (one task per "
+                 ".avro file — the format is not splittable) feeding "
+                 "MapInPandas running the pure-Python OCF decoder; no "
+                 "projection pushdown EXISTS for row-major avro, so "
+                 "the plan's job is purely per-file parallelism and "
+                 "the convert-to-parquet first pass (SCALE.md r9c: "
+                 "5.6× decode toll paid once).",
     "win_funnel": "ONE exchange total: collect_list hash-agg per user, "
                   "array_sort + the F.aggregate HOF walk are "
                   "projections — no self-joins, no N stage passes "
