@@ -373,27 +373,46 @@ def encode_ocf(schema_json: str, records: list[dict],
 
 
 def read_avro(spark: SparkSession, path: str, ddl_schema: str,
-              path_glob: str = "*.avro") -> DataFrame:
+              path_glob: str = "*.avro",
+              mode: str = "FAILFAST") -> DataFrame:
     """Avro OCF files as a DataFrame: binaryFile scan (per-file tasks)
     → mapInPandas decode. ``ddl_schema`` names the output columns and
     types (explicit schema, like every harvest reader here); fields
     are taken from each record by name, missing fields surface as
-    null. Timestamps/decimals ride their base types — cast after."""
+    null. Timestamps/decimals ride their base types — cast after.
+
+    ``mode`` mirrors the CSV reader's malformed-input contract at FILE
+    granularity (an OCF decode error poisons its whole file — there is
+    no later sync point to resync from once the schema or a block is
+    bad): FAILFAST (default) raises the AvroDecodeError with the
+    source path attached; DROPMALFORMED skips corrupt files and keeps
+    the rest of the directory — the landing-zone posture where one
+    truncated upload must not stall the feed (pair it with a file-count
+    reconciliation downstream, exactly like scan_csv_badrows)."""
     from pyspark.sql.types import _parse_datatype_string
 
+    if mode not in ("FAILFAST", "DROPMALFORMED"):
+        raise ValueError(f"mode must be FAILFAST or DROPMALFORMED, "
+                         f"got {mode!r}")
     target = _parse_datatype_string(ddl_schema)
     names = [f.name for f in target.fields]
+    drop = mode == "DROPMALFORMED"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for content in pdf["content"]:
-                _, recs = decode_ocf(bytes(content))
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    _, recs = decode_ocf(bytes(content))
+                except AvroDecodeError as e:
+                    if drop:
+                        continue
+                    raise AvroDecodeError(f"{fpath}: {e}") from e
                 yield pd.DataFrame(
                     {n: [r.get(n) for r in recs] for n in names})
 
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", path_glob).load(path)
-             .select("content"))
+             .select("path", "content"))
     return files.mapInPandas(gen, schema=target)
 
 

@@ -216,3 +216,23 @@ def test_python_roundtrip_property():
         assert got == rows
 
     check()
+
+
+def test_read_avro_malformed_file_modes(spark, tmp_path):
+    """FAILFAST (default) surfaces the corrupt FILE's path in the
+    error; DROPMALFORMED keeps the healthy files — the landing-zone
+    posture (one truncated upload must not stall the feed), mirroring
+    the CSV reader's mode contract at file granularity."""
+    d = tmp_path / "lz"
+    d.mkdir()
+    write_avro_jvm(spark, ROWS, FULL_SCHEMA, str(d / "good.avro"),
+                   codec="deflate")
+    (d / "bad.avro").write_bytes(b"Obj\x01garbage-truncated")
+
+    ddl = "a long, b string"
+    with pytest.raises(Exception, match="bad.avro"):
+        read_avro(spark, str(d), ddl).collect()
+    kept = read_avro(spark, str(d), ddl, mode="DROPMALFORMED").collect()
+    assert sorted(r.a for r in kept) == [-1, 2**62]
+    with pytest.raises(ValueError, match="FAILFAST"):
+        read_avro(spark, str(d), ddl, mode="PERMISSIVE")
