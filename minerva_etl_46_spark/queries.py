@@ -13479,7 +13479,15 @@ def scan_avro(spark, sf_dir):
 
     scratch = _scratch(sf_dir, "customer_avro")  # PID-scoped
     if not os.path.isdir(scratch):
-        os.makedirs(scratch, exist_ok=True)
+        # render into a staging dir and rename at the END: creating
+        # scratch first would make a mid-render failure (disk full,
+        # interrupt) permanently cache a partial fixture for the rest
+        # of the process — a 0/partial-row frame instead of the error
+        import shutil as _shutil
+
+        stage = scratch + ".render"
+        _shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
         rows = (load(spark, sf_dir, "customer")
                 .filter(F.col("c_custkey") % 10 == 0)
                 .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
@@ -13501,8 +13509,9 @@ def scan_avro(spark, sf_dir):
         for i, chunk in enumerate(parts):
             buf = encode_ocf(schema_json, chunk,
                              codec="deflate" if i % 2 == 0 else "null")
-            with open(os.path.join(scratch, f"b{i}.avro"), "wb") as fh:
+            with open(os.path.join(stage, f"b{i}.avro"), "wb") as fh:
                 fh.write(buf)
+        os.rename(stage, scratch)
     return read_avro(
         spark, scratch,
         "c_custkey long, name string, c_nationkey long, acctbal double")

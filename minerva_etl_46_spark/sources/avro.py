@@ -55,6 +55,10 @@ class _Cursor:
         self.pos = 0
 
     def read(self, n: int) -> bytes:
+        if n < 0:
+            # a negative length is always corruption; without this
+            # guard the cursor would move BACKWARDS and loop forever
+            raise AvroDecodeError(f"negative length {n} at {self.pos}")
         if self.pos + n > len(self.buf):
             raise AvroDecodeError(
                 f"truncated: need {n} bytes at offset {self.pos}, "
@@ -180,8 +184,24 @@ def decode_ocf(buf: bytes) -> tuple[dict, list[dict]]:
     """Decode one Avro object-container file; returns
     ``(writer_schema_json, records)`` where each record is a plain
     dict. Codecs: null, deflate (raw zlib per the spec); anything else
-    raises AvroDecodeError naming the codec."""
-    c = _Cursor(buf)
+    raises AvroDecodeError naming the codec. EVERY corruption mode
+    surfaces as AvroDecodeError — the exception the reader's
+    DROPMALFORMED contract keys on — including the ones that natively
+    raise zlib.error (bit-flipped deflate block), JSONDecodeError
+    (corrupt schema header), UnicodeDecodeError (non-UTF-8 strings)
+    or KeyError/struct.error (schema shape)."""
+    try:
+        return _decode_ocf(_Cursor(buf))
+    except AvroDecodeError:
+        raise
+    except (zlib.error, json.JSONDecodeError, UnicodeDecodeError,
+            KeyError, IndexError, struct.error, OverflowError,
+            TypeError) as e:
+        raise AvroDecodeError(
+            f"malformed avro container: {type(e).__name__}: {e}") from e
+
+
+def _decode_ocf(c: _Cursor) -> tuple[dict, list[dict]]:
     if c.read(4) != MAGIC:
         raise AvroDecodeError("bad magic: not an Avro object-container file")
     meta: dict[str, bytes] = {}
@@ -210,6 +230,12 @@ def decode_ocf(buf: bytes) -> tuple[dict, list[dict]]:
     while not c.at_end():
         count = _read_long(c)
         size = _read_long(c)
+        if count < 0 or size < 0:
+            # negative count would silently drop records; negative size
+            # is caught by the cursor too, but fail with the block
+            # header context here
+            raise AvroDecodeError(
+                f"corrupt block header: count={count} size={size}")
         block = c.read(size)
         if codec == "deflate":
             block = zlib.decompress(block, -15)

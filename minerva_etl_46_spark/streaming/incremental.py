@@ -59,10 +59,15 @@ def ingest_available_now(
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     stream = reader.option("maxFilesPerTrigger", "1").load(source_dir)
-    # named so record_progress files the snapshot under a stable key
-    # (an unnamed query would record under None)
+    # named so record_progress files the snapshot under a usable key
+    # (unnamed queries record under None); the uuid suffix keeps
+    # CONCURRENT ingests of the same spec from colliding on Spark's
+    # active-query-name uniqueness check (a backfill overlapping a
+    # scheduled drain) — consumers match on the ingest_<spec> prefix
+    import uuid
+
     writer = (stream.writeStream.foreachBatch(handle)
-              .queryName(f"ingest_{spec.name}")
+              .queryName(f"ingest_{spec.name}_{uuid.uuid4().hex[:8]}")
               .trigger(availableNow=True))
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
