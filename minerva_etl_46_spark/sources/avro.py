@@ -17,11 +17,14 @@ Avro object-container files are a first-class harvest format (SURVEY.md
   fixed / array / map / union, ``null`` and ``deflate`` codecs (the
   two the spec requires; others raise with the codec named). Logical
   types decode as their base type — cast downstream.
-- **Independence**: the test fixture and the `scan_avro` gate key are
-  written by the JVM avro-core library (org.apache.avro via the
-  driver's py4j bridge — a wholly independent implementation), so the
-  decoder is validated against the reference encoder, never against
-  itself.
+- **Independence**: the decoder/encoder dialect is pinned by
+  tests/test_avro.py's BIDIRECTIONAL validation against the JVM
+  avro-core library (org.apache.avro via the driver's py4j bridge — a
+  wholly independent implementation): JVM-written files decode here,
+  and bytes from ``encode_ocf`` read back identically through the JVM
+  reader. The ``scan_avro`` gate fixture itself is rendered with
+  ``encode_ocf`` (one-pass, fast); its independence rests on those
+  cross-tests, not on the fixture writer.
 
 No column projection reaches the decoder (an OCF block is
 record-sequential; skipping a field still walks its bytes), so select
@@ -41,6 +44,19 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 MAGIC = b"Obj\x01"
+
+# Zero-width values (null, empty record, size-0 fixed — and arrays of
+# them) consume no bytes, so a corrupt/hostile count can't be bounded
+# by remaining input. Cap how many may accumulate before we call it
+# corruption instead of data: generous for real data (a 100k-null
+# array is already pathological), small enough that a crafted
+# count=2^62 header raises instead of hanging the executor.
+_ZERO_WIDTH_CAP = 100_000
+
+# Deflate's theoretical max expansion is ~1032:1; a block past
+# ratio×max(compressed_size, floor) is a decompression bomb, not data.
+_INFLATE_MAX_RATIO = 1100
+_INFLATE_FLOOR = 1 << 20
 
 
 class AvroDecodeError(ValueError):
@@ -158,7 +174,19 @@ def _decoder_of(schema) -> Callable[[_Cursor], object]:
                     n = -n  # form) — we decode anyway, so just consume it
                     _read_long(c)
                 for _ in range(n):
+                    before = c.pos
                     out.append(item(c))
+                    if c.pos == before and len(out) > _ZERO_WIDTH_CAP:
+                        # zero-width items (null / empty record): the
+                        # count is unfalsifiable from remaining bytes,
+                        # so a crafted huge count would loop to OOM —
+                        # raise past the cap (map entries always
+                        # advance ≥1 byte via the key, unions via the
+                        # branch index; only arrays + block records
+                        # need this guard)
+                        raise AvroDecodeError(
+                            f"array claims {n} zero-width items past the "
+                            f"{_ZERO_WIDTH_CAP} corruption cap")
         return dec_array
     if t == "map":
         val = _decoder_of(schema["values"])
@@ -178,6 +206,38 @@ def _decoder_of(schema) -> Callable[[_Cursor], object]:
         return dec_map
     raise AvroDecodeError(f"unsupported avro type {t!r} "
                           "(named-type references are not resolved)")
+
+
+def _inflate_capped(raw: bytes, declared_size: int) -> bytes:
+    """Raw-deflate inflate with a decompression-bomb cap. Deflate's
+    theoretical max ratio is ~1032:1, so a legitimate block never
+    expands past ~1032× its compressed size; allow _INFLATE_MAX_RATIO×
+    with an _INFLATE_FLOOR byte floor and raise beyond that instead of handing an
+    unbounded zlib.decompress a crafted block (landing-zone posture:
+    corrupt/hostile input must raise, never exhaust the executor)."""
+    cap = max(declared_size, _INFLATE_FLOOR) * _INFLATE_MAX_RATIO
+    d = zlib.decompressobj(-15)
+    chunks: list[bytes] = []
+    total, data = 0, raw
+    while True:
+        piece = d.decompress(data, 1 << 20)
+        chunks.append(piece)
+        total += len(piece)
+        if total > cap:
+            raise AvroDecodeError(
+                f"deflate block expands past {cap} bytes "
+                f"(compressed {declared_size}) — decompression-bomb guard")
+        data = d.unconsumed_tail
+        if d.eof or (not data and len(piece) < (1 << 20)):
+            break
+    tail = d.flush()
+    total += len(tail)
+    if total > cap:
+        raise AvroDecodeError(
+            f"deflate block expands past {cap} bytes "
+            f"(compressed {declared_size}) — decompression-bomb guard")
+    chunks.append(tail)
+    return b"".join(chunks)
 
 
 def decode_ocf(buf: bytes) -> tuple[dict, list[dict]]:
@@ -238,10 +298,19 @@ def _decode_ocf(c: _Cursor) -> tuple[dict, list[dict]]:
                 f"corrupt block header: count={count} size={size}")
         block = c.read(size)
         if codec == "deflate":
-            block = zlib.decompress(block, -15)
+            block = _inflate_capped(block, size)
         bc = _Cursor(block)
         for _ in range(count):
+            before = bc.pos
             records.append(dec(bc))
+            if bc.pos == before and count > _ZERO_WIDTH_CAP:
+                # zero-width records (schema with no decodable bytes):
+                # a crafted count can't be checked against block bytes,
+                # so cap it — raise, don't loop to OOM (the reader's
+                # DROPMALFORMED contract: every corruption RAISES)
+                raise AvroDecodeError(
+                    f"block claims {count} records but decoding advances "
+                    f"zero bytes — past the {_ZERO_WIDTH_CAP} corruption cap")
         if not bc.at_end():
             raise AvroDecodeError(
                 f"block decoded {count} records with {len(block) - bc.pos} "

@@ -37,12 +37,43 @@ def record_progress(q) -> None:
     awaitTermination and before stop() — recentProgress lives on the
     JVM query object and survives termination, but not a new start
     under the same name. Unnamed queries are skipped — a None key
-    would collide across every unnamed query in the session."""
+    would collide across every unnamed query in the session.
+
+    Two long-lived-process guards:
+    - uuid-suffixed names (``ingest_<spec>_<8hex>`` from
+      ingest_available_now) would add one never-evicted key per run;
+      prior snapshots sharing the base name are evicted, so the dict
+      stays O(distinct queries), newest-run-wins per base.
+    - recentProgress is a RING BUFFER capped by
+      ``spark.sql.streaming.numRecentProgressUpdates`` (default 100):
+      past that many micro-batches the oldest entries are gone, so a
+      budget snapshot's n_batches would silently floor at the cap.
+      Warn loudly at the ceiling — contract tests pin exact batch
+      counts and must not trust a truncated list."""
     import json
+    import re
+    import warnings
 
     if q.name is None:
         return
-    LAST_PROGRESS[q.name] = [json.loads(p.json) for p in q.recentProgress]
+    base = re.sub(r"_[0-9a-f]{8}$", "", q.name)
+    if base != q.name:
+        for k in [k for k in LAST_PROGRESS
+                  if k != q.name and re.sub(r"_[0-9a-f]{8}$", "", k) == base]:
+            del LAST_PROGRESS[k]
+    progress = [json.loads(p.json) for p in q.recentProgress]
+    try:
+        cap = int(q.sparkSession.conf.get(
+            "spark.sql.streaming.numRecentProgressUpdates", "100"))
+    except Exception:
+        cap = 100
+    if len(progress) >= cap:
+        warnings.warn(
+            f"streaming query {q.name!r} recorded {len(progress)} progress "
+            f"entries — at the numRecentProgressUpdates ceiling ({cap}); "
+            "older micro-batches have been evicted and batch counts "
+            "derived from this snapshot are TRUNCATED", stacklevel=2)
+    LAST_PROGRESS[q.name] = progress
 
 
 @contextlib.contextmanager

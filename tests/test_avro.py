@@ -307,3 +307,128 @@ def test_dropmalformed_survives_bitflip_and_bad_schema(spark, tmp_path):
     kept = read_avro(spark, str(d), "a long, b string",
                      mode="DROPMALFORMED").collect()
     assert sorted(r.a for r in kept) == [-1, 2**62]
+
+
+def _container(schema_json: str, blocks: list[tuple[int, bytes]],
+               codec: bytes = b"null") -> bytes:
+    """Hand-assemble an OCF container with CRAFTED block headers —
+    (claimed_count, raw_body) pairs the encoder would never emit."""
+    import io as _io
+
+    from minerva_etl_46_spark.sources.avro import MAGIC, _write_bytes, _write_long
+
+    out = _io.BytesIO()
+    out.write(MAGIC)
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": codec}
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        _write_bytes(out, k.encode())
+        _write_bytes(out, v)
+    _write_long(out, 0)
+    sync = b"S" * 16
+    out.write(sync)
+    for count, body in blocks:
+        _write_long(out, count)
+        _write_long(out, len(body))
+        out.write(body)
+        out.write(sync)
+    return out.getvalue()
+
+
+def test_zero_width_record_count_raises_not_hangs():
+    """r9 ADVICE (medium): a schema whose decoder consumes ZERO bytes
+    per record (empty record / all-null fields) makes the block count
+    unfalsifiable from remaining bytes — a crafted huge count must
+    raise AvroDecodeError, not loop the executor to OOM. Legitimate
+    small zero-width blocks still decode."""
+    import io as _io
+
+    from minerva_etl_46_spark.sources.avro import _write_long
+
+    empty = json.dumps({"type": "record", "name": "E", "fields": []})
+    # legit: 3 empty records, zero body bytes
+    _, recs = decode_ocf(_container(empty, [(3, b"")]))
+    assert recs == [{}, {}, {}]
+    # hostile: count = 10^12, zero body bytes — must raise immediately
+    with pytest.raises(AvroDecodeError, match="zero bytes"):
+        decode_ocf(_container(empty, [(10**12, b"")]))
+    # all-null-fields variant: record of two nulls is also zero-width
+    nulls = json.dumps({"type": "record", "name": "N", "fields": [
+        {"name": "x", "type": "null"}, {"name": "y", "type": "null"}]})
+    with pytest.raises(AvroDecodeError, match="zero bytes"):
+        decode_ocf(_container(nulls, [(10**12, b"")]))
+
+    # array-of-null variant: huge ELEMENT count inside one record
+    arr = json.dumps({"type": "record", "name": "A", "fields": [
+        {"name": "xs", "type": {"type": "array", "items": "null"}}]})
+    body = _io.BytesIO()
+    _write_long(body, 10**12)  # one chunk claiming 10^12 null items
+    with pytest.raises(AvroDecodeError, match="zero-width"):
+        decode_ocf(_container(arr, [(1, body.getvalue())]))
+    # legit small array of nulls still decodes
+    ok = _io.BytesIO()
+    _write_long(ok, 4)
+    _write_long(ok, 0)
+    _, recs = decode_ocf(_container(arr, [(1, ok.getvalue())]))
+    assert recs == [{"xs": [None, None, None, None]}]
+
+
+def test_deflate_bomb_raises_capped(monkeypatch):
+    """r9 ADVICE (low): a small deflate block must not be allowed to
+    expand without bound — past ratio×max(size, floor) the reader
+    raises AvroDecodeError instead of exhausting memory. Constants are
+    shrunk so the test trips the guard with kilobytes, not gigabytes;
+    a block under the cap still inflates correctly through the same
+    chunked path."""
+    import zlib as _zlib
+
+    from minerva_etl_46_spark.sources import avro as av
+
+    monkeypatch.setattr(av, "_INFLATE_FLOOR", 1024)
+    monkeypatch.setattr(av, "_INFLATE_MAX_RATIO", 4)
+    co = _zlib.compressobj(9, _zlib.DEFLATED, -15)
+    bomb = co.compress(b"\x00" * 200_000) + co.flush()  # ~200 bytes
+    with pytest.raises(AvroDecodeError, match="decompression-bomb"):
+        av._inflate_capped(bomb, len(bomb))
+    co = _zlib.compressobj(9, _zlib.DEFLATED, -15)
+    small = co.compress(b"ab" * 1000) + co.flush()  # 2000 < 4×1024
+    assert av._inflate_capped(small, len(small)) == b"ab" * 1000
+
+
+def test_record_progress_evicts_uuid_suffixed_and_caps(spark):
+    """r9 ADVICE (low): LAST_PROGRESS must not grow one key per
+    uuid-suffixed ingest run, and a snapshot at the recentProgress
+    ring-buffer ceiling must warn (batch counts would be truncated)."""
+    import warnings
+
+    from minerva_etl_46_spark.streaming import jobs
+
+    class _FakeQuery:
+        def __init__(self, name, n):
+            self.name = name
+            self.sparkSession = spark
+            self.recentProgress = [
+                type("P", (), {"json": json.dumps({"batchId": i})})()
+                for i in range(n)
+            ]
+
+    saved = dict(jobs.LAST_PROGRESS)
+    try:
+        jobs.LAST_PROGRESS.clear()
+        jobs.record_progress(_FakeQuery("ingest_spec_aaaaaaaa", 2))
+        jobs.record_progress(_FakeQuery("ingest_spec_bbbbbbbb", 3))
+        assert list(jobs.LAST_PROGRESS) == ["ingest_spec_bbbbbbbb"]
+        assert len(jobs.LAST_PROGRESS["ingest_spec_bbbbbbbb"]) == 3
+        # distinct specs don't evict each other; plain names untouched
+        jobs.record_progress(_FakeQuery("ingest_other_cccccccc", 1))
+        jobs.record_progress(_FakeQuery("stream_tumbling_out", 1))
+        assert len(jobs.LAST_PROGRESS) == 3
+        cap = int(spark.conf.get(
+            "spark.sql.streaming.numRecentProgressUpdates", "100"))
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            jobs.record_progress(_FakeQuery("long_running", cap))
+        assert any("TRUNCATED" in str(x.message) for x in w)
+    finally:
+        jobs.LAST_PROGRESS.clear()
+        jobs.LAST_PROGRESS.update(saved)
