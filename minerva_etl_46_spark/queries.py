@@ -13563,7 +13563,41 @@ _R09_TAIL = [
     k for k in _R08_PRIORITY + _R08_TAIL
     if k not in set(_R09_PRIORITY)
 ]
-_EXPORT_ORDER = _R09_PRIORITY + _R09_TAIL
+
+_R10_PRIORITY = _R10_CANDIDATES + [
+    # Round-10 rotation, same deterministic policy: sort every key by
+    # (latest CORRECTNESS_r0N round, name) ascending, take 50. The 17
+    # r4-latest keys (_R10_CANDIDATES, named at r9 close) lead; the 33
+    # alphabetically-first of the 45 r5-latest rows fill the window.
+    # Computed this round from the union of CORRECTNESS_r01–r09
+    # (histogram r4×17 r5×45 r6×48 r7×50 r8×50 r9×50). After this
+    # round the staleness floor moves to r5 (12 keys remain — they
+    # lead _R11_CANDIDATES below).
+    "agg_availability", "agg_busy_hour", "agg_cube", "agg_gini",
+    "agg_mode", "agg_percentile", "agg_regr_slope", "agg_retention",
+    "agg_time_dst", "agg_time_dst_fall", "agg_time_weighted",
+    "agg_topn_others", "diff_keyed", "join_bucketed", "join_interval",
+    "llm_bm25", "llm_cdc_chunk", "llm_chunk_dedup", "llm_cluster",
+    "llm_containment", "llm_dedup_embed", "llm_domain_cap",
+    "llm_domain_match", "llm_edit_distance", "llm_semdedup",
+    "llm_sim_ann", "llm_sim_ivf", "llm_winnow", "mm_extract",
+    "mm_phash_neardup", "scan_kv", "set_intersect", "stream_trigger",
+]
+assert len(_R10_PRIORITY) == 50, len(_R10_PRIORITY)
+assert _R10_PRIORITY[:17] == _R10_CANDIDATES
+#: r5-row keys that did not fit the 50-slot window; they lead _R11.
+_R11_CANDIDATES = [
+    "trigger_cooldown", "win_counter_reset", "win_cusum",
+    "win_dod_change", "win_ewma", "win_funnel", "win_ntile",
+    "win_outlier_mad", "win_seasonal_baseline", "win_sessionize",
+    "win_share", "win_zscore",
+]
+assert not set(_R10_PRIORITY) & set(_R11_CANDIDATES)
+_R10_TAIL = [
+    k for k in _R09_PRIORITY + _R09_TAIL
+    if k not in set(_R10_PRIORITY)
+]
+_EXPORT_ORDER = _R10_PRIORITY + _R10_TAIL
 
 assert set(_EXPORT_ORDER) == set(QUERIES), (
     sorted(set(_EXPORT_ORDER) ^ set(QUERIES))
