@@ -176,3 +176,59 @@ def test_duplicate_dim_keys_tie_break_by_name(spark):
         ).collect()
         assert len(r) == 1
         assert (r[0].lev, r[0].key, r[0].name) == (1, 1, "aaab")
+
+
+@given(
+    tail=st.text(alphabet="abcdefgh .", min_size=2, max_size=5),
+    n_hot=st.integers(min_value=100, max_value=140),
+    prefix_len=st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=5, deadline=None)
+def test_suffix_guard_trips_on_degenerate_tail(spark, tail, n_hot,
+                                               prefix_len):
+    """r9 verdict item 5: the low-entropy-tail hazard is now ENFORCED,
+    not just documented. A vocabulary where every name carries the same
+    tail (legal forms, padded serials) must raise ValueError at call
+    time when block_suffix=True — the suffix block would be quadratic.
+    The override hatch (suffix_share_guard=None) must still run and
+    return the documented union semantics."""
+    import pytest
+
+    dim_rows = [(i, f"body{i:04d}x{tail}") for i in range(n_hot)]
+    dim = spark.createDataFrame(dim_rows, "key long, name string")
+    probes = spark.createDataFrame([(1, dim_rows[0][1])],
+                                   "probe_id long, probe_name string")
+    with pytest.raises(ValueError, match="low-entropy-tail"):
+        blocked_fuzzy_join(probes, dim, "probe_name", "name", "key",
+                           max_distance=1, prefix_len=prefix_len,
+                           block_suffix=True)
+    # explicit opt-out still computes the (correct) union result
+    got = blocked_fuzzy_join(probes, dim, "probe_name", "name", "key",
+                             max_distance=1, prefix_len=prefix_len,
+                             block_suffix=True,
+                             suffix_share_guard=None).collect()
+    assert len(got) == 1 and got[0].lev == 0
+
+
+def test_suffix_guard_passes_healthy_and_tiny_vocabularies(spark):
+    """The guard must NOT trip on an end-entropic vocabulary (suffix
+    keys well-distributed) nor on a tiny one (under the 100-name hot
+    floor a block cannot go quadratic even at 100% share)."""
+    healthy = spark.createDataFrame(
+        [(i, f"name {i:05d}") for i in range(300)],  # distinct tails
+        "key long, name string")
+    probes = spark.createDataFrame([(1, "name 00007")],
+                                   "probe_id long, probe_name string")
+    got = blocked_fuzzy_join(probes, healthy, "probe_name", "name", "key",
+                             max_distance=1, prefix_len=4,
+                             block_suffix=True).collect()
+    assert len(got) == 1 and got[0].key == 7
+    tiny = spark.createDataFrame(
+        [(i, f"x{i} gmbh") for i in range(20)],  # 100% shared tail, n<100
+        "key long, name string")
+    p2 = spark.createDataFrame([(1, "x3 gmbh")],
+                               "probe_id long, probe_name string")
+    got = blocked_fuzzy_join(p2, tiny, "probe_name", "name", "key",
+                             max_distance=1, prefix_len=4,
+                             block_suffix=True).collect()
+    assert len(got) == 1 and got[0].key == 3
