@@ -1461,10 +1461,98 @@ def r9c_probe(spark, res, n_rows):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def r10_probe(spark, res, n_rows):
+    """r10: widen the avro decoder's scale evidence past r9c's narrow
+    4-column record (the r9 verdict item 3). Two shapes the landing
+    zone actually receives:
+
+    - WIDE: a 54-column Minerva PM-style record (entity, ts, 52 double
+      counters) — decode cost ∝ total field count, the common trend
+      feed shape.
+    - NESTED: array- and map-heavy records (24-element double array +
+      4-entry string map per row) — the chunked-collection decode loop.
+
+    Each at 32 files = one per core; single-core driver decode of one
+    file is also timed so the per-core rows/s band in SCALE.md (and
+    the tripwire in tests/test_avro.py) has a noise-free anchor."""
+    import os
+    import shutil
+    import tempfile
+    import time as _t
+
+    from minerva_etl_46_spark.sources.avro import (
+        decode_ocf,
+        encode_ocf,
+        read_avro,
+    )
+
+    d = os.path.join(tempfile.gettempdir(), f"r10_avro_{os.getpid()}")
+    shutil.rmtree(d, ignore_errors=True)
+    n_files = 32
+
+    wide_fields = ([{"name": "entity_id", "type": "long"},
+                    {"name": "ts", "type": "long"}]
+                   + [{"name": f"c{i:02d}", "type": "double"}
+                      for i in range(52)])
+    wide_schema = json.dumps(
+        {"type": "record", "name": "pm", "fields": wide_fields})
+
+    def wide_row(k):
+        r = {"entity_id": k % 10_000, "ts": 1704067200 + k}
+        r.update({f"c{i:02d}": float((k * 31 + i) % 100_000) / 100.0
+                  for i in range(52)})
+        return r
+
+    nested_schema = json.dumps(
+        {"type": "record", "name": "nest", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "vals", "type": {"type": "array", "items": "double"}},
+            {"name": "tags", "type": {"type": "map", "values": "string"}},
+        ]})
+
+    def nested_row(k):
+        return {"id": k,
+                "vals": [float((k + i) % 1000) / 10.0 for i in range(24)],
+                "tags": {f"t{i}": f"v{(k + i) % 50}" for i in range(4)}}
+
+    for tag, schema_json, mk, ddl in (
+        ("wide54", wide_schema, wide_row,
+         "entity_id long, ts long, "
+         + ", ".join(f"c{i:02d} double" for i in range(52))),
+        ("nested", nested_schema, nested_row,
+         "id long, vals array<double>, tags map<string,string>"),
+    ):
+        sub = os.path.join(d, tag)
+        os.makedirs(sub)
+        per = n_rows // n_files
+        for i in range(n_files):
+            rows = [mk(i * per + j) for j in range(per)]
+            with open(os.path.join(sub, f"b{i}.avro"), "wb") as fh:
+                fh.write(encode_ocf(schema_json, rows, codec="deflate"))
+        # noise-free single-core anchor: decode ONE file on the driver
+        buf = open(os.path.join(sub, "b0.avro"), "rb").read()
+        t0 = _t.perf_counter()
+        _, recs = decode_ocf(buf)
+        dt1 = _t.perf_counter() - t0
+        res[f"avro_{tag}_1core_rows_s"] = round(len(recs) / dt1)
+        timed(f"avro_{tag}_{n_rows // 1000}k_32files",
+              read_avro(spark, sub, ddl), res)
+        agg = res[f"avro_{tag}_{n_rows // 1000}k_32files"]["sec"]
+        res[f"avro_{tag}_agg_rows_s"] = round(n_rows / agg)
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r10":
+        n = min(N, 320_000)
+        r10_probe(spark, res, n_rows=n)
+        print(json.dumps({"metric": "scale_probe_r10", "rows": n,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r9c":
         n = min(N, 1_000_000)
         r9c_probe(spark, res, n_rows=n)

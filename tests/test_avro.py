@@ -432,3 +432,50 @@ def test_record_progress_evicts_uuid_suffixed_and_caps(spark):
     finally:
         jobs.LAST_PROGRESS.clear()
         jobs.LAST_PROGRESS.update(saved)
+
+
+def test_decode_throughput_tripwire_wide_and_nested():
+    """r9 verdict item 3: pin the per-core decode rows/s band so a
+    decoder regression (an accidental per-value allocation, a lost
+    closure compilation) trips a contract, not just the bench.
+    SCALE.md r10 measured single-core decode on this host: wide54
+    (54-column PM shape) ~37.6k rows/s, nested (24-elem array +
+    4-entry map) ~33.3k rows/s. Floors sit 5× below the measured band
+    — loose enough for a loaded CI host, tight enough that an
+    accidental O(fields²) or per-value re-compile (10×+) trips."""
+    import time
+
+    wide_fields = ([{"name": "entity_id", "type": "long"},
+                    {"name": "ts", "type": "long"}]
+                   + [{"name": f"c{i:02d}", "type": "double"}
+                      for i in range(52)])
+    wide_schema = json.dumps(
+        {"type": "record", "name": "pm", "fields": wide_fields})
+    rows = [dict({"entity_id": k % 100, "ts": 1704067200 + k},
+                 **{f"c{i:02d}": float(k + i) for i in range(52)})
+            for k in range(10_000)]
+    buf = encode_ocf(wide_schema, rows, codec="deflate")
+    t0 = time.perf_counter()
+    _, recs = decode_ocf(buf)
+    wide_rps = len(recs) / (time.perf_counter() - t0)
+    assert len(recs) == 10_000
+    assert wide_rps > 7_000, f"wide54 decode {wide_rps:.0f} rows/s " \
+        "fell out of the SCALE.md r10 band (floor 7k, measured ~37.6k)"
+
+    nested_schema = json.dumps(
+        {"type": "record", "name": "nest", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "vals", "type": {"type": "array", "items": "double"}},
+            {"name": "tags", "type": {"type": "map", "values": "string"}},
+        ]})
+    rows = [{"id": k,
+             "vals": [float((k + i) % 1000) for i in range(24)],
+             "tags": {f"t{i}": f"v{(k + i) % 50}" for i in range(4)}}
+            for k in range(10_000)]
+    buf = encode_ocf(nested_schema, rows, codec="deflate")
+    t0 = time.perf_counter()
+    _, recs = decode_ocf(buf)
+    nested_rps = len(recs) / (time.perf_counter() - t0)
+    assert len(recs) == 10_000
+    assert nested_rps > 6_000, f"nested decode {nested_rps:.0f} rows/s " \
+        "fell out of the SCALE.md r10 band (floor 6k, measured ~33.3k)"
