@@ -7549,8 +7549,15 @@ def agg_skyline(spark, sf_dir):
                from e group by 1, 2),
     j as (select a.bucket,
                  a.event_type as type_a, b.event_type as type_b,
-                 cast(a.x as decimal(18,6)) as xa,
-                 cast(b.x as decimal(18,6)) as xb
+                 -- width 28, not 18 (r10 sf0.1 sweep triage): DuckDB
+                 -- computes a DECIMAL(18)x(18) product in int64 WIDTH
+                 -- space and overflows once unscaled products top 10^18
+                 -- (hourly sums at sf0.1 already do); width 28 forces
+                 -- the hugeint path. Same scale 6 → identical
+                 -- quantized values, so Spark keeps (18,6) where the
+                 -- product is exact at (37,12)
+                 cast(a.x as decimal(28,6)) as xa,
+                 cast(b.x as decimal(28,6)) as xb
           from hourly a join hourly b
             on a.bucket = b.bucket and a.event_type < b.event_type),
     moms as (select type_a, type_b, count(*) as n,
