@@ -64,11 +64,17 @@ class AvroDecodeError(ValueError):
 
 
 class _Cursor:
-    __slots__ = ("buf", "pos")
+    __slots__ = ("buf", "pos", "zw")
 
     def __init__(self, buf: bytes):
         self.buf = buf
         self.pos = 0
+        #: zero-width decode counter — carried ACROSS blocks by
+        #: _decode_ocf so the _ZERO_WIDTH_CAP is a per-FILE budget (a
+        #: per-block/per-array cap would be bypassable by a crafted
+        #: file repeating many just-under-cap blocks, each ~20 input
+        #: bytes for ~6 MB of appended empties)
+        self.zw = 0
 
     def read(self, n: int) -> bytes:
         if n < 0:
@@ -176,17 +182,20 @@ def _decoder_of(schema) -> Callable[[_Cursor], object]:
                 for _ in range(n):
                     before = c.pos
                     out.append(item(c))
-                    if c.pos == before and len(out) > _ZERO_WIDTH_CAP:
+                    if c.pos == before:
                         # zero-width items (null / empty record): the
                         # count is unfalsifiable from remaining bytes,
                         # so a crafted huge count would loop to OOM —
-                        # raise past the cap (map entries always
-                        # advance ≥1 byte via the key, unions via the
-                        # branch index; only arrays + block records
-                        # need this guard)
-                        raise AvroDecodeError(
-                            f"array claims {n} zero-width items past the "
-                            f"{_ZERO_WIDTH_CAP} corruption cap")
+                        # charge the cursor's per-FILE budget and raise
+                        # past the cap (map entries always advance ≥1
+                        # byte via the key, unions via the branch
+                        # index; only arrays + block records need this)
+                        c.zw += 1
+                        if c.zw > _ZERO_WIDTH_CAP:
+                            raise AvroDecodeError(
+                                f"array claims {n} zero-width items past "
+                                f"the {_ZERO_WIDTH_CAP} per-file "
+                                "corruption cap")
         return dec_array
     if t == "map":
         val = _decoder_of(schema["values"])
@@ -230,6 +239,13 @@ def _inflate_capped(raw: bytes, declared_size: int) -> bytes:
         data = d.unconsumed_tail
         if d.eof or (not data and len(piece) < (1 << 20)):
             break
+    if not d.eof:
+        # the replaced zlib.decompress raised Error -5 here; a stream
+        # with no end-of-stream marker must stay a decode ERROR, not a
+        # silently-accepted partial block (trailing bytes AFTER eof are
+        # ignored, also matching zlib.decompress)
+        raise AvroDecodeError(
+            "truncated deflate stream in block (no end-of-stream marker)")
     tail = d.flush()
     total += len(tail)
     if total > cap:
@@ -287,6 +303,7 @@ def _decode_ocf(c: _Cursor) -> tuple[dict, list[dict]]:
         raise AvroDecodeError("header missing avro.schema") from None
     dec = _decoder_of(schema)
     records: list[dict] = []
+    zw = 0  # per-file zero-width budget, threaded through block cursors
     while not c.at_end():
         count = _read_long(c)
         size = _read_long(c)
@@ -300,17 +317,24 @@ def _decode_ocf(c: _Cursor) -> tuple[dict, list[dict]]:
         if codec == "deflate":
             block = _inflate_capped(block, size)
         bc = _Cursor(block)
+        bc.zw = zw  # zero-width budget is per FILE, not per block
         for _ in range(count):
             before = bc.pos
             records.append(dec(bc))
-            if bc.pos == before and count > _ZERO_WIDTH_CAP:
+            if bc.pos == before:
                 # zero-width records (schema with no decodable bytes):
                 # a crafted count can't be checked against block bytes,
-                # so cap it — raise, don't loop to OOM (the reader's
-                # DROPMALFORMED contract: every corruption RAISES)
-                raise AvroDecodeError(
-                    f"block claims {count} records but decoding advances "
-                    f"zero bytes — past the {_ZERO_WIDTH_CAP} corruption cap")
+                # so budget it per file — raise, don't loop to OOM (the
+                # reader's DROPMALFORMED contract: every corruption
+                # RAISES). Per-file, not per-block: many small blocks
+                # each claiming a just-under-cap count must trip too.
+                bc.zw += 1
+                if bc.zw > _ZERO_WIDTH_CAP:
+                    raise AvroDecodeError(
+                        f"block claims {count} records but decoding "
+                        f"advances zero bytes — past the "
+                        f"{_ZERO_WIDTH_CAP} per-file corruption cap")
+        zw = bc.zw
         if not bc.at_end():
             raise AvroDecodeError(
                 f"block decoded {count} records with {len(block) - bc.pos} "

@@ -40,10 +40,14 @@ def record_progress(q) -> None:
     would collide across every unnamed query in the session.
 
     Two long-lived-process guards:
-    - uuid-suffixed names (``ingest_<spec>_<8hex>`` from
-      ingest_available_now) would add one never-evicted key per run;
-      prior snapshots sharing the base name are evicted, so the dict
-      stays O(distinct queries), newest-run-wins per base.
+    - uuid-suffixed ``ingest_<spec>_<8hex>`` names (the ONLY producer
+      of that shape is ingest_available_now) would add one
+      never-evicted key per run; prior same-spec snapshots are
+      evicted, so the dict stays O(distinct queries),
+      newest-run-wins per spec. The match requires the ``ingest_``
+      prefix AND the 8-hex suffix on BOTH names — a user query that
+      merely ends in 8 hex chars (``feed_deadbeef``) never evicts or
+      gets evicted.
     - recentProgress is a RING BUFFER capped by
       ``spark.sql.streaming.numRecentProgressUpdates`` (default 100):
       past that many micro-batches the oldest entries are gone, so a
@@ -56,14 +60,20 @@ def record_progress(q) -> None:
 
     if q.name is None:
         return
-    base = re.sub(r"_[0-9a-f]{8}$", "", q.name)
-    if base != q.name:
-        for k in [k for k in LAST_PROGRESS
-                  if k != q.name and re.sub(r"_[0-9a-f]{8}$", "", k) == base]:
+    m = re.match(r"^(ingest_.+)_[0-9a-f]{8}$", q.name)
+    if m:
+        pat = re.compile(rf"^{re.escape(m.group(1))}_[0-9a-f]{{8}}$")
+        for k in [k for k in LAST_PROGRESS if k != q.name and pat.match(k)]:
             del LAST_PROGRESS[k]
     progress = [json.loads(p.json) for p in q.recentProgress]
     try:
-        cap = int(q.sparkSession.conf.get(
+        # StreamingQuery exposes no session handle (pyspark 4.1.2);
+        # read the conf off the active session — record_progress runs
+        # on the driver thread that owns the query
+        from pyspark.sql import SparkSession as _SS
+
+        sess = getattr(q, "sparkSession", None) or _SS.getActiveSession()
+        cap = int(sess.conf.get(
             "spark.sql.streaming.numRecentProgressUpdates", "100"))
     except Exception:
         cap = 100

@@ -423,6 +423,14 @@ def test_record_progress_evicts_uuid_suffixed_and_caps(spark):
         jobs.record_progress(_FakeQuery("ingest_other_cccccccc", 1))
         jobs.record_progress(_FakeQuery("stream_tumbling_out", 1))
         assert len(jobs.LAST_PROGRESS) == 3
+        # r10 review finding: user queries that merely END in 8 hex
+        # chars are NOT the ingest shape — they must coexist, and a
+        # plain base name must never be collateral
+        jobs.record_progress(_FakeQuery("feed", 1))
+        jobs.record_progress(_FakeQuery("feed_deadbeef", 1))
+        jobs.record_progress(_FakeQuery("feed_cafe2024", 1))
+        assert {"feed", "feed_deadbeef", "feed_cafe2024"} <= set(
+            jobs.LAST_PROGRESS)
         cap = int(spark.conf.get(
             "spark.sql.streaming.numRecentProgressUpdates", "100"))
         with warnings.catch_warnings(record=True) as w:
@@ -479,3 +487,54 @@ def test_decode_throughput_tripwire_wide_and_nested():
     assert len(recs) == 10_000
     assert nested_rps > 6_000, f"nested decode {nested_rps:.0f} rows/s " \
         "fell out of the SCALE.md r10 band (floor 6k, measured ~33.3k)"
+
+
+def test_zero_width_budget_is_per_file_not_per_block():
+    """r10 review finding: a crafted file with MANY blocks each
+    claiming a just-under-cap zero-width count (~20 input bytes per
+    block for ~6 MB of appended empties) must trip the cap too — the
+    budget is per FILE, threaded across block cursors. A multi-block
+    file with a few legit zero-width records per block still decodes."""
+    from minerva_etl_46_spark.sources.avro import _ZERO_WIDTH_CAP
+
+    empty = json.dumps({"type": "record", "name": "E", "fields": []})
+    under = _ZERO_WIDTH_CAP // 2 + 1
+    # two blocks, each individually under the cap, together over it
+    with pytest.raises(AvroDecodeError, match="per-file"):
+        decode_ocf(_container(empty, [(under, b""), (under, b"")]))
+    # arrays share the same per-file budget across records and blocks
+    import io as _io
+
+    from minerva_etl_46_spark.sources.avro import _write_long
+
+    arr = json.dumps({"type": "record", "name": "A", "fields": [
+        {"name": "xs", "type": {"type": "array", "items": "null"}}]})
+    body = _io.BytesIO()
+    for _ in range(2):  # two records, each an under-cap null array
+        _write_long(body, under)
+        _write_long(body, 0)
+    with pytest.raises(AvroDecodeError, match="per-file"):
+        decode_ocf(_container(arr, [(2, body.getvalue())]))
+    # legit: small zero-width counts across several blocks still decode
+    _, recs = decode_ocf(_container(empty, [(3, b""), (2, b""), (4, b"")]))
+    assert recs == [{}] * 9
+
+
+def test_truncated_deflate_stream_raises():
+    """r10 review finding: the capped inflate must keep the replaced
+    zlib.decompress semantics — a stream cut before its end-of-stream
+    marker raises (Error -5 equivalent), it does not silently yield
+    partial bytes that could decode as a clean shorter block."""
+    import zlib as _zlib
+
+    from minerva_etl_46_spark.sources.avro import _inflate_capped
+
+    co = _zlib.compressobj(6, _zlib.DEFLATED, -15)
+    payload = co.compress(b"hello world" * 50) + co.flush()
+    assert _inflate_capped(payload, len(payload)) == b"hello world" * 50
+    with pytest.raises(AvroDecodeError, match="truncated deflate"):
+        _inflate_capped(payload[:-3], len(payload) - 3)
+    # end-to-end: a good OCF whose LAST sync-adjacent bytes are cut
+    good = encode_ocf(FULL_SCHEMA, ROWS, codec="deflate")
+    with pytest.raises(AvroDecodeError):
+        decode_ocf(good[:-18])  # cuts into sync + deflate tail

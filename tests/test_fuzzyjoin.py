@@ -194,7 +194,12 @@ def test_suffix_guard_trips_on_degenerate_tail(spark, tail, n_hot,
     return the documented union semantics."""
     import pytest
 
-    dim_rows = [(i, f"body{i:04d}x{tail}") for i in range(n_hot)]
+    # 4 pad chars between the varying counter and the tail keep the
+    # last-prefix_len-chars suffix key CONSTANT for every prefix_len
+    # ≤ 4 and tail length ≥ 0 — without the pad, a 2-char tail under
+    # prefix_len=4 leaks the counter's last digit into the suffix key
+    # (10 groups of ~12 names, all under the 100-name hot floor)
+    dim_rows = [(i, f"body{i:04d}xxxx{tail}") for i in range(n_hot)]
     dim = spark.createDataFrame(dim_rows, "key long, name string")
     probes = spark.createDataFrame([(1, dim_rows[0][1])],
                                    "probe_id long, probe_name string")

@@ -285,7 +285,27 @@ def test_every_page_plan_is_partition_pruned(spark, tmp_path):
                     columns=["v"], page_size=7,
                     after=((H0 + 1800) * 1_000_000, 2))
     assert_pruned(q2.run(spark))
-    # and the generator path emits the same pruned plan every page:
-    # replay the cursor sequence page_through would produce
-    pages = list(page_through(spark, q))
-    assert len(pages) > 2  # 36 rows / 7 per page
+    # and the generator path: replay page_through's exact cursor
+    # advancement and plan-check EVERY page's DataFrame (r10 review:
+    # asserting only the page count would let the generator path lose
+    # pruning unnoticed) — cross-check totals against page_through
+    import calendar
+
+    after, n_pages, n_rows = None, 0, 0
+    while True:
+        qq = TrendQuery(part=st, start_epoch=H0, end_epoch=H0 + 7200,
+                        columns=["v"], page_size=7, after=after)
+        df = qq.run(spark)
+        assert_pruned(df)
+        rows = df.collect()
+        if not rows:
+            break
+        n_pages += 1
+        n_rows += len(rows)
+        ts = rows[-1]["ts"]
+        us = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+        after = (us, rows[-1]["entity_id"])
+        if len(rows) < 7:
+            break
+    assert n_pages > 2 and n_rows == 36
+    assert sum(len(p) for p in page_through(spark, q)) == 36
