@@ -47,10 +47,15 @@ MAGIC = b"Obj\x01"
 
 # Zero-width values (null, empty record, size-0 fixed — and arrays of
 # them) consume no bytes, so a corrupt/hostile count can't be bounded
-# by remaining input. Cap how many may accumulate before we call it
-# corruption instead of data: generous for real data (a 100k-null
-# array is already pathological), small enough that a crafted
-# count=2^62 header raises instead of hanging the executor.
+# by remaining input — NOR can any size-proportional budget separate a
+# crafted file from a legitimate degenerate one (a block of N empty
+# records costs ~20 bytes either way). The contract is therefore an
+# absolute per-FILE materialization cap, bounded-by-default (~6 MB of
+# appended empties worst case) and explicitly raisable per call
+# (``zero_width_cap=``) for corpora that legitimately carry more —
+# the same default-safe/escape-hatch shape as the fuzzy join's
+# suffix_share_guard. A crafted count=2^62 header raises instead of
+# hanging the executor regardless of the cap chosen.
 _ZERO_WIDTH_CAP = 100_000
 
 # Deflate's theoretical max expansion is ~1032:1; a block past
@@ -64,17 +69,18 @@ class AvroDecodeError(ValueError):
 
 
 class _Cursor:
-    __slots__ = ("buf", "pos", "zw")
+    __slots__ = ("buf", "pos", "zw", "zw_cap")
 
     def __init__(self, buf: bytes):
         self.buf = buf
         self.pos = 0
         #: zero-width decode counter — carried ACROSS blocks by
-        #: _decode_ocf so the _ZERO_WIDTH_CAP is a per-FILE budget (a
-        #: per-block/per-array cap would be bypassable by a crafted
-        #: file repeating many just-under-cap blocks, each ~20 input
-        #: bytes for ~6 MB of appended empties)
+        #: _decode_ocf so the cap is a per-FILE budget (a per-block/
+        #: per-array cap would be bypassable by a crafted file
+        #: repeating many just-under-cap blocks, each ~20 input bytes
+        #: for ~6 MB of appended empties)
         self.zw = 0
+        self.zw_cap = _ZERO_WIDTH_CAP
 
     def read(self, n: int) -> bytes:
         if n < 0:
@@ -191,11 +197,14 @@ def _decoder_of(schema) -> Callable[[_Cursor], object]:
                         # byte via the key, unions via the branch
                         # index; only arrays + block records need this)
                         c.zw += 1
-                        if c.zw > _ZERO_WIDTH_CAP:
+                        if c.zw > c.zw_cap:
                             raise AvroDecodeError(
-                                f"array claims {n} zero-width items past "
-                                f"the {_ZERO_WIDTH_CAP} per-file "
-                                "corruption cap")
+                                f"{c.zw} zero-width values accumulated "
+                                f"across this file (latest: an array "
+                                f"chunk claiming {n}) — past the "
+                                f"{c.zw_cap} per-file cap; raise "
+                                "zero_width_cap if this degenerate "
+                                "shape is legitimate data")
         return dec_array
     if t == "map":
         val = _decoder_of(schema["values"])
@@ -256,7 +265,8 @@ def _inflate_capped(raw: bytes, declared_size: int) -> bytes:
     return b"".join(chunks)
 
 
-def decode_ocf(buf: bytes) -> tuple[dict, list[dict]]:
+def decode_ocf(buf: bytes,
+               zero_width_cap: int = _ZERO_WIDTH_CAP) -> tuple[dict, list[dict]]:
     """Decode one Avro object-container file; returns
     ``(writer_schema_json, records)`` where each record is a plain
     dict. Codecs: null, deflate (raw zlib per the spec); anything else
@@ -265,9 +275,20 @@ def decode_ocf(buf: bytes) -> tuple[dict, list[dict]]:
     DROPMALFORMED contract keys on — including the ones that natively
     raise zlib.error (bit-flipped deflate block), JSONDecodeError
     (corrupt schema header), UnicodeDecodeError (non-UTF-8 strings)
-    or KeyError/struct.error (schema shape)."""
+    or KeyError/struct.error (schema shape).
+
+    ``zero_width_cap`` bounds how many ZERO-WIDTH values (null / empty
+    record / size-0 fixed, incl. array elements) one file may
+    materialize — no byte count can falsify a crafted count for those,
+    so past the cap the reader raises instead of allocating without
+    bound (see _ZERO_WIDTH_CAP). A corpus that legitimately carries
+    more (e.g. >100k-element null arrays per file — encode_ocf will
+    happily WRITE such files) must raise the cap explicitly; the
+    default is the landing-zone posture."""
     try:
-        return _decode_ocf(_Cursor(buf))
+        c = _Cursor(buf)
+        c.zw_cap = zero_width_cap
+        return _decode_ocf(c)
     except AvroDecodeError:
         raise
     except (zlib.error, json.JSONDecodeError, UnicodeDecodeError,
@@ -318,6 +339,7 @@ def _decode_ocf(c: _Cursor) -> tuple[dict, list[dict]]:
             block = _inflate_capped(block, size)
         bc = _Cursor(block)
         bc.zw = zw  # zero-width budget is per FILE, not per block
+        bc.zw_cap = c.zw_cap
         for _ in range(count):
             before = bc.pos
             records.append(dec(bc))
@@ -329,11 +351,13 @@ def _decode_ocf(c: _Cursor) -> tuple[dict, list[dict]]:
                 # RAISES). Per-file, not per-block: many small blocks
                 # each claiming a just-under-cap count must trip too.
                 bc.zw += 1
-                if bc.zw > _ZERO_WIDTH_CAP:
+                if bc.zw > bc.zw_cap:
                     raise AvroDecodeError(
-                        f"block claims {count} records but decoding "
-                        f"advances zero bytes — past the "
-                        f"{_ZERO_WIDTH_CAP} per-file corruption cap")
+                        f"{bc.zw} zero-width records accumulated across "
+                        f"this file (current block claims {count}) — "
+                        f"past the {bc.zw_cap} per-file cap; raise "
+                        "zero_width_cap if this degenerate shape is "
+                        "legitimate data")
         zw = bc.zw
         if not bc.at_end():
             raise AvroDecodeError(
@@ -454,7 +478,12 @@ def encode_ocf(schema_json: str, records: list[dict],
     Independence is preserved in tests, which read these bytes back
     through the JVM avro-core library and compare. The 16-byte sync
     marker derives deterministically from the schema + record count
-    (no randomness — reproducible fixtures)."""
+    (no randomness — reproducible fixtures).
+
+    Note the round-trip asymmetry on DEGENERATE data: this writer will
+    happily encode >100k zero-width values into one file, which the
+    reader's default ``zero_width_cap`` then refuses — readers of such
+    corpora must raise the cap explicitly (decode_ocf docstring)."""
     import hashlib
 
     schema = json.loads(schema_json)
@@ -493,7 +522,8 @@ def encode_ocf(schema_json: str, records: list[dict],
 
 def read_avro(spark: SparkSession, path: str, ddl_schema: str,
               path_glob: str = "*.avro",
-              mode: str = "FAILFAST") -> DataFrame:
+              mode: str = "FAILFAST",
+              zero_width_cap: int = _ZERO_WIDTH_CAP) -> DataFrame:
     """Avro OCF files as a DataFrame: binaryFile scan (per-file tasks)
     → mapInPandas decode. ``ddl_schema`` names the output columns and
     types (explicit schema, like every harvest reader here); fields
@@ -507,7 +537,12 @@ def read_avro(spark: SparkSession, path: str, ddl_schema: str,
     source path attached; DROPMALFORMED skips corrupt files and keeps
     the rest of the directory — the landing-zone posture where one
     truncated upload must not stall the feed (pair it with a file-count
-    reconciliation downstream, exactly like scan_csv_badrows)."""
+    reconciliation downstream, exactly like scan_csv_badrows).
+
+    ``zero_width_cap`` passes through to decode_ocf (see its
+    docstring): files legitimately materializing >100k zero-width
+    values need it raised explicitly, else they fail FAILFAST / are
+    dropped under DROPMALFORMED — the bounded-by-default posture."""
     from pyspark.sql.types import _parse_datatype_string
 
     if mode not in ("FAILFAST", "DROPMALFORMED"):
@@ -521,7 +556,8 @@ def read_avro(spark: SparkSession, path: str, ddl_schema: str,
         for pdf in batches:
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 try:
-                    _, recs = decode_ocf(bytes(content))
+                    _, recs = decode_ocf(bytes(content),
+                                         zero_width_cap=zero_width_cap)
                 except AvroDecodeError as e:
                     if drop:
                         continue

@@ -350,12 +350,12 @@ def test_zero_width_record_count_raises_not_hangs():
     _, recs = decode_ocf(_container(empty, [(3, b"")]))
     assert recs == [{}, {}, {}]
     # hostile: count = 10^12, zero body bytes — must raise immediately
-    with pytest.raises(AvroDecodeError, match="zero bytes"):
+    with pytest.raises(AvroDecodeError, match="per-file cap"):
         decode_ocf(_container(empty, [(10**12, b"")]))
     # all-null-fields variant: record of two nulls is also zero-width
     nulls = json.dumps({"type": "record", "name": "N", "fields": [
         {"name": "x", "type": "null"}, {"name": "y", "type": "null"}]})
-    with pytest.raises(AvroDecodeError, match="zero bytes"):
+    with pytest.raises(AvroDecodeError, match="per-file cap"):
         decode_ocf(_container(nulls, [(10**12, b"")]))
 
     # array-of-null variant: huge ELEMENT count inside one record
@@ -534,7 +534,57 @@ def test_truncated_deflate_stream_raises():
     assert _inflate_capped(payload, len(payload)) == b"hello world" * 50
     with pytest.raises(AvroDecodeError, match="truncated deflate"):
         _inflate_capped(payload[:-3], len(payload) - 3)
-    # end-to-end: a good OCF whose LAST sync-adjacent bytes are cut
-    good = encode_ocf(FULL_SCHEMA, ROWS, codec="deflate")
-    with pytest.raises(AvroDecodeError):
-        decode_ocf(good[:-18])  # cuts into sync + deflate tail
+    # end-to-end through decode_ocf: the block's size header must MATCH
+    # the truncated payload length, otherwise the generic cursor
+    # truncation error fires first and the d.eof path is never
+    # exercised (r10 high-review finding on the first version of this
+    # test) — hand-assemble a container whose deflate body is cut but
+    # whose header declares the cut length
+    schema = json.dumps({"type": "record", "name": "t", "fields": [
+        {"name": "a", "type": "long"}]})
+    co = _zlib.compressobj(6, _zlib.DEFLATED, -15)
+    body = co.compress(b"".join(bytes([2 * i]) for i in range(40))) + co.flush()
+    with pytest.raises(AvroDecodeError, match="truncated deflate"):
+        decode_ocf(_container(schema, [(40, body[:-2])], codec=b"deflate"))
+    # the untruncated container decodes through the same path
+    _, recs = decode_ocf(_container(schema, [(40, body)], codec=b"deflate"))
+    assert [r["a"] for r in recs] == list(range(40))
+
+
+def test_zero_width_cap_is_an_explicit_escape_hatch():
+    """r10 high-review finding: the per-file budget must not SILENTLY
+    lose legitimate degenerate files — encode_ocf will happily write
+    150k empty records; the default reader refuses them (bounded by
+    default, the landing-zone posture) and the explicit zero_width_cap
+    raise reads them back exactly. Both directions pinned."""
+    empty = json.dumps({"type": "record", "name": "E", "fields": []})
+    buf = encode_ocf(empty, [{}] * 150_000, codec="null")
+    with pytest.raises(AvroDecodeError, match="zero_width_cap"):
+        decode_ocf(buf)
+    _, recs = decode_ocf(buf, zero_width_cap=200_000)
+    assert len(recs) == 150_000
+    # the hostile case stays hostile at ANY cap: a crafted count with
+    # no bytes behind it raises fast instead of allocating 2^40 dicts
+    with pytest.raises(AvroDecodeError, match="per-file cap"):
+        decode_ocf(_container(empty, [(2**40, b"")]),
+                   zero_width_cap=200_000)
+
+
+def test_read_avro_zero_width_cap_passthrough(spark, tmp_path):
+    """The reader surface honors the cap end-to-end: a legit
+    array-of-null file past the default cap is dropped/raised by
+    default and readable with the cap raised."""
+    arr = json.dumps({"type": "record", "name": "A", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "xs", "type": {"type": "array", "items": "null"}}]})
+    d = tmp_path / "zw"
+    d.mkdir()
+    rows = [{"k": i, "xs": [None] * 60_000} for i in range(2)]  # 120k > cap
+    (d / "deg.avro").write_bytes(encode_ocf(arr, rows, codec="deflate"))
+    ddl = "k long, xs array<void>"
+    with pytest.raises(Exception, match="zero_width_cap"):
+        read_avro(spark, str(d), "k long").collect()
+    assert read_avro(spark, str(d), "k long", mode="DROPMALFORMED").count() == 0
+    got = read_avro(spark, str(d), "k long",
+                    zero_width_cap=200_000).collect()
+    assert sorted(r.k for r in got) == [0, 1]

@@ -288,8 +288,12 @@ def test_every_page_plan_is_partition_pruned(spark, tmp_path):
     # and the generator path: replay page_through's exact cursor
     # advancement and plan-check EVERY page's DataFrame (r10 review:
     # asserting only the page count would let the generator path lose
-    # pruning unnoticed) — cross-check totals against page_through
-    import calendar
+    # pruning unnoticed) — cross-check totals against page_through.
+    # Cursor derivation reuses the production helper (_row_us) rather
+    # than a third copy of the timegm expression, so a tz-handling
+    # change in the service can't leave this replica testing stale
+    # semantics.
+    from minerva_etl_46_spark.service_http import _row_us
 
     after, n_pages, n_rows = None, 0, 0
     while True:
@@ -302,9 +306,7 @@ def test_every_page_plan_is_partition_pruned(spark, tmp_path):
             break
         n_pages += 1
         n_rows += len(rows)
-        ts = rows[-1]["ts"]
-        us = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
-        after = (us, rows[-1]["entity_id"])
+        after = (_row_us(rows[-1]["ts"]), rows[-1]["entity_id"])
         if len(rows) < 7:
             break
     assert n_pages > 2 and n_rows == 36
