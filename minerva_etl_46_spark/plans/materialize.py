@@ -126,13 +126,24 @@ class MaterializationEngine:
     def load_state(self, spec: MaterializationSpec) -> pd.DataFrame:
         p = self._state_path(spec)
         if os.path.exists(p):
-            return pd.read_parquet(p)
+            state = pd.read_parquet(p)
+            if "partitions" not in state.columns:  # pre-r10 state file
+                state["partitions"] = pd.Series(dtype="string")
+            return state
         return pd.DataFrame(
-            columns=["window_start", "fingerprint", "processed_at"]
-        ).astype({"window_start": "int64", "fingerprint": "string", "processed_at": "float64"})
+            columns=["window_start", "fingerprint", "processed_at",
+                     "partitions"]
+        ).astype({"window_start": "int64", "fingerprint": "string",
+                  "processed_at": "float64", "partitions": "string"})
 
     def _save_state(self, spec: MaterializationSpec, state: pd.DataFrame) -> None:
-        state.to_parquet(self._state_path(spec), index=False)
+        # staged-rename, same reason as sources/paio.py: an in-place
+        # to_parquet killed mid-write leaves a truncated file that wedges
+        # every later load_state/tick for this spec (r10 review)
+        p = self._state_path(spec)
+        tmp = p + ".tmp"
+        state.to_parquet(tmp, index=False)
+        os.replace(tmp, p)
 
     # ---- candidate discovery ----
 
@@ -245,9 +256,47 @@ class MaterializationEngine:
                 f"materialization {spec.name}: target partition_size_s={ps} "
                 f"must evenly tile the {g}s granularity window"
             )
-        df = spec.src_fn(spark, window_start, w_end)
-        spec.target.write(df, ts_col=spec.ts_col)
+        # checkpoint before write: TrendStorePartStorage.write runs TWO
+        # actions (touched-bucket collect, then the parquet write) — an
+        # un-checkpointed rollup would execute its whole pipeline twice
+        # per window on the materialization hot path (r10 review; the
+        # upsert path already checkpoints for the same reason, plus it
+        # pins the touched-list/written-data consistency for any
+        # nondeterministic source)
+        df = spec.src_fn(spark, window_start, w_end).localCheckpoint(eager=True)
         state = self.load_state(spec)
+        prev = state[state["window_start"] == window_start]
+        touched = set(spec.target.write(df, ts_col=spec.ts_col))
+        # Dynamic partition overwrite cannot DELETE: a reprocess whose new
+        # output no longer reaches some partition it previously wrote
+        # (late corrections moved/removed all its rows — or the whole
+        # window is now empty) must clear the stale partition, or the
+        # target permanently disagrees with a one-shot batch while the
+        # fingerprint records the window as processed. The reference
+        # DELETEs at the timestamp; this is that delete, scoped to the
+        # partitions THIS window's previous run recorded in the state —
+        # convention-agnostic (output labels may sit at period END, i.e.
+        # outside [window_start, w_end) on the partition grid, so a
+        # grid-derived range would delete a NEIGHBOR window's output)
+        # (r10 review + the ladder regression that fix caught).
+        import shutil
+
+        prev_parts: list[int] = []
+        if len(prev) and pd.notna(prev["partitions"].iloc[0]):
+            prev_parts = [int(x) for x in
+                          str(prev["partitions"].iloc[0]).split(",") if x]
+        removed = []
+        for b in prev_parts:
+            if b in touched:
+                continue
+            pdir = os.path.join(spec.target.path, f"p_bucket={b}")
+            if os.path.isdir(pdir):
+                shutil.rmtree(pdir)
+                removed.append(b)
+        if removed:
+            # a delete is a modification: downstream materializations
+            # chained off this target must see these buckets dirty
+            spec.target._log_modified(spark, removed, job_id=None)
         state = state[state["window_start"] != window_start]
         state = pd.concat([
             state,
@@ -255,6 +304,7 @@ class MaterializationEngine:
                 "window_start": window_start,
                 "fingerprint": fingerprint,
                 "processed_at": time.time() if now is None else now,
+                "partitions": ",".join(str(b) for b in sorted(touched)),
             }]),
         ], ignore_index=True)
         self._save_state(spec, state)

@@ -76,10 +76,13 @@ class DataServiceHandler(BaseHTTPRequestHandler):
             elif url.path == "/parts":
                 import os
 
+                # attr_* dirs are attribute stores (no p_bucket layout):
+                # advertising them here would send a discovery-following
+                # client into a 500 on /query (r10 review)
                 parts = sorted(
                     e for e in os.listdir(self.server.base_dir)
                     if os.path.isdir(os.path.join(self.server.base_dir, e))
-                    and not e.startswith("_")
+                    and not e.startswith(("_", "attr_"))
                 )
                 self._send(200, {"parts": parts})
             elif url.path == "/query":
@@ -103,20 +106,33 @@ class DataServiceHandler(BaseHTTPRequestHandler):
         def one(name, default=None):
             return q[name][0] if name in q else default
 
+        from minerva_etl_46_spark.service import MAX_PAGE_SIZE
+
         part = one("part")
         if not part:
             raise KeyError("part is required")
         if one("start") is None or one("end") is None:
             raise KeyError("start and end are required")
-        storage = TrendStorePartStorage(
+        # open() reads the part's OWN partition grid from its metadata:
+        # a server-wide size smaller than the part's actual grid would
+        # make read_window's range floor land ABOVE the real partition
+        # start and silently omit existing rows (r10 review). The server
+        # conf is only the fallback for pre-metadata parts.
+        storage = TrendStorePartStorage.open(
             self.server.base_dir, part,
-            partition_size_s=self.server.partition_size_s,
+            default_partition_size_s=self.server.partition_size_s,
         )
         after = None
         if one("after_us") is not None:
             after = (int(one("after_us")), int(one("after_entity", "0")))
         cols = [c for c in (one("columns", "") or "").split(",") if c]
         ents = [int(e) for e in (one("entities", "") or "").split(",") if e]
+        if len(ents) > MAX_PAGE_SIZE:
+            # same bound /attributes/at enforces: a multi-thousand-literal
+            # isin() bloats driver analysis on the SHARED session — the
+            # 'bounded by construction' claim must hold on every route
+            raise ValueError(
+                f"{len(ents)} entities exceeds MAX_PAGE_SIZE {MAX_PAGE_SIZE}")
         # rollup parts carry their period label in `bucket` (epoch-s),
         # raw parts in `ts` (timestamp) — ts_col/entity_col let one
         # service route page either (TrendQuery.run already supported
@@ -162,6 +178,16 @@ class DataServiceHandler(BaseHTTPRequestHandler):
             self.server.base_dir, store_name, tuple(attrs))
         ents = [int(e) for e in (one("entities", "") or "").split(",") if e]
         spark = self.server.spark
+        if not store._exists(spark):
+            raise KeyError(f"no attribute store {store_name!r}")
+        # validate the requested attrs against the stored schema up front:
+        # an unknown attr must be a 400 naming it, not an AnalysisException
+        # 500 from deep inside the as-of join / projection (r10 review)
+        hist_cols = set(store.read_history(spark).columns)
+        unknown = [a for a in attrs if a not in hist_cols]
+        if unknown:
+            raise KeyError(
+                f"unknown attrs {unknown} in store {store_name!r}")
         if at:
             if not ents:
                 raise KeyError("entities is required for /attributes/at")
@@ -187,7 +213,13 @@ class DataServiceHandler(BaseHTTPRequestHandler):
             df = store.at(spark, facts, fact_ts="__at_ts")
             rows = df.collect()  # bounded-by: one row per requested entity
         else:
-            df = store.curr(spark)
+            if len(ents) > MAX_PAGE_SIZE:
+                raise ValueError(
+                    f"{len(ents)} entities exceeds MAX_PAGE_SIZE "
+                    f"{MAX_PAGE_SIZE}")
+            # honor the documented attrs projection (the pre-r10 route
+            # returned EVERY stored column regardless of attrs)
+            df = store.curr(spark).select("entity_id", "ts", *attrs)
             if ents:
                 df = df.filter(F.col("entity_id").isin(ents))
             rows = df.limit(MAX_PAGE_SIZE).collect()  # bounded-by: cap

@@ -24,6 +24,12 @@ def read_jdbc_table(
 ) -> DataFrame:
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires explicit lower_bound AND "
+                "upper_bound — Spark would otherwise receive the literal "
+                "string 'None' and fail with an opaque JVM "
+                "NumberFormatException deep in the JDBC relation")
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
@@ -49,11 +55,16 @@ def write_jdbc_table(
     surrounding tooling). Each Spark partition opens one connection and
     inserts in ``batchsize`` batches; cap fan-in with
     ``num_partitions`` (a 1000-task write would open 1000 connections —
-    coalesce to what the database can take). ``mode="append"`` is the
+    cap at what the database can take). The cap is a ``repartition``,
+    not ``coalesce``: coalesce has no shuffle barrier, so it would
+    propagate UPSTREAM and collapse the producing stage's parallelism
+    onto num_partitions cores — an expensive pipeline serialized to 8
+    tasks to spare 8 connections (r10 review). The one extra shuffle
+    moves only the final rows. ``mode="append"`` is the
     idempotence-unsafe raw insert; keyed upserts should land in the
     engine's own stores and only FINISHED results go to JDBC."""
     if num_partitions is not None:
-        df = df.coalesce(num_partitions)
+        df = df.repartition(num_partitions)
     writer = (
         df.write.format("jdbc").mode(mode)
         .option("url", url).option("dbtable", table)

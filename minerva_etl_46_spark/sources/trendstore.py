@@ -28,6 +28,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MODIFIED_LOG = "_modified_log"
+#: per-part metadata written alongside the data (underscore-prefixed, so
+#: Spark's parquet reader ignores it). The partition grid is a property
+#: of the DATA, not of whoever constructs a storage handle: a server
+#: configured with the wrong partition_size_s would silently prune away
+#: existing partitions on range reads (r10 review). Writers record the
+#: grid here; readers open with ``TrendStorePartStorage.open`` to get it.
+PART_META = "_part_meta.json"
 
 
 def bucket_of(ts_col: str, partition_size_s: int):
@@ -60,14 +67,69 @@ class TrendStorePartStorage:
     def modified_log_path(self) -> str:
         return os.path.join(self.base_dir, MODIFIED_LOG, self.name)
 
+    @property
+    def meta_path(self) -> str:
+        return os.path.join(self.path, PART_META)
+
+    @classmethod
+    def open(cls, base_dir: str, name: str,
+             default_partition_size_s: int = 86400, **kw) -> TrendStorePartStorage:
+        """Construct a handle whose partition grid comes from the part's
+        OWN metadata when present (falling back to the default for parts
+        written before metadata existed). Services must use this instead
+        of guessing a size: read_window with a smaller-than-actual size
+        computes a range floor ABOVE the real partition start and
+        silently prunes away existing rows."""
+        import json
+
+        size = default_partition_size_s
+        p = os.path.join(base_dir, name, PART_META)
+        if os.path.exists(p):
+            with open(p) as fh:
+                size = int(json.load(fh)["partition_size_s"])
+        return cls(base_dir, name, partition_size_s=size, **kw)
+
+    def _ensure_meta(self) -> None:
+        """Record the partition grid with the data (atomic replace); a
+        writer configured with a DIFFERENT grid than the recorded one
+        would interleave misaligned partitions — refuse loudly."""
+        import json
+
+        if os.path.exists(self.meta_path):
+            with open(self.meta_path) as fh:
+                recorded = int(json.load(fh)["partition_size_s"])
+            if recorded != self.partition_size_s:
+                raise ValueError(
+                    f"part {self.name!r} was written with "
+                    f"partition_size_s={recorded}; this handle says "
+                    f"{self.partition_size_s} — mixed grids corrupt range "
+                    "reads. Open the part with TrendStorePartStorage.open")
+            return
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"partition_size_s": self.partition_size_s}, fh)
+        os.replace(tmp, self.meta_path)
+
     def write(self, df: DataFrame, ts_col: str = "ts", job_id: int | None = None) -> list[int]:
         """Dynamic-partition-overwrite write; returns touched p_buckets and
         appends them to the modified log."""
         spark = df.sparkSession
+        self._ensure_meta()
         out = df.withColumn("p_bucket", bucket_of(ts_col, self.partition_size_s))
         # bounded-by: distinct partition buckets of ONE batch (≤ batch span / partition_size)
         # (column-pruned pass: only p_bucket's source column is read)
         touched = [r[0] for r in out.select("p_bucket").distinct().collect()]
+        if any(b is None for b in touched):
+            # a NULL timestamp has no partition: letting it through writes
+            # a __HIVE_DEFAULT_PARTITION__ directory the time-grid
+            # bookkeeping (modified log, retention, compaction) cannot
+            # attribute, and _log_modified would crash AFTER the data
+            # landed. Reject BEFORE anything is written (r10 review).
+            raise ValueError(
+                f"part {self.name!r}: {ts_col} contains NULLs — rows "
+                "without a timestamp have no partition; filter or repair "
+                "them upstream (write rejected before any data landed)")
         # co-locate each bucket's rows before partitionBy: without this,
         # every input task opens a writer per bucket it sees — T input
         # tasks × B buckets small files, and a single-file source writes
@@ -164,13 +226,27 @@ class TrendStorePartStorage:
         if not os.path.isdir(self.path):
             return dropped
         cutoff = (retain_after_epoch // self.partition_size_s) * self.partition_size_s
-        for entry in os.listdir(self.path):
-            if entry.startswith("p_bucket="):
-                b = int(entry.split("=", 1)[1])
-                if b < cutoff:
-                    shutil.rmtree(os.path.join(self.path, entry))
-                    dropped.append(b)
+        for b, entry in _int_bucket_dirs(self.path):
+            if b < cutoff:
+                shutil.rmtree(os.path.join(self.path, entry))
+                dropped.append(b)
         return sorted(dropped)
+
+
+def _int_bucket_dirs(path: str):
+    """(bucket, dirname) pairs for the integer-keyed partition dirs.
+    Non-integer partition values (__HIVE_DEFAULT_PARTITION__ from a
+    foreign writer without the null guard, or hand-made debris) are
+    SKIPPED: retention and compaction must never delete or rewrite what
+    they can't place on the time grid — int() crashing mid-scan (the
+    pre-r10 behavior) permanently wedged both for the whole part."""
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("p_bucket="):
+            continue
+        try:
+            yield int(entry.split("=", 1)[1]), entry
+        except ValueError:
+            continue
 
 
 def compact_partitions(storage: TrendStorePartStorage, spark: SparkSession,
@@ -191,13 +267,11 @@ def compact_partitions(storage: TrendStorePartStorage, spark: SparkSession,
     if not os.path.isdir(storage.path):
         return 0
     need: list[int] = []
-    for entry in sorted(os.listdir(storage.path)):
-        if not entry.startswith("p_bucket="):
-            continue
+    for b, entry in _int_bucket_dirs(storage.path):
         pdir = os.path.join(storage.path, entry)
         files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
         if len(files) > target_files_per_partition:
-            need.append(int(entry.split("=", 1)[1]))
+            need.append(b)
     if not need:
         return 0
     df = storage.read(spark).filter(

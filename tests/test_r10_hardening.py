@@ -1,0 +1,268 @@
+"""r10 infrastructure-review hardening: the ten findings from the
+round-10 high-effort review of trendstore / materialize / jdbc /
+service_http, each pinned by the failure it described.
+
+The themes: bookkeeping must never be able to wedge a part
+(null-timestamp partitions, foreign partition dirs, truncated state
+files), reprocessing must be able to DELETE (dynamic overwrite alone
+cannot), and the HTTP face must honor its own documented bounds and
+projections on every route, with the partition grid read from the
+part's own metadata rather than guessed server-wide.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from minerva_etl_46_spark.plans.materialize import (
+    MaterializationEngine,
+    MaterializationSpec,
+)
+from minerva_etl_46_spark.sources.trendstore import TrendStorePartStorage
+
+H0 = 1704067200  # 2024-01-01T00:00Z
+
+
+def _rows(spark, triples):
+    return spark.createDataFrame(
+        [(k, e, float(v)) for k, e, v in triples],
+        "k long, epoch long, v double",
+    ).select("k", F.timestamp_seconds("epoch").alias("ts"), "v")
+
+
+# ---------------------------------------------------------------- trendstore
+
+
+def test_write_rejects_null_timestamps_before_anything_lands(spark, tmp_path):
+    """A NULL ts row previously wrote a __HIVE_DEFAULT_PARTITION__ dir,
+    then crashed _log_modified (int(None)) AFTER the data landed —
+    leaving valid buckets unlogged (materializations never see the
+    batch) and retention/compaction permanently crashing on the
+    unparseable dir. The write must now reject BEFORE any data lands."""
+    st = TrendStorePartStorage(str(tmp_path), "p_null", partition_size_s=3600)
+    bad = spark.createDataFrame(
+        [(1, H0 + 60, 1.0), (2, None, 2.0)],
+        "k long, epoch long, v double",
+    ).select("k", F.timestamp_seconds("epoch").alias("ts"), "v")
+    with pytest.raises(ValueError, match="NULL"):
+        st.write(bad, ts_col="ts")
+    # nothing landed: no partition dirs, no modified log (the metadata
+    # json alone may exist — it carries no data)
+    if os.path.isdir(st.path):
+        assert not any(e.startswith("p_bucket=") for e in os.listdir(st.path))
+    assert st.modified_log(spark) is None
+
+
+def test_retention_and_compaction_skip_foreign_partition_dirs(spark, tmp_path):
+    """A partition dir whose value is not an integer (e.g. debris from a
+    foreign writer) previously raised ValueError mid-scan and wedged
+    retention AND compaction for the whole part forever. Both must skip
+    what they cannot place on the time grid — and never delete it."""
+    from minerva_etl_46_spark.sources.trendstore import compact_partitions
+
+    st = TrendStorePartStorage(str(tmp_path), "p_mix", partition_size_s=3600)
+    st.write(_rows(spark, [(1, H0 + 60, 1.0), (2, H0 + 3660, 2.0)]))
+    foreign = os.path.join(st.path, "p_bucket=__HIVE_DEFAULT_PARTITION__")
+    os.makedirs(foreign)
+    dropped = st.apply_retention(H0 + 3600)
+    assert dropped == [H0]
+    assert os.path.isdir(foreign)  # never deleted
+    assert compact_partitions(st, spark) == 0  # nothing to do, no crash
+
+
+def test_part_metadata_records_grid_and_refuses_mixed_writers(spark, tmp_path):
+    """The partition grid travels WITH the data: open() restores it, and
+    a writer handle configured with a different grid refuses instead of
+    interleaving misaligned partitions."""
+    st = TrendStorePartStorage(str(tmp_path), "p_meta",
+                               partition_size_s=604800)
+    st.write(_rows(spark, [(1, H0 + 200000, 1.0)]))
+    opened = TrendStorePartStorage.open(str(tmp_path), "p_meta")
+    assert opened.partition_size_s == 604800
+    wrong = TrendStorePartStorage(str(tmp_path), "p_meta",
+                                  partition_size_s=86400)
+    with pytest.raises(ValueError, match="mixed grids"):
+        wrong.write(_rows(spark, [(2, H0 + 100, 1.0)]))
+    # a part written before metadata existed falls back to the default
+    os.remove(st.meta_path)
+    fallback = TrendStorePartStorage.open(str(tmp_path), "p_meta",
+                                          default_partition_size_s=1234)
+    assert fallback.partition_size_s == 1234
+
+
+# -------------------------------------------------------------- materialize
+
+
+def test_reprocessed_window_deletes_stale_partitions(spark, tmp_path):
+    """Dynamic partition overwrite cannot delete: when late corrections
+    empty a window (or shrink the partitions it reaches), the rerun
+    must CLEAR the stale target partitions — the reference DELETEs at
+    the timestamp — and log the delete so chained materializations see
+    those buckets dirty. Previously the stale rows survived forever
+    while the fingerprint recorded the window as processed."""
+    from minerva_etl_46_spark.catalog import Trend
+    from minerva_etl_46_spark.functions.timestamps import G_1H
+    from minerva_etl_46_spark.operators.rollup import time_rollup
+
+    raw = TrendStorePartStorage(str(tmp_path), "raw_y", partition_size_s=3600)
+    target = TrendStorePartStorage(str(tmp_path), "y_1h",
+                                   partition_size_s=3600)
+    trends = {"n": Trend("n", time_aggregation="count")}
+
+    def src_fn(sprk, ws, we):
+        rows = raw.read_window(sprk, ws, we).filter(
+            (F.col("ts").cast("long") >= ws) & (F.col("ts").cast("long") < we)
+            & (F.col("v") > 0)  # corrections flip v negative → row leaves
+        )
+        return time_rollup(rows.select("k", "ts", F.col("v").alias("n")),
+                           "k", "ts", G_1H, trends, bucket_col="bucket")
+
+    spec = MaterializationSpec(
+        name="y_1h", granularity=G_1H, target=target, src_fn=src_fn,
+        sources=[raw], ts_col="bucket", reprocessing_period_s=10**12)
+    engine = MaterializationEngine(str(tmp_path))
+    far = 4e9
+
+    raw.write(_rows(spark, [(1, H0 + 60, 1.0), (2, H0 + 120, 1.0),
+                            (3, H0 + 3660, 1.0)]))
+    done = engine.tick(spark, spec, now=far)
+    assert H0 in done
+    assert {r["bucket"] for r in target.read(spark).collect()} == {
+        H0, H0 + 3600}  # h0 (two per-k rows) + h1
+    # late correction replaces hour-0's raw partition wholesale with
+    # negative rows (dynamic overwrite = the correction-feed shape):
+    # the h0 fingerprint changes, the rerun's rollup is EMPTY
+    raw.write(_rows(spark, [(1, H0 + 60, -1.0), (2, H0 + 120, -1.0)]))
+    done2 = engine.tick(spark, spec, now=far + 10)
+    assert H0 in done2
+    got = target.read(spark).collect()
+    assert [r["bucket"] for r in got] == [H0 + 3600]  # h0 partition GONE
+    assert not os.path.isdir(os.path.join(target.path, f"p_bucket={H0}"))
+    # the delete is a logged modification on the target
+    log = target.modified_log(spark)
+    assert log.filter(F.col("p_bucket") == H0).count() >= 1
+
+
+def test_save_state_is_staged_rename(spark, tmp_path):
+    """State saves go through tmp + os.replace (paio pattern): no .tmp
+    debris, and the state file is always a complete parquet."""
+    import pandas as pd
+
+    engine = MaterializationEngine(str(tmp_path))
+    spec = MaterializationSpec(
+        name="s", granularity=None, target=None, src_fn=None)
+    state = pd.DataFrame([{"window_start": 1, "fingerprint": "x",
+                           "processed_at": 2.0}])
+    engine._save_state(spec, state)
+    p = engine._state_path(spec)
+    assert os.path.exists(p) and not os.path.exists(p + ".tmp")
+    assert engine.load_state(spec)["fingerprint"].tolist() == ["x"]
+
+
+# --------------------------------------------------------------------- jdbc
+
+
+def test_read_jdbc_partitioned_requires_bounds(spark):
+    from minerva_etl_46_spark.sources.jdbc import read_jdbc_table
+
+    with pytest.raises(ValueError, match="lower_bound AND upper_bound"):
+        read_jdbc_table(spark, "jdbc:derby:memory:x", "t",
+                        partition_column="id")
+
+
+# ------------------------------------------------------------- service_http
+
+
+def _serve(spark, base_dir):
+    from minerva_etl_46_spark.service_http import make_server
+
+    srv = make_server(spark, str(base_dir))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_address[1]
+
+
+def _get(port, path):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}{path}", timeout=120
+    ) as resp:
+        return json.loads(resp.read())
+
+
+def test_query_serves_parts_on_their_own_partition_grid(spark, tmp_path):
+    """A weekly-partitioned part served by a daily-default server
+    previously returned an EMPTY page for a mid-week range (the range
+    floor computed on the wrong grid pruned away the real partition).
+    The server now opens the part on its recorded grid."""
+    st = TrendStorePartStorage(str(tmp_path), "weekly",
+                               partition_size_s=604800)
+    mid_week = H0 + 2 * 86400 + 1800  # Wed 00:30 into the Jan-1 week
+    st.write(_rows(spark, [(1, mid_week, 42.0)]))
+    srv, port = _serve(spark, tmp_path)
+    try:
+        body = _get(port, f"/query?part=weekly&start={mid_week - 600}"
+                          f"&end={mid_week + 600}&columns=v"
+                          "&entity_col=k")
+        assert [r["v"] for r in body["rows"]] == [42.0]
+    finally:
+        srv.shutdown()
+
+
+def test_query_entities_is_capped_like_attributes_at(spark, tmp_path):
+    from minerva_etl_46_spark.service import MAX_PAGE_SIZE
+
+    st = TrendStorePartStorage(str(tmp_path), "cap", partition_size_s=3600)
+    st.write(_rows(spark, [(1, H0 + 60, 1.0)]))
+    srv, port = _serve(spark, tmp_path)
+    try:
+        ents = ",".join(str(i) for i in range(MAX_PAGE_SIZE + 1))
+        try:
+            _get(port, f"/query?part=cap&start={H0}&end={H0 + 3600}"
+                       f"&entities={ents}")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "MAX_PAGE_SIZE" in json.loads(e.read())["error"]
+    finally:
+        srv.shutdown()
+
+
+def test_parts_excludes_attribute_stores_and_curr_projects_attrs(
+        spark, tmp_path):
+    """(a) /parts must not advertise attr_* stores as queryable parts;
+    (b) /attributes/curr must honor the attrs projection it documents
+    (previously returned every stored column) and 400 on unknown attrs
+    instead of a deep AnalysisException 500."""
+    from datetime import datetime as T
+
+    from minerva_etl_46_spark.sources.attributestore import (
+        AttributeStoreStorage,
+    )
+
+    st = TrendStorePartStorage(str(tmp_path), "trend_a",
+                               partition_size_s=3600)
+    st.write(_rows(spark, [(1, H0 + 60, 1.0)]))
+    at = AttributeStoreStorage(str(tmp_path), "cfg", ("plan", "tier"))
+    at.append(spark.createDataFrame(
+        [(1, T(2024, 1, 1), "bronze", "t1")],
+        "entity_id long, ts timestamp, plan string, tier string"))
+    srv, port = _serve(spark, tmp_path)
+    try:
+        assert _get(port, "/parts")["parts"] == ["trend_a"]
+        rows = _get(port, "/attributes/curr?store=cfg&attrs=plan")["rows"]
+        assert set(rows[0]) == {"entity_id", "ts", "plan"}  # tier projected out
+        for path in ("/attributes/curr?store=cfg&attrs=nosuch",
+                     "/attributes/curr?store=nostore&attrs=plan"):
+            try:
+                _get(port, path)
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        srv.shutdown()
