@@ -174,6 +174,20 @@ class RemoveAttribute:
 
 
 @dataclass(frozen=True)
+class ModifyAttribute:
+    """An attribute definition change (data_type). Trend stores got
+    ModifyTrend from the start; attributes previously diffed by NAME
+    only, so a re-typed attribute applied as 'no changes' while the
+    live declaration changed underneath the reviewer (r10 review)."""
+
+    store_key: str
+    attribute: str
+    field: str
+    old: object
+    new: object
+
+
+@dataclass(frozen=True)
 class AddTrigger:
     name: str
 
@@ -195,7 +209,7 @@ Change = (
     AddTrendStore | RemoveTrendStore | AddTrend | RemoveTrend | ModifyTrend
     | ChangeTimeAggregations | ChangeEntityAggregations
     | AddAttributeStore | RemoveAttributeStore | AddAttribute | RemoveAttribute
-    | AddTrigger | RemoveTrigger | ModifyTrigger
+    | ModifyAttribute | AddTrigger | RemoveTrigger | ModifyTrigger
 )
 
 
@@ -309,12 +323,16 @@ def diff_instances(current: Instance, desired: Instance) -> list[Change]:
     for k in sorted(acur.keys() - awant.keys()):
         changes.append(RemoveAttributeStore(k))
     for k in sorted(acur.keys() & awant.keys()):
-        ca = {t.name for t in acur[k].attributes}
-        wa = {t.name for t in awant[k].attributes}
-        for a in sorted(wa - ca):
+        ca = {t.name: t for t in acur[k].attributes}
+        wa = {t.name: t for t in awant[k].attributes}
+        for a in sorted(wa.keys() - ca.keys()):
             changes.append(AddAttribute(k, a))
-        for a in sorted(ca - wa):
+        for a in sorted(ca.keys() - wa.keys()):
             changes.append(RemoveAttribute(k, a))
+        for a in sorted(ca.keys() & wa.keys()):
+            o, n = ca[a].data_type, wa[a].data_type
+            if o != n:
+                changes.append(ModifyAttribute(k, a, "data_type", o, n))
 
     tcur = {t.name: t for t in current.triggers}
     twant = {t.name: t for t in desired.triggers}
@@ -422,13 +440,22 @@ def part_storage(root: str, store: TrendStore, part: str):
     )
 
 
+#: the trend-part physical schema outside the counters themselves:
+#: entity key, period timestamp, storage partition, write bookkeeping.
+#: read_part passes exactly these through — any OTHER physical column is
+#: a trend that is no longer declared (zero-rewrite RemoveTrend leaves
+#: its bytes in the files) and must disappear from the projection.
+_PART_STRUCTURAL_COLS = ("entity_id", "ts", "p_bucket", "job_id")
+
+
 def read_part(spark, root: str, store: TrendStore, part: str):
     """Schema-aligned read: project exactly the DECLARED trend columns of
     `part` — a column added by apply_instance after the files were written
-    surfaces as a typed NULL; a removed column disappears; a re-typed
-    column is cast. Non-trend columns (entity_id, ts, p_bucket, …) pass
-    through untouched. This is what makes AddTrend/RemoveTrend/ModifyTrend
-    zero-rewrite operations."""
+    surfaces as a typed NULL; a removed column disappears (r10 review:
+    passing unknown physicals through resurrected removed trends, uncast
+    and stale-typed); a re-typed column is cast. The structural columns
+    (_PART_STRUCTURAL_COLS) pass through untouched. This is what makes
+    AddTrend/RemoveTrend/ModifyTrend zero-rewrite operations."""
     from pyspark.sql import functions as F
 
     from minerva_etl_46_spark.catalog import pg_type_to_spark
@@ -437,7 +464,8 @@ def read_part(spark, root: str, store: TrendStore, part: str):
     df = part_storage(root, store, part).read(spark)
     declared = {t.name: pg_type_to_spark(t.data_type) for t in pdef.trends}
     have = set(df.columns)
-    cols = [F.col(c) for c in df.columns if c not in declared]
+    cols = [F.col(c) for c in df.columns
+            if c in _PART_STRUCTURAL_COLS and c not in declared]
     for name, dtype in declared.items():
         if name in have:
             cols.append(F.col(name).cast(dtype).alias(name))

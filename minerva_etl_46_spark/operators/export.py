@@ -82,7 +82,15 @@ def pack_sequences(docs: DataFrame, id_col: str, text_col: str,
     first-fit-in-order is the standard trainer-side packing contract:
     deterministic given (id order, token counts), no global coordination.
     """
-    with_tok = shard_assign(docs, id_col, n_shards).select(
+    # NULL text carries nothing to pack — and size(split(NULL)) is NULL,
+    # which arrives as NaN in the Arrow frame and crashes int() inside
+    # the worker (r10 review: one null doc killed the whole packing job
+    # AFTER shard_stats happily passed it). Dropping is the contract:
+    # quality filtering owns null handling upstream; the packer only
+    # guarantees it cannot be killed by one.
+    with_tok = shard_assign(
+        docs.filter(F.col(text_col).isNotNull()), id_col, n_shards,
+    ).select(
         F.col(id_col).alias("doc_id"), "shard",
         F.size(F.split(F.col(text_col), " ")).alias("tokens"),
     )

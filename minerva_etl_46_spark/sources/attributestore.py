@@ -63,14 +63,23 @@ class AttributeStoreStorage:
                 F.col("__h").alias("__cur_h"),
                 F.col(ts_col).alias("__cur_ts"),
             )
+            # plain join, NOT a forced broadcast: `cur` is the full
+            # latest-per-entity snapshot — dimension-sized, unbounded
+            # with total entity count. Spark broadcasts it while it fits
+            # autoBroadcastJoinThreshold and falls back to a shuffle
+            # join past that; a F.broadcast hint here would OOM the
+            # driver at tens of millions of entities (r10 review).
             hashed = (
-                hashed.join(
-                    F.broadcast(cur), hashed[entity_col] == F.col("__e"), "left"
-                )
+                hashed.join(cur, hashed[entity_col] == F.col("__e"), "left")
                 .filter(
                     F.col("__cur_h").isNull()
                     | (F.col("__h") != F.col("__cur_h"))
-                    | (F.col(ts_col) <= F.col("__cur_ts"))
+                    # STRICT <: an earlier-ts row is a genuine backfill
+                    # (hash-vs-latest is meaningless for it), but an
+                    # EQUAL-ts equal-hash row is an at-least-once replay
+                    # and must be suppressed — `<=` re-appended the
+                    # whole batch on every redelivery (r10 review)
+                    | (F.col(ts_col) < F.col("__cur_ts"))
                 )
                 .drop("__e", "__cur_h", "__cur_ts")
             )

@@ -101,12 +101,23 @@ class BucketedSignatureStore:
     session-scoped (same caveat as sources/bucketed.py, and why the
     parquet SignatureStore remains the default). Appends MUST repeat the
     same bucket spec — enforced by bucketBy on every write.
+
+    The default table name is parameter-scoped (``…_k{k}_n{shingle_n}``,
+    mirroring SignatureStore's path scoping): different signature shapes
+    must never share one cache — same-k different-shingle_n signatures
+    are schema-identical, so an unscoped shared table would silently
+    serve 3-shingle signatures to a 5-shingle run (r10 review). A caller
+    passing an explicit ``table`` owns that consistency.
     """
 
-    table: str = "minerva_signatures"
+    table: str | None = None
     n_buckets: int = 64
     k: int = 32
     shingle_n: int = 3
+
+    def __post_init__(self):
+        if self.table is None:
+            self.table = f"minerva_signatures_k{self.k}_n{self.shingle_n}"
 
     def _cached(self, spark) -> DataFrame | None:
         if not spark.catalog.tableExists(self.table):

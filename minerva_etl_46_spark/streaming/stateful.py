@@ -187,9 +187,13 @@ def _funnel_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     order (the upstream ingest contract). ADVICE r5: violations of that
     contract must be OBSERVABLE, not silent — the state carries a
     per-user event-time high-water mark, and any stage-relevant event
-    that arrives below it without advancing the walk increments
-    ``late_events`` in the emitted row (a monitoring stream alert on
-    late_events > 0 is the deployment contract check)."""
+    that arrives below it increments ``late_events`` in the emitted row
+    — INCLUDING one that happens to advance the walk (r10 review: a
+    late-arriving earlier stage that advances is the worst disorder —
+    the walk has already consumed later events, so the funnel result
+    differs from the in-order replay and the alert MUST fire). A
+    monitoring stream alert on late_events > 0 is the deployment
+    contract check."""
     (user_id,) = key
     stage, s1, s2, s3, hwm, late = (
         state.get if state.exists else (0, -1, -1, -1, -1, 0)
@@ -198,15 +202,19 @@ def _funnel_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         pdf = pdf.sort_values("ts_us")
         for ts_us, et in zip(pdf["ts_us"], pdf["event_type"]):
             ts_us = int(ts_us)
-            advanced = False
             if stage == 0 and et == FUNNEL_STAGES[0]:
-                stage, s1, advanced = 1, ts_us, True
+                stage, s1 = 1, ts_us
             elif stage == 1 and et == FUNNEL_STAGES[1] and ts_us > s1:
-                stage, s2, advanced = 2, ts_us, True
+                stage, s2 = 2, ts_us
             elif stage == 2 and et == FUNNEL_STAGES[2] and ts_us > s2:
-                stage, s3, advanced = 3, ts_us, True
-            if not advanced and et in FUNNEL_STAGES and ts_us < hwm:
-                # cross-batch disorder: this event-time already passed
+                stage, s3 = 3, ts_us
+            if et in FUNNEL_STAGES and ts_us < hwm:
+                # cross-batch disorder: this event-time already passed.
+                # Counted whether or not the event advanced the walk —
+                # an advancing late event means the in-order replay
+                # would differ (the advance is still applied; the
+                # counter makes the contract violation observable, it
+                # does not rewrite history)
                 late += 1
             hwm = max(hwm, ts_us)
     state.update((stage, s1, s2, s3, hwm, late))

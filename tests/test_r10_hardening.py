@@ -266,3 +266,152 @@ def test_parts_excludes_attribute_stores_and_curr_projects_attrs(
                 assert e.code == 400
     finally:
         srv.shutdown()
+
+
+# -------------------------------------------- second review cluster (r10b)
+
+
+def test_read_part_drops_removed_trend_columns(spark, tmp_path):
+    """RemoveTrend is zero-rewrite — the bytes stay in the files — so
+    read_part must stop PROJECTING the removed column. Previously any
+    physical column not currently declared passed through untouched,
+    resurrecting removed trends uncast."""
+    from datetime import datetime
+
+    from minerva_etl_46_spark.instance import (
+        apply_instance,
+        instance_from_yaml,
+        load_live,
+        part_storage,
+        read_part,
+    )
+    from tests.test_instance_lifecycle import INSTANCE_YAML
+
+    root = str(tmp_path / "live")
+    apply_instance(root, instance_from_yaml(INSTANCE_YAML))
+    store = load_live(root).trend_stores[0]
+    part_storage(root, store, "traffic").write(spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0), 10, 2)],
+        "entity_id long, ts timestamp, calls int, drops int",
+    ))
+    shrunk = instance_from_yaml(INSTANCE_YAML.replace(
+        "\n          - {name: drops, data_type: integer, "
+        "time_aggregation: sum}", ""))
+    apply_instance(root, shrunk)
+    df = read_part(spark, root, load_live(root).trend_stores[0], "traffic")
+    assert "drops" not in df.columns          # removed trend GONE
+    assert {"entity_id", "ts", "calls"} <= set(df.columns)
+    assert df.collect()[0].calls == 10
+
+
+def test_diff_detects_attribute_type_changes(tmp_path):
+    """A re-typed attribute must surface in the change list (previously
+    diffed by name only — the apply reported 'no changes' while the
+    live declaration changed underneath the reviewer)."""
+    from minerva_etl_46_spark.instance import (
+        ModifyAttribute,
+        diff_instances,
+        instance_from_yaml,
+    )
+
+    base = """
+data_sources: [net]
+trend_stores: []
+attribute_stores:
+  - data_source: net
+    entity_type: Cell
+    attributes:
+      - {name: plan, data_type: text}
+"""
+    cur = instance_from_yaml(base)
+    want = instance_from_yaml(base.replace("data_type: text",
+                                           "data_type: integer"))
+    changes = diff_instances(cur, want)
+    assert changes == [ModifyAttribute("net/Cell", "plan", "data_type",
+                                       "text", "integer")]
+
+
+def test_funnel_counts_advancing_late_events(spark):
+    """Cross-batch disorder that ADVANCES the walk is the worst
+    violation of the in-order ingest contract — the stream's answer
+    differs from the in-order replay, so the late_events alert MUST
+    fire (previously only non-advancing late events were counted)."""
+    import pandas as pd
+
+    from minerva_etl_46_spark.streaming.stateful import (
+        FUNNEL_STAGES,
+        _funnel_update,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+        @property
+        def get(self):
+            return self._v
+
+    st = FakeState()
+    # batch 1: a purchase arrives first (stage 0 cannot advance on it)
+    list(_funnel_update((7,), [pd.DataFrame(
+        {"ts_us": [100], "event_type": [FUNNEL_STAGES[2]]})], st))
+    # batch 2: the signup arrives LATE (ts 50 < hwm 100) and advances
+    (out,) = _funnel_update((7,), [pd.DataFrame(
+        {"ts_us": [50], "event_type": [FUNNEL_STAGES[0]]})], st)
+    row = out.iloc[0]
+    assert row["reached"] == 1          # the advance is still applied
+    assert row["late_events"] == 1      # ...but the violation is visible
+
+
+def test_attribute_append_is_replay_idempotent(spark, tmp_path):
+    """Re-delivering an identical batch (equal ts, equal hash) must
+    append NOTHING; an earlier-ts backfill must still land."""
+    from datetime import datetime as T
+
+    from minerva_etl_46_spark.sources.attributestore import (
+        AttributeStoreStorage,
+    )
+
+    st = AttributeStoreStorage(str(tmp_path), "idem", ("plan",))
+    batch = spark.createDataFrame(
+        [(1, T(2024, 2, 1), "gold")],
+        "entity_id long, ts timestamp, plan string")
+    assert st.append(batch) == 1
+    assert st.append(batch) == 0          # exact replay suppressed
+    backfill = spark.createDataFrame(
+        [(1, T(2024, 1, 1), "bronze")],
+        "entity_id long, ts timestamp, plan string")
+    assert st.append(backfill) == 1       # earlier history still lands
+    assert st.read_history(spark).count() == 2
+
+
+def test_pack_sequences_survives_null_text(spark):
+    """One NULL-text doc previously killed the whole packing job
+    (NaN → int() inside the Arrow worker); it is now dropped by
+    contract (quality filtering owns nulls upstream)."""
+    from minerva_etl_46_spark.operators.export import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e")],
+        "doc_id long, body string")
+    out = pack_sequences(docs, "doc_id", "body", n_shards=2,
+                         max_tokens=4).collect()
+    assert sum(r.n_docs for r in out) == 2  # null doc dropped, job alive
+    assert sum(r.total_tokens for r in out) == 5
+
+
+def test_bucketed_sigstore_default_table_is_parameter_scoped():
+    """Different signature shapes must never share one cache table:
+    same-k different-shingle_n signatures are schema-identical, so an
+    unscoped default silently served 3-shingle signatures to a
+    5-shingle run."""
+    from minerva_etl_46_spark.sources.sigstore import BucketedSignatureStore
+
+    a = BucketedSignatureStore(k=32, shingle_n=3)
+    b = BucketedSignatureStore(k=32, shingle_n=5)
+    assert a.table == "minerva_signatures_k32_n3"
+    assert b.table == "minerva_signatures_k32_n5"
+    assert a.table != b.table
+    assert BucketedSignatureStore(table="explicit").table == "explicit"
