@@ -8,13 +8,16 @@ cross-product:
 
   union-tag:  tag attribute rows (is_attr=1) and fact rows (is_attr=0),
               union, then last(attr_value, ignorenulls) over
-              (PARTITION BY entity ORDER BY ts, is_attr ROWS UNBOUNDED
+              (PARTITION BY entity ORDER BY ts, is_attr DESC ROWS UNBOUNDED
               PRECEDING..CURRENT) — each fact row picks up the most recent
-              attribute row at-or-before its timestamp. Attribute rows sort
-              *after* fact rows at equal ts?  No: is_attr ascending puts the
-              fact row AFTER the attribute row of equal ts, so an attribute
-              change AT the fact timestamp is visible (PostgreSQL ``<= ts``
-              semantics, matching the reference's at-functions).
+              attribute row at-or-before its timestamp. The DESC on the
+              tag is what makes equal timestamps work: attr (1) sorts
+              BEFORE fact (0) at the same ts, so an attribute change AT
+              the fact timestamp is visible (PostgreSQL ``<= ts``
+              semantics, matching the reference's at-functions). An
+              ASCENDING tag would put the fact first and silently give
+              strictly-less-than semantics — keep this prose and the
+              window order in asof_join in lockstep.
 
   At 100 TB: cost == one sort-shuffle of facts+attrs on entity — the same
   exchange a plain fact/dim shuffle join would need; no skew beyond the
@@ -46,7 +49,13 @@ def asof_join(
     every attribute row, so ``last(struct, ignorenulls)`` always lands on
     the single latest row and NULL fields stay NULL)."""
     f = facts.withColumn("__is_attr", F.lit(0)).withColumn("__ats", F.col(fact_ts))
-    a = attrs.select(
+    # NULL-keyed attribute rows are excluded: Window.partitionBy groups
+    # NULLs TOGETHER (unlike join equality, where NULL = NULL is never
+    # true), so a NULL-keyed fact would otherwise inherit values from
+    # NULL-keyed attr rows — fabricated attributes for keyless rows in a
+    # dirty feed. With them gone, NULL-keyed facts partition alone and
+    # get NULLs, the left-join semantics promised above (r10 review).
+    a = attrs.filter(F.col(on).isNotNull()).select(
         F.col(on),
         F.col(attr_ts).alias("__ats"),
         F.lit(1).alias("__is_attr"),

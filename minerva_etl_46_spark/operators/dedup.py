@@ -206,7 +206,14 @@ def incremental_near_dup(corpus: DataFrame, batch: DataFrame, id_col: str,
        CPU cost — is candidate-bounded, not corpus-bounded.
 
     Per-batch work ∝ |batch| + |candidates|, independent of corpus size.
-    Returns (a_id = batch doc, b_id = corpus doc, n_inter, jaccard)."""
+    Returns (a_id = batch doc, b_id = corpus doc, n_inter, jaccard).
+
+    Re-ingest contract (r10 review): a doc id present in BOTH corpus and
+    batch is an UPDATE of that doc, not a duplicate of itself — the
+    self-pair is dropped, the batch's text is the single copy used in
+    verification (the corpus row for that id is excluded, otherwise the
+    doubled rows inflate its shingle counts and corrupt the Jaccard of
+    every pair it appears in)."""
     if corpus_sig is None:
         corpus_sig = minhash_signature(corpus, id_col, text_col, k=k,
                                        shingle_n=shingle_n,
@@ -216,7 +223,7 @@ def incremental_near_dup(corpus: DataFrame, batch: DataFrame, id_col: str,
     cand = lsh_candidates_against(q_sig, corpus_sig, id_col, k=k,
                                   bands=bands, hash_family=hash_family,
                                   max_bucket_size=max_bucket_size)
-    pairs = cand.select(
+    pairs = cand.filter(F.col("q_id") != F.col("i_id")).select(
         F.col("q_id").alias("a_id"), F.col("i_id").alias("b_id")
     ).localCheckpoint(eager=False)  # consumed twice: id set + verify join
     ids = (
@@ -224,7 +231,11 @@ def incremental_near_dup(corpus: DataFrame, batch: DataFrame, id_col: str,
         .unionByName(pairs.select(F.col("b_id").alias(id_col)))
         .distinct()
     )
-    relevant = corpus.unionByName(batch).join(ids, id_col, "left_semi")
+    relevant = (
+        corpus.join(batch.select(id_col), id_col, "left_anti")
+        .unionByName(batch)
+        .join(ids, id_col, "left_semi")
+    )
     return jaccard_verify(relevant, pairs, id_col, text_col,
                           shingle_n=shingle_n, threshold=threshold)
 
@@ -381,6 +392,19 @@ def connected_components(edges: DataFrame, a_col: str = "a_id",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter with labels still moving means some
+        # component's diameter exceeds the budget — returning the
+        # half-propagated labels would SILENTLY split that component
+        # into several "canonical" docs (dedup under-removal with no
+        # signal, r10 review). Converge-or-raise: near-dup components
+        # are chains of mutated copies, so a diameter past the budget
+        # is itself a data smell worth surfacing.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations — a component's diameter exceeds the budget; "
+            "raise max_iter (rounds cost one shuffle each) or break the "
+            "mega-component upstream (exact-dedup its template cluster)")
     return labels.select(F.col("node"), F.col("label").alias("group_id"))
 
 

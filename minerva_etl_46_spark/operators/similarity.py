@@ -456,6 +456,7 @@ def cosine_topk_ann(
     bands: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """ANN variant: SRP-LSH banding prunes candidates, exact cosine ranks
     them. At 100 TB the bucket join replaces the corpus broadcast —
@@ -477,7 +478,15 @@ def cosine_topk_ann(
     near-neighbors sit at cos ≥ 0.9 should RAISE r (e.g. nbits=32,
     bands=4) for harder pruning at the same recall. ``dim`` defaults to
     the first row's vector length; a mismatched row fails loudly (see
-    _dim_guard)."""
+    _dim_guard).
+
+    ``max_bucket_size`` is the same degenerate-bucket cap the near-dup
+    path carries (cosine_near_dup_pairs / lsh_candidate_pairs): one hot
+    bucket (e.g. zero vectors all hashing to bh=0) fans every query in
+    it against the whole collision set. Buckets past the cap are dropped
+    before the join; members can still meet queries through their other
+    bands. None (default) disables it — the fixture recall floors are
+    pinned with the cap off, so turning it on is a per-corpus decision."""
     from pyspark.sql import Window
 
     if dim is None:
@@ -494,6 +503,12 @@ def cosine_topk_ann(
         _norm2_double(F.col(vec_col)).alias("nrm2"),  # rows-only path:
         # double math (see _dot_double) — no SQL oracle to stay exact with
     )
+    # the query side below is a filtered second consumer of this frame:
+    # without the lineage cut, scan + srp_signature (the pandas-UDF
+    # matmul on the wide path) + norm would all run TWICE — the same
+    # reason cosine_near_dup_pairs checkpoints before ITS self-join
+    # (r10 review: the two functions had silently diverged)
+    sig = sig.localCheckpoint(eager=False)
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),
@@ -503,6 +518,14 @@ def cosine_topk_ann(
     ])
     banded = sig.select(id_col, vec_col, "nrm2", F.explode(band_structs).alias("e")) \
                 .select(id_col, vec_col, "nrm2", "e.band_id", "e.bh")
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band_id", "bh").agg(
+            F.count(F.lit(1)).alias("__n"))
+        banded = (
+            banded.join(sizes.filter(F.col("__n") <= max_bucket_size),
+                        ["band_id", "bh"])
+            .drop("__n")
+        )
     q = banded.filter(F.col(id_col) % query_mod == 0).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
         F.col("nrm2").alias("q_nrm2"), "band_id", "bh",

@@ -42,13 +42,24 @@ def generate_time_rollup(
     part = next(p for p in store.parts if p.name == part_name)
     trends = _trend_map(part)
     g_to: Granularity = GRANULARITIES[target_granularity]
+    tz = spec_kw.get("tz", "UTC")
+    if g_to.is_calendar:
+        # calendar granularities have no fixed second count (seconds is
+        # None — passing it through previously broke every generated
+        # 1d/1w/1month ladder step, r10 review): pick the largest grid
+        # that tiles every LOCAL period boundary — the UTC day grid when
+        # aligning in UTC, the hour grid for whole-hour-offset zones
+        # (run_window's tiling check rejects anything off-grid loudly)
+        target_ps = 86400 if tz == "UTC" else 3600
+    else:
+        target_ps = g_to.seconds
     raw = TrendStorePartStorage(
         base_dir, f"{part_name}_{store.granularity}",
         partition_size_s=store.partition_size_seconds,
     )
     target = TrendStorePartStorage(
         base_dir, f"{part_name}_{target_granularity}",
-        partition_size_s=g_to.seconds,
+        partition_size_s=target_ps,
     )
 
     def src_fn(spark: SparkSession, w_start: int, w_end: int) -> DataFrame:
@@ -58,8 +69,13 @@ def generate_time_rollup(
         rows = raw.read_window(spark, w_start, w_end + 1).filter(
             (ts_epoch > w_start) & (ts_epoch <= w_end)
         )
+        # tz flows BOTH to the engine's window alignment (via spec_kw)
+        # and to the rollup's bucket labels — split alignment would
+        # label local-window rows onto the neighbor window's partition
+        # grid, which its dynamic overwrite then clobbers (r10 review)
         return time_rollup(rows, entity_col, ts_col, g_to, trends,
-                           bucket_col="bucket", exact=exact, label="end")
+                           bucket_col="bucket", exact=exact, label="end",
+                           tz=tz)
 
     return MaterializationSpec(
         name=f"{part_name}_{store.granularity}_to_{target_granularity}",

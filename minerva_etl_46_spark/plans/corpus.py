@@ -99,12 +99,17 @@ def build_training_corpus(
     docs2 = docs1.join(losers, id_col, "anti").localCheckpoint(eager=False)
     stats.after_near_dedup = docs2.count()
 
-    # 3. decontamination — drop flagged docs (benchmark docs drop with them)
+    # 3. decontamination — drop flagged docs and the benchmark docs
+    # themselves. Anti-join on the FLAGGED set, not semi-join on the
+    # clean set: contamination_scores omits docs with < gram_n tokens
+    # (no grams → can't leak), and a semi-join silently dropped those
+    # from the corpus as if contaminated (r10 review — masked only while
+    # min_tokens coincided with gram_n).
     scores = contamination_scores(docs2, id_col, text_col, bench_pred,
                                   gram_n=cfg.gram_n,
                                   flag_threshold=cfg.contamination_max)
-    clean_ids = scores.filter(~F.col("contaminated")).select(id_col)
-    docs3 = docs2.join(clean_ids, id_col, "semi")
+    flagged = scores.filter(F.col("contaminated")).select(id_col)
+    docs3 = docs2.filter(~bench_pred).join(flagged, id_col, "anti")
     stats.after_decontamination = docs3.count()
 
     # 4. quality — repetition ceiling + token floor

@@ -40,7 +40,16 @@ def evaluate_rule(
 def evaluate_rules(kpi_df: DataFrame, rules: list[TriggerRule],
                    entity_col: str = "entity_id", ts_col: str = "ts") -> DataFrame:
     """All rules in one pass: a union of per-rule pipelines. Catalyst shares
-    the scan (same source subtree); each rule contributes a filter+project."""
+    the scan (same source subtree); each rule contributes a filter+project.
+
+    An empty rule list raises: the contract is a DataFrame, and returning
+    None propagated an opaque AttributeError into whatever the caller did
+    next (r10 review) — an instance with zero triggers should not be
+    evaluating at all."""
+    if not rules:
+        raise ValueError(
+            "evaluate_rules needs at least one rule — an instance with no "
+            "triggers has nothing to evaluate")
     out = None
     for r in rules:
         n = evaluate_rule(kpi_df, r, entity_col, ts_col)

@@ -415,3 +415,122 @@ def test_bucketed_sigstore_default_table_is_parameter_scoped():
     assert b.table == "minerva_signatures_k32_n5"
     assert a.table != b.table
     assert BucketedSignatureStore(table="explicit").table == "explicit"
+
+
+# --------------------------------------------- third review cluster (r10c)
+
+
+def test_generated_calendar_ladder_materializes(spark, tmp_path):
+    """The declared 15m→1d ladder step previously crashed at spec build
+    (calendar granularities have seconds=None, which flowed into the
+    target's partition grid). A 1d generated rollup must tick end-to-end
+    with UTC-midnight END labels on the UTC day partition grid."""
+    from minerva_etl_46_spark.catalog import Trend, TrendStore, TrendStorePart
+    from minerva_etl_46_spark.plans.aggregation import generate_time_rollup
+    from minerva_etl_46_spark.plans.materialize import MaterializationEngine
+
+    store = TrendStore(
+        data_source="pm", entity_type="Cell", granularity="15m",
+        parts=(TrendStorePart("t", (Trend("n", time_aggregation="sum"),)),),
+        partition_size_seconds=3600,
+    )
+    raw = TrendStorePartStorage(str(tmp_path), "t_15m", partition_size_s=3600)
+    rows = [(1, H0 + 900 * i, 1.0) for i in range(1, 97)]  # one full day,
+    raw.write(_rows(spark, rows)                            # END-labeled grid
+              .withColumnRenamed("k", "entity_id")
+              .withColumnRenamed("v", "n"), ts_col="ts")
+    spec = generate_time_rollup(str(tmp_path), store, "t", "1d",
+                                reprocessing_period_s=10**12)
+    assert spec.target.partition_size_s == 86400
+    done = MaterializationEngine(str(tmp_path)).tick(spark, spec, now=4e9)
+    assert done  # at least the Jan-1 day window ran
+    got = {r["bucket"]: r["n"] for r in spec.target.read(spark).collect()}
+    # period-END convention: the Jan-1 local(=UTC) day labels at Jan-2 00:00
+    assert got[H0 + 86400] == 96.0
+
+
+def test_incremental_near_dup_reingest_is_update_not_duplicate(spark):
+    """A doc id in BOTH corpus and batch is an update: no self-pair, and
+    the batch's text is the single copy — previously the doubled rows
+    corrupted every Jaccard the doc appeared in (2I/(2X+Y−2I)) and the
+    exact self-re-ingest got a 0 denominator → silently dropped."""
+    from minerva_etl_46_spark.operators.dedup import incremental_near_dup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "totally unrelated words here okay")],
+        "doc_id long, body string")
+    batch = spark.createDataFrame(
+        # doc 1 re-ingested verbatim; doc 3 is a true near-dup of doc 1
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (3, "alpha beta gamma delta epsilon eta")],
+        "doc_id long, body string")
+    out = incremental_near_dup(corpus, batch, "doc_id", "body",
+                               k=16, bands=8, threshold=0.3).collect()
+    pairs = {(r.a_id, r.b_id): r.jaccard for r in out}
+    assert (1, 1) not in pairs          # re-ingest is not its own dup
+    assert any(a == 3 and b == 1 for a, b in pairs)  # true near-dup found
+    j31 = next(v for (a, b), v in pairs.items() if a == 3 and b == 1)
+    # exact Jaccard of the two shingle sets, NOT the doubled-row corruption
+    assert 0.3 < j31 < 1.0
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A component with diameter past max_iter previously returned
+    silently SPLIT groups (dedup under-removal with no signal)."""
+    from minerva_etl_46_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a_id long, b_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
+    ok = connected_components(chain, max_iter=10).collect()
+    assert {r.group_id for r in ok} == {0}  # one chain, one group
+
+
+def test_corpus_decontamination_keeps_gramless_docs(spark):
+    """A clean doc shorter than gram_n has no n-grams and CANNOT leak —
+    the pipeline previously dropped it at the decontamination stage
+    (semi-join on the scored set). Benchmark docs must still drop."""
+    from minerva_etl_46_spark.plans.corpus import CorpusConfig, build_training_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven", False),
+         (2, "tiny doc", False),                    # < gram_n tokens, clean
+         (3, "the eval question text goes here now", True),   # benchmark
+         (4, "the eval question text goes here now extra", False)],  # leaked
+        "doc_id long, body string, is_bench boolean")
+    cfg = CorpusConfig(min_tokens=2, gram_n=5, contamination_max=0.2,
+                       repetition_max=1.0)
+    out, stats = build_training_corpus(
+        docs, F.col("is_bench"), cfg=cfg, text_col="body")
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 2 in kept           # gram-less clean doc SURVIVES
+    assert 3 not in kept       # benchmark doc dropped
+    assert 4 not in kept       # contaminated doc dropped
+
+
+def test_evaluate_rules_rejects_empty_rule_list(spark):
+    from minerva_etl_46_spark.plans.triggers import evaluate_rules
+
+    kpi = spark.createDataFrame([(1, 0, 1.0)], "entity_id long, ts long, v double")
+    with pytest.raises(ValueError, match="at least one rule"):
+        evaluate_rules(kpi, [])
+
+
+def test_asof_join_null_keys_get_null_attributes(spark):
+    """Window.partitionBy groups NULLs together (unlike join equality),
+    so NULL-keyed facts previously inherited values from NULL-keyed
+    attr rows — fabricated attributes for keyless rows."""
+    from minerva_etl_46_spark.operators.asof import asof_join
+
+    facts = spark.createDataFrame(
+        [(None, 100), (7, 100)], "entity_id long, fts long")
+    attrs = spark.createDataFrame(
+        [(None, 50, "ghost"), (7, 50, "real")],
+        "entity_id long, ats long, status string")
+    got = {r.fts if r.entity_id is None else r.entity_id: r.status
+           for r in asof_join(facts, attrs, "entity_id", "fts", "ats",
+                              ["status"]).collect()}
+    assert got[7] == "real"
+    assert got[100] is None    # NULL-keyed fact: left-join semantics
