@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import importlib
 import json
+import os
 import sys
 
 from minerva_etl_46_spark.functions.timestamps import GRANULARITIES
@@ -48,10 +49,23 @@ def cmd_load_data(args) -> int:
     store = TrendStorePartStorage(args.base_dir, args.part,
                                   partition_size_s=args.partition_size)
     if args.format == "csv":
+        if not args.schema:
+            # schema-declared discipline: inference-free CSV would land
+            # all-string counters that rollups then NULL out on cast
+            # (r10 review) — fail at load, not three stages later
+            print("--schema is required for --format csv", file=sys.stderr)
+            return 2
         pkg = read_csv_harvest(spark, args.file, schema=args.schema)
     else:
         from minerva_etl_46_spark.sources.xml3gpp import harvest_3gpp_xml
 
+        if args.dn_col != "dn" or args.ts_col != "ts":
+            # the 3GPP pivot emits fixed (dn, ts) columns; silently
+            # accepting the flags would fail later with an unresolved
+            # column (r10 review)
+            print("--dn-col/--ts-col are fixed to dn/ts for --format xml",
+                  file=sys.stderr)
+            return 2
         long_rows = harvest_3gpp_xml(spark, [args.file])
         # max: deterministic under shuffle when duplicate (dn, ts, counter)
         # rows appear across files (rollup.py's first()/last() caveat).
@@ -61,9 +75,15 @@ def cmd_load_data(args) -> int:
             .withColumn("ts", F.to_timestamp("ts"))
         )
     entities_store = f"{args.base_dir}/_entities"
-    try:
+    # explicit existence check, NOT try/except: a bare except here turned
+    # a corrupt footer / permission error into "empty directory", minting
+    # fresh hash ids for every DN and silently splitting entity history
+    # across two ids (r10 review) — real read failures must surface
+    if os.path.isdir(entities_store) and any(
+        not e.startswith("_") for e in os.listdir(entities_store)
+    ):
         entities = spark.read.parquet(entities_store)
-    except Exception:
+    else:
         entities = spark.createDataFrame([], schema="entity_id long, name string")
     resolved, new_ents = resolve_entities(pkg, entities, dn_col=args.dn_col)
     # appending an empty frame is a no-op; no count() pre-check job needed
@@ -126,6 +146,10 @@ def cmd_trigger(args) -> int:
     kpi = spark.read.parquet(args.kpi)
     notes = evaluate_rules(kpi, rules, entity_col=args.entity_col,
                            ts_col=args.ts_col)
+    # cut lineage before write + count: without it the count() re-ran the
+    # whole KPI scan + per-rule union a second time for one stat line
+    # (r10 review — the same discipline line 89 documents)
+    notes = notes.localCheckpoint(eager=True)
     store = TrendStorePartStorage(args.base_dir, args.notification_store)
     store.write(notes, ts_col=args.ts_col)
     print(json.dumps({"notifications": notes.count(),
@@ -159,8 +183,6 @@ def cmd_status(args) -> int:
     """Operator's one-glance view of a live root: declared stores and
     ladders, per-part partition counts and epoch span, modified-log
     freshness. Pure filesystem walk — no Spark session, instant."""
-    import os
-
     from minerva_etl_46_spark.instance import (
         _store_key,
         load_live,
@@ -178,9 +200,13 @@ def cmd_status(args) -> int:
                 pdir = os.path.join(base, entry)
                 if not os.path.isdir(pdir) or entry.startswith("_"):
                     continue
-                buckets = sorted(
-                    int(e.split("=", 1)[1]) for e in os.listdir(pdir)
-                    if e.startswith("p_bucket="))
+                from minerva_etl_46_spark.sources.trendstore import (
+                    _int_bucket_dirs,
+                )
+
+                # shared helper: a foreign p_bucket dir (non-integer
+                # value) must not crash status for the whole root
+                buckets = sorted(b for b, _ in _int_bucket_dirs(pdir))
                 parts.append({
                     "part": entry,
                     "partitions": len(buckets),

@@ -161,8 +161,15 @@ def align_end(ts: Column | str, g: Granularity, tz: str = "UTC") -> Column:
     Apr 1 midnight after a DST shift)."""
     c = ensure_timestamp(ts)
     if not g.is_calendar:
-        secs = g.seconds
-        return F.timestamp_seconds(F.ceil(c.cast("long") / secs) * secs)
+        # ceil on the MICROSECOND grid, exact integer arithmetic: the
+        # old cast("long") floored sub-second parts first, so a ts just
+        # past a grid point (10:00:00.5) was labeled as CLOSING at 10:00
+        # — into the previous period, violating the (start, end]
+        # contract (r10 review). pmod form = G·ceil(us/G) for all signs.
+        us = F.unix_micros(c)
+        G = g.seconds * 1_000_000
+        end_us = (us + F.lit(G - 1)) - F.pmod(us + F.lit(G - 1), F.lit(G))
+        return F.timestamp_micros(end_us)
     local = F.from_utc_timestamp(c, tz) if tz != "UTC" else c
     trunc = F.date_trunc(g.unit, local)
     local_end = F.when(local == trunc, local).otherwise(
@@ -182,7 +189,13 @@ def bucket_epoch_end(ts: Column | str, g: Granularity) -> Column:
     if g.is_calendar:
         raise NotImplementedError("END-labeled calendar buckets: use align_end")
     c = ensure_timestamp(ts)
-    return (F.ceil(c.cast("long") / g.seconds) * g.seconds).cast("long")
+    # µs-grid ceil, same exact-integer form (and the same sub-second fix)
+    # as align_end above — the two MUST agree or harvest alignment and
+    # rollup labels drift apart
+    us = F.unix_micros(c)
+    G = g.seconds * 1_000_000
+    end_us = (us + F.lit(G - 1)) - F.pmod(us + F.lit(G - 1), F.lit(G))
+    return (end_us / F.lit(1_000_000)).cast("long")
 
 
 def bucket_epoch(ts: Column | str, g: Granularity) -> Column:

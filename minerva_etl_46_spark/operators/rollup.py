@@ -149,7 +149,14 @@ def entity_rollup(
         df[entity_col] == relation[source_col],
         "inner",
     )
-    order = F.struct(F.col(bucket_col))
+    # first/last ordering: the group keys are (target, bucket), so the
+    # bucket alone is CONSTANT within every group — ordering by it made
+    # first/last entity aggregations depend on task order, the exact
+    # hazard the module docstring promises to prevent (r10 review). The
+    # SOURCE entity id breaks the tie deterministically: within one
+    # (target, bucket) group each row is a distinct source entity, so
+    # (bucket, source) is a total order and first = smallest source id.
+    order = F.struct(F.col(bucket_col), df[entity_col])
     aggs = [_agg_column(t, name, order, kind="entity").alias(name) for name, t in trends.items()]
     return (
         joined.groupBy(F.col(target_col).alias(entity_col), F.col(bucket_col))

@@ -57,6 +57,11 @@ def moving_avg(
     tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """W7: trailing average over the last `periods` rows (inclusive)."""
+    if periods < 1:
+        # periods=0 builds an inverted frame (lower bound 1 > upper 0 →
+        # opaque analysis error); negative silently averages LEADING
+        # rows under a trailing-average name (r10 review)
+        raise ValueError(f"periods must be >= 1, got {periods}")
     order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
     w = Window.partitionBy(entity_col).orderBy(*order).rowsBetween(-(periods - 1), 0)
     return df.withColumn(out_col, F.avg(value_col).over(w))

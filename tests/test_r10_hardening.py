@@ -534,3 +534,80 @@ def test_asof_join_null_keys_get_null_attributes(spark):
                               ["status"]).collect()}
     assert got[7] == "real"
     assert got[100] is None    # NULL-keyed fact: left-join semantics
+
+
+# -------------------------------------------- fourth review cluster (r10d)
+
+
+def test_entity_rollup_first_last_is_deterministic(spark):
+    """The first/last ordering struct previously held only the bucket —
+    CONSTANT within each (target, bucket) group — so first/last entity
+    aggregations depended on task order (the exact hazard the module
+    docstring promises to prevent). The source entity id now breaks the
+    tie: first = value of the smallest source id, every run."""
+    from minerva_etl_46_spark.catalog import Trend
+    from minerva_etl_46_spark.operators.rollup import entity_rollup
+
+    cells = spark.createDataFrame(
+        [(10, 900, 5.0), (11, 900, 7.0), (12, 900, 3.0)],
+        "entity_id long, bucket long, v double",
+    ).repartition(3)  # spread sources over tasks
+    rel = spark.createDataFrame([(10, 1), (11, 1), (12, 1)],
+                                "source_id long, target_id long")
+    trends = {"v": Trend("v", entity_aggregation="first")}
+    for _ in range(3):
+        got = entity_rollup(cells, rel, "entity_id", "bucket",
+                            trends).collect()
+        assert [(r.entity_id, r.v) for r in got] == [(1, 5.0)]  # src 10's
+
+
+def test_align_end_sub_second_past_grid_closes_next_period(spark):
+    """A sub-second ts just past a grid point previously floored onto
+    the grid point and was labeled into the PREVIOUS period, violating
+    the (start, end] contract; an on-grid ts still closes itself."""
+    from minerva_etl_46_spark.functions.timestamps import (
+        G_15M,
+        align_end,
+        bucket_epoch_end,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00.5"), (2, "2024-01-01 10:00:00")],
+        "k long, raw string",
+    ).select("k", F.to_timestamp("raw").alias("ts"))
+    got = {r.k: (r.e, r.b) for r in df.select(
+        "k", align_end("ts", G_15M).alias("e"),
+        bucket_epoch_end("ts", G_15M).alias("b")).collect()}
+    assert got[2][1] == 1704103200          # on-grid: closes itself
+    assert got[1][1] == 1704103200 + 900    # .5s past: NEXT period end
+    assert got[1][0].minute == 15
+
+
+def test_moving_avg_rejects_degenerate_periods(spark):
+    from minerva_etl_46_spark.operators.windows import moving_avg
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "e long, ts long, v double")
+    for bad in (0, -4):
+        with pytest.raises(ValueError, match="periods"):
+            moving_avg(df, "e", "ts", "v", periods=bad)
+
+
+def test_cli_guards_csv_schema_xml_flags_and_foreign_status(spark, tmp_path,
+                                                            capsys):
+    """(a) csv load without --schema fails AT LOAD (rc 2), not three
+    stages later with string counters; (b) xml load rejects the
+    unsupported --dn-col/--ts-col flags instead of an unresolved-column
+    crash; (c) status survives a foreign partition dir."""
+    from minerva_etl_46_spark.cli import main
+
+    csv = tmp_path / "pm.csv"
+    csv.write_text('dn,ts,calls\n"Net=1,Cell=A",2024-01-01 00:03:00,10\n')
+    assert main(["load-data", str(csv), "--base-dir", str(tmp_path),
+                 "--part", "t", "--granularity", "15m"]) == 2
+    assert "--schema is required" in capsys.readouterr().err
+    xml = tmp_path / "x.xml"
+    xml.write_text("<mdc/>")
+    assert main(["load-data", str(xml), "--format", "xml",
+                 "--base-dir", str(tmp_path), "--part", "t",
+                 "--granularity", "15m", "--ts-col", "end_time"]) == 2
+    assert "fixed to dn/ts" in capsys.readouterr().err
