@@ -111,6 +111,17 @@ def bmp_decode(payload: bytes) -> dict:
         raise NotImplementedError("only 24-bit BI_RGB without PIL")
     height = abs(height)
     row_bytes = (width * 3 + 3) // 4 * 4
+    if width < 0 or data_off + height * row_bytes > len(payload):
+        # a truncated pixel array previously yielded EMPTY slices and a
+        # confidently wrong feat_mean with no error (r10 review) — fail
+        # loudly like wav_decode's wave-module errors; ValueError (not
+        # NotImplementedError) because the format IS supported, the
+        # bytes are corrupt
+        raise ValueError(
+            f"truncated BMP: header declares {height}x{width} 24-bit "
+            f"pixels at offset {data_off} "
+            f"({data_off + height * row_bytes} bytes needed, "
+            f"{len(payload)} present)")
     total = 0
     for r in range(height):
         row = payload[data_off + r * row_bytes:
@@ -313,7 +324,7 @@ def perceptual_hash(media: DataFrame, hasher=phash_stub) -> DataFrame:
 
 def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 10,
                          n_bands: int = 6,
-                         band_bits: int = PHASH_BITS // 6) -> DataFrame:
+                         band_bits: int | None = None) -> DataFrame:
     """Banded hamming near-dup over perceptual hashes: split each hash
     into ``n_bands`` contiguous bit bands and equi-join on
     (band_idx, band_value) — pairs differing in every band are never
@@ -322,7 +333,21 @@ def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 10,
     recall is probabilistic, same contract as the MinHash-LSH path).
     Exact ``bit_count(xor)`` verifies candidates. Output:
     (a_id, b_id, hamming), deduped by construction via one distinct on
-    the pair key."""
+    the pair key.
+
+    ``band_bits`` defaults to PHASH_BITS // n_bands — DERIVED, so tuning
+    n_bands alone keeps the bands inside the hash (r10 review: a fixed
+    default with n_bands=7 shifted band 6 past the top bit, a constant
+    all-zero band that equi-joined the entire corpus — the exact cross
+    product the banding exists to avoid). An explicit out-of-range pair
+    raises."""
+    if band_bits is None:
+        band_bits = PHASH_BITS // n_bands
+    if band_bits < 1 or n_bands * band_bits > PHASH_BITS:
+        raise ValueError(
+            f"n_bands={n_bands} x band_bits={band_bits} does not fit the "
+            f"{PHASH_BITS}-bit hash — bands past the top bit are constant "
+            "zero and cross-join the corpus")
     bands = hashes.select(
         F.col("media_id"),
         F.col("phash"),

@@ -65,7 +65,13 @@ class TrendQuery:
         if self.entity_set is not None:
             df = df.join(F.broadcast(self.entity_set), entity_col, "left_semi")
         if self.columns:
-            df = df.select(entity_col, ts_col, *self.columns)
+            # dedupe against the always-present key columns: a client
+            # naming ts/entity_id in `columns` (a natural request)
+            # previously produced a duplicate-named frame and the keyset
+            # expressions failed with AMBIGUOUS_REFERENCE — a 500 for a
+            # well-formed request (r10 review)
+            extra = [c for c in self.columns if c not in (entity_col, ts_col)]
+            df = df.select(entity_col, ts_col, *extra)
         else:
             df = df.drop("p_bucket")
         ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))

@@ -43,13 +43,15 @@ def _ensure_absent(spark: SparkSession, table: str) -> None:
     spark.sql(f"drop table if exists {table}")
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     if wh:
-        # Managed-table layout: default db → {wh}/{tbl}; qualified name
-        # db.tbl → {wh}/{db}.db/{tbl} (ADVICE r5: the unqualified form
-        # silently missed qualified names and LOCATION_ALREADY_EXISTS
-        # returned).
+        # Managed-table layout: default db → {wh}/{tbl} (Spark stores
+        # default-db tables at the warehouse ROOT — 'default.t' and 't'
+        # are the SAME location, verified on this Spark; the r10 review
+        # caught the qualified-default form mapping to a nonexistent
+        # {wh}/default.db/{tbl} and LOCATION_ALREADY_EXISTS returning);
+        # other dbs → {wh}/{db}.db/{tbl} (ADVICE r5).
         parts = table.lower().split(".")
-        if len(parts) == 1:
-            loc = f"{wh}/{parts[0]}"
+        if len(parts) == 1 or parts[0] == "default":
+            loc = f"{wh}/{parts[-1]}"
         elif len(parts) == 2:
             loc = f"{wh}/{parts[0]}.db/{parts[1]}"
         else:

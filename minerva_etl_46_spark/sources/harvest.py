@@ -102,13 +102,29 @@ def resolve_entities(
         F.col(name_col).alias("__dn"), F.col(id_col).alias("__eid")
     ).distinct()
     joined = package.join(F.broadcast(e), package[dn_col] == F.col("__dn"), "left")
-    minted = F.shiftrightunsigned(F.xxhash64(F.col(dn_col)), 1).cast("long")
+    # NULL dn must RAISE, not resolve: xxhash64(NULL) is the constant
+    # seed (42), so every corrupt no-DN row would silently mint the SAME
+    # phantom entity and its measurements would aggregate together
+    # (r10 review). raise_error keeps the check inside the plan — no
+    # extra validation job; quarantine corrupt rows upstream.
+    minted = F.when(
+        F.col(dn_col).isNull(),
+        F.raise_error(F.lit(
+            "resolve_entities: NULL dn in harvest package — corrupt rows "
+            "must be quarantined upstream, a NULL cannot name an entity")),
+    ).otherwise(
+        F.shiftrightunsigned(F.xxhash64(F.col(dn_col)), 1)
+    ).cast("long")
     resolved = joined.withColumn(
         id_col, F.coalesce(F.col("__eid"), minted)
     ).drop("__dn", "__eid")
+    # unseen DNs = rows the FIRST join already marked (__eid NULL) — a
+    # second anti-join against the directory would re-run a broadcast
+    # join and a full pass over the package lineage for a fact the plan
+    # already holds (r10 review)
     new_entities = (
-        resolved.join(F.broadcast(e), resolved[dn_col] == F.col("__dn"), "left_anti")
-        .select(F.col(id_col), F.col(dn_col).alias(name_col))
+        joined.filter(F.col("__eid").isNull())
+        .select(minted.alias(id_col), F.col(dn_col).alias(name_col))
         .distinct()
     )
     return resolved, new_entities

@@ -13,7 +13,15 @@ dataset.
 from __future__ import annotations
 
 import os
+import time
 import uuid
+
+#: staged .tmp files older than this are crash debris, not an in-flight
+#: concurrent append (a pq.write_table of a kilobyte bookkeeping table
+#: finishes in milliseconds) — swept opportunistically on later appends
+#: so a driver crash between write and rename cannot leak files forever
+#: (r10 review). Generous so a stalled-but-alive writer is never raced.
+_STALE_TMP_S = 3600.0
 
 
 def append_table(path: str, table) -> str:
@@ -22,6 +30,15 @@ def append_table(path: str, table) -> str:
     import pyarrow.parquet as pq
 
     os.makedirs(path, exist_ok=True)
+    now = time.time()
+    for e in os.listdir(path):
+        if e.startswith(".") and e.endswith(".tmp"):
+            p = os.path.join(path, e)
+            try:
+                if now - os.path.getmtime(p) > _STALE_TMP_S:
+                    os.remove(p)
+            except OSError:
+                pass  # raced another sweeper / writer — never fail an append
     # Stage under a dotted temp name and rename into place: a crash
     # mid-write must not leave a truncated part-*.parquet that poisons
     # every later spark.read of the directory (the Spark writer this

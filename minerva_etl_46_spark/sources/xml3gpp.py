@@ -102,22 +102,45 @@ def parse_meas_file(path: str) -> list[dict]:
     return rows
 
 
-def harvest_3gpp_xml(spark: SparkSession, paths: list[str]) -> DataFrame:
+def harvest_3gpp_xml(spark: SparkSession, paths: list[str],
+                     mode: str = "FAILFAST") -> DataFrame:
     """Distributed parse: the PATH LIST parallelizes (one task per slice of
     files), each executor parses locally — the standard pattern for
     many-small-vendor-files ingest at fleet scale. The list frame builds
     JVM-side for small lists (functions/frames.py::small_literal_frame
     — a pickled LocalTableScan costs a Python-worker round-trip per
-    call; huge lists fall back past the helper's literal limit)."""
+    call; huge lists fall back past the helper's literal limit).
+
+    ``mode`` is the same FILE-granularity malformed-input contract the
+    avro/CSV readers carry (r10 review — this path previously had no
+    quarantine, so ONE truncated vendor file aborted the whole fleet
+    harvest after task retries): FAILFAST (default) re-raises with the
+    source path attached; DROPMALFORMED skips unparseable files and
+    keeps the rest — pair with a file-count reconciliation downstream,
+    exactly like scan_csv_badrows."""
     from minerva_etl_46_spark.functions.frames import small_literal_frame
 
+    if mode not in ("FAILFAST", "DROPMALFORMED"):
+        raise ValueError(f"mode must be FAILFAST or DROPMALFORMED, "
+                         f"got {mode!r}")
+    drop = mode == "DROPMALFORMED"
     pdf = small_literal_frame(spark, paths, "file", "string")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = []
             for f in b["file"]:
-                for row in parse_meas_file(f):
+                try:
+                    rows = parse_meas_file(f)
+                except Exception as e:
+                    if drop:
+                        continue
+                    # a uniform wrapper: reconstructing arbitrary
+                    # exception types with one string arg is not safe
+                    raise ValueError(
+                        f"harvest_3gpp_xml: {f}: "
+                        f"{type(e).__name__}: {e}") from e
+                for row in rows:
                     out.append({"file": f, **row})
             yield pd.DataFrame(
                 out, columns=["file", "dn", "ts", "counter", "value", "suspect"]

@@ -611,3 +611,153 @@ def test_cli_guards_csv_schema_xml_flags_and_foreign_status(spark, tmp_path,
                  "--base-dir", str(tmp_path), "--part", "t",
                  "--granularity", "15m", "--ts-col", "end_time"]) == 2
     assert "fixed to dn/ts" in capsys.readouterr().err
+
+
+# --------------------------------------------- fifth review cluster (r10e)
+
+
+def test_resolve_entities_null_dn_raises_and_minting_is_one_join(spark):
+    """xxhash64(NULL) is the constant seed — every corrupt no-DN row
+    previously minted the SAME phantom entity (id 21) and their
+    measurements aggregated together. NULL dn now raises in-plan.
+    Non-null resolution still works and new_entities (now derived from
+    the FIRST join instead of a second anti-join) is unchanged."""
+    from minerva_etl_46_spark.sources.harvest import resolve_entities
+
+    ents = spark.createDataFrame([(5, "Cell=A")], "entity_id long, name string")
+    pkg = spark.createDataFrame([("Cell=A", 1.0), ("Cell=B", 2.0)],
+                                "dn string, v double")
+    resolved, new = resolve_entities(pkg, ents)
+    got = {r.dn: r.entity_id for r in resolved.collect()}
+    assert got["Cell=A"] == 5
+    assert got["Cell=B"] > 0           # minted, deterministic
+    nn = new.collect()
+    assert [(r.entity_id, r.name) for r in nn] == [(got["Cell=B"], "Cell=B")]
+    bad = spark.createDataFrame([("Cell=A", 1.0), (None, 2.0)],
+                                "dn string, v double")
+    r2, _ = resolve_entities(bad, ents)
+    with pytest.raises(Exception, match="NULL dn"):
+        r2.collect()
+
+
+def test_xml_harvest_file_isolation_modes(spark, tmp_path):
+    """One truncated vendor XML previously aborted the whole fleet
+    harvest after task retries; DROPMALFORMED keeps the healthy files,
+    FAILFAST names the corrupt path (the avro/CSV file-granularity
+    contract extended to the 3GPP path)."""
+    from minerva_etl_46_spark.sources.xml3gpp import harvest_3gpp_xml
+
+    good = tmp_path / "ok.xml"
+    good.write_text(
+        '<measCollecFile><measData><measInfo>'
+        '<granPeriod duration="PT900S" endTime="2024-01-01T00:15:00Z"/>'
+        '<measType p="1">calls</measType>'
+        '<measValue measObjLdn="Cell=A"><r p="1">7</r></measValue>'
+        '</measInfo></measData></measCollecFile>')
+    bad = tmp_path / "trunc.xml"
+    bad.write_text('<measCollecFile><measData><measInfo>')  # cut mid-doc
+    paths = [str(good), str(bad)]
+    with pytest.raises(Exception, match="trunc.xml"):
+        harvest_3gpp_xml(spark, paths).collect()
+    kept = harvest_3gpp_xml(spark, paths, mode="DROPMALFORMED").collect()
+    assert [(r.dn, r.counter, r.value) for r in kept] == [
+        ("Cell=A", "calls", 7.0)]
+    with pytest.raises(ValueError, match="FAILFAST"):
+        harvest_3gpp_xml(spark, paths, mode="PERMISSIVE")
+
+
+def test_bucketed_default_db_qualified_name_location(spark):
+    """Spark stores default-db managed tables at the warehouse ROOT —
+    the old cleanup removed {wh}/default.db/{tbl} (nonexistent) and
+    LOCATION_ALREADY_EXISTS returned for the 'default.'-qualified form
+    when a previous session's files survived."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from minerva_etl_46_spark.sources.bucketed import write_bucketed
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    stale = os.path.join(wh, "t_r10_bucketed")
+    shutil.rmtree(stale, ignore_errors=True)
+    os.makedirs(stale)  # simulate a dead session's surviving location
+    open(os.path.join(stale, "junk"), "w").write("x")
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    try:
+        write_bucketed(df, "default.t_r10_bucketed", "k", 4)  # must not raise
+        assert spark.table("default.t_r10_bucketed").count() == 1
+    finally:
+        spark.sql("drop table if exists default.t_r10_bucketed")
+        shutil.rmtree(stale, ignore_errors=True)
+
+
+def test_phash_band_bits_derived_and_bounded(spark):
+    """band_bits derives from n_bands (a fixed default with n_bands=7
+    previously shifted band 6 past the top bit — a constant all-zero
+    band that cross-joined the corpus); an explicit out-of-range pair
+    raises instead."""
+    from minerva_etl_46_spark.operators.multimodal import phash_near_dup_pairs
+
+    hashes = spark.createDataFrame(
+        [(i, (i * 0x9E3779B97F4A7C15) & ((1 << 60) - 1)) for i in range(8)],
+        "media_id long, phash long")
+    with pytest.raises(ValueError, match="does not fit"):
+        phash_near_dup_pairs(hashes, n_bands=7, band_bits=10)
+    # derived default (60 // 7 = 8 bits) stays in range and runs
+    phash_near_dup_pairs(hashes, n_bands=7).collect()
+
+
+def test_trend_query_columns_naming_keys_is_not_ambiguous(spark, tmp_path):
+    """columns=ts,value is a natural client request; prepending the key
+    columns blindly previously built a duplicate-named frame and the
+    keyset expressions failed with AMBIGUOUS_REFERENCE (a 500)."""
+    from minerva_etl_46_spark.service import TrendQuery
+
+    st = TrendStorePartStorage(str(tmp_path), "dedup_cols",
+                               partition_size_s=3600)
+    st.write(_rows(spark, [(1, H0 + 60, 1.0)]).withColumnRenamed(
+        "k", "entity_id"))
+    q = TrendQuery(part=st, start_epoch=H0, end_epoch=H0 + 3600,
+                   columns=["ts", "v", "entity_id"])
+    got = q.run(spark).collect()
+    assert len(got) == 1 and got[0].v == 1.0
+    assert got[0].asDict().keys() == {"entity_id", "ts", "v"}
+
+
+def test_bmp_decode_rejects_truncated_pixel_array():
+    """A truncated BMP previously returned a confidently wrong feat_mean
+    from empty scanline slices — it must fail loudly like wav_decode."""
+    import struct
+
+    from minerva_etl_46_spark.operators.multimodal import bmp_decode
+
+    # minimal valid 2x2 24-bit BMP
+    w, h = 2, 2
+    row = (w * 3 + 3) // 4 * 4
+    pixels = bytes(range(row * h))
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(pixels), 0, 0, 0, 0))
+    ok = bmp_decode(header + pixels)
+    assert ok["n_frames"] == 4 and ok["feat_mean"] > 0
+    with pytest.raises(ValueError, match="truncated BMP"):
+        bmp_decode(header + pixels[:-5])
+
+
+def test_paio_sweeps_stale_tmp_but_not_fresh(tmp_path, monkeypatch):
+    """Crash debris (.tmp older than the stale cutoff) is swept on the
+    next append; a fresh .tmp (a concurrent in-flight writer) is kept."""
+    import pyarrow as pa
+
+    from minerva_etl_46_spark.sources import paio
+
+    d = str(tmp_path / "log")
+    os.makedirs(d)
+    old = os.path.join(d, ".part-dead.parquet.tmp")
+    fresh = os.path.join(d, ".part-live.parquet.tmp")
+    open(old, "w").write("debris")
+    open(fresh, "w").write("inflight")
+    os.utime(old, (1, 1))  # ancient mtime
+    paio.append_table(d, pa.table({"x": pa.array([1], pa.int64())}))
+    assert not os.path.exists(old)
+    assert os.path.exists(fresh)
