@@ -32,14 +32,28 @@ _PG_TO_SPARK = {
     "text": T.StringType(),
     "timestamp with time zone": T.TimestampType(),
     "jsonb": T.StringType(),
+    # common Minerva/PG declarations previously missing (r10 review):
+    "boolean": T.BooleanType(),
+    "varchar": T.StringType(),
+    "character varying": T.StringType(),
+    "timestamp": T.TimestampType(),
 }
 
 
 def pg_type_to_spark(pg: str) -> T.DataType:
-    """Minerva (PostgreSQL) declared type → Spark type (SURVEY.md §1.2)."""
+    """Minerva (PostgreSQL) declared type → Spark type (SURVEY.md §1.2).
+
+    Unknown declarations raise a ValueError NAMING the type and the
+    supported set — a bare KeyError surfaced deep inside instance
+    application with no hint the type map was the cause (r10 review)."""
     if pg.endswith("[]"):
         return T.ArrayType(pg_type_to_spark(pg[:-2]))
-    return _PG_TO_SPARK[pg]
+    try:
+        return _PG_TO_SPARK[pg]
+    except KeyError:
+        raise ValueError(
+            f"unsupported PostgreSQL type {pg!r} in a trend/attribute "
+            f"declaration; supported: {sorted(_PG_TO_SPARK)}") from None
 
 
 @dataclass(frozen=True)
@@ -51,7 +65,10 @@ class Trend:
     time_aggregation: str = "sum"
     entity_aggregation: str = "sum"
     samples_column: str | None = None  # for samples_weighted_avg
-    extra_data: dict = field(default_factory=dict)
+    # hash=False: a frozen dataclass is hashable BY CONTRACT, but a dict
+    # field made hash(Trend(...)) raise TypeError (r10 review); equality
+    # still compares extra_data
+    extra_data: dict = field(default_factory=dict, hash=False)
 
     def spark_field(self) -> T.StructField:
         return T.StructField(self.name, pg_type_to_spark(self.data_type), True)
@@ -69,7 +86,10 @@ class TrendStorePart:
     name: str
     trends: tuple[Trend, ...]
 
-    def agg_spec(self, kind: str = "time") -> dict[str, Trend]:
+    def agg_spec(self) -> dict[str, Trend]:
+        # (r10 review: the former `kind` parameter was ignored — time and
+        # entity callers get the same mapping and pick the aggregation
+        # field themselves via operators/rollup._agg_column)
         return {t.name: t for t in self.trends}
 
 

@@ -27,8 +27,12 @@ def small_literal_frame(spark: SparkSession, values: list, col: str,
     """
     if len(values) <= LITERAL_LIMIT:
         if not values:
+            # typed NULL literal, not a cast of the bigint id: bigint
+            # doesn't cast to date/array/struct dtypes, so the empty
+            # branch previously FAILED analysis for dtypes the non-empty
+            # branch handles fine (r10 review)
             return spark.range(0).select(
-                F.col("id").cast(dtype).alias(col))
+                F.lit(None).cast(dtype).alias(col))
         return spark.range(len(values)).select(
             F.element_at(F.array(*[F.lit(v) for v in values]),
                          (F.col("id") + 1).cast("int"))

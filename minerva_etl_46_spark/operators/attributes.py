@@ -19,10 +19,25 @@ from pyspark.sql import functions as F
 from minerva_etl_46_spark.functions.hashing import row_hash
 
 
+def _reserve(df: DataFrame, *names: str) -> None:
+    """These operators add-and-drop internal columns; an input frame that
+    already carries one would have it silently OVERWRITTEN and then
+    DELETED from the output (r10 review: the attribute-history schema
+    itself stores __h, and compact() only works because it remembers to
+    drop it first) — collide loudly instead."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"input frame already has internal column(s) {clash} — drop or "
+            "rename them before calling (they would be overwritten and "
+            "removed from the output)")
+
+
 def latest_per_entity(
     df: DataFrame, entity_col: str, ts_col: str, tiebreak: list[str] | None = None
 ) -> DataFrame:
     """W1: the ``_curr`` view — newest attribute row per entity."""
+    _reserve(df, "__rn")
     order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in (tiebreak or [])]
     w = Window.partitionBy(entity_col).orderBy(*order)
     return (
@@ -61,6 +76,7 @@ def suppress_unchanged(
 ) -> DataFrame:
     """W4/F5: drop history rows whose attribute hash equals the previous
     row's — the reference's insert-time change detection, as a batch op."""
+    _reserve(df, "__h", "__prev")
     hashed = df.withColumn("__h", row_hash(*attr_cols))
     order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
     w = Window.partitionBy(entity_col).orderBy(*order)

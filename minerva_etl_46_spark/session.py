@@ -37,6 +37,18 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
 }
 
+#: The subset of RUNTIME_CONFS whose value changes RESULTS, not speed —
+#: a set() that silently fails on a locked-down cluster must WARN, never
+#: quietly compute in the wrong timezone / ANSI mode (r10 review). The
+#: AQE knobs stay best-effort.
+_CORRECTNESS_CONFS = (
+    "spark.sql.session.timeZone",
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.parquet.inferTimestampNTZ.enabled",
+    "spark.sql.timestampType",
+    "spark.sql.ansi.enabled",
+)
+
 
 def tune(spark: SparkSession) -> SparkSession:
     """Pin runtime confs this engine's semantics depend on. Idempotent.
@@ -51,6 +63,26 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime conf on some build — never fail a query over tuning
+    # verify the CORRECTNESS subset actually took: an admin-restricted
+    # conf that silently kept its old value means wrong buckets/oracle
+    # divergence, not slowness — warn loudly (not raise: the caller may
+    # knowingly run a compatible value)
+    drifted = []
+    for k in _CORRECTNESS_CONFS:
+        try:
+            got = spark.conf.get(k)
+        except Exception:
+            continue
+        if str(got).lower() != RUNTIME_CONFS[k].lower():
+            drifted.append(f"{k}={got!r} (want {RUNTIME_CONFS[k]!r})")
+    if drifted:
+        import warnings
+
+        warnings.warn(
+            "tune() could not pin correctness conf(s): "
+            + "; ".join(drifted)
+            + " — results may diverge (timezone/ANSI/timestamp semantics)",
+            stacklevel=2)
     try:
         if spark.conf.get("spark.sql.shuffle.partitions") == "200":
             spark.conf.set(

@@ -761,3 +761,105 @@ def test_paio_sweeps_stale_tmp_but_not_fresh(tmp_path, monkeypatch):
     paio.append_table(d, pa.table({"x": pa.array([1], pa.int64())}))
     assert not os.path.exists(old)
     assert os.path.exists(fresh)
+
+
+# --------------------------------------------- sixth review cluster (r10f)
+
+
+def test_row_hash_preimage_is_unambiguous_and_oracle_lockstep(spark):
+    """The old concat_ws pre-image collided ('a|b','c') with ('a','b|c')
+    and NULL with the literal sentinel — genuine attribute changes were
+    silently suppressed by the SCD store. The per-column-hash pre-image
+    separates all of them, and the SQL twin stays value-identical."""
+    import duckdb
+
+    from minerva_etl_46_spark.functions.hashing import row_hash, sql_row_hash
+
+    rows = [("a|b", "c"), ("a", "b|c"), (None, "x"), ("\x01", "x"),
+            ("", "x"), ("a", None)]
+    df = spark.createDataFrame(rows, "p string, q string")
+    got = [r.h for r in df.select(row_hash("p", "q").alias("h")).collect()]
+    assert len(set(got)) == len(rows)          # no collisions
+    con = duckdb.connect()
+    for (p, q), h in zip(rows, got):
+        sql = sql_row_hash("p", "q")
+        du = con.execute(
+            f"select {sql} as h from (select ? as p, ? as q)", [p, q]
+        ).fetchone()[0]
+        assert du == h, (p, q)                 # lockstep with the oracle
+
+
+def test_attribute_ops_reject_internal_column_collisions(spark):
+    """An input frame already carrying __h/__rn/__prev previously had it
+    silently overwritten and then DROPPED from the output."""
+    from minerva_etl_46_spark.operators.attributes import (
+        latest_per_entity,
+        suppress_unchanged,
+    )
+
+    df = spark.createDataFrame([(1, 1, "x", "stored")],
+                               "e long, ts long, a string, __h string")
+    with pytest.raises(ValueError, match="__h"):
+        suppress_unchanged(df, "e", "ts", ["a"])
+    df2 = spark.createDataFrame([(1, 1, 5)], "e long, ts long, __rn int")
+    with pytest.raises(ValueError, match="__rn"):
+        latest_per_entity(df2, "e", "ts")
+
+
+def test_trend_dataclass_is_hashable_and_pg_types_fail_clearly():
+    from minerva_etl_46_spark.catalog import Trend, pg_type_to_spark
+
+    assert len({Trend("a"), Trend("a"), Trend("b")}) == 2  # hash works
+    with pytest.raises(ValueError, match="unsupported PostgreSQL type"):
+        pg_type_to_spark("money")
+    assert pg_type_to_spark("boolean").typeName() == "boolean"
+    assert pg_type_to_spark("varchar").typeName() == "string"
+
+
+def test_small_literal_frame_empty_list_matches_nonempty_types(spark):
+    """The empty branch previously cast the bigint range id to the dtype
+    and failed analysis for types bigint can't cast to (date, arrays) —
+    inconsistent with the non-empty branch."""
+    from minerva_etl_46_spark.functions.frames import small_literal_frame
+
+    for dtype, simple in (("date", "date"), ("array<long>", "array<bigint>"),
+                          ("string", "string")):
+        df = small_literal_frame(spark, [], "c", dtype)
+        assert df.count() == 0
+        assert df.schema["c"].dataType.simpleString() == simple
+
+
+def test_tune_warns_when_a_correctness_conf_cannot_pin(spark):
+    """A set() that silently keeps the old value means wrong timezone /
+    ANSI semantics, not slowness — tune() must warn, not stay quiet."""
+    import warnings
+
+    from minerva_etl_46_spark import session as S
+
+    class FakeConf:
+        def __init__(self):
+            self._d = dict(S.RUNTIME_CONFS)
+            self._d["spark.sql.session.timeZone"] = "America/New_York"
+            self._d["spark.sql.shuffle.partitions"] = "32"
+
+        def set(self, k, v):
+            if k == "spark.sql.session.timeZone":
+                return  # admin-locked: silently ignored
+            self._d[k] = v
+
+        def get(self, k, default=None):
+            return self._d.get(k, default)
+
+    class FakeSpark:
+        conf = FakeConf()
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        S.tune(FakeSpark())
+    assert any("could not pin correctness conf" in str(x.message)
+               for x in w)
+    # the real session pins cleanly — no warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        S.tune(spark)
+    assert not [x for x in w if "correctness conf" in str(x.message)]
