@@ -512,10 +512,20 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str,
                table="events")
     src = os.path.join(scratch_dir, "dedup_src")
     if not os.path.isdir(src):
-        os.makedirs(src, exist_ok=True)
-        batch.coalesce(1).write.mode("append").parquet(src)
+        # staged-build + atomic rename (the sources/paio.py discipline):
+        # a run interrupted between the two writes must not leave a dir
+        # the retry accepts as complete — a src missing file 2 would
+        # silently skip the cross-batch duplicate injection and the test
+        # would pass without exercising dedup state across batches
+        import shutil
+
+        staged = src + "_staged"
+        shutil.rmtree(staged, ignore_errors=True)
+        os.makedirs(staged, exist_ok=True)
+        batch.coalesce(1).write.mode("append").parquet(staged)
         (batch.filter(F.col("event_id") % 10 == 0)
-              .coalesce(1).write.mode("append").parquet(src))
+              .coalesce(1).write.mode("append").parquet(staged))
+        os.rename(staged, src)
     raw = (
         spark.readStream.format("parquet")
         .schema(batch.schema)

@@ -38,7 +38,12 @@ def _update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
 
 
 def running_totals(events: DataFrame) -> DataFrame:
-    """Streaming DataFrame in → per-batch updated running totals out."""
+    """Streaming DataFrame in → per-batch updated running totals out.
+
+    NULL contract: pandas ``.sum()`` skips NaN, and Arrow delivers SQL
+    NULLs as NaN — so NULL rows are ignored exactly like the batch
+    ``F.sum``. A true NaN diverges (batch sum propagates it); same
+    stated Arrow-conflation trade as _records_update."""
     return events.groupBy("user_id").applyInPandasWithState(
         _update,
         outputStructType=OUTPUT_SCHEMA,
@@ -468,7 +473,22 @@ def _records_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     breaking it), the entity's first-ever sample is record #1. Order
     contract as stream_attribution: within a batch rows sort by
     (ts_us, event_id); the harness delivers time-ranged files so the
-    walk order equals the batch window's (ts, event_id) order."""
+    walk order equals the batch window's (ts, event_id) order.
+
+    NULL/NaN contract (r10 review): Arrow conflates SQL NULL with NaN
+    in float columns, so inside this walk the two are indistinguishable
+    — both are handled per the batch twin's NULL semantics (win_records:
+    ``value > max(prev)`` is NULL → never a record; ``F.max`` ignores
+    NULLs → the running max is untouched). Before the guard, a NaN
+    arriving FIRST took the ``max_val is None`` branch: flagged as a
+    record and poisoning the max (every later ``value > NaN`` is
+    False → no entity record ever again, silently). A true NaN (which
+    Spark's double total order ranks GREATEST, i.e. batch would call it
+    a record) therefore diverges here — stated trade: the conflation
+    makes batch-NaN parity unreachable from pandas, and never-a-record
+    is the non-poisoning choice."""
+    import math
+
     (user_id,) = key
     max_val, n_records = state.get if state.exists else (None, 0)
     out = []
@@ -477,7 +497,10 @@ def _records_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         pdf = pd.concat(frames).sort_values(["ts_us", "event_id"])
         for event_id, value in zip(pdf["event_id"], pdf["value"]):
             value = float(value)
-            rec = 1 if (max_val is None or value > max_val) else 0
+            if math.isnan(value):
+                rec = 0
+            else:
+                rec = 1 if (max_val is None or value > max_val) else 0
             if rec:
                 max_val = value
                 n_records += 1

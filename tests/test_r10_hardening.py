@@ -863,3 +863,78 @@ def test_tune_warns_when_a_correctness_conf_cannot_pin(spark):
         warnings.simplefilter("always")
         S.tune(spark)
     assert not [x for x in w if "correctness conf" in str(x.message)]
+
+
+def test_records_walk_null_value_is_never_a_record():
+    """Arrow delivers SQL NULLs as NaN inside the state walk. A NaN
+    arriving FIRST used to take the ``max_val is None`` branch: flagged
+    record #1 and poisoning the running max (``value > NaN`` is False
+    forever after — no entity record again, silently). The batch twin
+    (win_records) treats NULL as never-a-record and F.max ignores it;
+    the walk must do the same."""
+    import math
+
+    import pandas as pd
+
+    from minerva_etl_46_spark.streaming.stateful import _records_update
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+        @property
+        def get(self):
+            return self._v
+
+    st = FakeState()
+    (out,) = _records_update((7,), [pd.DataFrame(
+        {"ts_us": [100, 200, 300],
+         "event_id": [1, 2, 3],
+         "value": [float("nan"), 5.0, 4.0]})], st)
+    assert list(out["is_record"]) == [0, 1, 0]   # NaN: not a record
+    assert list(out["record_no"]) == [0, 1, 1]
+    # the max was NOT poisoned: a later higher value still breaks it
+    (out2,) = _records_update((7,), [pd.DataFrame(
+        {"ts_us": [400], "event_id": [4], "value": [6.0]})], st)
+    assert list(out2["is_record"]) == [1]
+    assert list(out2["record_no"]) == [2]
+    # state carries the real max, not NaN
+    max_val, n_records = st.get
+    assert not math.isnan(max_val) and max_val == 6.0 and n_records == 2
+
+
+def test_stream_dedup_fixture_build_survives_interrupted_prior_run(
+        spark, tmp_path):
+    """The dedup_src fixture is built staged + atomically renamed: a
+    stale half-built staging dir from an interrupted run must be
+    discarded and rebuilt, and the finished src must contain BOTH files
+    (full events + the duplicate subset) — a src missing file 2 would
+    silently skip the cross-batch duplicate injection."""
+    import glob as _glob
+
+    from minerva_etl_46_spark.streaming.jobs import dedup_within_watermark
+
+    scratch = str(tmp_path)
+    # simulate the interrupted prior run: staging dir with junk
+    stale = os.path.join(scratch, "dedup_src_staged")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+
+    out = dedup_within_watermark(spark, "/root/testdata/sf0.001",
+                                 scratch).toPandas()
+    src = os.path.join(scratch, "dedup_src")
+    assert os.path.isdir(src)
+    assert not os.path.isdir(stale)          # staging renamed away
+    parts = _glob.glob(os.path.join(src, "part-*.parquet"))
+    assert len(parts) == 2                   # both files present
+    # semantics unchanged: output = distinct input on the key
+    import duckdb
+
+    n_distinct = duckdb.sql(
+        "select count(distinct event_id) from "
+        "'/root/testdata/sf0.001/events.parquet'").fetchone()[0]
+    assert len(out) == n_distinct
+    assert out["event_id"].is_unique
