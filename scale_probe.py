@@ -1542,10 +1542,84 @@ def r10_probe(spark, res, n_rows):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def r10c_probe(spark, res, n_rows):
+    """r10c: the applyInPandasWithState per-GROUP-CALL overhead law,
+    through the REAL run_records path (the round's vectorization
+    negative result, measured as a scale rule).
+
+    Same row count, two entity cardinalities: the state op invokes the
+    Python walk once per (entity, micro-batch), so a feed with FEW rows
+    per entity pays Python call + pandas concat + mini-frame overhead
+    per handful of rows, while a many-rows-per-entity feed amortizes
+    it. This is the sizing rule for custom stateful ops at 100 TB:
+    throughput is set by groups/sec × rows-per-group, NOT rows/sec
+    alone — entity cardinality, not volume, is what to capacity-plan
+    against (and why vectorizing the walk body cannot help the
+    many-tiny-groups shape: setup cost moves INTO numpy, it doesn't
+    leave the group call)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _t
+
+    from minerva_etl_46_spark.streaming.stateful import run_records
+
+    base = os.path.join(tempfile.gettempdir(), f"r10c_state_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    schema = "user_id long, ts_us long, event_id long, value double"
+    for tag, n_entities in (("tiny_groups", 50_000),
+                            ("big_groups", 1_000)):
+        df = spark.range(n_rows).select(
+            (F.col("id") % n_entities).alias("user_id"),
+            (F.lit(1704067200_000_000) + F.col("id")).alias("ts_us"),
+            F.col("id").alias("event_id"),
+            ((F.col("id") * 2654435761) % 100_000).cast("double")
+            .alias("value"),
+        )
+        # three time-ranged files → three micro-batches, every entity in
+        # each (the harness contract run_records documents)
+        src = os.path.join(base, tag)
+        staged = src + "_staged"
+        cut = n_rows // 3
+        (df.withColumn("batch",
+                       F.when(F.col("event_id") < cut, 0)
+                       .when(F.col("event_id") < 2 * cut, 1).otherwise(2))
+         .repartition("batch")
+         .write.partitionBy("batch").mode("overwrite").parquet(staged))
+        os.makedirs(src)
+        import glob as _g
+        now = int(_t.time())
+        for b in (0, 1, 2):
+            (part,) = _g.glob(os.path.join(staged, f"batch={b}",
+                                           "part-*.parquet"))
+            dst = os.path.join(src, f"b{b}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (now + b, now + b))
+        shutil.rmtree(staged)
+
+        t0 = _t.perf_counter()
+        out_n = run_records(spark, src, schema,
+                            name=f"r10c_{tag}").count()
+        dt = _t.perf_counter() - t0
+        assert out_n == n_rows
+        res[f"state_{tag}_sec"] = round(dt, 2)
+        res[f"state_{tag}_rows_s"] = round(n_rows / dt)
+        res[f"state_{tag}_group_calls"] = n_entities * 3
+        res[f"state_{tag}_rows_per_call"] = round(n_rows / (n_entities * 3))
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r10c":
+        n = min(N, 2_000_000)
+        r10c_probe(spark, res, n_rows=n)
+        print(json.dumps({"metric": "scale_probe_r10c", "rows": n,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r10":
         n = min(N, 320_000)
         r10_probe(spark, res, n_rows=n)
