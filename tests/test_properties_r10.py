@@ -186,3 +186,101 @@ def test_topk_per_group_matches_python_model(spark, rows, k, descending):
         items.sort(key=lambda t: (-t[0] if descending else t[0], t[1]))
         expect += [(g, v, i, rn + 1) for rn, (v, i) in enumerate(items[:k])]
     assert got == sorted(expect)
+
+
+# --- upsert winner selection: null-version ordering vs python model ---------
+
+_ver = st.one_of(st.none(), st.integers(0, 3))
+
+_upsert_rows = st.lists(
+    st.tuples(
+        st.integers(0, 1),     # src: 0 existing, 1 staged
+        st.integers(0, 3),     # key
+        _ver,                  # v1 (major)
+        _ver,                  # v2 (minor)
+        st.integers(0, 99),    # payload x
+    ),
+    min_size=1, max_size=24,
+    # two same-src rows tied on (key, v1, v2) would make the winner
+    # nondeterministic (row_number has no further tiebreak) — exclude;
+    # cross-src full ties stay in, resolved by the staged-wins rule
+    unique_by=lambda r: (r[0], r[1], r[2], r[3]),
+)
+
+
+def _upsert_sort_key(row):
+    """desc_nulls_last per version col, then staged (__src=1) wins ties —
+    the ordering upsert_latest pins and sources/delta.py's MERGE mirrors."""
+    src, _key, v1, v2, _x = row
+    return tuple((v is None, -(v if v is not None else 0)) for v in (v1, v2)) \
+        + (-src,)
+
+
+def _upsert_model(rows):
+    winners = {}
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r[1], []).append(r)
+    for k, items in by_key.items():
+        items.sort(key=_upsert_sort_key)
+        winners[k] = items[0]
+    return {k: (r[2], r[3], r[4]) for k, r in winners.items()}
+
+
+@SLOW
+@given(rows=_upsert_rows)
+def test_upsert_latest_winner_matches_python_model(spark, rows):
+    from minerva_etl_46_spark.operators.upsert import upsert_latest
+
+    schema = "k long, v1 long, v2 long, x long"
+    existing = [(k, v1, v2, x) for s, k, v1, v2, x in rows if s == 0]
+    staged = [(k, v1, v2, x) for s, k, v1, v2, x in rows if s == 1]
+    if not staged:
+        staged = [(999, 0, 0, 0)]
+        rows = rows + [(1, 999, 0, 0, 0)]
+    got = upsert_latest(
+        spark.createDataFrame(existing, schema=schema) if existing else None,
+        spark.createDataFrame(staged, schema=schema),
+        keys=["k"], version_cols=["v1", "v2"],
+    ).collect()
+    got_map = {r.k: (r.v1, r.v2, r.x) for r in got}
+    assert len(got) == len(got_map)  # one row per key
+    assert got_map == _upsert_model(rows)
+
+
+@SLOW
+@given(rows=_upsert_rows, ops=st.data())
+def test_upsert_tombstone_matches_python_model(spark, rows, ops):
+    """Tombstones must WIN the version race to delete, and a later
+    re-insert resurrects the key — modeled as: compute the plain
+    keep-latest winner INCLUDING op, then drop keys whose winner is 'D'."""
+    from minerva_etl_46_spark.operators.upsert import upsert_with_tombstones
+
+    tagged = [
+        r + (ops.draw(st.sampled_from(["U", "D"])) if r[0] == 1 else None,)
+        for r in rows
+    ]
+    schema = "k long, v1 long, v2 long, x long, op string"
+    existing = [(k, v1, v2, x, op) for s, k, v1, v2, x, op in tagged if s == 0]
+    staged = [(k, v1, v2, x, op) for s, k, v1, v2, x, op in tagged if s == 1]
+    if not staged:
+        staged = [(999, 0, 0, 0, "U")]
+        tagged = tagged + [(1, 999, 0, 0, 0, "U")]
+    got = upsert_with_tombstones(
+        spark.createDataFrame(existing, schema=schema) if existing else None,
+        spark.createDataFrame(staged, schema=schema),
+        keys=["k"], version_cols=["v1", "v2"],
+    ).collect()
+    got_map = {r.k: (r.v1, r.v2, r.x) for r in got}
+    assert len(got) == len(got_map)
+
+    by_key: dict[int, list] = {}
+    for r in tagged:
+        by_key.setdefault(r[1], []).append(r)
+    expect = {}
+    for k, items in by_key.items():
+        items.sort(key=lambda r: _upsert_sort_key(r[:5]))
+        win = items[0]
+        if win[5] != "D":  # existing rows carry op=NULL → never tombstones
+            expect[k] = (win[2], win[3], win[4])
+    assert got_map == expect
