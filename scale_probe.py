@@ -1609,9 +1609,69 @@ def r10c_probe(spark, res, n_rows):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def r10d_probe(spark, res, n_events):
+    """r10d: re-measure the SCD2 build at 20M AFTER the r10 row-hash
+    pre-image change (per-column md5 components replacing the ambiguous
+    concat_ws single digest — 2 md5 calls/row here instead of 1), and
+    isolate the pre-image delta itself so the SCALE.md r7 row
+    (upsert_scd2_build_events 4.5/9.6 s, 1 exchange) stays comparable.
+    The isolated A/B hashes 3 attr columns (the wide-attr shape: 4 md5s
+    vs 1) to bound the worst practical case, through one identical
+    hash-agg consumer so codegen treats both sides alike."""
+    import os
+    import shutil
+    import tempfile
+
+    from minerva_etl_46_spark.functions.hashing import row_hash
+    from minerva_etl_46_spark.queries import QUERIES
+
+    scratch = os.path.join(tempfile.gettempdir(),
+                           f"r10d_probe_{os.getpid()}")
+    (synth_events(spark, n_events)
+     .withColumn("event_type",
+                 F.concat(F.lit("t"), (F.xxhash64("event_id") % 5)
+                          .cast("string")))
+     .withColumn("props", F.lit("{}"))
+     .write.mode("overwrite").parquet(f"{scratch}/events.parquet"))
+    timed("upsert_scd2_build_events_cold",
+          QUERIES["upsert_scd2_build"](spark, scratch), res)
+    timed("upsert_scd2_build_events_warm",
+          QUERIES["upsert_scd2_build"](spark, scratch), res)
+
+    # isolated pre-image A/B: 3 string attr columns, 20M rows
+    attrs = spark.range(n_events).select(
+        F.concat(F.lit("a"), (F.col("id") % 1000).cast("string")).alias("a1"),
+        F.when(F.col("id") % 97 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("b"), (F.col("id") % 50).cast("string")))
+        .alias("a2"),
+        (F.col("id") % 7).cast("string").alias("a3"),
+    )
+    old_h = F.md5(F.concat_ws(
+        "|", F.coalesce(F.col("a1"), F.lit("\x00")),
+        F.coalesce(F.col("a2"), F.lit("\x00")),
+        F.coalesce(F.col("a3"), F.lit("\x00"))))
+    timed("row_hash_pre_r10_concat_ws_3col",
+          attrs.select(old_h.alias("h")).groupBy().agg(
+              F.count(F.when(F.substring("h", 1, 1) == "0", 1)).alias("n")),
+          res)
+    timed("row_hash_r10_per_column_3col",
+          attrs.select(row_hash("a1", "a2", "a3").alias("h"))
+          .groupBy().agg(
+              F.count(F.when(F.substring("h", 1, 1) == "0", 1)).alias("n")),
+          res)
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
+
+    if len(sys.argv) > 1 and sys.argv[1] == "r10d":
+        r10d_probe(spark, res, n_events=N)
+        print(json.dumps({"metric": "scale_probe_r10d", "rows": N,
+                          "shapes": res}))
+        spark.stop()
+        return
 
     if len(sys.argv) > 1 and sys.argv[1] == "r10c":
         n = min(N, 2_000_000)
