@@ -1,0 +1,171 @@
+"""Split-invariance properties for the stateful streaming ops (SURVEY.md
+§5.3 / §2.9): the converged result must not depend on WHERE the
+micro-batch boundaries fall — the fixed 3-way splits in
+test_stateful_streaming.py become hypothesis-randomized here.
+
+- running_totals: commutative per-entity state, so ANY row→batch
+  assignment (not just time-ranged) must converge to the batch groupBy.
+- scd2_intervals: the ingest contract is time-ranged batches
+  (streaming/stateful.py::_scd2_update docstring), so the property
+  randomizes the NUMBER and POSITION of the time cuts and checks the
+  converged intervals against a pure-python SCD2 walk.
+
+Each example starts a real availableNow streaming query over one file
+per batch (mtime-ordered, the FileStreamSource oldest-first contract) —
+examples are few and small."""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import tempfile
+import time
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from minerva_etl_46_spark.streaming.stateful import (
+    run_running_totals,
+    run_scd2,
+)
+
+SLOW = settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_uniq = itertools.count()
+
+
+def _write_batches(spark, batches, schema):
+    """One parquet file per non-empty batch, mtimes strictly ascending in
+    batch order (maxFilesPerTrigger=1 + oldest-first ⇒ one micro-batch
+    per file, in this order)."""
+    src = tempfile.mkdtemp(prefix="stream_split_prop_")
+    now = int(time.time()) - 3600
+    n_written = 0
+    for i, rows in enumerate(batches):
+        if not rows:
+            continue
+        staged = os.path.join(src, f"_stage{i}")
+        spark.createDataFrame(rows, schema=schema).coalesce(1) \
+            .write.mode("overwrite").parquet(staged)
+        (part,) = [f for f in os.listdir(staged)
+                   if f.startswith("part-") and f.endswith(".parquet")]
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(staged, part), dst)
+        shutil.rmtree(staged)
+        os.utime(dst, (now + i, now + i))
+        n_written += 1
+    return src, n_written
+
+
+_total_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),      # user_id
+        st.integers(0, 50),     # ts (seconds; uniqueness not required)
+        st.integers(-10, 10),   # value (int-valued double: exact sums)
+    ),
+    min_size=1, max_size=25,
+)
+
+
+@SLOW
+@given(rows=_total_rows, assign=st.data())
+def test_running_totals_invariant_to_arbitrary_splits(spark, rows, assign):
+    n_batches = assign.draw(st.integers(1, 4))
+    batch_of = assign.draw(st.lists(
+        st.integers(0, n_batches - 1),
+        min_size=len(rows), max_size=len(rows)))
+    batches = [[] for _ in range(n_batches)]
+    for (u, ts, v), b in zip(rows, batch_of):
+        batches[b].append(
+            (len(batches[b]), ts * 1_000_000, u, float(v)))
+    schema = "event_id long, ts_us long, user_id long, value double"
+    src, _ = _write_batches(
+        spark,
+        [[(eid, ts_us, u, v) for eid, ts_us, u, v in b] for b in batches],
+        schema)
+    try:
+        updates = run_running_totals(
+            spark, src, schema, name=f"prop_totals_{next(_uniq)}",
+        ).toPandas()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    final = (updates.sort_values("n").groupby("user_id").tail(1)
+             .set_index("user_id"))
+    expect: dict[int, tuple[int, float]] = {}
+    for u, _ts, v in rows:
+        n, t = expect.get(u, (0, 0.0))
+        expect[u] = (n + 1, t + v)
+    assert set(final.index) == set(expect)
+    for u, (n, t) in expect.items():
+        assert int(final.loc[u, "n"]) == n
+        assert abs(float(final.loc[u, "total"]) - t) < 1e-9
+
+
+_scd2_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),                    # user_id
+        st.integers(0, 40),                   # ts (globally unique below)
+        st.sampled_from(["a", "b", "c"]),     # event_type
+    ),
+    min_size=1, max_size=20,
+    unique_by=lambda r: r[1],  # globally unique ts ⇒ unambiguous cuts
+)
+
+
+def _scd2_model(rows):
+    """Pure-python SCD2 walk: per user in ts order, suppress unchanged,
+    close each interval at the next change; open end −1, is_current."""
+    by_user: dict[int, list] = {}
+    for u, ts, et in rows:
+        by_user.setdefault(u, []).append((ts * 1_000_000, et))
+    out = set()
+    for u, items in by_user.items():
+        items.sort()
+        cur_type, cur_from = None, -1
+        for ts_us, et in items:
+            if cur_type is None:
+                cur_type, cur_from = et, ts_us
+            elif et != cur_type:
+                out.add((u, cur_type, cur_from, ts_us, False))
+                cur_type, cur_from = et, ts_us
+        out.add((u, cur_type, cur_from, -1, True))
+    return out
+
+
+@SLOW
+@given(rows=_scd2_rows, cuts=st.data())
+def test_scd2_invariant_to_time_ranged_splits(spark, rows, cuts):
+    ts_sorted = sorted(r[1] for r in rows)
+    n_cuts = cuts.draw(st.integers(0, min(3, len(rows) - 1)))
+    cut_at = sorted(cuts.draw(st.lists(
+        st.sampled_from(ts_sorted), min_size=n_cuts, max_size=n_cuts,
+        unique=True)))
+    bounds = [*cut_at, float("inf")]
+    batches: list[list] = [[] for _ in bounds]
+    for eid, (u, ts, et) in enumerate(sorted(rows, key=lambda r: r[1])):
+        for b, hi in enumerate(bounds):
+            if ts < hi:
+                batches[b].append((u, ts * 1_000_000, eid, et))
+                break
+    schema = "user_id long, ts_us long, event_id long, event_type string"
+    src, _ = _write_batches(spark, batches, schema)
+    try:
+        emitted = run_scd2(
+            spark, src, schema, name=f"prop_scd2_{next(_uniq)}",
+        ).toPandas()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    # converge per the run_scd2 docstring: max valid_to per
+    # (entity, valid_from); closed (positive) supersedes open (−1)
+    conv = (emitted.groupby(["user_id", "valid_from_us", "event_type"])
+            ["valid_to_us"].max().reset_index())
+    got = {
+        (int(r.user_id), r.event_type, int(r.valid_from_us),
+         int(r.valid_to_us), int(r.valid_to_us) == -1)
+        for r in conv.itertuples()
+    }
+    assert got == _scd2_model(rows)
