@@ -26,6 +26,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from minerva_etl_46_spark.streaming.stateful import (
+    run_records,
     run_running_totals,
     run_scd2,
 )
@@ -169,3 +170,68 @@ def test_scd2_invariant_to_time_ranged_splits(spark, rows, cuts):
         for r in conv.itertuples()
     }
     assert got == _scd2_model(rows)
+
+
+_rec_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),                              # user_id
+        st.integers(0, 40),                             # ts (globally unique)
+        st.one_of(st.none(), st.integers(-5, 5)),       # value (None → NULL)
+    ),
+    min_size=1, max_size=20,
+    unique_by=lambda r: r[1],
+)
+
+
+def _records_model(rows):
+    """Python twin of the record walk incl. the r10 NULL rule: a NULL
+    (NaN by Arrow conflation) is NEVER a record and leaves the running
+    max untouched — including when it arrives FIRST (the poisoning bug's
+    exact trigger position)."""
+    by_user: dict[int, list] = {}
+    for eid, (u, ts, v) in enumerate(sorted(rows, key=lambda r: r[1])):
+        by_user.setdefault(u, []).append((ts, eid, v))
+    out = set()
+    for u, items in by_user.items():
+        mx, n_rec = None, 0
+        for _ts, eid, v in items:  # already ts-sorted
+            if v is None:
+                rec = 0
+            else:
+                rec = 1 if (mx is None or v > mx) else 0
+            if rec:
+                mx, n_rec = v, n_rec + 1
+            out.add((u, eid, rec, n_rec))
+    return out
+
+
+@SLOW
+@given(rows=_rec_rows, cuts=st.data())
+def test_records_nulls_and_splits_match_python_model(spark, rows, cuts):
+    ts_sorted = sorted(r[1] for r in rows)
+    n_cuts = cuts.draw(st.integers(0, min(3, len(rows) - 1)))
+    cut_at = sorted(cuts.draw(st.lists(
+        st.sampled_from(ts_sorted), min_size=n_cuts, max_size=n_cuts,
+        unique=True)))
+    bounds = [*cut_at, float("inf")]
+    batches: list[list] = [[] for _ in bounds]
+    for eid, (u, ts, v) in enumerate(sorted(rows, key=lambda r: r[1])):
+        for b, hi in enumerate(bounds):
+            if ts < hi:
+                batches[b].append(
+                    (u, ts * 1_000_000, eid,
+                     float(v) if v is not None else None))
+                break
+    schema = "user_id long, ts_us long, event_id long, value double"
+    src, _ = _write_batches(spark, batches, schema)
+    try:
+        emitted = run_records(
+            spark, src, schema, name=f"prop_records_{next(_uniq)}",
+        ).toPandas()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    got = {
+        (int(r.user_id), int(r.event_id), int(r.is_record), int(r.record_no))
+        for r in emitted.itertuples()
+    }
+    assert got == _records_model(rows)
