@@ -235,3 +235,133 @@ def test_records_nulls_and_splits_match_python_model(spark, rows, cuts):
         for r in emitted.itertuples()
     }
     assert got == _records_model(rows)
+
+
+_funnel_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),                                    # user_id
+        st.integers(0, 40),                                   # ts (unique)
+        st.sampled_from(["signup", "purchase", "error", "view"]),
+    ),
+    min_size=1, max_size=20,
+    unique_by=lambda r: r[1],
+)
+
+
+def _funnel_model(batches):
+    """Exact arrival-order replay of _funnel_update: batches in mtime
+    order, rows ts-sorted within each — so ARBITRARY (even disordered)
+    row→batch assignments are modelable, and the late_events counter's
+    contract (any stage-relevant event below the high-water mark counts,
+    including one that advances the walk) is pinned, not just the
+    in-order happy path."""
+    state: dict[int, list] = {}
+    for batch in batches:
+        for u, ts_us, et in sorted(batch, key=lambda r: r[1]):
+            stage, s1, s2, s3, hwm, late = state.get(
+                u, (0, -1, -1, -1, -1, 0))
+            if stage == 0 and et == "signup":
+                stage, s1 = 1, ts_us
+            elif stage == 1 and et == "purchase" and ts_us > s1:
+                stage, s2 = 2, ts_us
+            elif stage == 2 and et == "error" and ts_us > s2:
+                stage, s3 = 3, ts_us
+            if et in ("signup", "purchase", "error") and ts_us < hwm:
+                late += 1
+            hwm = max(hwm, ts_us)
+            state[u] = (stage, s1, s2, s3, hwm, late)
+    return {u: (s[0], s[1], s[2], s[3], s[5]) for u, s in state.items()}
+
+
+@SLOW
+@given(rows=_funnel_rows, assign=st.data())
+def test_funnel_arbitrary_splits_match_arrival_order_model(
+        spark, rows, assign):
+    from minerva_etl_46_spark.streaming.stateful import run_funnel
+
+    n_batches = assign.draw(st.integers(1, 4))
+    batch_of = assign.draw(st.lists(
+        st.integers(0, n_batches - 1),
+        min_size=len(rows), max_size=len(rows)))
+    batches: list[list] = [[] for _ in range(n_batches)]
+    for (u, ts, et), b in zip(rows, batch_of):
+        batches[b].append((u, ts * 1_000_000, et))
+    schema = "user_id long, ts_us long, event_type string"
+    src, _ = _write_batches(spark, batches, schema)
+    try:
+        updates = run_funnel(
+            spark, src, schema, name=f"prop_funnel_{next(_uniq)}",
+        ).toPandas()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    # converge per the run_funnel docstring: column-wise max per user
+    # (reached and late_events are monotone; each s*_us moves once)
+    conv = updates.groupby("user_id")[
+        ["reached", "s1_us", "s2_us", "s3_us", "late_events"]].max()
+    got = {int(u): tuple(int(x) for x in r)
+           for u, r in conv.iterrows()}
+    assert got == _funnel_model([b for b in batches if b])
+
+
+_attr_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),                                    # user_id
+        st.integers(0, 12),                                   # ts (unique)
+        st.sampled_from(["email", "ad", "search", "purchase"]),
+    ),
+    min_size=1, max_size=16,
+    unique_by=lambda r: r[1],
+)
+
+#: 30-minute ts steps: consecutive events sit inside the 1-hour lookback,
+#: a 2-step gap lands EXACTLY on it (<= keeps it attributed — boundary
+#: pinned), 3+ steps expire to 'direct'
+_ATTR_STEP_US = 1_800_000_000
+
+
+def _attr_model(rows):
+    by_user: dict[int, list] = {}
+    for eid, (u, ts, et) in enumerate(sorted(rows, key=lambda r: r[1])):
+        by_user.setdefault(u, []).append((ts * _ATTR_STEP_US, eid, et))
+    out = set()
+    for u, items in by_user.items():
+        src_type, src_us = None, -1
+        for ts_us, _eid, et in items:  # ts-sorted
+            if et == "purchase":
+                inside = (src_type is not None
+                          and ts_us - src_us <= 3_600_000_000)
+                out.add((u, ts_us, src_type if inside else "direct"))
+            else:
+                src_type, src_us = et, ts_us
+    return out
+
+
+@SLOW
+@given(rows=_attr_rows, cuts=st.data())
+def test_attribution_time_ranged_splits_match_python_model(
+        spark, rows, cuts):
+    from minerva_etl_46_spark.streaming.stateful import run_attribution
+
+    ts_sorted = sorted(r[1] for r in rows)
+    n_cuts = cuts.draw(st.integers(0, min(3, len(rows) - 1)))
+    cut_at = sorted(cuts.draw(st.lists(
+        st.sampled_from(ts_sorted), min_size=n_cuts, max_size=n_cuts,
+        unique=True)))
+    bounds = [*cut_at, float("inf")]
+    batches: list[list] = [[] for _ in bounds]
+    for eid, (u, ts, et) in enumerate(sorted(rows, key=lambda r: r[1])):
+        for b, hi in enumerate(bounds):
+            if ts < hi:
+                batches[b].append((u, ts * _ATTR_STEP_US, eid, et))
+                break
+    schema = "user_id long, ts_us long, event_id long, event_type string"
+    src, _ = _write_batches(spark, batches, schema)
+    try:
+        emitted = run_attribution(
+            spark, src, schema, name=f"prop_attr_{next(_uniq)}",
+        ).toPandas()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    got = {(int(r.user_id), int(r.conv_us), r.channel)
+           for r in emitted.itertuples()}
+    assert got == _attr_model(rows)
