@@ -1662,10 +1662,55 @@ def r10d_probe(spark, res, n_events):
     shutil.rmtree(scratch, ignore_errors=True)
 
 
+def r10e_probe(spark, res, n_docs):
+    """r10e: the WHOLE training-corpus composition (plans/corpus.py —
+    exact dedup → LSH near-dup → decontamination → quality → split/shard
+    → partitioned write) wall-clocked end-to-end at 1M docs. The stages
+    were probed individually in r2/r3; this measures the composition a
+    pipeline owner actually runs, including the stage-count actions and
+    the final (split, shard)-partitioned write, against the planted-dup
+    synth corpus (10% planted near-dups, ground truth by construction).
+    Every planted pair shares a base doc ≡ 0 (mod 10); benchmark docs
+    are picked ≡ 3 (mod 97) so they never collide with a planted dup's
+    canonical (planted-dup recall stays checkable)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _t
+
+    from minerva_etl_46_spark.plans.corpus import build_training_corpus
+
+    docs = synth_docs(spark, n_docs).localCheckpoint()  # exclude synth cost
+    out_dir = os.path.join(tempfile.gettempdir(),
+                           f"r10e_corpus_{os.getpid()}")
+    t0 = _t.perf_counter()
+    final, stats = build_training_corpus(
+        docs, bench_pred=F.col("doc_id") % 97 == 3, out_dir=out_dir)
+    dt = round(_t.perf_counter() - t0, 2)
+    res["corpus_e2e_sec"] = dt
+    res["corpus_docs_per_sec"] = round(n_docs / dt)
+    res.update({f"corpus_{k}": v for k, v in stats.counts.items()})
+    # survivors after near-dedup must shed ~the planted 10% (minus the
+    # planted copies that were already byte-equal — none by construction)
+    planted = n_docs // 10
+    removed = stats.counts["after_exact_dedup"] - stats.counts["after_near_dedup"]
+    res["corpus_planted_dups"] = planted
+    res["corpus_neardup_removed"] = removed
+    shutil.rmtree(out_dir, ignore_errors=True)
+    print(json.dumps({"shape": "corpus_e2e", **res}), flush=True)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r10e":
+        n = min(N, 1_000_000)
+        r10e_probe(spark, res, n_docs=n)
+        print(json.dumps({"metric": "scale_probe_r10e", "rows": n,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r10d":
         r10d_probe(spark, res, n_events=N)
         print(json.dumps({"metric": "scale_probe_r10d", "rows": N,
