@@ -124,6 +124,57 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame, text_col: str, min_word_len: int = 2,
+    eow_marker: str = "</w>",
+) -> DataFrame:
+    """BPE merge-pair counting (Sennrich et al. 2016, ACL — arXiv
+    1508.07909), iteration 0 of tokenizer training: adjacent-symbol pair
+    frequencies over the corpus with the end-of-word marker, the table whose
+    argmax becomes the first merge rule.
+
+    Scale shape — the whole point of the classic algorithm survives in
+    Spark form: the corpus token stream collapses to a VOCAB-sized
+    (word, freq) frame FIRST (one map-side-combinable hash-agg over the
+    100 TB scan), and every pair is then generated in-row over distinct
+    words only — |vocab| × avg_word_len rows, independent of corpus size.
+    A naive per-token pair explode would shuffle the full token stream;
+    this shuffles the vocabulary. All symbol work is sequence/transform/
+    substring HOFs — zero Python in the row path, stays in codegen.
+
+    Symbols at iteration 0 are single characters plus ``eow_marker`` after
+    the final character (so "low" yields (l,o), (o,w), (w,</w>) — the
+    marker is what lets BPE learn word-final units like "est</w>").
+    Words shorter than ``min_word_len`` have no interior pair and only a
+    degenerate (char, marker) pair; they are excluded, matching the usual
+    practice of not merging across 1-char words.
+    """
+    words = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
+    )
+    vocab = (
+        words.filter(F.length("w") >= min_word_len)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # One in-row pass builds interior pairs AND the word-final (char, </w>)
+    # pair (position L pairs the last char with the marker) — a single
+    # Generate over the vocab frame instead of a union of two branches
+    # re-reading the vocab exchange.
+    marker_sql = eow_marker.replace("'", "''")
+    pair_arr = F.expr(
+        "transform(sequence(1, length(w)), "
+        "i -> struct(substring(w, i, 1) as s1, "
+        "case when i < length(w) then substring(w, i + 1, 1) "
+        f"else '{marker_sql}' end as s2))"
+    )
+    return (
+        vocab.select(F.explode(pair_arr).alias("p"), "freq")
+        .select("p.s1", "p.s2", "freq")
+        .groupBy("s1", "s2")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
 def winnow_select(
     df: DataFrame, id_col: str, text_col: str, k: int = 4, w: int = 5,
 ) -> DataFrame:

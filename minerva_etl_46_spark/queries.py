@@ -7192,6 +7192,57 @@ def llm_collocations(spark, sf_dir):
 
 
 @register(
+    "llm_bpe_pairs",
+    oracle="""
+    with toks as (select unnest(string_split(lower(text), ' ')) as w
+                  from documents),
+    vocab as (select w, count(*) as freq from toks
+              where length(w) >= 2 group by 1),
+    inner_pairs as (
+      select substr(w, i, 1) as s1, substr(w, i + 1, 1) as s2, freq
+      from vocab, unnest(range(1, length(w))) as t(i)
+    ),
+    eow as (select substr(w, length(w), 1) as s1, '</w>' as s2, freq
+            from vocab),
+    agg as (select s1, s2, sum(freq) as pair_count
+            from (select * from inner_pairs union all select * from eow)
+            group by 1, 2),
+    ranked as (select *, row_number() over
+                 (order by pair_count desc, s1 asc, s2 asc) as rk from agg)
+    select s1, s2, cast(pair_count as bigint) as pair_count,
+           cast(rk as bigint) as rk
+    from ranked where rk <= 200
+    """,
+)
+def llm_bpe_pairs(spark, sf_dir):
+    """X49: BPE merge-pair counting — iteration 0 of tokenizer training
+    (Sennrich 2016): adjacent-symbol pair frequencies with the </w>
+    end-of-word marker, weighted by word frequency; the argmax of this
+    table is the first merge rule. The LLM-pipeline step between X37's
+    collocation surface (what multiword units exist) and actual subword
+    vocabulary induction. Integer-exact throughout (counts only — zero
+    float), top-200 by (count desc, s1, s2) is a global WindowGroupLimit.
+    Scale shape: the token stream collapses to the VOCAB before any pair
+    work — the pair explode runs over distinct words only, so the
+    expensive pass is corpus-size-independent (see
+    operators/textstats.py::bpe_pair_counts). The oracle replays the pair
+    generation with a lateral positional unnest — engine-idiomatic, same
+    pairs."""
+    from minerva_etl_46_spark.operators.textstats import bpe_pair_counts
+
+    d = load(spark, sf_dir, "documents")
+    counts = bpe_pair_counts(d, "text")
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("s1").asc(),
+                       F.col("s2").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 200)
+        .select("s1", "s2", F.col("pair_count").cast("long").alias("pair_count"),
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+@register(
     "upsert_scd2_build",
     oracle=f"""
     with e as (select * from {EV}),
@@ -13604,7 +13655,42 @@ _R10_TAIL = [
     k for k in _R09_PRIORITY + _R09_TAIL
     if k not in set(_R10_PRIORITY)
 ]
-_EXPORT_ORDER = _R10_PRIORITY + _R10_TAIL
+
+_R11_PRIORITY = ["llm_bpe_pairs"] + _R11_CANDIDATES + [
+    # Round-11 rotation, same deterministic policy: the never-sampled new
+    # key first (never-sampled beats stale — the r8 rule), then sort every
+    # existing key by (latest CORRECTNESS_r0N round, name) ascending and
+    # fill the 50-slot window. Computed this round from the union of
+    # CORRECTNESS_r01–r10 (histogram r5×12 r6×48 r7×50 r8×50 r9×50
+    # r10×50). The 12 r5-latest keys (_R11_CANDIDATES, named at r10 close)
+    # lead; the 37 alphabetically-first of the 48 r6-latest rows fill the
+    # window. After this round the staleness floor moves to r6 (11 keys
+    # remain — they lead _R12_CANDIDATES below).
+    "agg_approx", "agg_count_distinct", "agg_entity_chain",
+    "agg_hist_quantile", "agg_last_by", "agg_ohlc", "agg_pivot",
+    "agg_time_local", "agg_transitions", "agg_ttest", "filter_threshold",
+    "filter_ts_range", "fn_array", "fn_case", "fn_hash", "fn_ip_cidr",
+    "fn_json_extract", "fn_safe_div", "join_asof", "join_dim",
+    "join_nearest", "join_scd2", "join_spatial", "llm_dataset_card",
+    "llm_dedup_url", "llm_novelty", "llm_postings", "llm_surprisal",
+    "llm_url_parse", "mm_frames", "mm_wav_features", "project_select",
+    "scan_csv", "scan_csv_badrows", "scan_fixedwidth",
+    "scan_json_multiline", "scan_orc",
+]
+assert len(_R11_PRIORITY) == 50, len(_R11_PRIORITY)
+assert _R11_PRIORITY[1:13] == _R11_CANDIDATES
+#: r6-row keys that did not fit the 50-slot window; they lead _R12.
+_R12_CANDIDATES = [
+    "scan_partitioned", "stream_dedup", "stream_funnel", "stream_join",
+    "upsert_latest", "upsert_tombstone", "win_autocorr", "win_holt",
+    "win_interp", "win_streak", "xml_harvest",
+]
+assert not set(_R11_PRIORITY) & set(_R12_CANDIDATES)
+_R11_TAIL = [
+    k for k in _R10_PRIORITY + _R10_TAIL
+    if k not in set(_R11_PRIORITY)
+]
+_EXPORT_ORDER = _R11_PRIORITY + _R11_TAIL
 
 assert set(_EXPORT_ORDER) == set(QUERIES), (
     sorted(set(_EXPORT_ORDER) ^ set(QUERIES))

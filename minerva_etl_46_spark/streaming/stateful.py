@@ -203,8 +203,17 @@ def _funnel_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     stage, s1, s2, s3, hwm, late = (
         state.get if state.exists else (0, -1, -1, -1, -1, 0)
     )
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts_us")
+    # concat the batch's Arrow chunks BEFORE sorting (ADVICE r10: a
+    # per-chunk sort only realizes "each batch's rows sort by ts" while
+    # every group fits one chunk — the scd2/records walks already concat).
+    # Stable mergesort: equal-ts events keep arrival order, like a
+    # single in-order chunk. No event_id on this stream (the walk is
+    # (ts, type)-driven), so ts is the whole sort key.
+    frames = [p for p in pdfs if len(p)]  # drop empty batches: concat of empty/all-NA frames is a pandas dtype trap (FutureWarning)
+    for pdf in (
+        [pd.concat(frames).sort_values("ts_us", kind="mergesort")]
+        if frames else []
+    ):
         for ts_us, et in zip(pdf["ts_us"], pdf["event_type"]):
             ts_us = int(ts_us)
             if stage == 0 and et == FUNNEL_STAGES[0]:

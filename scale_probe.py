@@ -1696,14 +1696,217 @@ def r10e_probe(spark, res, n_docs):
     removed = stats.counts["after_exact_dedup"] - stats.counts["after_near_dedup"]
     res["corpus_planted_dups"] = planted
     res["corpus_neardup_removed"] = removed
+    # self-verifying recall (ADVICE r10): the 99.99% headline must fail
+    # the probe on regression, not rely on a manual read of the numbers.
+    # ≥99% of planted near-dups removed, and never more than planted
+    # (over-removal would mean false-positive dedup of unrelated docs).
+    recall = removed / planted if planted else 1.0
+    res["corpus_neardup_recall"] = round(recall, 6)
+    if not (0.99 <= recall <= 1.0):
+        print(json.dumps({"shape": "corpus_e2e", "RECALL_REGRESSION": True,
+                          **res}), flush=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        sys.exit(3)
     shutil.rmtree(out_dir, ignore_errors=True)
     print(json.dumps({"shape": "corpus_e2e", **res}), flush=True)
+
+
+def r11_probe(spark, res, n_rows):
+    """r11 (VERDICT r10 item 6): the r10-touched WRITE paths at probe
+    scale — daily materialization over ``n_rows`` events / 10 days, then
+    two late revisions of day 5: (A) half the day's rows drop below the
+    rollup's quality filter (output partition REWRITTEN smaller), (B) the
+    rest drop too (window output EMPTY → the r10 stale-partition DELETE
+    in plans/materialize.py::run_window must fire, and the delete must
+    land in the target's modified log). After EACH reprocess, every
+    output partition outside the dirty windows' buckets must be
+    BYTE-identical (md5 name-for-name over the parquet files) — reprocess
+    cost and write churn ∝ the dirty window, never the history. Ground
+    truth at every step: target == one-shot batch over the revised raw.
+
+    Deliberately exercises the END-label grid travel the r10 _part_meta
+    work documented: day-window (d_k, d_{k+1}] labels its output at
+    period END, so its rows land in partition p_bucket = d_{k+1} — the
+    stale DELETE must use the state's recorded partitions, not a
+    window-grid guess."""
+    import glob as _g
+    import hashlib as _hl
+    import os
+    import shutil
+    import tempfile
+    import time as _t
+
+    from minerva_etl_46_spark.catalog import Trend
+    from minerva_etl_46_spark.functions.timestamps import G_1D
+    from minerva_etl_46_spark.operators.rollup import time_rollup
+    from minerva_etl_46_spark.plans.materialize import (
+        MaterializationEngine,
+        MaterializationSpec,
+    )
+    from minerva_etl_46_spark.sources.trendstore import TrendStorePartStorage
+
+    DAY = 86400
+    DAY0 = 1704067200  # 2024-01-01 UTC
+    base = os.path.join(tempfile.gettempdir(), f"r11_probe_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    raw = TrendStorePartStorage(base, "raw", partition_size_s=DAY)
+    target = TrendStorePartStorage(base, "daily", partition_size_s=DAY)
+    trends = {"n": Trend("n", time_aggregation="count"),
+              "sum_value": Trend("sum_value", time_aggregation="sum")}
+
+    def synth(ids):
+        return ids.select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(
+                F.lit(DAY0) + (F.col("id") * 9973) % (10 * DAY)).alias("ts"),
+            (F.col("id") % 10_000).alias("user_id"),
+            ((F.col("id") * 2654435761) % 1000).cast("double").alias("value"),
+            F.lit(0).alias("ver"),
+        )
+
+    def _trend_cols(rows):
+        return rows.select(
+            "user_id", "ts",
+            F.col("value").alias("n"), F.col("value").alias("sum_value"))
+
+    def src_fn(sp, w_start, w_end):
+        # END-labeled window (w_start, w_end]: the boundary row at exactly
+        # w_end lives in raw partition p_bucket == w_end, which an
+        # end-EXCLUSIVE read_window(w_start, w_end) would prune away —
+        # shift the prune range by +1s (smoke-debugged at 200k rows:
+        # every day-boundary row silently vanished from the rollup)
+        rows = (raw.read_window(sp, w_start + 1, w_end + 1)
+                .filter((F.col("ts").cast("long") > w_start)
+                        & (F.col("ts").cast("long") <= w_end))
+                .filter(F.col("value") >= 0))
+        return time_rollup(_trend_cols(rows), "user_id", "ts", G_1D, trends,
+                           bucket_col="bucket", label="end")
+
+    spec = MaterializationSpec(
+        name="daily", granularity=G_1D, target=target, src_fn=src_fn,
+        sources=[raw], ts_col="bucket", reprocessing_period_s=10**12)
+    engine = MaterializationEngine(base)
+    NOW = 4e9
+
+    t0 = _t.perf_counter()
+    raw.write(synth(spark.range(n_rows)).localCheckpoint(), ts_col="ts")
+    res["ingest_sec"] = round(_t.perf_counter() - t0, 2)
+
+    t0 = _t.perf_counter()
+    done = engine.tick(spark, spec, now=NOW)
+    res["tick_initial_sec"] = round(_t.perf_counter() - t0, 2)
+    res["tick_initial_windows"] = len(done)
+
+    def snapshot():
+        out = {}
+        for pdir in _g.glob(os.path.join(target.path, "p_bucket=*")):
+            b = int(pdir.rsplit("=", 1)[1])
+            out[b] = {
+                os.path.basename(f): _hl.md5(open(f, "rb").read()).hexdigest()
+                for f in _g.glob(os.path.join(pdir, "*.parquet"))
+            }
+        return out
+
+    def assert_untouched_identical(before, after, dirty_buckets, tag):
+        for b, files in before.items():
+            if b in dirty_buckets:
+                continue
+            assert after.get(b) == files, (
+                f"{tag}: partition p_bucket={b} changed but no dirty "
+                f"window wrote it (before={files}, after={after.get(b)})")
+
+    def oneshot():
+        rows = raw.read(spark).filter(F.col("value") >= 0)
+        return (time_rollup(_trend_cols(rows), "user_id", "ts", G_1D, trends,
+                            bucket_col="bucket", label="end")
+                .groupBy().agg(F.count(F.lit(1)).alias("n"),
+                               F.sum("n").alias("sn"),
+                               F.sum(F.col("sum_value")
+                                     .cast("decimal(38,6)")).alias("sv"))
+                .collect()[0])
+
+    def materialized():
+        return (target.read(spark)
+                .groupBy().agg(F.count(F.lit(1)).alias("n"),
+                               F.sum("n").alias("sn"),
+                               F.sum(F.col("sum_value")
+                                     .cast("decimal(38,6)")).alias("sv"))
+                .collect()[0])
+
+    assert materialized() == oneshot(), "initial tick != one-shot batch"
+    snap0 = snapshot()
+    d5, d6 = DAY0 + 5 * DAY, DAY0 + 6 * DAY
+
+    # revision A: WINDOW (d5,d6]'s rows for EVEN users drop below the
+    # quality filter. Window-aligned (ts > d5, ts <= d6), NOT day-aligned:
+    # under the END-label convention the boundary row at exactly d6 lives
+    # in raw partition d6 but belongs to THIS window — a [d5,d6) revision
+    # would leave it alive and the window could never empty (the first
+    # smoke run tripped exactly this).
+    def day5_rev(ver):
+        return (synth(spark.range(n_rows))
+                .filter((F.col("ts").cast("long") > d5)
+                        & (F.col("ts").cast("long") <= d6))
+                .withColumn("value", F.lit(-1.0))
+                .withColumn("ver", F.lit(ver)))
+
+    rev_a = day5_rev(1).filter(F.col("user_id") % 2 == 0)
+    n_rev_a = rev_a.count()
+    t0 = _t.perf_counter()
+    raw.upsert(rev_a, keys=["event_id"], version_cols=["ver"], ts_col="ts")
+    res["upsert_revA_sec"] = round(_t.perf_counter() - t0, 2)
+    t0 = _t.perf_counter()
+    done_a = engine.tick(spark, spec, now=NOW + 10)
+    res["tick_revA_sec"] = round(_t.perf_counter() - t0, 2)
+    res["tick_revA_windows"] = len(done_a)
+    # raw buckets d5+d6 dirtied → windows (d4,d5], (d5,d6], (d6,d7]
+    # re-fingerprint (the two neighbors rewrite identical content);
+    # their output buckets are d5, d6, d7
+    assert set(done_a) <= {d5 - DAY, d5, d6}, done_a
+    snap_a = snapshot()
+    assert_untouched_identical(snap0, snap_a, {d5, d6, d6 + DAY}, "revA")
+    assert materialized() == oneshot(), "revA reprocess != one-shot batch"
+    shrunk = target.read(spark).filter(F.col("p_bucket") == d6).count()
+    assert 0 < shrunk <= 5_000, f"day-5 output should shrink to odd users, got {shrunk}"
+
+    # revision B: the window's REMAINING (odd-user) rows drop → output
+    # EMPTY → the stale-partition DELETE must fire
+    rev_b = day5_rev(2).filter(F.col("user_id") % 2 == 1)
+    n_rev_b = rev_b.count()
+    raw.upsert(rev_b, keys=["event_id"], version_cols=["ver"], ts_col="ts")
+    t0 = _t.perf_counter()
+    done_b = engine.tick(spark, spec, now=NOW + 20)
+    res["tick_revB_sec"] = round(_t.perf_counter() - t0, 2)
+    res["tick_revB_windows"] = len(done_b)
+    snap_b = snapshot()
+    assert not os.path.isdir(os.path.join(target.path, f"p_bucket={d6}")), \
+        "stale partition p_bucket=d6 must be DELETED when the window empties"
+    dirty_b = {d5, d6, d6 + DAY}
+    assert_untouched_identical(snap_a, snap_b, dirty_b, "revB")
+    assert materialized() == oneshot(), "revB reprocess != one-shot batch"
+    # the delete is a modification: downstream chains must see d6 dirty
+    mlog = target.modified_log(spark)
+    assert mlog is not None and mlog.filter(
+        F.col("p_bucket") == d6).count() >= 2, \
+        "stale-partition delete missing from the target's modified log"
+    res["rev_rows"] = n_rev_a + n_rev_b
+    shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({"shape": "materialize_shrink_delete", **res}),
+          flush=True)
 
 
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r11":
+        n = min(N, 20_000_000)
+        r11_probe(spark, res, n_rows=n)
+        print(json.dumps({"metric": "scale_probe_r11", "rows": n,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r10e":
         n = min(N, 1_000_000)
         r10e_probe(spark, res, n_docs=n)

@@ -62,6 +62,18 @@ def _write_batches(spark, batches, schema):
     return src, n_written
 
 
+def _run_and_drop(spark, runner, src, schema, prefix):
+    """Collect the runner's memory-sink output, then DROP the sink view —
+    each hypothesis example otherwise leaves one prop_*_N table behind in
+    the shared session, ~30 per file (ADVICE r10: resource growth)."""
+    name = f"{prefix}_{next(_uniq)}"
+    try:
+        return runner(spark, src, schema, name=name).toPandas()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        spark.catalog.dropTempView(name)
+
+
 _total_rows = st.lists(
     st.tuples(
         st.integers(0, 3),      # user_id
@@ -88,12 +100,8 @@ def test_running_totals_invariant_to_arbitrary_splits(spark, rows, assign):
         spark,
         [[(eid, ts_us, u, v) for eid, ts_us, u, v in b] for b in batches],
         schema)
-    try:
-        updates = run_running_totals(
-            spark, src, schema, name=f"prop_totals_{next(_uniq)}",
-        ).toPandas()
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
+    updates = _run_and_drop(spark, run_running_totals, src, schema,
+                            "prop_totals")
     final = (updates.sort_values("n").groupby("user_id").tail(1)
              .set_index("user_id"))
     expect: dict[int, tuple[int, float]] = {}
@@ -154,12 +162,7 @@ def test_scd2_invariant_to_time_ranged_splits(spark, rows, cuts):
                 break
     schema = "user_id long, ts_us long, event_id long, event_type string"
     src, _ = _write_batches(spark, batches, schema)
-    try:
-        emitted = run_scd2(
-            spark, src, schema, name=f"prop_scd2_{next(_uniq)}",
-        ).toPandas()
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
+    emitted = _run_and_drop(spark, run_scd2, src, schema, "prop_scd2")
     # converge per the run_scd2 docstring: max valid_to per
     # (entity, valid_from); closed (positive) supersedes open (−1)
     conv = (emitted.groupby(["user_id", "valid_from_us", "event_type"])
@@ -224,12 +227,7 @@ def test_records_nulls_and_splits_match_python_model(spark, rows, cuts):
                 break
     schema = "user_id long, ts_us long, event_id long, value double"
     src, _ = _write_batches(spark, batches, schema)
-    try:
-        emitted = run_records(
-            spark, src, schema, name=f"prop_records_{next(_uniq)}",
-        ).toPandas()
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
+    emitted = _run_and_drop(spark, run_records, src, schema, "prop_records")
     got = {
         (int(r.user_id), int(r.event_id), int(r.is_record), int(r.record_no))
         for r in emitted.itertuples()
@@ -288,12 +286,7 @@ def test_funnel_arbitrary_splits_match_arrival_order_model(
         batches[b].append((u, ts * 1_000_000, et))
     schema = "user_id long, ts_us long, event_type string"
     src, _ = _write_batches(spark, batches, schema)
-    try:
-        updates = run_funnel(
-            spark, src, schema, name=f"prop_funnel_{next(_uniq)}",
-        ).toPandas()
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
+    updates = _run_and_drop(spark, run_funnel, src, schema, "prop_funnel")
     # converge per the run_funnel docstring: column-wise max per user
     # (reached and late_events are monotone; each s*_us moves once)
     conv = updates.groupby("user_id")[
@@ -356,12 +349,241 @@ def test_attribution_time_ranged_splits_match_python_model(
                 break
     schema = "user_id long, ts_us long, event_id long, event_type string"
     src, _ = _write_batches(spark, batches, schema)
-    try:
-        emitted = run_attribution(
-            spark, src, schema, name=f"prop_attr_{next(_uniq)}",
-        ).toPandas()
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
+    emitted = _run_and_drop(spark, run_attribution, src, schema, "prop_attr")
     got = {(int(r.user_id), int(r.conv_us), r.channel)
            for r in emitted.itertuples()}
     assert got == _attr_model(rows)
+
+
+# ---------------------------------------------------------------------------
+# r11: split-invariance for the remaining streaming jobs (VERDICT r10 item
+# 5) — windowed_topk, interval_join_pairs, dedup_within_watermark. These are
+# engine-stateful (windowed agg / stream-stream join / dedup state), not
+# applyInPandasWithState walks, so the property drives the SAME streaming
+# frame shape as streaming/jobs.py over randomized batch boundaries and
+# checks convergence against a pure-python model. Event times stay far
+# inside the watermark horizon, so no row is ever eligible for state
+# eviction — invariance must be exact.
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+from pyspark.sql import functions as F
+
+from minerva_etl_46_spark.streaming.jobs import state_partitions
+
+_BASE = _dt.datetime(2024, 1, 1)
+_BASE_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
+
+
+def _run_stream_and_drop(spark, src, schema, build, name_prefix,
+                         mode="complete"):
+    """Drive build(readStream) to completion into a memory sink, collect,
+    drop the sink view (same session-hygiene rule as _run_and_drop)."""
+    name = f"{name_prefix}_{next(_uniq)}"
+    raw = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    out = build(raw)
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    try:
+        with state_partitions(spark, 4):
+            q = (out.writeStream.outputMode(mode).format("memory")
+                 .queryName(name).start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            q.awaitTermination(30)
+        return spark.table(name).toPandas()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        spark.catalog.dropTempView(name)
+
+
+def _split_into_batches(assign, rows):
+    n_batches = assign.draw(st.integers(1, 4))
+    batch_of = assign.draw(st.lists(
+        st.integers(0, n_batches - 1),
+        min_size=len(rows), max_size=len(rows)))
+    batches: list[list] = [[] for _ in range(n_batches)]
+    for row, b in zip(rows, batch_of):
+        batches[b].append(row)
+    return batches
+
+
+_topk_rows = st.lists(
+    st.tuples(
+        st.integers(0, 299),                      # minutes offset → 5 buckets
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1, max_size=25,
+)
+
+
+@SLOW
+@given(rows=_topk_rows, assign=st.data())
+def test_windowed_topk_invariant_to_arbitrary_splits(spark, rows, assign):
+    """jobs.windowed_topk shape: tumbling 1-hour counts (complete mode) +
+    stateless rank projection. Converged counts AND the ranked board must
+    equal the batch result under any row→batch assignment."""
+    from pyspark.sql import Window
+
+    batches = [
+        [(_BASE + _dt.timedelta(minutes=m), et) for m, et in b]
+        for b in _split_into_batches(assign, rows)
+    ]
+    schema = "ts timestamp, event_type string"
+
+    def build(raw):
+        return (
+            raw.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").cast("long").alias("bucket"),
+                    "event_type", "n")
+        )
+
+    src, _ = _write_batches(spark, batches, schema)
+    counts = _run_stream_and_drop(spark, src, schema, build, "prop_topk")
+
+    expect: dict[tuple[int, str], int] = {}
+    for m, et in rows:
+        bucket = _BASE_EPOCH + (m // 60) * 3600
+        expect[(bucket, et)] = expect.get((bucket, et), 0) + 1
+    got = {(int(r.bucket), r.event_type): int(r.n)
+           for r in counts.itertuples()}
+    assert got == expect
+
+    # the production rank projection over the converged counts (n desc,
+    # type asc, top-3 per bucket) vs the python model
+    cdf = spark.createDataFrame(
+        [(b, et, n) for (b, et), n in got.items()] or
+        [(0, "x", 0)], "bucket long, event_type string, n long",
+    ).filter(F.col("n") > 0)
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("n").desc(), F.col("event_type").asc())
+    board = {
+        (int(r.bucket), int(r.rk), r.event_type)
+        for r in cdf.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3).collect()
+    }
+    model_board = set()
+    buckets = {b for b, _ in expect}
+    for b in buckets:
+        ranked = sorted(((n, et) for (bb, et), n in expect.items() if bb == b),
+                        key=lambda x: (-x[0], x[1]))
+        for rk, (_n, et) in enumerate(ranked[:3], 1):
+            model_board.add((b, rk, et))
+    assert board == model_board
+
+
+_ij_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),                        # user_id
+        st.integers(0, 240),                      # seconds offset
+        st.sampled_from(["purchase", "error"]),
+    ),
+    min_size=1, max_size=20,
+)
+
+
+@SLOW
+@given(rows=_ij_rows, assign=st.data())
+def test_interval_join_invariant_to_arbitrary_splits(spark, rows, assign):
+    """jobs.interval_join_pairs shape: stream-stream inner interval
+    self-join with two-sided watermarks. All event times sit ~2 minutes
+    apart under a 2-hour watermark, so nothing evicts and the emitted
+    pair multiset must equal the batch interval join under any split."""
+    from collections import Counter
+
+    lookback_s = 120
+    tagged = [(i, u, s, et) for i, (u, s, et) in enumerate(rows)]
+    batches = [
+        [(eid, u, _BASE + _dt.timedelta(seconds=s), et)
+         for eid, u, s, et in b]
+        for b in _split_into_batches(assign, tagged)
+    ]
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+
+    def build(raw):
+        p = (raw.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("p_id"),
+                     F.col("user_id").alias("p_user"),
+                     F.col("ts").alias("p_ts"))
+             .withWatermark("p_ts", "2 hours"))
+        # second reader for the other side — the production two-source shape
+        r = (spark.readStream.format("parquet").schema(schema)
+             .option("maxFilesPerTrigger", 1).load(src)
+             .filter(F.col("event_type") == "error")
+             .select(F.col("user_id").alias("e_user"),
+                     F.col("ts").alias("e_ts"))
+             .withWatermark("e_ts", "2 hours"))
+        j = p.join(
+            r,
+            F.expr(f"p_user = e_user AND e_ts >= p_ts - interval "
+                   f"{lookback_s} seconds AND e_ts <= p_ts"),
+            "inner")
+        return j.select("p_id", F.unix_micros("p_ts").alias("p_us"),
+                        F.unix_micros("e_ts").alias("e_us"))
+
+    src, _ = _write_batches(spark, batches, schema)
+    emitted = _run_stream_and_drop(spark, src, schema, build, "prop_ij",
+                                   mode="append")
+
+    model: Counter = Counter()
+    for pid, pu, ps, pet in tagged:
+        if pet != "purchase":
+            continue
+        for _eid, eu, es, eet in tagged:
+            if eet == "error" and eu == pu and ps - lookback_s <= es <= ps:
+                p_us = (_BASE_EPOCH + ps) * 1_000_000
+                e_us = (_BASE_EPOCH + es) * 1_000_000
+                model[(pid, p_us, e_us)] += 1
+    got = Counter((int(r.p_id), int(r.p_us), int(r.e_us))
+                  for r in emitted.itertuples())
+    assert got == model
+
+
+_dedup_rows = st.lists(
+    st.tuples(
+        st.integers(0, 15),                       # event_id (repeats = dups)
+        st.integers(0, 100),                      # seconds offset
+    ),
+    min_size=1, max_size=25,
+)
+
+
+@SLOW
+@given(rows=_dedup_rows, assign=st.data())
+def test_dedup_within_watermark_invariant_to_arbitrary_splits(
+        spark, rows, assign):
+    """jobs.dedup_within_watermark shape: dropDuplicatesWithinWatermark on
+    the event key. Payload is a pure function of the key (the production
+    harness's unobservability argument), so under any split the output
+    must be exactly one row per distinct key with the right payload —
+    duplicates landing in the SAME batch, later batches, or with
+    different event times must all collapse."""
+    batches = [
+        [(eid, _BASE + _dt.timedelta(seconds=s), eid % 3, eid * 1.5)
+         for eid, s in b]
+        for b in _split_into_batches(assign, rows)
+    ]
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def build(raw):
+        return (
+            raw.withWatermark("ts", "24 hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "user_id", "value")
+        )
+
+    src, _ = _write_batches(spark, batches, schema)
+    out = _run_stream_and_drop(spark, src, schema, build, "prop_dedup",
+                               mode="append")
+    got = {(int(r.event_id), int(r.user_id), float(r.value))
+           for r in out.itertuples()}
+    assert len(out) == len(got), "duplicate rows emitted"
+    assert got == {(eid, eid % 3, eid * 1.5) for eid, _s in rows}
