@@ -160,7 +160,12 @@ def bpe_pair_counts(
     # pair (position L pairs the last char with the marker) — a single
     # Generate over the vocab frame instead of a union of two branches
     # re-reading the vocab exchange.
-    marker_sql = eow_marker.replace("'", "''")
+    # The marker is spliced into a SQL string literal: Spark's parser
+    # treats BOTH backslash and quote as escapes there (escapedStringLiterals
+    # defaults false), so escape backslashes FIRST, then double the quotes —
+    # quote-only escaping lets 'x\' swallow the rest of the lambda (r11
+    # review).
+    marker_sql = eow_marker.replace("\\", "\\\\").replace("'", "\\'")
     pair_arr = F.expr(
         "transform(sequence(1, length(w)), "
         "i -> struct(substring(w, i, 1) as s1, "

@@ -357,26 +357,25 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "stream_sliding_out", spark)
 
 
-def windowed_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
-    """T8 (extension): top-k event types per tumbling 1-hour window — the
-    "trending now" board. Structured Streaming maintains the per-(window,
-    type) counts incrementally (the stateful part — state is
-    windows × types, bounded and watermark-evictable in append mode); the
-    rank-within-window is a STATELESS projection of that aggregate, so it
-    runs over the sink table per emission exactly as a production
-    foreachBatch would rank each trigger's output. Tie rule pinned:
-    (n desc, event_type asc) — count ties resolve alphabetically,
-    cross-engine stable."""
-    from pyspark.sql import Window
-
-    e = _read_events_stream(spark, sf_dir)
-    agg = (
-        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+def hourly_type_counts(events: DataFrame) -> DataFrame:
+    """The windowed_topk aggregate: per-(tumbling 1-hour window, type)
+    counts. Extracted so the split-invariance property
+    (tests/test_stream_splits.py) drives the SAME frame the job runs —
+    an inline copy in the test would drift silently (r11 review)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("win.start").cast("long").alias("bucket"),
                 "event_type", "n")
     )
-    counts = _run_to_memory(agg, "stream_topk_out", spark)
+
+
+def rank_topk(counts: DataFrame, k: int) -> DataFrame:
+    """The windowed_topk rank projection (stateless; tie rule pinned:
+    (n desc, event_type asc) — count ties resolve alphabetically,
+    cross-engine stable)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("bucket").orderBy(
         F.col("n").desc(), F.col("event_type").asc())
     return (
@@ -385,6 +384,19 @@ def windowed_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         .select("bucket", F.col("rk").cast("long").alias("rk"),
                 "event_type", "n")
     )
+
+
+def windowed_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """T8 (extension): top-k event types per tumbling 1-hour window — the
+    "trending now" board. Structured Streaming maintains the per-(window,
+    type) counts incrementally (the stateful part — state is
+    windows × types, bounded and watermark-evictable in append mode); the
+    rank-within-window is a STATELESS projection of that aggregate, so it
+    runs over the sink table per emission exactly as a production
+    foreachBatch would rank each trigger's output."""
+    e = _read_events_stream(spark, sf_dir)
+    counts = _run_to_memory(hourly_type_counts(e), "stream_topk_out", spark)
+    return rank_topk(counts, k)
 
 
 def interval_join_pairs(spark: SparkSession, sf_dir: str,
@@ -405,8 +417,24 @@ def interval_join_pairs(spark: SparkSession, sf_dir: str,
 
     Output: (p_id, user_id, p_us, e_us) with epoch-µs BIGINT timestamps.
     """
+    out = purchase_error_interval_join(
+        _read_events_stream(spark, sf_dir),
+        _read_events_stream(spark, sf_dir),
+        lookback_s,
+    )
+    return _run_to_memory(out, "stream_interval_join_out", spark,
+                          mode="append",
+                          n_state_partitions=n_state_partitions)
+
+
+def purchase_error_interval_join(events_p: DataFrame, events_r: DataFrame,
+                                 lookback_s: int) -> DataFrame:
+    """The interval_join_pairs DAG from two raw event streams (each with
+    event_id/user_id/ts/event_type). Extracted so the split-invariance
+    property drives the SAME join condition and watermarks as the job
+    (r11 review — an inline test copy would drift)."""
     p = (
-        _read_events_stream(spark, sf_dir)
+        events_p
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("p_id"),
@@ -416,7 +444,7 @@ def interval_join_pairs(spark: SparkSession, sf_dir: str,
         .withWatermark("p_ts", "2 hours")
     )
     r = (
-        _read_events_stream(spark, sf_dir)
+        events_r
         .filter(F.col("event_type") == "error")
         .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
         .withWatermark("e_ts", "2 hours")
@@ -429,15 +457,12 @@ def interval_join_pairs(spark: SparkSession, sf_dir: str,
         ),
         "inner",
     )
-    out = j.select(
+    return j.select(
         "p_id",
         F.col("p_user").alias("user_id"),
         F.unix_micros("p_ts").alias("p_us"),
         F.unix_micros("e_ts").alias("e_us"),
     )
-    return _run_to_memory(out, "stream_interval_join_out", spark,
-                          mode="append",
-                          n_state_partitions=n_state_partitions)
 
 
 def trigger_notifications_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,9 +557,16 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str,
         .option("maxFilesPerTrigger", 1)
         .load(src)
     )
-    deduped = (
+    return _run_to_memory(dedup_events_frame(raw), "stream_dedup_out",
+                          spark, mode="append")
+
+
+def dedup_events_frame(raw: DataFrame) -> DataFrame:
+    """The dedup_within_watermark DAG: watermark + key-dedup + projection.
+    Extracted so the split-invariance property drives the SAME dedup key
+    and watermark as the job (r11 review)."""
+    return (
         raw.withWatermark("ts", "24 hours")
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "value")
     )
-    return _run_to_memory(deduped, "stream_dedup_out", spark, mode="append")

@@ -1815,6 +1815,13 @@ def r11_probe(spark, res, n_rows):
             assert after.get(b) == files, (
                 f"{tag}: partition p_bucket={b} changed but no dirty "
                 f"window wrote it (before={files}, after={after.get(b)})")
+        # two-sided (r11 review): a reprocess that SPRAYS a new partition
+        # outside the dirty windows must fail too, not just one that
+        # rewrites an existing one
+        sprayed = set(after) - set(before) - dirty_buckets
+        assert not sprayed, (
+            f"{tag}: reprocess created partitions outside the dirty "
+            f"windows: {sorted(sprayed)}")
 
     def oneshot():
         rows = raw.read(spark).filter(F.col("value") >= 0)
@@ -1874,6 +1881,11 @@ def r11_probe(spark, res, n_rows):
     # EMPTY → the stale-partition DELETE must fire
     rev_b = day5_rev(2).filter(F.col("user_id") % 2 == 1)
     n_rev_b = rev_b.count()
+    # d6 log entries BEFORE the delete (initial write + revA rewrite):
+    # the delete must INCREMENT this — an absolute >=2 would already be
+    # satisfied without the delete landing in the log (r11 review)
+    mlog_d6_before = target.modified_log(spark).filter(
+        F.col("p_bucket") == d6).count()
     raw.upsert(rev_b, keys=["event_id"], version_cols=["ver"], ts_col="ts")
     t0 = _t.perf_counter()
     done_b = engine.tick(spark, spec, now=NOW + 20)
@@ -1886,9 +1898,9 @@ def r11_probe(spark, res, n_rows):
     assert_untouched_identical(snap_a, snap_b, dirty_b, "revB")
     assert materialized() == oneshot(), "revB reprocess != one-shot batch"
     # the delete is a modification: downstream chains must see d6 dirty
-    mlog = target.modified_log(spark)
-    assert mlog is not None and mlog.filter(
-        F.col("p_bucket") == d6).count() >= 2, \
+    mlog_d6_after = target.modified_log(spark).filter(
+        F.col("p_bucket") == d6).count()
+    assert mlog_d6_after > mlog_d6_before, \
         "stale-partition delete missing from the target's modified log"
     res["rev_rows"] = n_rev_a + n_rev_b
     shutil.rmtree(base, ignore_errors=True)

@@ -73,7 +73,7 @@ def test_bpe_eow_marker_and_min_len(spark):
     })
 
 
-def test_bpe_min_word_len_zero_keeps_single_chars(spark):
+def test_bpe_min_word_len_one_keeps_single_chars(spark):
     # at min_word_len=1 a 1-char word contributes exactly its (c, </w>) pair
     got = _spark_pairs(spark, ["a bb"], min_word_len=1)
     assert got == Counter({
@@ -81,11 +81,14 @@ def test_bpe_min_word_len_zero_keeps_single_chars(spark):
     })
 
 
-def test_bpe_custom_marker_with_quote(spark):
-    # marker is spliced into a SQL lambda — a single quote must not break
-    # or alter the expression (escaped via '' doubling)
-    got = _spark_pairs(spark, ["ab"], eow_marker="x'y")
-    assert got == Counter({("a", "b"): 1, ("b", "x'y"): 1})
+def test_bpe_custom_marker_escaping(spark):
+    # marker is spliced into a SQL string literal where BOTH quote and
+    # backslash are parser escapes — each shape must come through verbatim
+    # (r11 review: quote-only escaping corrupted 'x\y' and a trailing
+    # backslash swallowed the rest of the lambda)
+    for marker in ("x'y", "x\\y", "x\\", "\\'", "a"):
+        got = _spark_pairs(spark, ["ab"], eow_marker=marker)
+        assert got == Counter({("a", "b"): 1, ("b", marker): 1}), marker
 
 
 def test_bpe_uppercase_folds_and_empty_tokens_ignored(spark):

@@ -74,6 +74,19 @@ def _run_and_drop(spark, runner, src, schema, prefix):
         spark.catalog.dropTempView(name)
 
 
+def _split_into_batches(assign, rows):
+    """Draw a random row→micro-batch assignment (1–4 batches), preserving
+    arrival order within each batch."""
+    n_batches = assign.draw(st.integers(1, 4))
+    batch_of = assign.draw(st.lists(
+        st.integers(0, n_batches - 1),
+        min_size=len(rows), max_size=len(rows)))
+    batches: list[list] = [[] for _ in range(n_batches)]
+    for row, b in zip(rows, batch_of):
+        batches[b].append(row)
+    return batches
+
+
 _total_rows = st.lists(
     st.tuples(
         st.integers(0, 3),      # user_id
@@ -87,19 +100,13 @@ _total_rows = st.lists(
 @SLOW
 @given(rows=_total_rows, assign=st.data())
 def test_running_totals_invariant_to_arbitrary_splits(spark, rows, assign):
-    n_batches = assign.draw(st.integers(1, 4))
-    batch_of = assign.draw(st.lists(
-        st.integers(0, n_batches - 1),
-        min_size=len(rows), max_size=len(rows)))
-    batches = [[] for _ in range(n_batches)]
-    for (u, ts, v), b in zip(rows, batch_of):
-        batches[b].append(
-            (len(batches[b]), ts * 1_000_000, u, float(v)))
+    batches = [
+        [(eid, ts * 1_000_000, u, float(v))
+         for eid, (u, ts, v) in enumerate(b)]
+        for b in _split_into_batches(assign, rows)
+    ]
     schema = "event_id long, ts_us long, user_id long, value double"
-    src, _ = _write_batches(
-        spark,
-        [[(eid, ts_us, u, v) for eid, ts_us, u, v in b] for b in batches],
-        schema)
+    src, _ = _write_batches(spark, batches, schema)
     updates = _run_and_drop(spark, run_running_totals, src, schema,
                             "prop_totals")
     final = (updates.sort_values("n").groupby("user_id").tail(1)
@@ -277,13 +284,10 @@ def test_funnel_arbitrary_splits_match_arrival_order_model(
         spark, rows, assign):
     from minerva_etl_46_spark.streaming.stateful import run_funnel
 
-    n_batches = assign.draw(st.integers(1, 4))
-    batch_of = assign.draw(st.lists(
-        st.integers(0, n_batches - 1),
-        min_size=len(rows), max_size=len(rows)))
-    batches: list[list] = [[] for _ in range(n_batches)]
-    for (u, ts, et), b in zip(rows, batch_of):
-        batches[b].append((u, ts * 1_000_000, et))
+    batches = [
+        [(u, ts * 1_000_000, et) for u, ts, et in b]
+        for b in _split_into_batches(assign, rows)
+    ]
     schema = "user_id long, ts_us long, event_type string"
     src, _ = _write_batches(spark, batches, schema)
     updates = _run_and_drop(spark, run_funnel, src, schema, "prop_funnel")
@@ -370,7 +374,13 @@ import datetime as _dt
 
 from pyspark.sql import functions as F
 
-from minerva_etl_46_spark.streaming.jobs import state_partitions
+from minerva_etl_46_spark.streaming.jobs import (
+    dedup_events_frame,
+    hourly_type_counts,
+    purchase_error_interval_join,
+    rank_topk,
+    state_partitions,
+)
 
 _BASE = _dt.datetime(2024, 1, 1)
 _BASE_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
@@ -379,16 +389,14 @@ _BASE_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
 def _run_stream_and_drop(spark, src, schema, build, name_prefix,
                          mode="complete"):
     """Drive build(readStream) to completion into a memory sink, collect,
-    drop the sink view (same session-hygiene rule as _run_and_drop)."""
+    drop the sink view (same session-hygiene rule as _run_and_drop).
+    Names are _uniq-suffixed, so no pre-start collision scan is needed."""
     name = f"{name_prefix}_{next(_uniq)}"
     raw = (
         spark.readStream.format("parquet").schema(schema)
         .option("maxFilesPerTrigger", 1).load(src)
     )
     out = build(raw)
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
     try:
         with state_partitions(spark, 4):
             q = (out.writeStream.outputMode(mode).format("memory")
@@ -404,17 +412,6 @@ def _run_stream_and_drop(spark, src, schema, build, name_prefix,
         spark.catalog.dropTempView(name)
 
 
-def _split_into_batches(assign, rows):
-    n_batches = assign.draw(st.integers(1, 4))
-    batch_of = assign.draw(st.lists(
-        st.integers(0, n_batches - 1),
-        min_size=len(rows), max_size=len(rows)))
-    batches: list[list] = [[] for _ in range(n_batches)]
-    for row, b in zip(rows, batch_of):
-        batches[b].append(row)
-    return batches
-
-
 _topk_rows = st.lists(
     st.tuples(
         st.integers(0, 299),                      # minutes offset → 5 buckets
@@ -427,27 +424,18 @@ _topk_rows = st.lists(
 @SLOW
 @given(rows=_topk_rows, assign=st.data())
 def test_windowed_topk_invariant_to_arbitrary_splits(spark, rows, assign):
-    """jobs.windowed_topk shape: tumbling 1-hour counts (complete mode) +
-    stateless rank projection. Converged counts AND the ranked board must
-    equal the batch result under any row→batch assignment."""
-    from pyspark.sql import Window
-
+    """jobs.windowed_topk, driven through the PRODUCTION builders
+    (hourly_type_counts + rank_topk — r11 review: an inline DAG copy
+    would drift): converged counts AND the ranked board must equal the
+    python model under any row→batch assignment."""
     batches = [
         [(_BASE + _dt.timedelta(minutes=m), et) for m, et in b]
         for b in _split_into_batches(assign, rows)
     ]
     schema = "ts timestamp, event_type string"
-
-    def build(raw):
-        return (
-            raw.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(F.col("win.start").cast("long").alias("bucket"),
-                    "event_type", "n")
-        )
-
     src, _ = _write_batches(spark, batches, schema)
-    counts = _run_stream_and_drop(spark, src, schema, build, "prop_topk")
+    counts = _run_stream_and_drop(spark, src, schema, hourly_type_counts,
+                                  "prop_topk")
 
     expect: dict[tuple[int, str], int] = {}
     for m, et in rows:
@@ -457,18 +445,15 @@ def test_windowed_topk_invariant_to_arbitrary_splits(spark, rows, assign):
            for r in counts.itertuples()}
     assert got == expect
 
-    # the production rank projection over the converged counts (n desc,
-    # type asc, top-3 per bucket) vs the python model
+    # the job's rank projection (rank_topk, the exact production code)
+    # over the converged counts vs the python model
     cdf = spark.createDataFrame(
         [(b, et, n) for (b, et), n in got.items()] or
         [(0, "x", 0)], "bucket long, event_type string, n long",
     ).filter(F.col("n") > 0)
-    w = Window.partitionBy("bucket").orderBy(
-        F.col("n").desc(), F.col("event_type").asc())
     board = {
         (int(r.bucket), int(r.rk), r.event_type)
-        for r in cdf.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3).collect()
+        for r in rank_topk(cdf, 3).collect()
     }
     model_board = set()
     buckets = {b for b, _ in expect}
@@ -509,25 +494,12 @@ def test_interval_join_invariant_to_arbitrary_splits(spark, rows, assign):
     schema = "event_id long, user_id long, ts timestamp, event_type string"
 
     def build(raw):
-        p = (raw.filter(F.col("event_type") == "purchase")
-             .select(F.col("event_id").alias("p_id"),
-                     F.col("user_id").alias("p_user"),
-                     F.col("ts").alias("p_ts"))
-             .withWatermark("p_ts", "2 hours"))
-        # second reader for the other side — the production two-source shape
-        r = (spark.readStream.format("parquet").schema(schema)
-             .option("maxFilesPerTrigger", 1).load(src)
-             .filter(F.col("event_type") == "error")
-             .select(F.col("user_id").alias("e_user"),
-                     F.col("ts").alias("e_ts"))
-             .withWatermark("e_ts", "2 hours"))
-        j = p.join(
-            r,
-            F.expr(f"p_user = e_user AND e_ts >= p_ts - interval "
-                   f"{lookback_s} seconds AND e_ts <= p_ts"),
-            "inner")
-        return j.select("p_id", F.unix_micros("p_ts").alias("p_us"),
-                        F.unix_micros("e_ts").alias("e_us"))
+        # second reader for the other side — the production two-source
+        # shape; the join DAG itself is the PRODUCTION builder (r11
+        # review: an inline copy of the condition would drift)
+        other = (spark.readStream.format("parquet").schema(schema)
+                 .option("maxFilesPerTrigger", 1).load(src))
+        return purchase_error_interval_join(raw, other, lookback_s)
 
     src, _ = _write_batches(spark, batches, schema)
     emitted = _run_stream_and_drop(spark, src, schema, build, "prop_ij",
@@ -541,8 +513,8 @@ def test_interval_join_invariant_to_arbitrary_splits(spark, rows, assign):
             if eet == "error" and eu == pu and ps - lookback_s <= es <= ps:
                 p_us = (_BASE_EPOCH + ps) * 1_000_000
                 e_us = (_BASE_EPOCH + es) * 1_000_000
-                model[(pid, p_us, e_us)] += 1
-    got = Counter((int(r.p_id), int(r.p_us), int(r.e_us))
+                model[(pid, pu, p_us, e_us)] += 1
+    got = Counter((int(r.p_id), int(r.user_id), int(r.p_us), int(r.e_us))
                   for r in emitted.itertuples())
     assert got == model
 
@@ -560,30 +532,27 @@ _dedup_rows = st.lists(
 @given(rows=_dedup_rows, assign=st.data())
 def test_dedup_within_watermark_invariant_to_arbitrary_splits(
         spark, rows, assign):
-    """jobs.dedup_within_watermark shape: dropDuplicatesWithinWatermark on
-    the event key. Payload is a pure function of the key (the production
-    harness's unobservability argument), so under any split the output
-    must be exactly one row per distinct key with the right payload —
-    duplicates landing in the SAME batch, later batches, or with
-    different event times must all collapse."""
+    """jobs.dedup_within_watermark, driven through the PRODUCTION builder
+    (dedup_events_frame — r11 review: an inline copy of the dedup key /
+    watermark would drift). Payload is a pure function of the key (the
+    production harness's unobservability argument), so under any split
+    the output must be exactly one row per distinct key with the right
+    payload — duplicates landing in the SAME batch, later batches, or
+    with different event times must all collapse."""
     batches = [
-        [(eid, _BASE + _dt.timedelta(seconds=s), eid % 3, eid * 1.5)
+        [(eid, _BASE + _dt.timedelta(seconds=s), eid % 3,
+          f"t{eid % 2}", eid * 1.5)
          for eid, s in b]
         for b in _split_into_batches(assign, rows)
     ]
-    schema = "event_id long, ts timestamp, user_id long, value double"
-
-    def build(raw):
-        return (
-            raw.withWatermark("ts", "24 hours")
-            .dropDuplicatesWithinWatermark(["event_id"])
-            .select("event_id", "user_id", "value")
-        )
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
 
     src, _ = _write_batches(spark, batches, schema)
-    out = _run_stream_and_drop(spark, src, schema, build, "prop_dedup",
-                               mode="append")
-    got = {(int(r.event_id), int(r.user_id), float(r.value))
+    out = _run_stream_and_drop(spark, src, schema, dedup_events_frame,
+                               "prop_dedup", mode="append")
+    got = {(int(r.event_id), int(r.user_id), r.event_type, float(r.value))
            for r in out.itertuples()}
     assert len(out) == len(got), "duplicate rows emitted"
-    assert got == {(eid, eid % 3, eid * 1.5) for eid, _s in rows}
+    assert got == {(eid, eid % 3, f"t{eid % 2}", eid * 1.5)
+                   for eid, _s in rows}
