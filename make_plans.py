@@ -269,6 +269,12 @@ NOTES = {
                         "exchanges carry bigram/unigram agg frames "
                         "only; top-200 is a WindowGroupLimit-capped "
                         "global rank on the c_ab>=5 filtered frame.",
+    "llm_bpe_pairs": "Token stream collapses to the VOCAB (one "
+                     "map-side-combinable hash-agg over the scan) "
+                     "BEFORE any pair work; the pair Generate runs "
+                     "over distinct words only — both exchanges are "
+                     "vocab-sized, corpus-size-independent; top-200 "
+                     "is TakeOrderedAndProject, scan reads only text.",
     "agg_survival": "Per-entity span hash-agg is the ONLY data-sized "
                     "exchange; duration-table frames (bounded by "
                     "retention days) flow through the ordered KM fold "

@@ -264,8 +264,19 @@ def session_counts(spark: SparkSession, sf_dir: str,
     (session end exclusive: an event exactly gap-after the previous one
     starts a NEW session)."""
     e = _read_events_stream(spark, sf_dir)
-    agg = (
-        e.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+    return _run_to_memory(session_counts_frame(e, gap),
+                          "stream_session_out", spark)
+
+
+def session_counts_frame(events: DataFrame,
+                         gap: str = "30 minutes") -> DataFrame:
+    """The session_counts DAG from a raw event stream. Extracted so the
+    split-invariance property drives the SAME session_window/agg as the
+    job (r11 review discipline) — the property's deep case is an event in
+    a LATER micro-batch bridging two previously-separate sessions in the
+    state store."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
@@ -277,7 +288,6 @@ def session_counts(spark: SparkSession, sf_dir: str,
             "n", "sum_value",
         )
     )
-    return _run_to_memory(agg, "stream_session_out", spark)
 
 
 def session_rollup_append(

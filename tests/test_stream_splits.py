@@ -556,3 +556,69 @@ def test_dedup_within_watermark_invariant_to_arbitrary_splits(
     assert len(out) == len(got), "duplicate rows emitted"
     assert got == {(eid, eid % 3, f"t{eid % 2}", eid * 1.5)
                    for eid, _s in rows}
+
+
+_sess_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),                        # user_id
+        st.integers(0, 240),                      # minutes offset
+        st.integers(-5, 5),                       # value (int-valued double)
+    ),
+    min_size=1, max_size=20,
+)
+
+
+@SLOW
+@given(rows=_sess_rows, assign=st.data())
+def test_session_windows_invariant_to_arbitrary_splits(spark, rows, assign):
+    """jobs.session_counts, driven through the PRODUCTION builder
+    (session_counts_frame): gap-merged session windows in the state store
+    must converge to the batch gaps-and-islands result under any
+    row→batch assignment. The deep case this generates: an event landing
+    in a LATER micro-batch between two existing sessions bridges them —
+    the state store must MERGE previously-emitted sessions, not append a
+    third. Session rule (the builder's docstring): an event exactly
+    gap-after the previous one starts a NEW session; end = last + gap."""
+    from minerva_etl_46_spark.streaming.jobs import session_counts_frame
+
+    gap_min = 30
+    batches = [
+        [(u, _BASE + _dt.timedelta(minutes=m), float(v)) for u, m, v in b]
+        for b in _split_into_batches(assign, rows)
+    ]
+    schema = "user_id long, ts timestamp, value double"
+    src, _ = _write_batches(spark, batches, schema)
+    out = _run_stream_and_drop(
+        spark, src, schema, lambda raw: session_counts_frame(raw),
+        "prop_session")
+
+    # complete mode rewrites the whole aggregate each trigger; the final
+    # table IS the converged session set
+    got = {
+        (int(r.user_id), int(r.session_start_us), int(r.session_end_us),
+         int(r.n), float(r.sum_value))
+        for r in out.itertuples()
+    }
+
+    model = set()
+    by_user: dict[int, list] = {}
+    for u, m, v in rows:
+        by_user.setdefault(u, []).append((m * 60 * 1_000_000, v))
+    gap_us = gap_min * 60 * 1_000_000
+    for u, evs in by_user.items():
+        evs.sort(key=lambda e: e[0])
+        cur = [evs[0]]
+        sessions = []
+        for e in evs[1:]:
+            if e[0] - cur[-1][0] >= gap_us:   # exactly gap ⇒ NEW session
+                sessions.append(cur)
+                cur = [e]
+            else:
+                cur.append(e)
+        sessions.append(cur)
+        for s in sessions:
+            start = _BASE_EPOCH * 1_000_000 + s[0][0]
+            end = _BASE_EPOCH * 1_000_000 + s[-1][0] + gap_us
+            model.add((u, start, end, len(s),
+                       float(sum(v for _ts, v in s))))
+    assert got == model
