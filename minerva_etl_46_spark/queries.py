@@ -5391,15 +5391,18 @@ def trigger_cooldown(spark, sf_dir):
     oracle=f"""
     with e as (select * from {EV}),
     kpi as (select user_id, {sql_bucket_epoch('ts', G_1H)} as bucket,
-                   {sql_dsum('value')} as sum_value,
+                   count(*) as n, {sql_dsum('value')} as sum_value,
                    count(case when event_type = 'error' then 1 end) as n_errors
             from e group by 1, 2)
     select user_id as entity_id, bucket as ts, 'value_surge' as rule,
-           10 as weight
+           10 as weight,
+           cast(json_object('n', n, 'bucket', bucket) as varchar) as details
     from kpi where sum_value > 200.0
     union all
     select user_id as entity_id, bucket as ts, 'error_burst' as rule,
-           5 as weight
+           5 as weight,
+           cast(json_object('n_errors', n_errors, 'bucket', bucket) as varchar)
+             as details
     from kpi where n_errors >= 2
     """,
 )
@@ -5407,9 +5410,11 @@ def stream_trigger(spark, sf_dir):
     """D10 streaming twin (T1×D10): the trigger DAEMON — hourly KPI
     windows aggregate via Structured Streaming and rules fire per
     trigger, checked against the exact batch-SQL oracle (stream/batch
-    trigger parity). Rules fuse into the single streaming aggregate via
-    a conditional array + explode (streaming/jobs.py::
-    trigger_notifications_stream)."""
+    trigger parity), INCLUDING the per-rule JSON details column — the
+    full batch notification shape, integer-only details so the JSON
+    text is byte-identical cross-engine (the trigger_notify trade).
+    Rules fuse into the single streaming aggregate via a conditional
+    array + explode (streaming/jobs.py::trigger_notifications_stream)."""
     return streaming_jobs.trigger_notifications_stream(spark, sf_dir)
 
 

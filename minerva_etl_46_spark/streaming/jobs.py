@@ -14,10 +14,6 @@ from minerva_etl_46_spark.functions.kpi import DEC
 from minerva_etl_46_spark.functions.timestamps import normalize_ts_columns
 from minerva_etl_46_spark.session import tune
 
-EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-)
-
 #: Per-query micro-batch progress, captured by record_progress at every
 #: driver site just before the query stops: queryName -> list of
 #: StreamingQueryProgress dicts (one per micro-batch). This is the
@@ -60,12 +56,16 @@ def record_progress(q) -> None:
 
     if q.name is None:
         return
+    # build the NEW snapshot before evicting prior same-spec entries: an
+    # exception mid-snapshot (query object gone JVM-side, malformed
+    # progress JSON) must leave the previous run's valid snapshot in
+    # place, not an empty dict slot (r11 review)
+    progress = [json.loads(p.json) for p in q.recentProgress]
     m = re.match(r"^(ingest_.+)_[0-9a-f]{8}$", q.name)
     if m:
         pat = re.compile(rf"^{re.escape(m.group(1))}_[0-9a-f]{{8}}$")
         for k in [k for k in LAST_PROGRESS if k != q.name and pat.match(k)]:
             del LAST_PROGRESS[k]
-    progress = [json.loads(p.json) for p in q.recentProgress]
     try:
         # StreamingQuery exposes no session handle (pyspark 4.1.2);
         # read the conf off the active session — record_progress runs
@@ -108,15 +108,19 @@ def state_partitions(spark: SparkSession, n: int):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
-def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _read_events_stream(spark: SparkSession, sf_dir: str,
+                        schema=None) -> DataFrame:
     """events.parquet as a stream source. File-stream sources require an
     explicit schema; take it from a batch read of the same file so the
     stream survives fixture-precision changes (ts has shipped as ns-long,
     ns-timestamp, and µs NTZ across regenerations), then route ts through
     the SAME normalizer as the batch loader — streaming and batch share
-    one timestamp semantics."""
+    one timestamp semantics. Pass ``schema`` to reuse an already-read
+    batch schema (two-reader jobs would otherwise re-read the parquet
+    footer per side — r11 review)."""
     tune(spark)
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    batch_schema = schema or spark.read.parquet(
+        f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.format("parquet")
         .schema(batch_schema)
@@ -153,8 +157,10 @@ def _run_to_memory(agg: DataFrame, name: str, spark: SparkSession,
             q.processAllAvailable()
             record_progress(q)
         finally:
+            # stop() blocks until termination (spark.sql.streaming.
+            # stopTimeout default 0 = wait indefinitely) — no extra
+            # awaitTermination needed (r11 review)
             q.stop()
-        q.awaitTermination(30)
     return spark.table(name)
 
 
@@ -244,8 +250,7 @@ def tumbling_rollup_append(
         q.processAllAvailable()
         record_progress(q)
     finally:
-        q.stop()
-    q.awaitTermination(30)
+        q.stop()  # blocks until terminated (stopTimeout=0 default)
 
 
 def session_counts(spark: SparkSession, sf_dir: str,
@@ -351,8 +356,7 @@ def session_rollup_append(
         q.processAllAvailable()
         record_progress(q)
     finally:
-        q.stop()
-    q.awaitTermination(30)
+        q.stop()  # blocks until terminated (stopTimeout=0 default)
 
 
 def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,9 +431,10 @@ def interval_join_pairs(spark: SparkSession, sf_dir: str,
 
     Output: (p_id, user_id, p_us, e_us) with epoch-µs BIGINT timestamps.
     """
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     out = purchase_error_interval_join(
-        _read_events_stream(spark, sf_dir),
-        _read_events_stream(spark, sf_dir),
+        _read_events_stream(spark, sf_dir, schema),
+        _read_events_stream(spark, sf_dir, schema),
         lookback_s,
     )
     return _run_to_memory(out, "stream_interval_join_out", spark,
@@ -482,8 +487,9 @@ def trigger_notifications_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional rule array + explode (a union of two filtered branches
     would plan two parallel streaming aggregations; this stays a single
     agg, which every output mode supports). Output:
-    (entity_id, ts, rule, weight) — same shape the batch trigger engine
-    (plans/triggers.py) emits, so sinks are interchangeable."""
+    (entity_id, ts, rule, weight, details JSON) — the FULL batch trigger
+    shape (plans/triggers.py), details included, so sinks really are
+    interchangeable (r11 review: the 5th column was missing)."""
     e = _read_events_stream(spark, sf_dir)
     kpi = (
         e.groupBy(F.window("ts", "1 hour").alias("win"), "user_id")
@@ -499,23 +505,38 @@ def trigger_notifications_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n", "sum_value", "n_errors",
         )
     )
+    # details: per-rule JSON like the batch engine (plans/triggers.py
+    # packs details_cols via to_json) — integer-only columns so the JSON
+    # text is byte-identical cross-engine (the trigger_notify trade).
+    # Serialized to string INSIDE each struct, so the array's element
+    # type stays uniform across rules with different detail shapes.
+    # Emitting it makes the docstring's sink-interchangeability claim
+    # real: the batch shape is (entity_id, ts, rule, weight, details)
+    # (r11 review — the stream previously dropped the 5th column).
     rules = F.array(
         F.when(
             F.col("sum_value") > 200.0,
             F.struct(F.lit("value_surge").alias("rule"),
-                     F.lit(10).alias("weight")),
+                     F.lit(10).alias("weight"),
+                     F.to_json(F.struct(
+                         F.col("n").alias("n"),
+                         F.col("ts").alias("bucket"))).alias("details")),
         ),
         F.when(
             F.col("n_errors") >= 2,
             F.struct(F.lit("error_burst").alias("rule"),
-                     F.lit(5).alias("weight")),
+                     F.lit(5).alias("weight"),
+                     F.to_json(F.struct(
+                         F.col("n_errors").alias("n_errors"),
+                         F.col("ts").alias("bucket"))).alias("details")),
         ),
     )
     notif = kpi.select(
         "entity_id", "ts",
         F.explode(F.filter(rules, lambda x: x.isNotNull())).alias("r"),
     ).select("entity_id", "ts", F.col("r.rule").alias("rule"),
-             F.col("r.weight").alias("weight"))
+             F.col("r.weight").alias("weight"),
+             F.col("r.details").alias("details"))
     return _run_to_memory(notif, "stream_trigger_out", spark)
 
 
@@ -541,11 +562,17 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str,
     import os
 
     tune(spark)
-    from minerva_etl_46_spark.functions.timestamps import normalize_ts_columns as _n
-
-    batch = _n(spark.read.parquet(f"{sf_dir}/events.parquet"), ["ts"],
-               table="events")
-    src = os.path.join(scratch_dir, "dedup_src")
+    batch = normalize_ts_columns(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), ["ts"],
+        table="events")
+    # fingerprint the source fixture into the cache-dir name: a bare
+    # "dedup_src" reused on mere existence would serve STALE files after
+    # an in-place fixture regeneration (or a recycled PID hitting an old
+    # scratch dir) — schema mismatch at best, silently wrong rows at
+    # worst (r11 review). mtime+size changes on every regeneration.
+    fst = os.stat(f"{sf_dir}/events.parquet")
+    src = os.path.join(scratch_dir,
+                       f"dedup_src_{int(fst.st_mtime)}_{fst.st_size}")
     if not os.path.isdir(src):
         # staged-build + atomic rename (the sources/paio.py discipline):
         # a run interrupted between the two writes must not leave a dir
