@@ -13661,15 +13661,18 @@ _R10_TAIL = [
     if k not in set(_R10_PRIORITY)
 ]
 
-_R11_PRIORITY = ["llm_bpe_pairs"] + _R11_CANDIDATES + [
+_R11_PRIORITY = ["llm_bpe_pairs", "stream_trigger"] + _R11_CANDIDATES + [
     # Round-11 rotation, same deterministic policy: the never-sampled new
-    # key first (never-sampled beats stale — the r8 rule), then sort every
-    # existing key by (latest CORRECTNESS_r0N round, name) ascending and
-    # fill the 50-slot window. Computed this round from the union of
+    # key first (never-sampled beats stale — the r8 rule), then
+    # stream_trigger (first-after-change: its OUTPUT gained the batch
+    # engine's JSON details column this round, so its r10 driver row no
+    # longer certifies the current schema), then sort every existing key
+    # by (latest CORRECTNESS_r0N round, name) ascending and fill the
+    # 50-slot window. Computed this round from the union of
     # CORRECTNESS_r01–r10 (histogram r5×12 r6×48 r7×50 r8×50 r9×50
     # r10×50). The 12 r5-latest keys (_R11_CANDIDATES, named at r10 close)
-    # lead; the 37 alphabetically-first of the 48 r6-latest rows fill the
-    # window. After this round the staleness floor moves to r6 (11 keys
+    # lead; the 36 alphabetically-first of the 48 r6-latest rows fill the
+    # window. After this round the staleness floor moves to r6 (12 keys
     # remain — they lead _R12_CANDIDATES below).
     "agg_approx", "agg_count_distinct", "agg_entity_chain",
     "agg_hist_quantile", "agg_last_by", "agg_ohlc", "agg_pivot",
@@ -13680,15 +13683,15 @@ _R11_PRIORITY = ["llm_bpe_pairs"] + _R11_CANDIDATES + [
     "llm_dedup_url", "llm_novelty", "llm_postings", "llm_surprisal",
     "llm_url_parse", "mm_frames", "mm_wav_features", "project_select",
     "scan_csv", "scan_csv_badrows", "scan_fixedwidth",
-    "scan_json_multiline", "scan_orc",
+    "scan_json_multiline",
 ]
 assert len(_R11_PRIORITY) == 50, len(_R11_PRIORITY)
-assert _R11_PRIORITY[1:13] == _R11_CANDIDATES
+assert _R11_PRIORITY[2:14] == _R11_CANDIDATES
 #: r6-row keys that did not fit the 50-slot window; they lead _R12.
 _R12_CANDIDATES = [
-    "scan_partitioned", "stream_dedup", "stream_funnel", "stream_join",
-    "upsert_latest", "upsert_tombstone", "win_autocorr", "win_holt",
-    "win_interp", "win_streak", "xml_harvest",
+    "scan_orc", "scan_partitioned", "stream_dedup", "stream_funnel",
+    "stream_join", "upsert_latest", "upsert_tombstone", "win_autocorr",
+    "win_holt", "win_interp", "win_streak", "xml_harvest",
 ]
 assert not set(_R11_PRIORITY) & set(_R12_CANDIDATES)
 _R11_TAIL = [
