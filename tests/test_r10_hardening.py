@@ -917,15 +917,20 @@ def test_stream_dedup_fixture_build_survives_interrupted_prior_run(
     from minerva_etl_46_spark.streaming.jobs import dedup_within_watermark
 
     scratch = str(tmp_path)
+    # r11: the cache dir is fingerprinted by the fixture's mtime+size so a
+    # regenerated fixture can never serve stale files — compute the same
+    # name the job will use
+    fst = os.stat("/root/testdata/sf0.001/events.parquet")
+    src = os.path.join(scratch,
+                       f"dedup_src_{int(fst.st_mtime)}_{fst.st_size}")
     # simulate the interrupted prior run: staging dir with junk
-    stale = os.path.join(scratch, "dedup_src_staged")
+    stale = src + "_staged"
     os.makedirs(stale)
     with open(os.path.join(stale, "part-junk.parquet"), "w") as f:
         f.write("not parquet")
 
     out = dedup_within_watermark(spark, "/root/testdata/sf0.001",
                                  scratch).toPandas()
-    src = os.path.join(scratch, "dedup_src")
     assert os.path.isdir(src)
     assert not os.path.isdir(stale)          # staging renamed away
     parts = _glob.glob(os.path.join(src, "part-*.parquet"))
