@@ -149,22 +149,40 @@ def bpe_pair_counts(
     degenerate (char, marker) pair; they are excluded, matching the usual
     practice of not merging across 1-char words.
     """
+    return bpe_pairs_from_vocab(
+        bpe_vocab(df, text_col, min_word_len), eow_marker)
+
+
+def bpe_vocab(df: DataFrame, text_col: str,
+              min_word_len: int = 2) -> DataFrame:
+    """The corpus pass of BPE training: collapse the token stream to a
+    (word, freq) vocabulary — ONE map-side-combinable hash-agg over the
+    full scan. This is the only corpus-sized stage; everything after
+    (pair counting, the merge loop) is vocab-bounded."""
     words = df.select(
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
     )
-    vocab = (
+    return (
         words.filter(F.length("w") >= min_word_len)
         .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     )
-    # One in-row pass builds interior pairs AND the word-final (char, </w>)
-    # pair (position L pairs the last char with the marker) — a single
-    # Generate over the vocab frame instead of a union of two branches
-    # re-reading the vocab exchange.
-    # The marker is spliced into a SQL string literal: Spark's parser
-    # treats BOTH backslash and quote as escapes there (escapedStringLiterals
-    # defaults false), so escape backslashes FIRST, then double the quotes —
-    # quote-only escaping lets 'x\' swallow the rest of the lambda (r11
-    # review).
+
+
+def bpe_pairs_from_vocab(vocab: DataFrame,
+                         eow_marker: str = "</w>") -> DataFrame:
+    """The vocab pass: adjacent char pairs per distinct word, weighted by
+    word frequency — |vocab| × avg_word_len rows, independent of corpus
+    size (probed: scale_probe.py r11b).
+
+    One in-row pass builds interior pairs AND the word-final (char, </w>)
+    pair (position L pairs the last char with the marker) — a single
+    Generate over the vocab frame instead of a union of two branches
+    re-reading the vocab exchange.
+    The marker is spliced into a SQL string literal: Spark's parser
+    treats BOTH backslash and quote as escapes there (escapedStringLiterals
+    defaults false), so escape backslashes FIRST, then the quotes —
+    quote-only escaping lets 'x\\' swallow the rest of the lambda (r11
+    review)."""
     marker_sql = eow_marker.replace("\\", "\\\\").replace("'", "\\'")
     pair_arr = F.expr(
         "transform(sequence(1, length(w)), "
@@ -178,6 +196,74 @@ def bpe_pair_counts(
         .groupBy("s1", "s2")
         .agg(F.sum("freq").alias("pair_count"))
     )
+
+
+def bpe_train(vocab: dict[str, int], n_merges: int,
+              eow_marker: str = "</w>") -> list[tuple[str, str]]:
+    """The BPE merge loop (Sennrich 2016, algorithm 1), driver-side over
+    the collected (word, freq) vocabulary. This split is the 100 TB
+    shape of BPE training: the corpus is touched exactly ONCE (the
+    bpe_vocab Spark pass collapses the token stream to the vocabulary,
+    map-side-combinable), and every merge iteration after that is
+    O(|vocab| × avg_word_len) pure-python work — vocab-bounded,
+    corpus-size-independent (probed: scale_probe.py r11b). Real
+    tokenizer trainers (subword-nmt, HuggingFace) use the same
+    word-counts-then-local-loop structure.
+
+    Iteration 0's pair table is exactly what the llm_bpe_pairs driver
+    key computes in Spark (pinned by tests/test_r11_ops.py); ties in
+    the argmax break deterministically to the lexicographically
+    smallest pair, matching that key's (count desc, s1 asc, s2 asc)
+    rank order."""
+    from collections import Counter
+
+    seq = {w: (*w, eow_marker) for w in vocab}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for w, freq in vocab.items():
+            s = seq[w]
+            for pair in zip(s, s[1:]):
+                counts[pair] += freq
+        if not counts:
+            break
+        mx = max(counts.values())
+        best = min(p for p, c in counts.items() if c == mx)
+        merges.append(best)
+        merged = best[0] + best[1]
+        for w, s in seq.items():
+            if best[0] not in s:
+                continue
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seq[w] = tuple(out)
+    return merges
+
+
+def bpe_segment(word: str, merges: list[tuple[str, str]],
+                eow_marker: str = "</w>") -> list[str]:
+    """Segment one word with learned merge rules, applying them in
+    training order (the standard BPE inference rule — merge priority is
+    training order, not greedy length)."""
+    s: list[str] = [*word.lower(), eow_marker]
+    for a, b in merges:
+        i, out = 0, []
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return s
 
 
 def winnow_select(

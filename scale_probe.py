@@ -1908,10 +1908,65 @@ def r11_probe(spark, res, n_rows):
           flush=True)
 
 
+def r11b_probe(spark, res, n_docs):
+    """r11b: llm_bpe_pairs' scale claim, measured — the pair pass is
+    VOCAB-bounded, not corpus-bounded. Over a 50k-shared-vocabulary
+    corpus (the r7c natural-language shape) at n/10 and n docs:
+    - e2e (scan → vocab agg → pair agg) scales with the corpus;
+    - the pair stage ALONE (bpe_pairs_from_vocab over the materialized
+      vocab) must cost the SAME at both corpus sizes, because both
+      saturate the same 50k vocabulary. This is the number that holds
+      at 100 TB: the merge-loop input is |vocab| × avg_word_len rows
+      regardless of corpus bytes."""
+    from minerva_etl_46_spark.operators.textstats import (
+        bpe_pair_counts,
+        bpe_pairs_from_vocab,
+        bpe_vocab,
+    )
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda i: F.concat(
+            F.lit("w"),
+            (F.abs(F.xxhash64(F.col("id"), i)) % 50_000).cast("string")))
+    # absorb first-run JIT/codegen on a tiny frame so the small-vs-large
+    # comparison measures data, not whichever runs first
+    warm = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text"))
+    bpe_pair_counts(warm, "text").write.format("noop") \
+        .mode("overwrite").save()
+    for tag, n in (("small", n_docs // 10), ("large", n_docs)):
+        docs = (spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", words).alias("text"))
+            .localCheckpoint(eager=True))  # exclude synth cost
+        timed(f"bpe_e2e_{tag}", bpe_pair_counts(docs, "text"), res)
+        vocab = bpe_vocab(docs, "text").localCheckpoint(eager=True)
+        res[f"bpe_vocab_{tag}"] = vocab.count()
+        timed(f"bpe_pairstage_{tag}", bpe_pairs_from_vocab(vocab), res)
+        docs.unpersist()
+    # self-verifying: the pair stage must NOT scale with the corpus
+    # (same vocab at both sizes ⇒ same work); 3× headroom for host noise
+    ratio = res["bpe_pairstage_large"]["sec"] / max(
+        res["bpe_pairstage_small"]["sec"], 1e-3)
+    res["bpe_pairstage_ratio"] = round(ratio, 2)
+    assert ratio < 3.0, (
+        f"pair stage scaled with the corpus (ratio {ratio}) — the "
+        "vocab-bounded claim is broken")
+    print(json.dumps({"shape": "bpe_stage_scaling", **res}), flush=True)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r11b":
+        n = min(N, 1_000_000)
+        r11b_probe(spark, res, n_docs=n)
+        print(json.dumps({"metric": "scale_probe_r11b", "rows": n,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r11":
         n = min(N, 20_000_000)
         r11_probe(spark, res, n_rows=n)

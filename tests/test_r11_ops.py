@@ -95,3 +95,58 @@ def test_bpe_uppercase_folds_and_empty_tokens_ignored(spark):
     # double space yields an empty split token; len 0 < min_word_len
     got = _spark_pairs(spark, ["AB  ab"])
     assert got == Counter({("a", "b"): 2, ("b", "</w>"): 2})
+
+
+# ---------------------------------------------------------------------------
+# bpe_train / bpe_segment — the driver-side merge loop (examples/train_bpe.py
+# composes it with the bpe_vocab Spark pass)
+# ---------------------------------------------------------------------------
+
+from minerva_etl_46_spark.operators.textstats import (  # noqa: E402
+    bpe_pair_counts,
+    bpe_segment,
+    bpe_train,
+)
+
+
+def test_bpe_train_matches_sennrich_canonical_example():
+    # the worked example from Sennrich 2016 §3.2: low×5 lower×2 newest×6
+    # widest×3 — the first merges are es, est, est</w>, lo, low
+    vocab = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = bpe_train(vocab, 5)
+    assert merges == [("e", "s"), ("es", "t"), ("est", "</w>"),
+                      ("l", "o"), ("lo", "w")]
+
+
+def test_bpe_segment_applies_merges_in_training_order():
+    vocab = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = bpe_train(vocab, 10)
+    assert bpe_segment("lowest", merges) == ["low", "est</w>"]
+    # unseen word: only the merges that apply fire, rest stays chars
+    assert bpe_segment("news", merges)[-1].endswith("</w>")
+
+
+def test_bpe_train_iteration0_matches_spark_pair_table(spark):
+    """The merge loop's first argmax == the distributed llm_bpe_pairs
+    top-ranked pair under the same (count desc, pair asc) tie rule — the
+    contract examples/train_bpe.py asserts on the real fixture, pinned
+    here on a controlled corpus with a deliberate count TIE."""
+    docs = ["low low lower", "newest widest", "low newest"]
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    rows = bpe_pair_counts(df, "text").collect()
+    mx = max(r.pair_count for r in rows)
+    spark_argmax = min((r.s1, r.s2) for r in rows if r.pair_count == mx)
+    vocab: dict[str, int] = {}
+    for t in docs:
+        for w in t.split(" "):
+            vocab[w] = vocab.get(w, 0) + 1
+    assert bpe_train(vocab, 1)[0] == spark_argmax
+
+
+def test_bpe_train_stops_when_vocab_exhausted():
+    # a 2-char word fully merges in 2 steps; further merges must stop
+    merges = bpe_train({"ab": 3}, 10)
+    assert merges == [("a", "b"), ("ab", "</w>")]
+    # after full merge each word is ONE symbol — no pairs remain... but a
+    # single-symbol sequence still pairs with nothing: loop must break
+    assert bpe_segment("ab", merges) == ["ab</w>"]
