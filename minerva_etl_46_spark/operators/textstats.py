@@ -9,8 +9,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation
-TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation.
+# The whitespace class is spelled EXPLICITLY, never \s: Java regex \s
+# includes \x0B (vertical tab) while DuckDB's RE2 \s does not, so a \s in
+# any oracle-mirrored pattern silently diverges the two engines on
+# \x0B-bearing text (r11 review). Same chars as Java \s.
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 # tiny per-language stopword lists for the n-gram/stopword lang-ID heuristic
 STOPWORDS = {
@@ -24,22 +29,43 @@ LANG_ORDER = ("en", "fr", "es", "de", "zh")  # deterministic tie resolution
 
 
 def ws_tokens(c: Column | str) -> Column:
+    """Single-space tokenization — the ENGINE-WIDE convention every text
+    key and oracle shares (~30 keys split on ' '). Irregular whitespace
+    (runs, tabs, newlines) is owned UPSTREAM by normalization
+    (llm_normalize / fingerprint's collapse): this engine, like the
+    reference's ingest, tokenizes normalized text. Changing this to a
+    \\s-class split would have to move ~30 oracles in lockstep — don't,
+    normalize first."""
     col = F.col(c) if isinstance(c, str) else c
     return F.split(col, " ")
 
 
+def _nullsafe_size(arr: Column, src: Column) -> Column:
+    """size() under the engine's non-ANSI session returns -1 for a NULL
+    array (spark.sql.legacy.sizeOfNull follows ansi=false); DuckDB's len()
+    gives NULL — a silent −1-vs-NULL cross-engine split on NULL text
+    (caught by the r11 adversarial-fixture parity tests)."""
+    return (F.when(src.isNull(), F.lit(None)).otherwise(F.size(arr))
+            .cast("long"))
+
+
 def stopword_hits(c: Column | str, words: tuple[str, ...]) -> Column:
-    """Count (with repeats) of tokens in the list. list_filter keeps
-    multiplicity — array_intersect would dedup and diverge from the
-    oracle."""
-    return F.size(F.filter(ws_tokens(c), lambda t: t.isin(*words))).cast("long")
+    """Count (with repeats) of tokens in the list, case-folded — without
+    the fold, sentence-initial function words ('The', 'Le') never count
+    and every stopword heuristic undercounts on real-cased prose (r11
+    review). list_filter keeps multiplicity — array_intersect would dedup
+    and diverge from the oracle."""
+    col = F.col(c) if isinstance(c, str) else c
+    return _nullsafe_size(
+        F.filter(ws_tokens(c), lambda t: F.lower(t).isin(*words)), col)
 
 
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counts, plus char length."""
     return df.select(
         F.col(id_col),
-        F.size(ws_tokens(text_col)).cast("long").alias("ws_tokens"),
+        _nullsafe_size(ws_tokens(text_col), F.col(text_col))
+        .alias("ws_tokens"),
         F.regexp_count(F.col(text_col), F.lit(TOKEN_RE)).cast("long").alias("re_tokens"),
         F.length(text_col).cast("long").alias("n_chars_calc"),
     )
@@ -49,7 +75,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Length/stopword/token-shape quality heuristics. One deterministic
     arithmetic expression per row; the oracle mirrors the exact same parse
     tree so double evaluation is bit-identical."""
-    n_tok = F.size(ws_tokens(text_col)).cast("long")
+    n_tok = _nullsafe_size(ws_tokens(text_col), F.col(text_col))
     n_char = F.length(text_col).cast("long")
     stop_n = stopword_hits(text_col, STOPWORDS["en"])
     nospace = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
@@ -82,6 +108,10 @@ def lang_id(df: DataFrame, id_col: str, text_col: str, label_col: str | None = N
             c = scores[lg] >= scores[other]
             cond = c if cond is None else (cond & c)
         pred = F.when(cond, F.lit(lg)).otherwise(pred)
+    # NULL text: every score is NULL, every CASE condition is NULL, and
+    # the chain would fall through to the LAST language — a null doc got
+    # a confident 'zh' label (r11 review). A null doc has no language.
+    pred = F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(pred)
     cols = [F.col(id_col)]
     cols += [scores[lg].alias(f"s_{lg}") for lg in LANG_ORDER]
     cols += [pred.alias("predicted_lang")]
@@ -92,8 +122,12 @@ def lang_id(df: DataFrame, id_col: str, text_col: str, label_col: str | None = N
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
-    token set of the normalized text (md5 ⇒ oracle-identical)."""
-    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    token set of the normalized text (md5 ⇒ oracle-identical). Whitespace
+    collapse uses the explicit WS_CLASS, not \\s — see TOKEN_RE's dialect
+    note (Java \\s ∋ \\x0B, RE2 \\s ∌ \\x0B)."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                WS_CLASS + "+", " ")), " ")
     canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
     return df.select(F.col(id_col), F.md5(canon).alias("fingerprint"))
 
@@ -104,22 +138,32 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     token's share. Explode + two hash-aggs keyed by (doc, token) then doc —
     partial aggregation absorbs the per-doc fan-out map-side, so the
     shuffle carries one row per distinct (doc, token)."""
+    # explode_outer, NOT explode: a NULL-text doc must surface as a row
+    # with zero counts like every sibling stat, not vanish — plain explode
+    # drops the doc entirely, and a downstream semi-join (the corpus
+    # quality gate) then discards it silently attributed to the WRONG
+    # filter (r11 review). The null marker row is excluded from every
+    # count by the conditionals below; exchange count is unchanged.
     tok = df.select(
-        F.col(id_col), F.explode(F.split(F.lower(text_col), " ")).alias("tk")
+        F.col(id_col),
+        F.explode_outer(F.split(F.lower(text_col), " ")).alias("tk"),
     )
     freq = tok.groupBy(id_col, "tk").agg(F.count(F.lit(1)).alias("c"))
+    real = F.col("tk").isNotNull()
     return (
         freq.groupBy(id_col)
         .agg(
-            F.sum("c").alias("n_tok"),
-            F.count(F.lit(1)).alias("n_distinct"),
-            F.max("c").alias("top_n"),
+            F.sum(F.when(real, F.col("c")).otherwise(0)).alias("n_tok"),
+            F.count(F.when(real, 1)).alias("n_distinct"),
+            F.max(F.when(real, F.col("c"))).alias("top_n"),
         )
         .select(
             id_col,
             "n_tok", "n_distinct",
-            (F.lit(1.0) - F.col("n_distinct") / F.col("n_tok")).alias("repetition"),
-            (F.col("top_n") / F.col("n_tok")).alias("top_tok_ratio"),
+            (F.lit(1.0) - F.col("n_distinct")
+             / F.nullif(F.col("n_tok"), F.lit(0))).alias("repetition"),
+            (F.col("top_n")
+             / F.nullif(F.col("n_tok"), F.lit(0))).alias("top_tok_ratio"),
         )
     )
 
@@ -191,7 +235,14 @@ def bpe_pairs_from_vocab(vocab: DataFrame,
         f"else '{marker_sql}' end as s2))"
     )
     return (
-        vocab.select(F.explode(pair_arr).alias("p"), "freq")
+        # guard: sequence(1, 0) auto-steps DESCENDING in Spark, so an
+        # empty-string word (reachable with min_word_len=0 or a hand-built
+        # vocab) would emit two bogus ('', marker) pairs instead of none —
+        # and bpe_train's iteration-0 table gives ZERO pairs for '', so
+        # the documented Spark↔driver argmax cross-check would break
+        # (r11 review)
+        vocab.filter(F.length("w") >= 1)
+        .select(F.explode(pair_arr).alias("p"), "freq")
         .select("p.s1", "p.s2", "freq")
         .groupBy("s1", "s2")
         .agg(F.sum("freq").alias("pair_count"))

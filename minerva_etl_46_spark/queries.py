@@ -1710,10 +1710,13 @@ def llm_simhash(spark, sf_dir):
 
 @register(
     "llm_fingerprint",
+    # explicit whitespace class, not \s: RE2's \s excludes \x0B, Java's
+    # includes it — the operators/textstats.py TOKEN_RE dialect note
     oracle="""
     select doc_id,
            md5(array_to_string(list_sort(list_distinct(
-             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))),
+             string_split(trim(regexp_replace(lower(text),
+               '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' '))),
              ' ')) as fingerprint
     from documents
     """,
@@ -1883,15 +1886,15 @@ _SW = "', '".join(STOPWORDS["en"])
     select doc_id,
            len(string_split(text, ' ')) as n_tok,
            len(list_filter(string_split(text, ' '),
-               x -> x in ('{_SW}'))) as stop_n,
-           len(list_filter(string_split(text, ' '), x -> x in ('{_SW}')))
+               x -> lower(x) in ('{_SW}'))) as stop_n,
+           len(list_filter(string_split(text, ' '), x -> lower(x) in ('{_SW}')))
              / len(string_split(text, ' ')) as stop_ratio,
            len(replace(text, ' ', '')) / len(string_split(text, ' ')) as mean_tok_len,
-           (0.3 * (len(list_filter(string_split(text, ' '), x -> x in ('{_SW}')))
+           (0.3 * (len(list_filter(string_split(text, ' '), x -> lower(x) in ('{_SW}')))
                    / len(string_split(text, ' '))))
            + (0.1 * (len(replace(text, ' ', '')) / len(string_split(text, ' '))))
              as score,
-           ((0.3 * (len(list_filter(string_split(text, ' '), x -> x in ('{_SW}')))
+           ((0.3 * (len(list_filter(string_split(text, ' '), x -> lower(x) in ('{_SW}')))
                     / len(string_split(text, ' '))))
             + (0.1 * (len(replace(text, ' ', '')) / len(string_split(text, ' ')))))
              > 0.45 as is_quality
@@ -1910,7 +1913,7 @@ def _langid_case_sql() -> str:
     score = {}
     for lg, ws in STOPWORDS.items():
         wl = "', '".join(ws)
-        score[lg] = f"len(list_filter(string_split(text, ' '), x -> x in ('{wl}')))"
+        score[lg] = f"len(list_filter(string_split(text, ' '), x -> lower(x) in ('{wl}')))"
     branches = []
     for i, lg in enumerate(LANG_ORDER[:-1]):
         conds = " and ".join(
@@ -1918,6 +1921,8 @@ def _langid_case_sql() -> str:
         )
         branches.append(f"when {conds} then '{lg}'")
     case = "case " + " ".join(branches) + f" else '{LANG_ORDER[-1]}' end"
+    # NULL text has no language — mirror the operator's null guard
+    case = f"case when text is null then null else {case} end"
     sels = ",\n           ".join(
         f"cast({score[lg]} as bigint) as s_{lg}" for lg in LANG_ORDER
     )
@@ -2876,16 +2881,24 @@ def llm_shard(spark, sf_dir):
 
 @register(
     "llm_repetition",
+    # one row per doc incl. NULL-text docs (zero counts, null ratios) —
+    # the operator's explode_outer contract; unnest would drop them here,
+    # so rebuild from documents with a left join
     oracle="""
     with tok as (select doc_id, unnest(string_split(lower(text), ' ')) as tk
                  from documents),
-    freq as (select doc_id, tk, count(*) as c from tok group by 1, 2)
-    select doc_id,
-           cast(sum(c) as bigint) as n_tok,
-           count(*) as n_distinct,
-           1 - count(*) / cast(sum(c) as double) as repetition,
-           max(c) / cast(sum(c) as double) as top_tok_ratio
-    from freq group by doc_id
+    freq as (select doc_id, tk, count(*) as c from tok group by 1, 2),
+    stats as (select doc_id,
+                     cast(sum(c) as bigint) as n_tok,
+                     count(*) as n_distinct,
+                     1 - count(*) / cast(sum(c) as double) as repetition,
+                     max(c) / cast(sum(c) as double) as top_tok_ratio
+              from freq group by doc_id)
+    select d.doc_id,
+           coalesce(s.n_tok, 0) as n_tok,
+           coalesce(s.n_distinct, 0) as n_distinct,
+           s.repetition, s.top_tok_ratio
+    from documents d left join stats s using (doc_id)
     """,
 )
 def llm_repetition(spark, sf_dir):

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -150,3 +152,85 @@ def test_bpe_train_stops_when_vocab_exhausted():
     # after full merge each word is ONE symbol — no pairs remain... but a
     # single-symbol sequence still pairs with nothing: loop must break
     assert bpe_segment("ab", merges) == ["ab</w>"]
+
+
+# ---------------------------------------------------------------------------
+# adversarial-fixture parity: the driver's documents fixture is perfectly
+# clean (no NULLs, uppercase, or irregular whitespace — verified r11), so
+# the oracle gate never exercises the text-stat keys on hostile text. This
+# fixture does: NULL text, empty text, uppercase stopwords, runs of spaces,
+# tabs/newlines/vertical tab (the Java-\s vs RE2-\s dialect split), and a
+# doc that is ONLY whitespace. Every key below must still match its DuckDB
+# oracle value-for-value.
+# ---------------------------------------------------------------------------
+
+_NASTY_DOCS = [
+    (0, "the quick brown fox", "en", "web", 19),
+    (1, None, "en", "web", 0),                          # NULL text
+    (2, "", "en", "web", 0),                            # empty text
+    (3, "The And OF tHe the", "en", "web", 18),         # cased stopwords
+    (4, "a  b   c", "en", "web", 8),                    # space runs
+    (5, "tab\there newline\nhere vtab\x0bhere", "en", "web", 30),
+    (6, "   ", "en", "web", 3),                         # whitespace-only
+    (7, "le la et un est", "fr", "web", 15),
+    (8, "x", "zz", "web", 1),                           # 1-char doc
+]
+
+
+@pytest.fixture(scope="module")
+def nasty_dir(spark, tmp_path_factory):
+    import glob
+    import os
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("nasty"))
+    staged = f"{d}/_staged"
+    spark.createDataFrame(
+        _NASTY_DOCS,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(staged)
+    # single FILE like the real fixtures (DuckDB reads the same path)
+    (part,) = glob.glob(f"{staged}/part-*.parquet")
+    os.rename(part, f"{d}/documents.parquet")
+    shutil.rmtree(staged)
+    return d
+
+
+_NASTY_KEYS = ("llm_tokens", "llm_quality", "llm_lang_id",
+               "llm_fingerprint", "llm_repetition", "llm_bpe_pairs")
+
+
+@pytest.mark.parametrize("key", _NASTY_KEYS)
+def test_text_keys_match_oracle_on_adversarial_text(key, spark, nasty_dir):
+    import duckdb
+
+    import __spark_entry__ as E
+    from tests.parity import compare
+
+    con = duckdb.connect()
+    con.execute("create view documents as select * from "
+                f"read_parquet('{nasty_dir}/documents.parquet')")
+    sp = E.queries()[key](spark, nasty_dir).toPandas()
+    du = con.execute(E.oracle_sql()[key]).df()
+    errs = compare(sp, du, key)
+    assert not errs, "\n".join(errs)
+
+
+def test_lang_id_null_text_has_no_language(spark, nasty_dir):
+    import __spark_entry__ as E
+
+    rows = {r["doc_id"]: r for r in
+            E.queries()["llm_lang_id"](spark, nasty_dir).collect()}
+    assert rows[1]["predicted_lang"] is None      # NULL text: no language
+    assert rows[3]["predicted_lang"] == "en"      # cased stopwords fold
+    assert rows[3]["s_en"] == 5                   # The And OF tHe the all fold
+    assert rows[7]["predicted_lang"] == "fr"
+
+
+def test_repetition_keeps_null_text_docs(spark, nasty_dir):
+    import __spark_entry__ as E
+
+    out = {r["doc_id"]: r for r in
+           E.queries()["llm_repetition"](spark, nasty_dir).collect()}
+    assert set(out) == {d[0] for d in _NASTY_DOCS}  # one row per doc
+    assert out[1]["n_tok"] == 0 and out[1]["repetition"] is None
