@@ -780,21 +780,28 @@ def win_intervals(spark, sf_dir):
 
 @register(
     "win_change_detect",
+    # rn=1 + IS DISTINCT FROM, not "prev is null or <>": lag() conflates
+    # "first row" with "previous value was NULL", and plain <> is NULL
+    # (row dropped) on a real x→NULL attribute change — the operator's
+    # row-hash treats NULL as a VALUE (the r10 pre-image contract) and
+    # keeps it (r11 adversarial-events parity: 40 rows vs 39)
     oracle=f"""
     with e as (select * from {EV}),
     r as (select user_id, event_id, event_type,
-                 lag(event_type) over
-                   (partition by user_id order by ts, event_id) as prev
-          from e)
+                 row_number() over w as rn,
+                 lag(event_type) over w as prev
+          from e
+          window w as (partition by user_id order by ts, event_id))
     select user_id, event_id, event_type from r
-    where prev is null or event_type <> prev
+    where rn = 1 or event_type is distinct from prev
     """,
 )
 def win_change_detect(spark, sf_dir):
     """W4+F5: hash-based change suppression — keep only rows whose attribute
     hash differs from the previous row's (md5 row-hash, matching the
-    reference's attribute hash [H]). Oracle compares values directly —
-    same semantics, hash-free."""
+    reference's attribute hash [H]; NULL is a VALUE under the per-column
+    pre-image, so x→NULL and NULL→x are both changes). Oracle compares
+    values directly — same semantics, hash-free."""
     e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
     return suppress_unchanged(
         e, entity_col="user_id", ts_col="ts", attr_cols=["event_type"],
@@ -1276,13 +1283,18 @@ def fn_date_parts(spark, sf_dir):
     """,
 )
 def fn_array(spark, sf_dir):
-    """F10 (bonus): array ops — tag membership + split cardinality."""
+    """F10 (bonus): array ops — tag membership + split cardinality.
+    size() under the non-ANSI session returns -1 for the null array a
+    null props row produces; DuckDB's len() gives NULL — guard (r11
+    adversarial-events parity, the textstats _nullsafe_size class)."""
     e = load(spark, sf_dir, "events")
     return e.select(
         "event_id",
         F.array_contains(F.array(F.lit("view"), F.lit("click")), F.col("event_type"))
         .alias("is_web"),
-        F.size(F.split("props", ":")).cast("long").alias("n_colon_parts"),
+        F.when(F.col("props").isNull(), F.lit(None))
+        .otherwise(F.size(F.split("props", ":")))
+        .cast("long").alias("n_colon_parts"),
     )
 
 
@@ -2189,11 +2201,17 @@ def agg_approx(spark, sf_dir):
     # more pass over events with the 5-row sketch frame broadcast (no
     # extra shuffle of the fact side; DISTINCT expand is fine here — the
     # codegen trap is only DISTINCT *alongside sketch* aggregates)
+    # null-SAFE joins (<=>): a NULL event_type is a real aggregation
+    # group — both engines' GROUP BY keep it — but a plain equi-join on
+    # the group key silently drops it from the invariant plumbing (r11
+    # adversarial-events parity: 4 rows vs the oracle's 5)
+    sk = sketches.select(F.col("event_type").alias("et_k"), "q")
     ranks = (
-        e.join(F.broadcast(sketches.select("event_type", "q")), "event_type")
+        e.join(F.broadcast(sk), e["event_type"].eqNullSafe(sk["et_k"]))
         .groupBy("event_type")
         .agg(
             F.count_distinct("user_id").alias("exact_users"),
+            F.count("value").alias("n_vals"),
             *[
                 (F.count(F.when(F.col("value") <= F.col("q")[i], 1))
                  / F.count("value")).alias(f"f{p}")
@@ -2201,18 +2219,33 @@ def agg_approx(spark, sf_dir):
             ],
         )
     )
+    rk = ranks.withColumnRenamed("event_type", "et_r")
     return (
-        sketches.join(F.broadcast(ranks), "event_type")
+        sketches.join(F.broadcast(rk),
+                      sketches["event_type"].eqNullSafe(rk["et_r"]))
         .select(
-            "event_type",
+            sketches["event_type"],
             "exact_users",
             (F.abs(F.col("approx_users") - F.col("exact_users"))
              <= 0.05 * F.col("exact_users")).alias("users_ok"),
-            ((F.col("q")[0] <= F.col("q")[1]) & (F.col("q")[1] <= F.col("q")[2]))
-            .alias("q_ordered_ok"),
-            F.col("f50").between(0.49, 0.51).alias("q50_ok"),
-            F.col("f95").between(0.94, 0.96).alias("q95_ok"),
-            F.col("f99").between(0.98, 1.0).alias("q99_ok"),
+            # rank bands are DISTRIBUTION-calibrated (±1% realized rank
+            # needs enough mass per group): below the floor the invariant
+            # is vacuously true — a 12-row tie-heavy group can't land a
+            # median in a 1% band and that's not an engine bug (r11
+            # adversarial-events parity). coalesce: an all-null group's
+            # band is NULL, not a failure.
+            F.coalesce((F.col("q")[0] <= F.col("q")[1])
+                       & (F.col("q")[1] <= F.col("q")[2]),
+                       F.col("n_vals") < 100).alias("q_ordered_ok"),
+            ((F.col("n_vals") < 100)
+             | F.coalesce(F.col("f50").between(0.49, 0.51), F.lit(False)))
+            .alias("q50_ok"),
+            ((F.col("n_vals") < 100)
+             | F.coalesce(F.col("f95").between(0.94, 0.96), F.lit(False)))
+            .alias("q95_ok"),
+            ((F.col("n_vals") < 100)
+             | F.coalesce(F.col("f99").between(0.98, 1.0), F.lit(False)))
+            .alias("q99_ok"),
         )
     )
 
@@ -2341,10 +2374,15 @@ def agg_hll_rollup(spark, sf_dir):
         .alias("est_direct"),
         F.count_distinct("user_id").alias("exact_users"),
     )
+    # null-safe join: the NULL event_type group survives both engines'
+    # GROUP BY but a plain equi-join drops it (the agg_approx fix, r11
+    # adversarial-events parity)
+    dr = direct.withColumnRenamed("event_type", "et_r")
     return (
-        merged.join(F.broadcast(direct), "event_type")
+        merged.join(F.broadcast(dr),
+                    merged["event_type"].eqNullSafe(dr["et_r"]))
         .select(
-            "event_type", "n_days", "exact_users",
+            merged["event_type"], "n_days", "exact_users",
             (F.col("est_merged") == F.col("est_direct"))
             .alias("merge_consistent"),
             (F.abs(F.col("est_merged") - F.col("exact_users"))
@@ -4510,10 +4548,16 @@ def agg_mode(spark, sf_dir):
                 (partition by user_id, ts order by event_id desc) as rn
               from e),
     hist as (select user_id, ts, event_type from hist0 where rn = 1),
-    chg as (select *, lag(event_type) over
-              (partition by user_id order by ts) as prev from hist),
+    -- rn2=1 + IS DISTINCT FROM (the win_change_detect rule): NULL is a
+    -- VALUE under the engine's change detection (batch row-hash
+    -- pre-image, stream walk's null-safe compare), so x->NULL opens a
+    -- new interval; "prev is null or <>" both conflated first-row with
+    -- after-null AND suppressed x->NULL (r11 adversarial-events parity)
+    chg as (select *, row_number() over w as rn2,
+                   lag(event_type) over w as prev from hist
+            window w as (partition by user_id order by ts)),
     scd as (select user_id, ts, event_type from chg
-            where prev is null or prev <> event_type),
+            where rn2 = 1 or event_type is distinct from prev),
     facts as (select event_id, user_id, ts from e where event_id % 7 = 0)
     select f.event_id, f.user_id,
            (select s.event_type from scd s
@@ -5091,13 +5135,21 @@ def llm_chunk_dedup(spark, sf_dir):
                     list_sort(list({{'ts_us': epoch_us(ts),
                                      'eid': event_id,
                                      'v': value}})) as s
-             from e group by 1)
+             from e group by 1),
+    -- null samples are SKIPPED (s_t unchanged), the PM missing-sample
+    -- rule: unfiltered, DuckDB's fold poisons on the first null while
+    -- Spark's walk reseeded — BOTH wrong (r11 adversarial-events parity)
+    vals as (select user_id, s,
+                    list_filter(list_transform(s, x -> x.v),
+                                x -> x is not null) as vs
+             from seqs)
     select user_id,
-           list_reduce(list_transform(s, x -> x.v),
+           case when len(vs) = 0 then null
+                else list_reduce(vs,
                        (acc, x) -> acc * cast(0.5 as double)
-                                   + x * cast(0.5 as double)) as ewma,
+                                   + x * cast(0.5 as double)) end as ewma,
            cast(len(s) as bigint) as n
-    from seqs
+    from vals
     """,
 )
 def win_ewma(spark, sf_dir):
@@ -5122,8 +5174,12 @@ def win_ewma(spark, sf_dir):
             )
         ).alias("s")
     )
+    # null samples are SKIPPED (s_t unchanged) — the PM missing-sample
+    # rule; the unfiltered walk RESEEDED after a null (acc went null for
+    # one step, then took the next x.v as a fresh seed) while the
+    # oracle's fold poisoned — both wrong (r11 adversarial-events parity)
     walk = F.aggregate(
-        "s",
+        F.filter("s", lambda x: x.v.isNotNull()),
         F.lit(None).cast("double"),
         lambda acc, x: F.when(acc.isNull(), x.v)
         .otherwise(acc * F.lit(0.5) + x.v * F.lit(0.5)),
@@ -5963,11 +6019,15 @@ def agg_heavy_hitters_cms(spark, sf_dir):
     "agg_hist_quantile",
     oracle=f"""
     with e as (select * from {EV}),
-    daily as (  -- per-day fixed-width histograms (the mergeable partial)
+    daily as (  -- per-day fixed-width histograms (the mergeable partial);
+      -- null values have no bin: unfiltered they form a NULL bin the two
+      -- engines cumulate at OPPOSITE ends of the histogram (nulls-first
+      -- vs nulls-last), shifting every quantile crossing (r11
+      -- adversarial-events parity)
       select event_type, {sql_bucket_epoch('ts', G_1D)} as day_bucket,
              cast(floor(value / 5.0) as bigint) as bin,
              count(*) as n
-      from e group by 1, 2, 3),
+      from e where value is not null group by 1, 2, 3),
     weekly as (  -- re-roll day partials to weeks WITHOUT re-reading raw
       select event_type,
              cast(floor(day_bucket / 604800) * 604800 as bigint) as week_bucket,
@@ -5997,7 +6057,9 @@ def agg_hist_quantile(spark, sf_dir):
     and agg_approx's GK sketch. Shape: two hash-aggs + one window over
     the (type, week, bin) VOCABULARY frame — raw rows touched once."""
     e = load(spark, sf_dir, "events")
-    daily = e.groupBy(
+    # null values have no bin (see the oracle note) — filter before the
+    # histogram partial
+    daily = e.filter(F.col("value").isNotNull()).groupBy(
         "event_type",
         bucket_epoch("ts", G_1D).alias("day_bucket"),
         F.floor(F.col("value") / 5.0).cast("long").alias("bin"),
@@ -6988,11 +7050,20 @@ def join_spatial(spark, sf_dir):
     # steps without a struct accumulator.
     oracle=f"""
     with recursive e as (select * from {EV}),
-    seq as (select user_id, value as v,
+    -- null samples are SKIPPED (the W15 EWMA rule): the walk runs over
+    -- non-null values in time order; n still counts every sample.
+    -- Without the filter a null seed/step poisons the recursion in both
+    -- engines along DIFFERENT paths (r11 adversarial-events parity)
+    seq0 as (select user_id, value as v,
+                    row_number() over (partition by user_id
+                                       order by ts asc, event_id asc) as i0
+             from e),
+    n_all as (select user_id, max(i0) as n from seq0 group by 1),
+    seq as (select user_id, v,
                    row_number() over (partition by user_id
-                                      order by ts asc, event_id asc) as i
-            from e),
-    nn as (select user_id, max(i) as n from seq group by 1),
+                                      order by i0 asc) as i
+            from seq0 where v is not null),
+    nn as (select user_id, max(i) as m from seq group by 1),
     walk(user_id, i, l, b) as (
       select user_id, 1, v, cast(0 as double) from seq where i = 1
       union all
@@ -7001,9 +7072,11 @@ def join_spatial(spark, sf_dir):
              0.1 * ((0.3 * s.v + 0.7 * (w.l + w.b)) - w.l) + 0.9 * w.b
       from walk w join seq s
         on s.user_id = w.user_id and s.i = w.i + 1)
-    select w.user_id, cast(nn.n as bigint) as n,
+    select a.user_id, cast(a.n as bigint) as n,
            w.l as level, w.b as trend
-    from walk w join nn on w.user_id = nn.user_id and w.i = nn.n
+    from n_all a
+    left join nn on a.user_id = nn.user_id
+    left join walk w on w.user_id = a.user_id and w.i = nn.m
     """,
 )
 def win_holt(spark, sf_dir):
@@ -7030,9 +7103,13 @@ def win_holt(spark, sf_dir):
             )
         ).alias("s")
     )
+    # null samples are SKIPPED (the W15 EWMA rule): walk over the
+    # non-null subsequence; n still counts every sample. All-null entity
+    # → (null, null) level/trend (r11 adversarial-events parity)
+    s_nn = F.filter("s", lambda x: x.v.isNotNull())
     init = F.struct(
-        F.element_at("s", 1).getField("v").alias("l"),
-        F.lit(0.0).alias("b"),
+        F.element_at(s_nn, 1).getField("v").alias("l"),
+        F.when(F.size(s_nn) > 0, F.lit(0.0)).alias("b"),
     )
 
     def step(acc, x):
@@ -7044,7 +7121,7 @@ def win_holt(spark, sf_dir):
         "user_id",
         F.size("s").cast("bigint").alias("n"),
         F.aggregate(
-            F.slice("s", 2, F.size("s")), init, step
+            F.slice(s_nn, 2, F.size(s_nn)), init, step
         ).alias("st"),
     )
     return walked.select(
@@ -7268,10 +7345,16 @@ def llm_bpe_pairs(spark, sf_dir):
                 (partition by user_id, ts order by event_id desc) as rn
               from e),
     hist as (select user_id, ts, event_type from hist0 where rn = 1),
-    chg as (select *, lag(event_type) over
-              (partition by user_id order by ts) as prev from hist),
+    -- rn2=1 + IS DISTINCT FROM (the win_change_detect rule): NULL is a
+    -- VALUE under the engine's change detection (batch row-hash
+    -- pre-image, stream walk's null-safe compare), so x->NULL opens a
+    -- new interval; "prev is null or <>" both conflated first-row with
+    -- after-null AND suppressed x->NULL (r11 adversarial-events parity)
+    chg as (select *, row_number() over w as rn2,
+                   lag(event_type) over w as prev from hist
+            window w as (partition by user_id order by ts)),
     scd as (select user_id, ts, event_type from chg
-            where prev is null or prev <> event_type)
+            where rn2 = 1 or event_type is distinct from prev)
     select user_id, event_type,
            epoch_us(ts) as valid_from_us,
            coalesce(epoch_us(lead(ts) over
@@ -7962,10 +8045,16 @@ def join_fuzzy(spark, sf_dir):
                 (partition by user_id, ts order by event_id desc) as rn
               from e),
     hist as (select user_id, ts, event_type from hist0 where rn = 1),
-    chg as (select *, lag(event_type) over
-              (partition by user_id order by ts) as prev from hist),
+    -- rn2=1 + IS DISTINCT FROM (the win_change_detect rule): NULL is a
+    -- VALUE under the engine's change detection (batch row-hash
+    -- pre-image, stream walk's null-safe compare), so x->NULL opens a
+    -- new interval; "prev is null or <>" both conflated first-row with
+    -- after-null AND suppressed x->NULL (r11 adversarial-events parity)
+    chg as (select *, row_number() over w as rn2,
+                   lag(event_type) over w as prev from hist
+            window w as (partition by user_id order by ts)),
     scd as (select user_id, ts, event_type from chg
-            where prev is null or prev <> event_type)
+            where rn2 = 1 or event_type is distinct from prev)
     select user_id, event_type,
            epoch_us(ts) as valid_from_us,
            coalesce(epoch_us(lead(ts) over
@@ -8168,15 +8257,21 @@ def agg_paths(spark, sf_dir):
     hourly as (select user_id, {sql_bucket_epoch('ts', G_1H)} as bucket,
                       sum(cast(value as decimal(38,4))) as v
                from e group by 1, 2),
+    -- FILTER (v is not null): Spark's collect_list SKIPS nulls while
+    -- DuckDB's list() keeps them — the median is over PRESENT values
+    -- (the W15 null-skip rule); all-null frame -> null median, n 0
+    -- (r11 adversarial-events parity)
     r as (select user_id, bucket, v,
-                 list(v) over (partition by user_id order by bucket asc
-                               rows between 4 preceding and current row)
+                 list(v) filter (v is not null)
+                   over (partition by user_id order by bucket asc
+                         rows between 4 preceding and current row)
                    as win
           from hourly)
     select user_id, bucket,
            cast(cast(v as varchar) as double) as v,
-           cast(cast(list_sort(win)[(len(win) + 1) // 2] as varchar)
-                as double) as rmed,
+           case when len(win) = 0 then null
+                else cast(cast(list_sort(win)[(len(win) + 1) // 2]
+                               as varchar) as double) end as rmed,
            cast(len(win) as bigint) as n_window
     from r
     """,
@@ -8207,8 +8302,12 @@ def win_rolling_median(spark, sf_dir):
     return r.select(
         "user_id", "bucket",
         F.col("v").cast("double").alias("v"),
+        # collect_list already skipped nulls (the intended median-over-
+        # present-values rule); guard the all-null frame, where
+        # element_at(win, 0) would throw (r11 adversarial-events parity)
         F.expr(
-            "element_at(win, cast((size(win) + 1) div 2 as int))"
+            "case when size(win) = 0 then null else "
+            "element_at(win, cast((size(win) + 1) div 2 as int)) end"
         ).cast("double").alias("rmed"),
         F.size("win").cast("long").alias("n_window"),
     )
@@ -10746,7 +10845,10 @@ def join_snowflake(spark, sf_dir):
                  rank() over w as rnk,
                  count(*) over (partition by user_id) as n
           from hourly
-          window w as (partition by user_id order by v asc, bucket asc))
+          window w as (partition by user_id
+                       -- nulls first: Spark ASC default; DuckDB defaults
+                       -- NULLS LAST (r11 adversarial-events parity)
+                       order by v asc nulls first, bucket asc))
     select user_id, bucket,
            cast(cast(v as varchar) as double) as v,
            cast(rnk as bigint) as rnk, cast(n as bigint) as n,
@@ -11754,9 +11856,14 @@ def agg_ab_test(spark, sf_dir):
     "agg_mann_whitney",
     oracle=f"""
     with e as (select * from {EV}),
+    -- value is not null: a null observation is MISSING DATA, not a rank
+    -- — unfiltered, each engine ranks the null group at a different end
+    -- (Spark nulls-first vs DuckDB nulls-last; r11 adversarial-events
+    -- parity)
     f as (select value,
                  case when event_type = 'click' then 1 else 0 end as g1
-          from e where event_type in ('click', 'error')),
+          from e where event_type in ('click', 'error')
+                   and value is not null),
     v as (select value, count(*) as n_v, sum(g1) as n1_v
           from f group by 1),
     r as (select *,
@@ -11799,7 +11906,11 @@ def agg_mann_whitney(spark, sf_dir):
     cardinality, NOT row count (the same contraction that makes
     agg_theil_sen scale) — then one 1-row reduce."""
     e = load(spark, sf_dir, "events")
-    f = e.filter(F.col("event_type").isin("click", "error")).select(
+    # null observations are MISSING DATA, not ranks — excluded (r11
+    # adversarial-events parity: the engines rank a null group at
+    # opposite ends)
+    f = e.filter(F.col("event_type").isin("click", "error")
+                 & F.col("value").isNotNull()).select(
         "value",
         F.when(F.col("event_type") == "click", F.lit(1)).otherwise(F.lit(0))
         .alias("g1"),
@@ -12393,9 +12504,15 @@ def agg_target_encode(spark, sf_dir):
     stats = e.groupBy("event_type").agg(
         F.sum(F.col("value").cast(DEC)).alias("s"),
         F.count(F.lit(1)).alias("n"),
-    )
-    g = e.select("event_id", "event_type", "value").join(
-        F.broadcast(stats), "event_type")
+    ).withColumnRenamed("event_type", "et_k")
+    # null-SAFE join back: rows with a NULL category are still rows to
+    # encode (the oracle's window PARTITION BY groups them together);
+    # a plain equi-join silently dropped them (r11 adversarial-events
+    # parity: 40 rows vs 41)
+    facts = e.select("event_id", "event_type", "value")
+    g = (facts.join(F.broadcast(stats),
+                    facts["event_type"].eqNullSafe(stats["et_k"]))
+         .drop("et_k"))
     tot = e.agg(F.sum(F.col("value").cast(DEC)).alias("ts"),
                 F.count(F.lit(1)).alias("tn"))
     g = g.crossJoin(F.broadcast(tot))  # 1-row stats frame

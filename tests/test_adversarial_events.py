@@ -1,0 +1,128 @@
+"""Adversarial-events oracle gate (r11): the driver's events fixture is
+perfectly clean — zero NULL values, zero NULL event_types, zero (user, ts)
+ties (verified r11) — so the oracle gate never exercised the event-key
+family's NULL and tie semantics cross-engine. This fixture does, and the
+first sweep found 12 REAL divergences (all fixed, each noted at its key):
+
+- NULL ordering: Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST
+  (win_percent_rank, agg_hist_quantile, agg_mann_whitney);
+- collect_list skips NULLs, DuckDB list() keeps them (win_rolling_median);
+- size(null array) = -1 under the non-ANSI session vs DuckDB NULL
+  (fn_array, the textstats _nullsafe_size class);
+- plain equi-joins on a nullable group key silently drop the NULL group
+  both engines' GROUP BY keep (agg_approx, agg_hll_rollup,
+  agg_target_encode);
+- "prev is null or <>" change detection conflates first-row with
+  after-null AND suppresses x→NULL changes the row-hash pre-image treats
+  as real (win_change_detect, upsert_scd2_build, join_scd2, stream_scd2);
+- null-sample folds: Spark's EWMA walk RESEEDED after a null while the
+  oracle's fold poisoned — both wrong; nulls are skipped (win_ewma,
+  win_holt).
+
+Every key listed below must match its DuckDB oracle value-for-value on
+this fixture. The list is EXPLICIT (not discovered) so a key silently
+dropping out of coverage fails the suite; keys that load other tables are
+out of scope here (the standing sf-fixture sweeps cover them).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+import shutil
+
+import duckdb
+import pytest
+
+_B = dt.datetime(2024, 1, 1)
+
+
+def _t(h, m=0):
+    return _B + dt.timedelta(hours=h, minutes=m)
+
+
+def _nasty_rows():
+    rows, eid = [], 0
+    for u in (0, 1, 2):
+        for k in range(12):
+            v = None if k % 5 == 3 else float((k * 7 + u * 3) % 20 - 5)
+            et = (None if (u == 1 and k == 6)
+                  else ["view", "click", "purchase", "error"][k % 4])
+            rows.append((eid, _t(k, u), u, et, v, "{}"))
+            eid += 1
+    # (user, ts) ties with different event_id — and a VALUE tie
+    rows.append((eid, _t(2, 0), 0, "view", 9.0, "{}")); eid += 1
+    rows.append((eid, _t(2, 0), 0, "click", 9.0, "{}")); eid += 1
+    rows.append((eid, _t(5, 1), 1, "purchase", None, "{}")); eid += 1
+    rows.append((eid, _t(13, 0), 2, "view", 3.0, None)); eid += 1
+    rows.append((eid, _t(14, 0), 2, "view", 3.0, '{"a":{"b":1}}')); eid += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def nasty_events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nasty_events"))
+    staged = f"{d}/_staged"
+    spark.createDataFrame(
+        _nasty_rows(),
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(staged)
+    (part,) = glob.glob(f"{staged}/part-*.parquet")
+    os.rename(part, f"{d}/events.parquet")
+    shutil.rmtree(staged)
+    return d
+
+
+@pytest.fixture(scope="module")
+def nasty_duck(nasty_events_dir):
+    con = duckdb.connect()
+    con.execute("create view events as select * from "
+                f"read_parquet('{nasty_events_dir}/events.parquet')")
+    yield con
+    con.close()
+
+
+#: every registered batch key whose inputs are exactly {events} — pinned
+#: explicitly so coverage loss is loud (95 keys as of r11)
+EVENT_KEYS = [
+    "agg_ab_test", "agg_approx", "agg_attribution", "agg_availability",
+    "agg_bitmap_distinct", "agg_boxplot", "agg_busy_hour",
+    "agg_calendar_heatmap", "agg_chisq", "agg_churn", "agg_corr_pairs",
+    "agg_count_distinct", "agg_cube", "agg_decay_score", "agg_drift_tv",
+    "agg_entropy", "agg_freshness", "agg_gini", "agg_heavy_hitters_cms",
+    "agg_hist_quantile", "agg_histogram", "agg_hll_rollup", "agg_last_by",
+    "agg_mann_whitney", "agg_mode", "agg_ohlc", "agg_paths",
+    "agg_peak_concurrency", "agg_percentile", "agg_pivot",
+    "agg_regr_slope", "agg_retention", "agg_seasonality_dow",
+    "agg_stickiness", "agg_survival", "agg_target_encode", "agg_time",
+    "agg_time_dst", "agg_time_dst_fall", "agg_time_local",
+    "agg_time_to_convert", "agg_time_weighted", "agg_topn_others",
+    "agg_transitions", "agg_ttest", "agg_user_growth", "diff_keyed",
+    "fn_array", "fn_date_parts", "fn_ip_cidr", "fn_json_extract",
+    "fn_ts_align", "fn_variant", "fn_zorder", "kpi_expr",
+    "trigger_cooldown", "trigger_notify", "upsert_latest",
+    "upsert_scd2_build", "upsert_tombstone", "win_autocorr",
+    "win_bollinger", "win_change_detect", "win_counter_reset", "win_cume",
+    "win_cusum", "win_delta", "win_dod_change", "win_drawdown", "win_ewma",
+    "win_funnel", "win_gap_fill", "win_holt", "win_interp",
+    "win_interval_merge", "win_intervals", "win_late_arrivals",
+    "win_latest", "win_moving_avg", "win_ntile", "win_outlier_mad",
+    "win_pattern", "win_percent_rank", "win_rank", "win_records",
+    "win_rolling_median", "win_rsi", "win_runs_test",
+    "win_seasonal_baseline", "win_sessionize", "win_share",
+    "win_stochastic", "win_streak", "win_twr", "win_zscore",
+]
+
+
+@pytest.mark.parametrize("key", EVENT_KEYS)
+def test_event_key_matches_oracle_on_adversarial_events(
+        key, spark, nasty_events_dir, nasty_duck):
+    import __spark_entry__ as E
+    from tests.parity import compare
+
+    sp = E.queries()[key](spark, nasty_events_dir).toPandas()
+    du = nasty_duck.execute(E.oracle_sql()[key]).df()
+    errs = compare(sp, du, key)
+    assert not errs, "\n".join(errs)
