@@ -103,7 +103,8 @@ def cosine_topk_bruteforce(
 def _infer_dim(emb: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality from the first row (one-row driver fetch,
     bounded metadata — not a data-path collect)."""
-    row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    row = (emb.where(F.col(vec_col).isNotNull())
+           .select(F.size(F.col(vec_col)).alias("d")).first())
     if row is None or row["d"] is None or row["d"] <= 0:
         raise ValueError(f"cannot infer embedding dim from '{vec_col}'")
     return int(row["d"])
@@ -115,7 +116,12 @@ def _dim_guard(emb: DataFrame, vec_col: str, dim: int) -> DataFrame:
     with null) and collapse recall instead of erroring. assert_true returns
     NULL when the predicate holds, so the filter is a plan-visible no-op
     that cannot be pruned away."""
-    return emb.where(
+    # NULL vectors are MISSING DATA, not dimension errors: excluded like
+    # every null observation in this engine (they cannot be hashed,
+    # assigned, or ranked); a NON-null vector of the wrong length still
+    # raises (r11 adversarial-embeddings parity — the guard previously
+    # killed the job on the first null row)
+    return emb.where(F.col(vec_col).isNotNull()).where(
         F.assert_true(
             F.size(F.col(vec_col)) == dim,
             F.lit(f"embedding length != SRP plane dim {dim}"),
@@ -223,7 +229,10 @@ def _fit_centroids_sample(
     KMeans iteration. ANN cells need a reasonable space partition, not a
     converged clustering (see cosine_topk_ivf)."""
     rows = (
-        emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        # null vectors are missing data — a None in the sample crashed
+        # the numpy fit (r11 adversarial-embeddings parity)
+        emb.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         .withColumn("__h", F.xxhash64(F.col("i").cast("string"), F.lit(seed)))
         .sort("__h", "i").limit(fit_sample).collect()  # bounded-by: fit_sample cap
     )
@@ -353,6 +362,11 @@ def cosine_topk_ivf(
     honest trade."""
     from pyspark.sql import Window
 
+    # null vectors are MISSING DATA (the engine's null-observation rule):
+    # unfiltered, one None in an Arrow batch makes the assignment UDF's
+    # numpy array inhomogeneous and kills the worker (r11
+    # adversarial-embeddings parity)
+    emb = emb.where(F.col(vec_col).isNotNull())
     cent = _fit_centroids_sample(
         emb, id_col, vec_col, n_cells, seed, fit_sample, max_iter
     )

@@ -2541,7 +2541,10 @@ def llm_split(spark, sf_dir):
     # is (VERDICT r4 §missing 3): every corpus vector assigned exactly
     # once to a cell id in [0, k). The oracle enumerates the exact row
     # set the invariant reduction must produce.
-    oracle="select vec_id, true as ok from embeddings",
+    # null vectors cannot be assigned a cell — excluded (missing data,
+    # the engine's null-observation rule; r11 adversarial-embeddings)
+    oracle="select vec_id, true as ok from embeddings "
+           "where embedding is not null",
 )
 def llm_cluster(spark, sf_dir):
     """Embedding clustering (corpus organization / stratified sampling):
@@ -2563,7 +2566,8 @@ def llm_cluster(spark, sf_dir):
     cent = _fit_centroids_sample(emb, "vec_id", "embedding",
                                  n_cells=n_cells, seed=42, fit_sample=4096,
                                  max_iter=20)
-    asg = emb.select(
+    # null vectors are missing data — no cell (the oracle excludes them)
+    asg = emb.filter(F.col("embedding").isNotNull()).select(
         "vec_id", _cell_id(F.col("embedding"), cent).alias("cluster")
     )
     per = asg.groupBy("vec_id").agg(
@@ -12273,7 +12277,12 @@ def win_records(spark, sf_dir):
                         as cos_centroid
                from dots d
                join nv on d.vec_id = nv.vec_id
-               join ns on d.label = ns.label)
+               join ns on d.label = ns.label
+               -- zero-norm vectors/centroids have UNDEFINED cosine (0/0):
+               -- the engines rank the resulting NaN at opposite ends —
+               -- degenerate embeddings are excluded from outlier ranking
+               -- (r11 adversarial-embeddings parity)
+               where nv.nv2 > 0 and ns.ns2 > 0)
     select cast(label as bigint) as label, vec_id, cos_centroid,
            cast(rk as bigint) as rk
     from (select *, row_number() over
@@ -12330,9 +12339,13 @@ def llm_embed_outliers(spark, sf_dir):
         .agg(F.sum(F.col("xq").cast(D18) * F.col("sxq").cast(D18))
              .alias("dot"))
     )
+    # zero-norm vectors/centroids: cosine is 0/0 = NaN, which Spark's
+    # ASC sort puts LAST and DuckDB elsewhere — degenerate embeddings
+    # are excluded from the ranking (r11 adversarial-embeddings parity)
     scored = (
         dots.join(nv, ["vec_id", "label"])
         .join(F.broadcast(ns), "label")
+        .filter((F.col("nv2") > 0) & (F.col("ns2") > 0))
         .select("vec_id", "label",
                 (F.col("dot").cast("double")
                  / F.sqrt(F.col("nv2").cast("double")

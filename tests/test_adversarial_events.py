@@ -126,3 +126,66 @@ def test_event_key_matches_oracle_on_adversarial_events(
     du = nasty_duck.execute(E.oracle_sql()[key]).df()
     errs = compare(sp, du, key)
     assert not errs, "\n".join(errs)
+
+
+# ---------------------------------------------------------------------------
+# adversarial EMBEDDINGS (r11): zero-norm vector (undefined cosine — each
+# engine ranks the NaN at a different end), NULL embedding (crashed the IVF
+# assignment UDF's numpy batch, killed the ANN dim guard, and poisoned the
+# driver-side k-means sample before the fixes), NULL label. The real
+# fixture has none of these (verified r11).
+# ---------------------------------------------------------------------------
+
+import math
+
+
+def _nasty_vectors():
+    rows = []
+    for i in range(240):
+        base = [math.copysign((j * 7 + i) % 13 + 1, (-1) ** (i + j))
+                for j in range(64)]
+        rows.append((i, [float(x) for x in base], i % 5))
+    rows.append((240, [0.0] * 64, 0))          # zero-norm vector
+    rows.append((400, [1.0] + [0.0] * 63, 1))  # near-zero QUERY (id%200==0)
+    rows.append((241, None, 2))                # NULL embedding
+    rows.append((242, [2.0] * 64, None))       # NULL label
+    return rows
+
+
+@pytest.fixture(scope="module")
+def nasty_emb_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nasty_emb"))
+    staged = f"{d}/_staged"
+    spark.createDataFrame(
+        _nasty_vectors(), "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(staged)
+    (part,) = glob.glob(f"{staged}/part-*.parquet")
+    os.rename(part, f"{d}/embeddings.parquet")
+    shutil.rmtree(staged)
+    return d
+
+
+@pytest.fixture(scope="module")
+def nasty_emb_duck(nasty_emb_dir):
+    con = duckdb.connect()
+    con.execute("create view embeddings as select * from "
+                f"read_parquet('{nasty_emb_dir}/embeddings.parquet')")
+    yield con
+    con.close()
+
+
+EMBEDDING_KEYS = ["llm_sim_topk", "llm_sim_ann", "llm_sim_ivf",
+                  "llm_cluster", "llm_dedup_embed", "llm_semdedup",
+                  "llm_embed_outliers"]
+
+
+@pytest.mark.parametrize("key", EMBEDDING_KEYS)
+def test_embedding_key_matches_oracle_on_adversarial_vectors(
+        key, spark, nasty_emb_dir, nasty_emb_duck):
+    import __spark_entry__ as E
+    from tests.parity import compare
+
+    sp = E.queries()[key](spark, nasty_emb_dir).toPandas()
+    du = nasty_emb_duck.execute(E.oracle_sql()[key]).df()
+    errs = compare(sp, du, key)
+    assert not errs, "\n".join(errs)
