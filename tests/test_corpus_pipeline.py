@@ -59,3 +59,44 @@ def test_pipeline_deterministic(spark):
     pa = a.sort("doc_id").toPandas()
     pb = b.sort("doc_id").toPandas()
     assert pa.equals(pb), "pipeline output must be deterministic in input bytes"
+
+
+def test_corpus_pipeline_survives_hostile_docs(spark, tmp_path):
+    """r11: the FULL training-corpus composition over hostile documents —
+    NULL text, empty text, whitespace runs, a duplicate pair, a 1-token
+    doc. The pipeline must neither crash nor silently lose accountable
+    docs: every input doc is either in the final corpus or attributed to
+    a stage drop, and the null/empty docs go out at the QUALITY stage
+    (repetition_stats keeps them as zero-count rows now — the r11 fix —
+    so the min-token filter drops them explicitly)."""
+    from pyspark.sql import functions as F
+
+    from minerva_etl_46_spark.plans.corpus import build_training_corpus
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (0, base, "en", "web", len(base)),
+        (1, base, "en", "web", len(base)),              # exact duplicate
+        (2, base + " extra tail tokens here", "en", "web", 0),  # near-dup
+        (3, None, "en", "web", 0),                       # NULL text
+        (4, "", "en", "web", 0),                         # empty
+        (5, "solo", "en", "web", 4),                     # 1 token
+        (6, " ".join(f"w{i}" for i in range(60)), "en", "web", 0),
+        (7, " ".join(f"v{i}" for i in range(60)), "en", "web", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    final, stats = build_training_corpus(
+        docs, bench_pred=F.lit(False), out_dir=str(tmp_path / "out"))
+    kept = {r["doc_id"] for r in final.select("doc_id").collect()}
+    # duplicates collapse to the canonical id 0; 2 is a near-dup of 0
+    assert 1 not in kept and 2 not in kept
+    # null/empty/1-token docs fail the quality gate, explicitly
+    assert not ({3, 4, 5} & kept)
+    # the real docs survive
+    assert {0, 6, 7} <= kept
+    # accounting: every stage count is consistent (no silent losses)
+    assert stats.counts["input"] == len(rows)
+    assert stats.counts["after_quality"] == len(kept)
