@@ -34,9 +34,13 @@ def spread(df: DataFrame) -> DataFrame:
 
 def normalize_text(c: Column | str) -> Column:
     """Casefold + collapse whitespace + trim — the canonical pre-image for
-    exact dedup. Oracle: trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))."""
+    exact dedup. The whitespace class is EXPLICIT, never \\s: Java's \\s
+    includes \\x0B, RE2's (the DuckDB oracles) does not, so \\s silently
+    diverges the two engines on vertical-tab text (r11 adversarial-docs
+    parity; the operators/textstats.py TOKEN_RE note). Oracle twin:
+    trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), r"[ \t\n\x0B\f\r]+", " "))
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

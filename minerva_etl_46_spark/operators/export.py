@@ -43,7 +43,12 @@ def shard_stats(docs: DataFrame, id_col: str, text_col: str,
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(F.split(F.col(text_col), " "))).alias("total_tokens"),
+            # null-safe: size(split(NULL)) is -1 under the non-ANSI
+            # session and silently skews the sum (r11 adversarial-docs);
+            # a null-text doc still counts as a doc, contributes 0 tokens
+            F.sum(F.when(F.col(text_col).isNull(), F.lit(None))
+                  .otherwise(F.size(F.split(F.col(text_col), " "))))
+            .alias("total_tokens"),
             F.sum(F.length(text_col)).alias("total_chars"),
         )
     )

@@ -178,7 +178,17 @@ def extract_features(media: DataFrame, batch_hint: int | None = None,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode(p) for p in pdf["payload"]]
+            # a NULL payload is MISSING DATA, not an undecodable format:
+            # emit a null-feature row (one row per media id, like every
+            # per-record stat here) instead of letting the codec raise
+            # and kill the whole job on one absent blob (r11
+            # adversarial-docs parity; the oracle's left join mirrors
+            # this). Undecodable NON-null payloads still raise — that is
+            # the codec contract.
+            feats = [decode(p) if p is not None
+                     else {"n_bytes": None, "n_frames": None,
+                           "feat_mean": None}
+                     for p in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out[["media_id", "n_bytes", "n_frames", "feat_mean"]]

@@ -103,6 +103,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _ws_count(c) -> F.Column:
+    """Whitespace-token count, null-safe: size() returns -1 for the null
+    array NULL text produces under the non-ANSI session, while DuckDB's
+    len(string_split(NULL)) is NULL — inside a SUM the -1 silently skews
+    the total where the oracle's NULL is skipped (r11 adversarial-docs
+    parity). NULL text counts as NULL (sum-transparent)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (F.when(col.isNull(), F.lit(None))
+            .otherwise(F.size(F.split(col, " ")))).cast("long")
+
+
 def register(key: str, oracle: str | None = None):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1364,7 +1375,9 @@ def _dup_corpus(spark, sf_dir):
 @register(
     "llm_dedup_exact",
     oracle=f"""
-    select md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as norm_hash,
+    -- explicit whitespace class, not \s (RE2 vs Java \x0B dialect split
+    -- — the fingerprint/TOKEN_RE note in operators/textstats.py)
+    select md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) as norm_hash,
            min(doc_id) as canonical_id, count(*) as n_dups
     from {DUP_CORPUS_SQL} corpus
     group by 1
@@ -1870,7 +1883,7 @@ def llm_text_stats(spark, sf_dir):
         F.sum("n_chars").alias("total_chars"),
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
         F.percentile("n_chars", 0.5).alias("med_chars"),
-        F.sum(F.size(F.split("text", " ")).cast("long")).alias("total_tokens"),
+        F.sum(_ws_count("text")).alias("total_tokens"),
     )
 
 
@@ -2961,7 +2974,9 @@ def llm_repetition(spark, sf_dir):
              cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 8))
                   as bigint) % 8 as shard,
              len(string_split(text, ' ')) as tokens
-      from documents),
+      -- null text carries nothing to pack (pack_sequences' documented
+      -- contract; the oracle previously packed a NULL-token doc)
+      from documents where text is not null),
     seq as (select doc_id, shard, tokens,
                    row_number() over (partition by shard order by doc_id) as rn
             from docs),
@@ -3230,7 +3245,7 @@ def llm_mix_weights(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     per_src = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split("text", " ")).cast("long")).alias("tokens"),
+        F.sum(_ws_count("text")).alias("tokens"),
     )
     tot = per_src.agg(
         F.sum("tokens").cast("double").alias("all_tokens"),
@@ -3597,7 +3612,8 @@ def llm_keywords(spark, sf_dir):
     with h as (
       select doc_id, source,
              md5(array_to_string(list_sort(list_distinct(
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               string_split(trim(regexp_replace(lower(text),
+                 '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),
                             ' '))), ' ')) as fp
       from documents)
     select a.source as source_a, b.source as source_b,
@@ -3639,7 +3655,10 @@ def llm_overlap(spark, sf_dir):
     "llm_len_buckets",
     oracle="""
     with t as (select source, len(string_split(text, ' ')) as n_tok
-               from documents),
+               -- null text has no length bucket: Spark's size()=-1 fell
+               -- into the 32-bucket while DuckDB's NULL fell through the
+               -- CASE to 1024 — both accidents (r11 adversarial-docs)
+               from documents where text is not null),
     b as (select source, n_tok,
                  case when n_tok <= 32 then 32 when n_tok <= 64 then 64
                       when n_tok <= 128 then 128 when n_tok <= 256 then 256
@@ -3660,7 +3679,8 @@ def llm_len_buckets(spark, sf_dir):
     pad-to-bucket batcher would spend. A CASE ladder (not log2) keeps the
     bucket edges integer-exact across engines. One narrow projection and
     one hash-agg — the report is |sources|×|buckets| rows at any scale."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())  # no length bucket for null text
     n_tok = F.size(F.split("text", " "))
     bucket = (
         F.when(n_tok <= 32, 32).when(n_tok <= 64, 64).when(n_tok <= 128, 128)
@@ -6729,7 +6749,7 @@ def llm_dataset_card(spark, sf_dir):
     shape that reads 100 TB exactly once and returns one row."""
     d = load(spark, sf_dir, "documents")
     chars = F.length("text")
-    toks = F.size(F.split("text", " "))
+    toks = _ws_count("text")  # null-safe: see _ws_count
     is_en = F.when(F.col("lang") == "en", 1).otherwise(0)
     return d.groupBy().agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -9455,7 +9475,7 @@ def llm_readability(spark, sf_dir):
     whole-stage codegen; scan-bound at any scale."""
     d = load(spark, sf_dir, "documents")
     n_letters = F.length(F.regexp_replace("text", " ", ""))
-    n_words = F.size(F.split("text", " "))
+    n_words = _ws_count("text")  # null-safe: see _ws_count
     n_sent = F.greatest(
         F.regexp_count("text", F.lit("[.!?]+")), F.lit(1))
     f = d.select(
@@ -10394,7 +10414,10 @@ def llm_lang_mix(spark, sf_dir):
                       unnest(string_split(text, ' ')[1:20]) as tok,
                       unnest(range(1, least(len(string_split(text, ' ')),
                                             20) + 1)) as pos
-               from documents),
+               -- null text has no positions: least(NULL, 20) ignores the
+               -- NULL and padded 20 null-token rows per null doc while
+               -- Spark's posexplode skips (r11 adversarial-docs)
+               from documents where text is not null),
     c as (select pos, tok, count(*) as n from p group by 1, 2),
     r as (select pos, tok, n,
                  row_number() over (partition by pos
@@ -11607,10 +11630,13 @@ def stream_topk(spark, sf_dir):
 @register(
     "llm_bloom_prefilter",
     oracle="""
+    -- text is not null: a null doc has no content hash; DuckDB's
+    -- concat('0x', NULL) collapses to '0x' and the bigint cast THROWS,
+    -- killing the whole oracle (r11 adversarial-docs parity)
     with idx as (select md5(text) as h from documents
-                 where doc_id % 10 <> 0),
+                 where doc_id % 10 <> 0 and text is not null),
     probe as (select doc_id, md5(text) as h from documents
-              where doc_id % 10 = 0),
+              where doc_id % 10 = 0 and text is not null),
     ih as (select h,
                   cast(concat('0x', substr(h, 1, 8)) as bigint) as h1,
                   cast(concat('0x', substr(h, 9, 8)) as bigint) as h2
@@ -11658,7 +11684,10 @@ def llm_bloom_prefilter(spark, sf_dir):
     broadcast lookup + one per-doc hash-agg: work ∝ batch, never
     corpus. The false_positive column IS the filter's quality metric —
     the audit a production rollout runs before trusting the gate."""
-    d = load(spark, sf_dir, "documents")
+    # null text has no content hash — excluded from index AND probes
+    # (the oracle's concat('0x', NULL) would throw; Spark's conv(null)
+    # nulls flow into every position — both wrong; r11 adversarial-docs)
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     h = F.md5("text")
     h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")

@@ -196,8 +196,35 @@ def nasty_dir(spark, tmp_path_factory):
     return d
 
 
-_NASTY_KEYS = ("llm_tokens", "llm_quality", "llm_lang_id",
-               "llm_fingerprint", "llm_repetition", "llm_bpe_pairs")
+#: every registered key whose inputs are exactly {documents} — pinned
+#: explicitly (60 keys as of r11) so coverage loss is loud. The full
+#: family swept clean after the r11 fixes: null-safe token counts
+#: (_ws_count: size(null) = -1 skewed sums), explicit whitespace classes
+#: (Java-\s vs RE2-\s on \x0B) in exact-dedup/overlap normalization,
+#: null-text exclusions where a null doc has no bucket/position/pack/
+#: content-hash (len_buckets, positional_template, pack, bloom), and the
+#: mm_extract null-payload feature row (a null blob no longer kills the
+#: decode job).
+_NASTY_KEYS = (
+    "llm_tokens", "llm_quality", "llm_lang_id", "llm_fingerprint",
+    "llm_repetition", "llm_bpe_pairs",
+    "llm_bloom_prefilter", "llm_bm25", "llm_boilerplate", "llm_cdc_chunk",
+    "llm_chunk", "llm_chunk_dedup", "llm_code_detect", "llm_collocations",
+    "llm_concat", "llm_containment", "llm_dataset_card",
+    "llm_decontaminate", "llm_dedup_exact", "llm_dedup_groups",
+    "llm_dedup_incremental", "llm_dedup_near", "llm_dedup_url",
+    "llm_domain_cap", "llm_domain_match", "llm_dupe_stats",
+    "llm_edit_distance", "llm_hot_ngrams", "llm_keywords", "llm_lang_mix",
+    "llm_len_buckets", "llm_minhash_est", "llm_mix_weights",
+    "llm_ngram_jaccard", "llm_ngram_lm", "llm_normalize", "llm_novelty",
+    "llm_overlap", "llm_pack", "llm_positional_template", "llm_postings",
+    "llm_readability", "llm_redact", "llm_sample_stratified", "llm_shard",
+    "llm_simhash", "llm_split", "llm_stopword_profile", "llm_surprisal",
+    "llm_text_stats", "llm_tfidf", "llm_url_parse", "llm_vocab",
+    "llm_winnow", "llm_zipf",
+    "mm_extract", "mm_frames", "mm_meta", "mm_phash_neardup",
+    "mm_tile_grid",
+)
 
 
 @pytest.mark.parametrize("key", _NASTY_KEYS)
