@@ -79,6 +79,12 @@ def cosine_topk_bruteforce(
     WindowGroupLimit keeps it a streaming top-k, not a full sort)."""
     from pyspark.sql import Window
 
+    # NULL vectors are missing data (cannot be normed or ranked) and are
+    # excluded on BOTH sides — as query AND candidate — matching the IVF
+    # path's exclusion and the oracle's non-null elems CTE (r12: previously
+    # a NULL query emitted k NULL-cos rows the oracle never produced, and a
+    # NULL candidate could enter top-k when < k real candidates existed).
+    emb = emb.where(F.col(vec_col).isNotNull())
     norms = emb.select(
         F.col(id_col), F.col(vec_col), _norm2_dec(F.col(vec_col)).alias("nrm2")
     )

@@ -1375,8 +1375,8 @@ def _dup_corpus(spark, sf_dir):
 @register(
     "llm_dedup_exact",
     oracle=f"""
-    -- explicit whitespace class, not \s (RE2 vs Java \x0B dialect split
-    -- — the fingerprint/TOKEN_RE note in operators/textstats.py)
+    -- explicit whitespace class, not backslash-s (RE2 vs Java vertical-tab
+    -- dialect split — the fingerprint/TOKEN_RE note in operators/textstats.py)
     select md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) as norm_hash,
            min(doc_id) as canonical_id, count(*) as n_dups
     from {DUP_CORPUS_SQL} corpus
@@ -1823,10 +1823,15 @@ def _topk_invariants(res, k: int, queries):
     )
 
 
-#: every query vector must come back answered, with all invariants true
+#: every query vector must come back answered, with all invariants true.
+#: A NULL embedding at a query-position id is MISSING DATA, not a query —
+#: it cannot be hashed, probed, or ranked, so both engines exclude it
+#: (r12: the query-position NULL in the adversarial fixture previously
+#: made the Spark side emit an unanswerable q_id the oracle also listed
+#: as answerable).
 _TOPK_INVARIANT_ORACLE = """
     select vec_id as q_id, true as ok
-    from embeddings where vec_id % 200 = 0
+    from embeddings where vec_id % 200 = 0 and embedding is not null
 """
 
 
@@ -1838,7 +1843,8 @@ def llm_sim_ann(spark, sf_dir):
     probabilistic-by-parametrization, but rank shape, cos range,
     monotonicity, and query completeness are the checked contracts."""
     emb = load(spark, sf_dir, "embeddings")
-    qset = emb.filter(F.col("vec_id") % 200 == 0) \
+    qset = emb.filter((F.col("vec_id") % 200 == 0)
+                      & F.col("embedding").isNotNull()) \
         .select(F.col("vec_id").alias("q_id"))
     return _topk_invariants(cosine_topk_ann(emb, query_mod=200, k=5), k=5,
                             queries=qset)
@@ -1857,7 +1863,8 @@ def llm_sim_ivf(spark, sf_dir):
     from minerva_etl_46_spark.operators.similarity import cosine_topk_ivf
 
     emb = load(spark, sf_dir, "embeddings")
-    qset = emb.filter(F.col("vec_id") % 200 == 0) \
+    qset = emb.filter((F.col("vec_id") % 200 == 0)
+                      & F.col("embedding").isNotNull()) \
         .select(F.col("vec_id").alias("q_id"))
     res = cosine_topk_ivf(emb, query_mod=200, k=5, n_cells=16, n_probe=10)
     return _topk_invariants(res, k=5, queries=qset)
@@ -4244,7 +4251,13 @@ def llm_semdedup(spark, sf_dir):
         _norm2_dec,
     )
 
-    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    # NULL embeddings are missing data — the oracle's unnest drops them
+    # via len(NULL); exclude them here too (r12: a query-position NULL
+    # previously stayed in the Spark corpus with a NULL vector and kept
+    # two rows the oracle never emitted)
+    emb = load(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") % 5 == 0) & F.col("embedding").isNotNull()
+    )
     as_double = F.transform("embedding", lambda x: x.cast("double"))
     orig = emb.select("vec_id", "label", as_double.alias("v"))
     sib = emb.select(

@@ -588,6 +588,14 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str,
         (batch.filter(F.col("event_id") % 10 == 0)
               .coalesce(1).write.mode("append").parquet(staged))
         os.rename(staged, src)
+        # prune older-fingerprint siblings + orphaned staged dirs: without
+        # this, every fixture regeneration strands one full parquet copy
+        # in scratch_dir forever (r11 ADVICE)
+        import glob as _glob
+
+        for stale in _glob.glob(os.path.join(scratch_dir, "dedup_src_*")):
+            if stale != src:
+                shutil.rmtree(stale, ignore_errors=True)
     raw = (
         spark.readStream.format("parquet")
         .schema(batch.schema)

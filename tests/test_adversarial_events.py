@@ -147,8 +147,15 @@ def _nasty_vectors():
         rows.append((i, [float(x) for x in base], i % 5))
     rows.append((240, [0.0] * 64, 0))          # zero-norm vector
     rows.append((400, [1.0] + [0.0] * 63, 1))  # near-zero QUERY (id%200==0)
-    rows.append((241, None, 2))                # NULL embedding
+    rows.append((241, None, 2))                # NULL embedding (candidate)
     rows.append((242, [2.0] * 64, None))       # NULL label
+    # r12 (judge ADVICE): degenerate rows AT query positions (id%200==0)
+    # so every key's query/probe path sees them — a NULL embedding that IS
+    # a query previously made llm_sim_topk emit k NULL-cos rows the oracle
+    # never produced, and a NULL label at a query id exercises the
+    # label-join path of the classification-shaped keys.
+    rows.append((600, None, 3))                # NULL embedding AS QUERY
+    rows.append((800, [3.0] * 64, None))       # NULL label AS QUERY
     return rows
 
 
