@@ -164,8 +164,15 @@ def scan_csv(spark, sf_dir):
     Int/string-only table → lossless round-trip."""
     scratch = _scratch(sf_dir, "nation_csv")  # PID-scoped: no cross-session race
     nation = load(spark, sf_dir, "nation")
-    nation.coalesce(1).write.mode("overwrite").option("header", True).csv(scratch)
-    return spark.read.csv(
+    # explicit NULL token + no whitespace trim: the default writer trims
+    # padded values and renders NULL as the empty field, conflating NULL
+    # with '' on re-read (r12 adversarial-trade parity — round-trip is
+    # lossless for NULL, '', padding, commas and quotes under these opts)
+    (nation.coalesce(1).write.mode("overwrite").option("header", True)
+     .option("nullValue", "\\N")
+     .option("ignoreLeadingWhiteSpace", "false")
+     .option("ignoreTrailingWhiteSpace", "false").csv(scratch))
+    return spark.read.option("nullValue", "\\N").csv(
         scratch, header=True,
         schema="n_nationkey int, n_name string, n_regionkey int",
     )
@@ -197,22 +204,36 @@ def scan_kv(spark, sf_dir):
     `nation` through a scratch .kv file; parsing is one JVM-side
     str_to_map per line (codegen, no Python), fields schema-declared
     like the CSV/JSONL paths."""
-    from minerva_etl_46_spark.sources.harvest import read_kv_harvest
+    from minerva_etl_46_spark.sources.harvest import (
+        kv_escape,
+        read_kv_harvest,
+    )
 
     scratch = _scratch(sf_dir, "nation_kv")  # PID-scoped: no cross-session race
     nation = load(spark, sf_dir, "nation")
+
+    # the k=v escape convention (r12): values percent-encode % | =, and
+    # NULL fields are OMITTED from the line (missing key → NULL on read)
+    # so NULL and '' stay distinct — the old bare concat nulled the whole
+    # line on any NULL field and broke parsing on separator characters
+    def pair(k, col):
+        return F.when(
+            col.isNotNull(),
+            F.concat(F.lit(k + "="), kv_escape(col.cast("string"))))
+
     lines = nation.select(
-        F.concat(
-            F.lit("n_nationkey="), F.col("n_nationkey"),
-            F.lit("|n_name="), F.col("n_name"),
-            F.lit("|n_regionkey="), F.col("n_regionkey"),
-        ).alias("value")
+        F.array_join(F.array_compact(F.array(
+            pair("n_nationkey", F.col("n_nationkey")),
+            pair("n_name", F.col("n_name")),
+            pair("n_regionkey", F.col("n_regionkey")),
+        )), "|").alias("value")
     )
     lines.coalesce(1).write.mode("overwrite").text(scratch)
     return read_kv_harvest(
         spark, scratch,
         fields={"n_nationkey": "int", "n_name": "string",
                 "n_regionkey": "int"},
+        percent_escaped=True,
     )
 
 
@@ -224,7 +245,9 @@ def scan_kv(spark, sf_dir):
            cast(n_regionkey as double) as value,
            (n_regionkey = 0) as suspect
     from nation
-    """,
+    -- a measValue needs both a dn and a value to render (r12 parity)
+    where n_name is not null and n_regionkey is not null
+""",
 )
 def xml_harvest(spark, sf_dir):
     """S2: 3GPP TS 32.435 measurement-file harvest (sources/xml3gpp.py),
@@ -241,6 +264,9 @@ def xml_harvest(spark, sf_dir):
     rows = (
         load(spark, sf_dir, "nation")
         .select("n_nationkey", "n_name", "n_regionkey")
+        # a measValue needs both a dn and a value — the oracle filter (r12)
+        .where(F.col("n_name").isNotNull()
+               & F.col("n_regionkey").isNotNull())
         .orderBy("n_nationkey")
         .collect()  # bounded-by: nation is a 25-row TPC-H dimension
     )
@@ -255,12 +281,16 @@ def xml_harvest(spark, sf_dir):
         '<granPeriod duration="PT3600S" endTime="2024-01-01T01:00:00Z"/>',
         '<measType p="1">regionKeyTotal</measType>',
     ]
+    from xml.sax.saxutils import quoteattr
+
     for r in rows:
         # region-0 rows carry a suspect flag so the driver hash covers the
-        # flag path, not just its false default
+        # flag path, not just its false default. quoteattr(): a dn with
+        # embedded quotes/</& previously rendered invalid XML (r12) — the
+        # parser unescapes, so the dn round-trips exactly.
         sus = ("<suspect>true</suspect>" if r.n_regionkey == 0 else "")
         doc.append(
-            f'<measValue measObjLdn="{r.n_name}">'
+            f'<measValue measObjLdn={quoteattr(r.n_name)}>'
             f'<r p="1">{float(r.n_regionkey)}</r>{sus}</measValue>'
         )
     doc.append("</measInfo></measData></measCollecFile>")
@@ -1180,13 +1210,20 @@ def fn_ts_align(spark, sf_dir):
 @register(
     "fn_string_dn",
     oracle="""
-    select c_custkey,
-           concat('Nation=', c_nationkey, ',Customer=', c_custkey) as dn,
-           list_element(string_split(concat('Nation=', c_nationkey, ',Customer=', c_custkey), ','), 1) as root_part,
-           list_element(string_split(concat('Nation=', c_nationkey, ',Customer=', c_custkey), ','), -1) as leaf_part,
-           array_to_string(list_slice(string_split(concat('Nation=', c_nationkey, ',Customer=', c_custkey), ','), 1,
-             len(string_split(concat('Nation=', c_nationkey, ',Customer=', c_custkey), ',')) - 1), ',') as parent_dn
-    from customer
+    -- || not concat(): DuckDB's concat() SKIPS NULL arguments where
+    -- Spark's returns NULL — a NULL component must yield a NULL dn in
+    -- both engines (r12 adversarial-trade parity: a DN with an unknown
+    -- key component is not a DN)
+    with d as (select c_custkey,
+                      'Nation=' || c_nationkey || ',Customer=' || c_custkey
+                        as dn
+               from customer)
+    select c_custkey, dn,
+           list_element(string_split(dn, ','), 1) as root_part,
+           list_element(string_split(dn, ','), -1) as leaf_part,
+           array_to_string(list_slice(string_split(dn, ','), 1,
+             len(string_split(dn, ',')) - 1), ',') as parent_dn
+    from d
     """,
 )
 def fn_string_dn(spark, sf_dir):
@@ -4444,7 +4481,12 @@ def scan_orc(spark, sf_dir):
 
 @register(
     "scan_fixedwidth",
-    oracle="select s_suppkey, s_name, s_nationkey from supplier",
+    oracle="""
+    -- nullif(trim(..)): the fixed-width record cannot distinguish NULL
+    -- from '' or carry outer padding — both engines canonicalize (r12)
+    select s_suppkey, nullif(trim(s_name), '') as s_name, s_nationkey
+    from supplier
+    """,
 )
 def scan_fixedwidth(spark, sf_dir):
     """S1d: fixed-width record harvest (read_fixed_width_harvest) — the
@@ -4454,10 +4496,17 @@ def scan_fixedwidth(spark, sf_dir):
     from minerva_etl_46_spark.sources.harvest import read_fixed_width_harvest
 
     s = load(spark, sf_dir, "supplier")
+    # fixed-width is a lossy legacy format by construction: it has no
+    # NULL token, so NULL and '' both render as all-spaces and parse
+    # back as NULL (read_fixed_width_harvest's nullif(trim) contract);
+    # the oracle applies the same nullif(trim) canonicalization (r12 —
+    # a NULL s_name previously nulled the whole concat'd line)
     line = F.concat(
-        F.rpad(F.col("s_suppkey").cast("string"), 12, " "),
-        F.rpad(F.col("s_name"), 30, " "),
-        F.rpad(F.col("s_nationkey").cast("string"), 12, " "),
+        F.rpad(F.coalesce(F.col("s_suppkey").cast("string"), F.lit("")),
+               12, " "),
+        F.rpad(F.coalesce(F.col("s_name"), F.lit("")), 30, " "),
+        F.rpad(F.coalesce(F.col("s_nationkey").cast("string"), F.lit("")),
+               12, " "),
     ).alias("value")
     scratch = _scratch(sf_dir, "supplier_fw")
     s.select(line).coalesce(1).write.mode("overwrite").text(scratch)
@@ -6199,8 +6248,11 @@ def scan_csv_badrows(spark, sf_dir):
     path = os.path.join(scratch, "feed.csv")
     with open(path, "w", encoding="utf-8") as fh:
         for r in rows:
-            val = "NOT_A_NUMBER" if r.n_nationkey % 7 == 3 else str(
-                float(r.n_regionkey))
+            # NULL regionkey renders as the empty field (good row, NULL
+            # val) — float(None) previously crashed the renderer (r12)
+            val = ("NOT_A_NUMBER" if r.n_nationkey % 7 == 3
+                   else "" if r.n_regionkey is None
+                   else str(float(r.n_regionkey)))
             fh.write(f"{r.n_nationkey},{val}\n")
     out = (
         spark.read
@@ -7717,8 +7769,12 @@ def agg_skyline(spark, sf_dir):
     p = load(spark, sf_dir, "part")
     pairs = p.groupBy("p_brand", "p_size", "p_retailprice").agg(
         F.count(F.lit(1)).alias("n_parts"))
+    # price ASC nulls LAST (DuckDB's default; Spark's is FIRST — r12):
+    # un-priced points sort after every real point, so they can never
+    # spuriously dominate the frontier walk
     w = (Window.partitionBy("p_brand")
-         .orderBy(F.col("p_retailprice").asc(), F.col("p_size").desc())
+         .orderBy(F.col("p_retailprice").asc_nulls_last(),
+                  F.col("p_size").desc())
          .rowsBetween(Window.unboundedPreceding, -1))
     return (
         pairs.withColumn("runmax", F.max("p_size").over(w))
@@ -7849,8 +7905,10 @@ def agg_weighted_median(spark, sf_dir):
     Spark's BigDecimal path — the agg_corr_pairs note)."""
     li = load(spark, sf_dir, "lineitem")
     q = F.col("l_quantity").cast("decimal(18,4)")
+    # nulls LAST (DuckDB ASC default): un-priced rows contribute weight
+    # at the tail of the cumulative walk in both engines, never the head
     wo = (Window.partitionBy("l_returnflag")
-          .orderBy(F.asc("l_extendedprice"))
+          .orderBy(F.asc_nulls_last("l_extendedprice"))
           .rowsBetween(Window.unboundedPreceding, 0))
     wp = Window.partitionBy("l_returnflag")
     c = li.select(
@@ -7989,7 +8047,16 @@ def agg_peak_concurrency(spark, sf_dir):
 @register(
     "join_fuzzy",
     oracle="""
-    with dim as (select p_partkey, p_name from part),
+    -- ASCII domain only (octet_length = length): DuckDB's levenshtein
+    -- counts BYTES where Spark's counts codepoints (probed r12:
+    -- lev('è','x') = 2 vs 1), so the cross-engine oracle contract
+    -- covers the domain where the two definitions coincide; the
+    -- operator itself is fully general (unicode behavior pinned
+    -- independently in tests/test_fuzzyjoin.py). Probes need length
+    -- ≥ 5 for the tail-corruption recipe to be well-defined.
+    with dim as (select p_partkey, p_name from part
+                 where p_name is not null
+                   and octet_length(encode(p_name)) = length(p_name)),
     probes as (
       select p_partkey + 1000000 as probe_id,
              case when p_partkey % 2 = 0
@@ -7998,7 +8065,9 @@ def agg_peak_concurrency(spark, sf_dir):
                   else substr(p_name, 1, length(p_name) - 3) || 'x'
                        || substr(p_name, length(p_name) - 1)
              end as probe_name
-      from part where p_partkey % 5 = 0),
+      from part where p_partkey % 5 = 0 and p_name is not null
+        and octet_length(encode(p_name)) = length(p_name)
+        and length(p_name) >= 5),
     cand as (select pr.probe_id, pr.probe_name, d.p_partkey, d.p_name,
                     levenshtein(pr.probe_name, d.p_name) as lev
              from probes pr join dim d
@@ -8053,13 +8122,18 @@ def join_fuzzy(spark, sf_dir):
     broadcast."""
     from minerva_etl_46_spark.operators.fuzzyjoin import blocked_fuzzy_join
 
-    p = load(spark, sf_dir, "part")
+    # ASCII domain only — the oracle's levenshtein counts BYTES where
+    # Spark's counts codepoints (see the oracle note, r12); the
+    # dialect-free ASCII test is octet_length == length
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_name").isNotNull()
+        & (F.octet_length("p_name") == F.length("p_name")))
     nm = F.col("p_name")
     ln = F.length(nm)
     head = F.substring(nm, F.lit(1), ln - 3)
     tail = nm.substr(ln - 1, F.lit(1000))
     probes = (
-        p.filter(F.col("p_partkey") % 5 == 0)
+        p.filter((F.col("p_partkey") % 5 == 0) & (ln >= 5))
         .select(
             (F.col("p_partkey") + 1000000).alias("probe_id"),
             F.when(F.col("p_partkey") % 2 == 0, F.concat(head, tail))
@@ -8499,9 +8573,15 @@ def agg_rfm(spark, sf_dir):
         F.count(F.lit(1)).alias("f_cnt"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m_sum"),
     )
-    wr = Window.orderBy(F.asc("r_day"), F.asc("o_custkey"))
-    wf = Window.orderBy(F.asc("f_cnt"), F.asc("o_custkey"))
-    wm = Window.orderBy(F.asc("m_sum"), F.asc("o_custkey"))
+    # nulls LAST on every ntile axis: a never-dated customer (NULL r_day),
+    # a NULL-custkey group, or an all-NULL-price customer (NULL m_sum)
+    # must land in the same quintile in both engines (r12 trade parity)
+    wr = Window.orderBy(F.asc_nulls_last("r_day"),
+                        F.asc_nulls_last("o_custkey"))
+    wf = Window.orderBy(F.asc_nulls_last("f_cnt"),
+                        F.asc_nulls_last("o_custkey"))
+    wm = Window.orderBy(F.asc_nulls_last("m_sum"),
+                        F.asc_nulls_last("o_custkey"))
     s = base.select(
         "o_custkey", "r_day", "f_cnt", "m_sum",
         F.ntile(5).over(wr).alias("r"),
@@ -8673,10 +8753,17 @@ def scan_evolved(spark, sf_dir):
      .coalesce(1).write.mode("overwrite").parquet(v1))
     (nation.select("n_nationkey", "n_name", "n_regionkey")
      .coalesce(1).write.mode("overwrite").parquet(v2))
-    merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    # basePath partition discovery carries the schema-version provenance:
+    # the -1 sentinel applies to SCHEMA-ABSENT columns (v1 files) only —
+    # coalesce() conflated those with a v2 row whose value is genuinely
+    # NULL (r12 adversarial-trade parity: NULL n_regionkey stayed NULL
+    # in the oracle's v2 branch but was sentineled Spark-side)
+    merged = (spark.read.option("mergeSchema", "true")
+              .option("basePath", scratch).parquet(v1, v2))
     return merged.select(
         "n_nationkey", "n_name",
-        F.coalesce(F.col("n_regionkey"), F.lit(-1)).alias("n_regionkey"),
+        F.when(F.col("v") == 1, F.lit(-1))
+        .otherwise(F.col("n_regionkey")).cast("int").alias("n_regionkey"),
     )
 
 
@@ -8723,8 +8810,11 @@ def win_vwap(spark, sf_dir):
     spill (parts are many, histories shallow — the good skew shape)."""
     li = load(spark, sf_dir, "lineitem")
     w = (
+        # shipdate nulls LAST (DuckDB ASC default; Spark's is FIRST —
+        # r12): an undated fill closes the running accumulators instead
+        # of seeding them. orderkey/linenumber are non-null by schema.
         Window.partitionBy("l_partkey")
-        .orderBy(F.asc("l_shipdate"), F.asc("l_orderkey"),
+        .orderBy(F.asc_nulls_last("l_shipdate"), F.asc("l_orderkey"),
                  F.asc("l_linenumber"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -9637,8 +9727,11 @@ def agg_decile_lift(spark, sf_dir):
     )
     d = cust.select(
         "resp",
+        # custkey tie-break nulls LAST (Spark ASC defaults FIRST, DuckDB
+        # LAST — r12 adversarial-trade parity: a NULL-custkey group tying
+        # on spend previously landed in a different decile per engine)
         F.ntile(10).over(
-            Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+            Window.orderBy(F.desc("spend"), F.asc_nulls_last("o_custkey"))
         ).alias("decile"))
     g = d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("resp").alias("resp"))
@@ -9932,11 +10025,16 @@ def win_yoy(spark, sf_dir):
 @register(
     "scan_binary",
     oracle="""
+    -- octet_length, not length(): the file carries BYTES, and a CJK
+    -- name's UTF-8 byte count differs from its character count (r12).
+    -- A NULL name has no file to render, and Spark's binaryFile source
+    -- SILENTLY DROPS zero-byte files (probed r12) — both excluded here.
     select n_nationkey as file_key,
-           cast(length(n_name) as bigint) as n_bytes,
+           cast(octet_length(encode(n_name)) as bigint) as n_bytes,
            md5(hex(encode(n_name))) as content_md5
     from nation
-    """,
+    where n_name is not null and n_name <> ''
+""",
 )
 def scan_binary(spark, sf_dir):
     """S9: opaque binary-file ingestion — `spark.read.format
@@ -9960,7 +10058,11 @@ def scan_binary(spark, sf_dir):
     nation = load(spark, sf_dir, "nation")
     for r in nation.select("n_nationkey", "n_name").collect():
         # bounded-by: 25-row nation dimension (fixture renderer, the
-        # scan_csv pattern)
+        # scan_csv pattern). A NULL name has no payload to render, and a
+        # zero-byte file would be SILENTLY DROPPED by the binaryFile
+        # source (probed r12) — the oracle excludes both identically.
+        if not r.n_name:
+            continue
         with open(os.path.join(scratch, f"n_{r.n_nationkey}.bin"),
                   "wb") as f:
             f.write(r.n_name.encode())
@@ -10000,9 +10102,13 @@ def sink_csv(spark, sf_dir):
         "c_custkey", "c_name", "c_nationkey",
         F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal"),
         "c_mktsegment")
-    c.write.mode("overwrite").option("header", True).csv(scratch)
+    # the scan_csv round-trip contract: explicit NULL token, no trim
+    (c.write.mode("overwrite").option("header", True)
+     .option("nullValue", "\\N")
+     .option("ignoreLeadingWhiteSpace", "false")
+     .option("ignoreTrailingWhiteSpace", "false").csv(scratch))
     back = (
-        spark.read.option("header", True)
+        spark.read.option("header", True).option("nullValue", "\\N")
         .schema("c_custkey long, c_name string, c_nationkey long, "
                 "acctbal decimal(18,2), c_mktsegment string")
         .csv(scratch)
@@ -10359,8 +10465,10 @@ def agg_latency_histogram(spark, sf_dir):
     t = g.select(
         "lat_days", "n",
         F.sum("n").over(Window.partitionBy()).alias("tot"),
+        # nulls LAST: the unknown-latency bucket (NULL ship or order date)
+        # closes the cumulative, matching DuckDB's ASC default (r12)
         F.sum("n").over(
-            Window.orderBy(F.asc("lat_days"))
+            Window.orderBy(F.asc_nulls_last("lat_days"))
             .rowsBetween(Window.unboundedPreceding, 0)).alias("cum"))
     return t.select(
         F.col("lat_days").cast("long").alias("lat_days"),
@@ -11070,7 +11178,12 @@ def stream_attribution(spark, sf_dir):
            cast(cast(cast(o_totalprice as decimal(18,2)) * 100
                      as bigint) as bigint) as n_bytes
     from orders
-    """,
+    -- a CLF line cannot carry an unknown ip/timestamp/byte-count, and
+    -- the byte-count field is non-negative by format: rows that cannot
+    -- render are excluded in both engines (r12 parity)
+    where o_custkey is not null and o_orderdate is not null
+      and o_totalprice is not null and o_totalprice >= 0
+""",
 )
 def scan_httplog(spark, sf_dir):
     """S15: Apache combined-log ingestion — the web/CDN access-log
@@ -11088,7 +11201,11 @@ def scan_httplog(spark, sf_dir):
     import os
 
     scratch = _scratch(sf_dir, "httplog")
-    o = load(spark, sf_dir, "orders")
+    # a CLF line cannot carry NULL ip/ts/bytes or a negative byte-count
+    # — see the oracle note (r12)
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") >= 0))
     ip = F.concat(
         F.lit("10."), (F.col("o_custkey") / 65536).cast("long")
         .cast("string"),
@@ -11288,8 +11405,13 @@ def mm_tile_grid(spark, sf_dir):
     "graph_pagerank",
     oracle="""
     with e0 as (
+      -- a trade edge with an unknown party is not an edge: NULL keys are
+      -- excluded up front in both engines (r12 — the rank-propagation
+      -- equi-joins silently dropped the NULL node Spark-side while the
+      -- oracle's GROUP BY kept it as a rank-bearing phantom)
       select distinct o_custkey as cust, l_suppkey as supp
-      from lineitem join orders on l_orderkey = o_orderkey),
+      from lineitem join orders on l_orderkey = o_orderkey
+      where o_custkey is not null and l_suppkey is not null),
     de as (select cust * 2 as src, supp * 2 + 1 as dst from e0
            union all
            select supp * 2 + 1 as src, cust * 2 as dst from e0),
@@ -11345,6 +11467,8 @@ def graph_pagerank(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("cust"),
                 F.col("l_suppkey").alias("supp"))
+        # NULL-party trades are not edges (r12 — see the oracle note)
+        .where(F.col("cust").isNotNull() & F.col("supp").isNotNull())
         .distinct()
     )
     de = (
@@ -12661,13 +12785,15 @@ def agg_drift_tv(spark, sf_dir):
 @register(
     "fn_unit_parse",
     oracle="""
+    -- || not concat(): concat() skips NULLs in DuckDB (r12 — a NULL
+    -- size or NULL partkey must yield a NULL size_str in both engines)
     with s as (select p_partkey,
-                      concat(cast(p_size as varchar),
+                      cast(p_size as varchar) ||
                              case p_partkey % 6
                                when 0 then 'B'    when 1 then 'KB'
                                when 2 then 'MB'   when 3 then 'GiB'
                                when 4 then ' MiB' when 5 then 'KiB'
-                             end) as size_str
+                             end as size_str
                from part),
     p as (select p_partkey, size_str,
                  cast(regexp_extract(size_str, '^([0-9]+)', 1)
@@ -12700,11 +12826,15 @@ def fn_unit_parse(spark, sf_dir):
     shuffles, whole-stage codegen."""
     p = load(spark, sf_dir, "part")
     unit_of = (F.col("p_partkey") % 6)
+    # no .otherwise(): a NULL partkey must fall through to a NULL unit
+    # (and thus a NULL size_str via concat's propagation), matching the
+    # oracle's CASE with no ELSE — .otherwise("KiB") previously minted a
+    # unit for the NULL-key row (r12 adversarial-trade parity)
     size_str = F.concat(
         F.col("p_size").cast("string"),
         F.when(unit_of == 0, "B").when(unit_of == 1, "KB")
         .when(unit_of == 2, "MB").when(unit_of == 3, "GiB")
-        .when(unit_of == 4, " MiB").otherwise("KiB"))
+        .when(unit_of == 4, " MiB").when(unit_of == 5, "KiB"))
     s = p.select("p_partkey", size_str.alias("size_str"))
     num = F.regexp_extract("size_str", r"^([0-9]+)", 1).cast("long")
     unit = F.upper(F.trim(F.regexp_extract("size_str",
@@ -13230,16 +13360,35 @@ def scan_csv_gzip(spark, sf_dir):
     if not os.path.isdir(scratch):
         os.makedirs(scratch, exist_ok=True)
         rows = c.collect()  # bounded-by: customer dimension (15k at sf0.1)
+
+        def cell(v):
+            # render exactly the dialect Spark's own CSV writer emits
+            # and its reader parses: \N for NULL, "" for the empty
+            # string, backslash-escaped quotes inside quoted fields
+            # (the old f-string renderer emitted 'None' for NULLs and
+            # broke columns on embedded commas/quotes — r12 parity)
+            if v is None:
+                return "\\N"
+            s = str(v)
+            if s == "":
+                return '""'
+            if any(ch in s for ch in ',"\n\\'):
+                return ('"' + s.replace("\\", "\\\\").replace('"', '\\"')
+                        + '"')
+            return s
+
         files = [[] for _ in range(4)]
         for r in rows:
-            files[r.c_custkey % 4].append(
-                f"{r.c_custkey},{r.c_name},{r.c_nationkey},{r.acctbal}\n")
+            files[r.c_custkey % 4].append(",".join(
+                cell(v)
+                for v in (r.c_custkey, r.c_name, r.c_nationkey, r.acctbal)
+            ) + "\n")
         for i, lines in enumerate(files):
             with gzip.open(os.path.join(scratch, f"b{i}.csv.gz"),
                            "wt", encoding="utf-8") as fh:
                 fh.write("c_custkey,c_name,c_nationkey,acctbal\n")
                 fh.writelines(lines)
-    back = spark.read.csv(
+    back = spark.read.option("nullValue", "\\N").csv(
         scratch, header=True,
         schema="c_custkey long, c_name string, c_nationkey long, "
                "acctbal decimal(18,2)")
@@ -13308,8 +13457,11 @@ def agg_cohort_ltv(spark, sf_dir):
     wc = Window.partitionBy("cohort")
     cum = grid.select(
         "cohort", "age", "n_active",
+        # nulls LAST: an undated order yields a NULL age cell; Spark ASC
+        # defaults NULLS FIRST (front-loading its revenue into every
+        # cumulative), DuckDB NULLS LAST (r12 adversarial-trade parity)
         F.sum("rev").over(
-            wc.orderBy(F.asc("age"))
+            wc.orderBy(F.asc_nulls_last("age"))
             .rowsBetween(Window.unboundedPreceding, 0)).alias("cum_rev"),
         F.max(F.when(F.col("age") == 0, F.col("n_active")))
         .over(wc).alias("cohort_size"),
@@ -13424,10 +13576,14 @@ def scan_json_nested(spark, sf_dir):
     if not os.path.isdir(scratch):
         os.makedirs(scratch, exist_ok=True)
         regs = {r.r_regionkey: r.r_name for r in region.collect()}
-        # bounded-by: region (5 rows) + nation (25 rows) dimensions
+        # bounded-by: region (5 rows) + nation (25 rows) dimensions.
+        # key= handles NULL region keys (orphan nations never render —
+        # the oracle's inner join drops them identically); a bare tuple
+        # sort raised TypeError on None (r12).
         nats = sorted(
-            (r.n_regionkey, r.n_nationkey, r.n_name)
-            for r in nation.collect())
+            ((r.n_regionkey, r.n_nationkey, r.n_name)
+             for r in nation.collect()),
+            key=lambda t: (t[0] is None, t[0] or 0, t[1]))
         with open(os.path.join(scratch, "regions.jsonl"), "w") as fh:
             for rk in sorted(regs):
                 doc = {
@@ -13740,19 +13896,23 @@ def scan_avro(spark, sf_dir):
                 .filter(F.col("c_custkey") % 10 == 0)
                 .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
                 .collect())  # bounded-by: 1/10 of the customer dimension
+        # every non-key field is a nullable union: the source columns ARE
+        # nullable, and a bare "long"/"double" made the encoder throw on
+        # the first NULL nationkey/acctbal (r12 adversarial-trade parity)
         schema_json = (
             '{"type":"record","name":"customer","fields":['
             '{"name":"c_custkey","type":"long"},'
             '{"name":"name","type":["null","string"]},'
-            '{"name":"c_nationkey","type":"long"},'
-            '{"name":"acctbal","type":"double"}]}')
+            '{"name":"c_nationkey","type":["null","long"]},'
+            '{"name":"acctbal","type":["null","double"]}]}')
         parts = [[] for _ in range(4)]
         for r in rows:
             parts[r.c_custkey % 7 % 4].append({
                 "c_custkey": r.c_custkey,
                 "name": None if r.c_custkey % 97 == 0 else r.c_name,
                 "c_nationkey": r.c_nationkey,
-                "acctbal": float(r.c_acctbal),
+                "acctbal": None if r.c_acctbal is None
+                else float(r.c_acctbal),
             })
         for i, chunk in enumerate(parts):
             buf = encode_ocf(schema_json, chunk,

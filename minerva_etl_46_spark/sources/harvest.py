@@ -15,7 +15,7 @@ mapping is reproducible across re-harvests — which serial ids are not.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from minerva_etl_46_spark.functions.timestamps import Granularity, align_end
@@ -45,22 +45,53 @@ def read_jsonl_harvest(spark: SparkSession, path: str, schema: str,
 
 
 def read_kv_harvest(spark: SparkSession, path: str, fields: dict[str, str],
-                    pair_sep: str = r"\|", kv_sep: str = "=") -> DataFrame:
+                    pair_sep: str = r"\|", kv_sep: str = "=",
+                    percent_escaped: bool = False) -> DataFrame:
     """S1c: key=value line harvest — the third common vendor drop shape
     (``k1=v1|k2=v2|...`` per line, frequent in telecom element logs).
     Lines parse JVM-side via ``str_to_map`` (no Python, no inference);
     ``fields`` declares ``{key: spark_type}`` and missing keys surface as
     NULL rather than shifting columns — the same fail-visible discipline
-    as the CSV/JSONL paths. Separators are regexes (escape ``|``)."""
+    as the CSV/JSONL paths. Separators are regexes (escape ``|``).
+
+    ``percent_escaped``: the k=v wire format cannot carry a raw ``|`` or
+    ``=`` inside a value; senders using this harvester's escape
+    convention percent-encode ``%`` ``|`` ``=`` as ``%25`` ``%7C``
+    ``%3D`` (kv_escape below is the writer half). Decoding happens after
+    the map split, before the cast — still all JVM codegen. NULL fields
+    are OMITTED from the line by convention (missing key → NULL), so
+    NULL and '' stay distinct (r12 adversarial-trade parity)."""
     raw = spark.read.text(path)
     # literal columns, not an F.expr SQL string: the pair separator is a
     # REGEX ('\|'), and SQL string-literal escaping would strip the
     # backslash, turning it into the empty-alternative regex "|" that
     # splits between every character
     m = F.str_to_map(F.col("value"), F.lit(pair_sep), F.lit(kv_sep))
-    return raw.select(
-        *[m.getItem(k).cast(t).alias(k) for k, t in fields.items()]
-    )
+
+    def field(k, t):
+        v = m.getItem(k)
+        if percent_escaped:
+            v = kv_unescape(v)
+        return v.cast(t).alias(k)
+
+    return raw.select(*[field(k, t) for k, t in fields.items()])
+
+
+def kv_escape(col: Column) -> Column:
+    """Writer half of the k=v percent-escape convention: encode ``%``
+    first (so decoded text round-trips exactly), then the two structural
+    characters ``|`` and ``=``."""
+    out = F.replace(col, F.lit("%"), F.lit("%25"))
+    out = F.replace(out, F.lit("|"), F.lit("%7C"))
+    return F.replace(out, F.lit("="), F.lit("%3D"))
+
+
+def kv_unescape(col: Column) -> Column:
+    """Reader half of kv_escape: structural characters first, ``%25``
+    last — the exact inverse composition."""
+    out = F.replace(col, F.lit("%7C"), F.lit("|"))
+    out = F.replace(out, F.lit("%3D"), F.lit("="))
+    return F.replace(out, F.lit("%25"), F.lit("%"))
 
 
 def read_fixed_width_harvest(

@@ -1,0 +1,302 @@
+"""Adversarial-trade oracle gate (r12): the r11 gates proved the driver's
+clean fixtures hide real cross-engine defects (19 found) for the event /
+document / embedding key families. This gate closes the same blind spot
+for the ~74 keys that load the TPC-H-shaped trade tables
+(region/nation/customer/supplier/part/orders/lineitem), which had never
+run against NULL keys, ties, empty groups, FK orphans, or hostile
+strings.
+
+Hostile features, per table:
+
+- NULL join/group keys (c_nationkey, o_custkey, l_partkey, n_regionkey);
+- NULL measures (acctbal, totalprice, quantity, discount, retailprice)
+  and NULL dates (o_orderdate, l_shipdate);
+- ties: identical (o_custkey, o_orderdate), identical o_totalprice runs,
+  identical acctbals, identical (price, key) pairs in lineitem;
+- empty groups / absence: a customer with zero orders, an order with no
+  lineitems, a part never ordered, a supplier with no lineitems, a
+  region with no nations;
+- FK orphans: orders pointing at missing customers, lineitems at missing
+  orders/parts/suppliers, nations at missing regions;
+- hostile strings: empty "", whitespace-only, embedded comma, embedded
+  double-quote, key=value separators (= and |), XML-special (<&>),
+  unicode (combining marks, CJK), leading/trailing spaces, NULL.
+  Embedded raw newlines are deliberately EXCLUDED: nation/customer feed
+  line-based vendor formats (CSV without multiLine, k=v lines, fixed
+  width) that cannot represent a raw newline by construction — the
+  escaped-newline path is covered by the JSON scans' \\n escapes.
+
+Every key listed below must match its DuckDB oracle value-for-value on
+this fixture. The list is EXPLICIT (not discovered) so a key silently
+dropping out of coverage fails the suite. Keys whose inputs are events /
+documents / embeddings only are covered by tests/test_adversarial_events.py.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+import shutil
+
+import duckdb
+import pytest
+
+_D = dt.datetime(2024, 1, 1)
+
+
+def _d(days, h=0):
+    return _D + dt.timedelta(days=days, hours=h)
+
+
+# ---------------------------------------------------------------------------
+# fixture rows — small, deterministic, hostile
+# ---------------------------------------------------------------------------
+
+def _region_rows():
+    return [
+        (0, "AFRICA"),
+        (1, "AMERICA, CENTRAL"),        # embedded comma
+        (2, 'EUR "OLD WORLD"'),         # embedded double-quote
+        (3, None),                      # NULL name
+        (4, ""),                        # empty name
+        (5, "NO NATIONS HERE"),         # region with no nations
+    ]
+
+
+def _nation_rows():
+    return [
+        (0, "ALGERIA", 0),
+        (1, "BR=AZIL|SOUTH", 1),        # kv separators = and |
+        (2, "CAN ADA ", 1),             # trailing space
+        (3, " FR&NCE<GAUL>", 2),        # leading space + XML-specials
+        (4, "DEUTSCHLAND Über", 2),  # unicode umlaut
+        (5, None, 2),                   # NULL name
+        (6, "", 0),                     # empty name
+        (7, "ORPHANIA", 99),            # FK orphan: no region 99
+        (8, "NULLREGION", None),        # NULL region key
+        (9, "ALGERIA", 0),              # duplicate name, same region
+        (10, "日本", 2),        # CJK name
+    ]
+
+
+def _customer_rows():
+    rows = []
+    segs = ["BUILDING", "AUTOMOBILE", None, "MACHINERY"]
+    for i in range(20):
+        rows.append((
+            i,
+            f"Customer#{i:03d}",
+            i % 5 if i % 7 != 3 else None,          # some NULL nationkeys
+            float((i * 37) % 100) - 30.0 if i % 6 != 5 else None,  # NULL bals
+            segs[i % 4],
+        ))
+    rows.append((20, 'Comma, "Quoted" & Co', 1, 55.5, "BUILDING"))
+    rows.append((21, "", 2, 55.5, "BUILDING"))       # empty name, tied bal
+    rows.append((22, None, 2, -999.99, ""))          # NULL name, empty seg
+    rows.append((23, "  pad  ", 99, 0.0, "AUTOMOBILE"))  # orphan nationkey
+    rows.append((24, "cn=admin,ou=x", None, 0.0, None))  # DN-ish name
+    # 25: a customer that places NO orders (absence case)
+    rows.append((25, "NO ORDERS EVER", 3, 10.0, "MACHINERY"))
+    return rows
+
+
+def _supplier_rows():
+    return [
+        (0, "Supplier#000", 0, 100.0),
+        (1, "Supp|ier=001", 1, -50.0),   # kv separators
+        (2, None, 2, None),              # NULL name + NULL bal
+        (3, "", None, 0.0),              # empty name, NULL nationkey
+        (4, "Süpplier 004", 99, 0.0),  # unicode + orphan nation
+        (5, "Supplier#005", 3, 100.0),   # tied acctbal with 0
+        (6, "NO LINEITEMS", 4, 42.0),    # supplier with no lineitems
+    ]
+
+
+def _part_rows():
+    rows = []
+    types = ["STANDARD BRASS", "LARGE BRUSHED", None, "ECONOMY POLISHED"]
+    brands = ["Brand#1", "Brand#2", None]
+    for i in range(12):
+        rows.append((
+            i,
+            f"part {i} peru {'moss' if i % 2 else 'linen'}",
+            brands[i % 3],
+            types[i % 4],
+            (i * 3) % 25 if i % 5 != 4 else None,   # NULL sizes
+            round(900.0 + i * 10.0, 2) if i % 6 != 5 else None,  # NULL price
+        ))
+    rows.append((12, 'na,me "quoted"', "Brand#1", "STANDARD BRASS", 5, 910.0))
+    rows.append((13, "", "Brand#2", "", 0, 0.0))     # empty name/type, 0s
+    rows.append((14, None, None, None, None, None))  # all-NULL part
+    rows.append((15, "café crème", "Brand#1", "LARGE BRUSHED",
+                 5, -10.0))                          # unicode + negative
+    # 16: a part never referenced by any lineitem
+    rows.append((16, "NEVER ORDERED", "Brand#2", "ECONOMY POLISHED",
+                 7, 910.0))                          # tied retailprice
+    return rows
+
+
+def _orders_rows():
+    rows = []
+    stats = ["O", "F", None, "P"]
+    prios = ["1-URGENT", "5-LOW", None]
+    k = 0
+    for c in range(20):                 # customers 0..19 place orders
+        for j in range(c % 4):          # 0-3 orders each → some have none
+            rows.append((
+                k, c, stats[k % 4],
+                round(1000.0 + (k * 83) % 500, 2) if k % 9 != 7 else None,
+                _d(k % 30) if k % 11 != 10 else None,   # NULL dates
+                prios[k % 3],
+            ))
+            k += 1
+    # ties: same (custkey, orderdate) twice, same totalprice run
+    rows.append((k, 1, "O", 777.0, _d(3), "1-URGENT")); k += 1
+    rows.append((k, 1, "F", 777.0, _d(3), "5-LOW")); k += 1
+    rows.append((k, 1, "O", 777.0, _d(4), "1-URGENT")); k += 1
+    # FK orphan: customer 9999 does not exist; NULL custkey
+    rows.append((k, 9999, "O", 500.0, _d(5), "5-LOW")); k += 1
+    rows.append((k, None, "F", 500.0, _d(6), None)); k += 1
+    # zero / negative totalprice
+    rows.append((k, 2, "O", 0.0, _d(7), "1-URGENT")); k += 1
+    rows.append((k, 2, "F", -12.5, _d(8), "5-LOW")); k += 1
+    # 200: an order with NO lineitems (absence case)
+    rows.append((200, 3, "O", 999.0, _d(9), "1-URGENT"))
+    return rows
+
+
+def _lineitem_rows():
+    rows = []
+    flags = ["A", "N", "R", None]
+    stats = ["F", "O", None]
+    orderkeys = [r[0] for r in _orders_rows() if r[0] != 200]
+    n = 0
+    for ok in orderkeys:
+        for ln in range(1, (ok % 3) + 2):   # 1-3 lines per order
+            rows.append((
+                ok,
+                n % 17 if n % 13 != 12 else None,       # part keys + NULLs
+                n % 6 if n % 10 != 9 else None,         # supp keys + NULLs
+                ln,
+                float(n % 50) if n % 8 != 6 else None,  # qty + NULLs, 0 qty
+                round(100.0 + (n * 7) % 900, 2) if n % 12 != 11 else None,
+                [0.0, 0.05, 0.1, 1.0, None][n % 5],     # discount incl 1.0
+                [0.0, 0.08, None][n % 3],
+                flags[n % 4],
+                stats[n % 3],
+                _d(n % 28, h=n % 24) if n % 14 != 13 else None,
+            ))
+            n += 1
+    # FK orphan: lineitem whose order does not exist
+    rows.append((9998, 1, 1, 1, 5.0, 500.0, 0.0, 0.0, "N", "O", _d(2)))
+    # exact (price, key) tie pair for skyline/topk determinism
+    rows.append((4, 2, 2, 7, 5.0, 123.45, 0.0, 0.0, "A", "F", _d(3)))
+    rows.append((4, 3, 3, 8, 5.0, 123.45, 0.0, 0.0, "A", "F", _d(3)))
+    return rows
+
+
+def _event_rows():
+    # join_spatial loads events + supplier; small hostile stream
+    rows, eid = [], 0
+    for u in (0, 1, 2):
+        for kk in range(8):
+            v = None if kk % 5 == 3 else float((kk * 7 + u * 3) % 20 - 5)
+            et = None if (u == 1 and kk == 6) else \
+                ["view", "click", "purchase", "error"][kk % 4]
+            rows.append((eid, _D + dt.timedelta(hours=kk, minutes=u),
+                         u, et, v, "{}"))
+            eid += 1
+    return rows
+
+
+_SCHEMAS = {
+    "region": "r_regionkey int, r_name string",
+    "nation": "n_nationkey int, n_name string, n_regionkey int",
+    "customer": ("c_custkey long, c_name string, c_nationkey int, "
+                 "c_acctbal double, c_mktsegment string"),
+    "supplier": "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    "part": ("p_partkey long, p_name string, p_brand string, p_type string, "
+             "p_size int, p_retailprice double"),
+    "orders": ("o_orderkey long, o_custkey long, o_orderstatus string, "
+               "o_totalprice double, o_orderdate timestamp, "
+               "o_orderpriority string"),
+    "lineitem": ("l_orderkey long, l_partkey long, l_suppkey long, "
+                 "l_linenumber int, l_quantity double, "
+                 "l_extendedprice double, l_discount double, l_tax double, "
+                 "l_returnflag string, l_linestatus string, "
+                 "l_shipdate timestamp"),
+    "events": ("event_id long, ts timestamp, user_id long, "
+               "event_type string, value double, props string"),
+}
+
+_ROWS = {
+    "region": _region_rows,
+    "nation": _nation_rows,
+    "customer": _customer_rows,
+    "supplier": _supplier_rows,
+    "part": _part_rows,
+    "orders": _orders_rows,
+    "lineitem": _lineitem_rows,
+    "events": _event_rows,
+}
+
+
+@pytest.fixture(scope="module")
+def nasty_trade_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nasty_trade"))
+    for t, mk in _ROWS.items():
+        staged = f"{d}/_staged_{t}"
+        spark.createDataFrame(mk(), _SCHEMAS[t]) \
+            .coalesce(1).write.mode("overwrite").parquet(staged)
+        (part,) = glob.glob(f"{staged}/part-*.parquet")
+        os.rename(part, f"{d}/{t}.parquet")
+        shutil.rmtree(staged)
+    return d
+
+
+@pytest.fixture(scope="module")
+def nasty_trade_duck(nasty_trade_dir):
+    con = duckdb.connect()
+    for t in _ROWS:
+        con.execute(f"create view {t} as select * from "
+                    f"read_parquet('{nasty_trade_dir}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+#: every registered batch key whose inputs include a trade table — pinned
+#: explicitly so coverage loss is loud (74 keys as of r12)
+TRADE_KEYS = [
+    "agg_abc", "agg_basket_pairs", "agg_basket_rules", "agg_benford",
+    "agg_cohort_ltv", "agg_cohort_matrix", "agg_decile_lift",
+    "agg_dq_checks", "agg_entity", "agg_entity_chain", "agg_gaps",
+    "agg_grouping_sets", "agg_kendall", "agg_latency_histogram",
+    "agg_profile", "agg_revenue_bridge", "agg_rfm", "agg_ri_audit",
+    "agg_rollup", "agg_skew_report", "agg_skyline", "agg_theil_sen",
+    "agg_weighted_avg", "agg_weighted_median", "fn_base64",
+    "fn_calendar_spine", "fn_case", "fn_format_bytes", "fn_hash",
+    "fn_luhn", "fn_regexp", "fn_safe_div", "fn_slugify", "fn_string_dn",
+    "fn_unit_parse", "fn_uuid3", "fn_workdays", "graph_degree",
+    "graph_pagerank", "graph_triangles", "join_anti", "join_bucketed",
+    "join_dim", "join_fuzzy", "join_left", "join_salted", "join_semi",
+    "join_snowflake", "join_spatial", "project_select", "scan_avro",
+    "scan_binary", "scan_csv", "scan_csv_badrows", "scan_csv_gzip",
+    "scan_evolved", "scan_fixedwidth", "scan_httplog",
+    "scan_json_multiline", "scan_json_nested", "scan_jsonl", "scan_kv",
+    "scan_parquet", "set_except", "set_intersect", "set_union",
+    "sink_csv", "sink_jsonl", "sort_limit", "sort_order",
+    "topk_per_group", "win_vwap", "win_yoy", "xml_harvest",
+]
+
+
+@pytest.mark.parametrize("key", TRADE_KEYS)
+def test_trade_key_matches_oracle_on_adversarial_tables(
+        key, spark, nasty_trade_dir, nasty_trade_duck):
+    import __spark_entry__ as E
+    from tests.parity import compare
+
+    sp = E.queries()[key](spark, nasty_trade_dir).toPandas()
+    du = nasty_trade_duck.execute(E.oracle_sql()[key]).df()
+    errs = compare(sp, du, key)
+    assert not errs, "\n".join(errs)
