@@ -298,6 +298,105 @@ def bpe_train(vocab: dict[str, int], n_merges: int,
     return merges
 
 
+#: wire separator for the array↔string round-trip in bpe merge
+#: application: tokens render as SEP t SEP concatenated (``\x01 a \x01
+#: \x01 b \x01``), so one merge is ONE literal replace of
+#: ``SEP a SEP SEP b SEP`` → ``SEP ab SEP`` — matches are disjoint by
+#: construction (no shared boundary chars), which makes global
+#: left-to-right replace EXACTLY the BPE non-overlapping merge rule in
+#: both engines. Words containing the separator are excluded from the
+#: tokenize vocab (the representation would not be injective).
+BPE_SEP = "\x01"
+
+
+def bpe_apply_merge(seg: Column, s1: Column, s2: Column) -> Column:
+    """Apply ONE merge rule (s1, s2) → s1s2 to a segmentation array —
+    pure JVM string ops (join / literal replace / split / filter), no
+    Python, no regex. The oracle replays the identical composition with
+    DuckDB's array_to_string / replace / string_split / list_filter."""
+    sep = F.lit(BPE_SEP)
+    joined = F.concat(sep, F.array_join(seg, BPE_SEP + BPE_SEP), sep)
+    replaced = F.replace(
+        joined,
+        F.concat(sep, s1, F.lit(BPE_SEP + BPE_SEP), s2, sep),
+        F.concat(sep, s1, s2, sep),
+    )
+    return F.filter(F.split(replaced, BPE_SEP), lambda t: t != "")
+
+
+def bpe_tokenize_vocab(vocab: DataFrame, n_merges: int,
+                       eow_marker: str = "</w>") -> DataFrame:
+    """The APPLY half of tokenizer training, fully distributed: learn
+    ``n_merges`` merge rules from the vocabulary and return the
+    segmented vocab frame (w, freq, seg array<string>).
+
+    Scale shape (the bpe_train split, now closed end-to-end in Spark):
+    the corpus was already collapsed to the vocab by bpe_vocab's ONE
+    map-side-combinable pass; every iteration here is vocab-bounded —
+    a pair hash-agg, a 1-ROW argmax frame broadcast back over the vocab
+    (crossJoin of a limit-1 frame, never a driver collect), and one
+    in-row merge application. Iteration count, not data volume, is the
+    cost knob — the graph_pagerank unrolling discipline. Ties in the
+    argmax break to (count desc, s1 asc, s2 asc), bpe_train's exact
+    rule (UTF-8 binary order == codepoint order, engine-identical)."""
+    seg0 = F.expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    )
+    # marker appended via F.lit — a Column, never a spliced SQL literal,
+    # so no escaping concern (contrast bpe_pairs_from_vocab's note)
+    seg = vocab.select(
+        "w", "freq",
+        F.concat(seg0, F.array(F.lit(eow_marker))).alias("seg"),
+    )
+    # size-1 guard: sequence(1, 0) auto-steps DESCENDING in Spark (the
+    # bpe_pairs_from_vocab gotcha), so a fully-merged single-token word
+    # would hit element_at(seg, 0) and kill the stage — it has no pairs
+    pair_expr = F.expr(
+        "case when size(seg) > 1 then "
+        "transform(sequence(1, size(seg) - 1), "
+        "i -> struct(element_at(seg, i) as s1, "
+        "element_at(seg, i + 1) as s2)) "
+        "else array() end"
+    )
+    for _ in range(n_merges):
+        pairs = (
+            seg.select(F.explode(pair_expr).alias("p"), "freq")
+            .groupBy("p.s1", "p.s2")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        # argmax as a GLOBAL AGG, not orderBy().limit(1): the agg always
+        # yields exactly one row, so an iteration with zero pairs (every
+        # word already a single token) degrades to a no-op sentinel
+        # merge (SEP, SEP) — which cannot match any wire string — where
+        # a limit-1 frame would be EMPTY and the crossJoin would wipe
+        # the vocab (bpe_train just stops iterating; same net state).
+        # min of the struct (-cnt, s1, s2) IS the (cnt desc, s1, s2)
+        # argmax with bpe_train's exact tie-break.
+        m = pairs.agg(
+            F.min(F.struct(
+                (-F.col("cnt")).alias("nc"), F.col("s1"), F.col("s2")
+            )).alias("m"))
+        best = m.select(
+            F.coalesce(F.col("m.s1"), F.lit(BPE_SEP)).alias("s1"),
+            F.coalesce(F.col("m.s2"), F.lit(BPE_SEP)).alias("s2"),
+        )
+        seg = (
+            seg.crossJoin(F.broadcast(best))
+            .select(
+                "w", "freq",
+                bpe_apply_merge(F.col("seg"), F.col("s1"), F.col("s2"))
+                .alias("seg"),
+            )
+            # lineage cut per iteration (the pagerank_ppb discipline):
+            # seg is consumed TWICE next round (pair counts + merge
+            # application), so an uncut plan re-derives every earlier
+            # iteration multiplicatively — 47 exchanges at n_merges=4
+            # vs the per-iteration constant after the cut
+            .localCheckpoint(eager=False)
+        )
+    return seg
+
+
 def bpe_segment(word: str, merges: list[tuple[str, str]],
                 eow_marker: str = "</w>") -> list[str]:
     """Segment one word with learned merge rules, applying them in

@@ -7426,6 +7426,89 @@ def llm_bpe_pairs(spark, sf_dir):
     )
 
 
+def _bpe_tokenize_oracle(n_merges: int) -> str:
+    """Unrolled-CTE oracle for llm_bpe_tokenize (the graph_pagerank
+    discipline: one CTE trio per merge iteration). Each iteration
+    replays the Spark plan exactly — pair counts from the current
+    segmentation lists, the (cnt desc, s1, s2) argmax, and the merge
+    application through the SAME \\x01-wire literal-replace composition
+    (see operators/textstats.py::bpe_apply_merge: matches are disjoint
+    by construction, so global replace == the BPE left-to-right
+    non-overlapping rule in both engines)."""
+    ctes = [
+        """toks as (select unnest(string_split(lower(text), ' ')) as w
+              from documents),
+    vocab as (select w, count(*) as freq from toks
+              where length(w) >= 2 and w not like '%' || chr(1) || '%'
+              group by 1),
+    seg0 as (select w, freq,
+                    list_append(list_transform(
+                      generate_series(1, length(w)),
+                      i -> substring(w, i, 1)), '</w>') as seg
+             from vocab)"""
+    ]
+    for k in range(n_merges):
+        ctes.append(f"""
+    p{k} as (select s1, s2, sum(freq) as cnt from (
+               select list_extract(seg, i) as s1,
+                      list_extract(seg, i + 1) as s2, freq
+               from seg{k}, unnest(generate_series(1, len(seg) - 1)) t(i))
+             group by 1, 2),
+    best{k} as (select s1, s2 from p{k}
+                order by cnt desc, s1 asc, s2 asc limit 1),
+    seg{k + 1} as (select w, freq,
+                  list_filter(string_split(
+                    replace(chr(1) || array_to_string(seg, chr(1) || chr(1))
+                              || chr(1),
+                            chr(1) || coalesce(s1, chr(1)) || chr(1)
+                              || chr(1) || coalesce(s2, chr(1)) || chr(1),
+                            chr(1) || coalesce(s1, chr(1))
+                              || coalesce(s2, chr(1)) || chr(1)),
+                    chr(1)), x -> x <> '') as seg
+                from seg{k} left join best{k} on true)""")
+    return (
+        "with " + ",".join(ctes) + f"""
+    select tok, cast(count(distinct w) as bigint) as n_words,
+           cast(sum(freq) as bigint) as n_occurrences
+    from (select w, freq, unnest(seg) as tok from seg{n_merges})
+    group by 1
+    """)
+
+
+@register("llm_bpe_tokenize", oracle=_bpe_tokenize_oracle(4))
+def llm_bpe_tokenize(spark, sf_dir):
+    """X50 (r12): distributed BPE tokenization — the APPLY half that
+    closes llm_bpe_pairs' train loop end-to-end in Spark: learn 4 merge
+    rules from the corpus vocabulary (each iteration a vocab-bounded
+    pair hash-agg + a broadcast 1-row argmax + an in-row literal-replace
+    merge — operators/textstats.py::bpe_tokenize_vocab), segment every
+    distinct word with them, and report the resulting subword token
+    table (token, distinct words containing it, frequency-weighted
+    occurrences). Integer-exact throughout; tie-breaks are bpe_train's
+    (count desc, pair asc). Scale shape: the corpus is touched ONCE
+    (the bpe_vocab hash-agg); everything after is vocab-bounded and
+    corpus-size-independent — iteration count is the only cost knob.
+    Words containing the \\x01 wire separator are excluded in both
+    engines (the merge wire format is not injective for them);
+    hypothesis-pinned against the driver-side bpe_train/bpe_segment
+    reference in tests/test_r12_ops.py."""
+    from minerva_etl_46_spark.operators.textstats import (
+        BPE_SEP,
+        bpe_tokenize_vocab,
+        bpe_vocab,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    vocab = bpe_vocab(d, "text").filter(~F.col("w").contains(BPE_SEP))
+    seg = bpe_tokenize_vocab(vocab, n_merges=4)
+    return (
+        seg.select("w", "freq", F.explode("seg").alias("tok"))
+        .groupBy("tok")
+        .agg(F.countDistinct("w").cast("long").alias("n_words"),
+             F.sum("freq").cast("long").alias("n_occurrences"))
+    )
+
+
 @register(
     "upsert_scd2_build",
     oracle=f"""
@@ -14043,7 +14126,46 @@ _R11_TAIL = [
     k for k in _R10_PRIORITY + _R10_TAIL
     if k not in set(_R11_PRIORITY)
 ]
-_EXPORT_ORDER = _R11_PRIORITY + _R11_TAIL
+
+_R12_PRIORITY = ["llm_bpe_tokenize"] + _R12_CANDIDATES + [
+    # Round-12 rotation, same deterministic policy: the never-sampled new
+    # key first (never-sampled beats stale — the r8 rule), then the 12
+    # r6-latest keys (_R12_CANDIDATES, named at r11 close), then the
+    # alphabetically-first 37 of the 50 r7-latest rows fill the 50-slot
+    # window. Computed this round from the union of CORRECTNESS_r01–r11
+    # (histogram r6×12 r7×50 r8×50 r9×50 r10×49 r11×50). This window
+    # happens to re-certify most of the r12 adversarial-trade
+    # contract-touched keys (join_fuzzy, scan_binary, scan_evolved,
+    # sink_csv, agg_decile_lift, agg_latency_histogram, agg_rfm,
+    # agg_skyline, agg_weighted_median, …) under their hardened oracles.
+    # After this round the staleness floor moves to r7 (13 keys remain —
+    # they lead _R13_CANDIDATES below).
+    "agg_abc", "agg_attribution", "agg_basket_pairs", "agg_benford",
+    "agg_chisq", "agg_churn", "agg_cohort_matrix", "agg_corr_pairs",
+    "agg_decile_lift", "agg_entropy", "agg_gaps", "agg_grouping_sets",
+    "agg_heavy_hitters_cms", "agg_latency_histogram", "agg_paths",
+    "agg_peak_concurrency", "agg_rfm", "agg_seasonality_dow",
+    "agg_skyline", "agg_stickiness", "agg_survival",
+    "agg_weighted_median", "fn_luhn", "fn_workdays", "graph_degree",
+    "join_fuzzy", "llm_boilerplate", "llm_collocations", "llm_lang_mix",
+    "llm_ngram_lm", "llm_positional_template", "llm_stopword_profile",
+    "llm_tfidf", "llm_zipf", "scan_binary", "scan_evolved", "sink_csv",
+]
+assert len(_R12_PRIORITY) == 50, len(_R12_PRIORITY)
+assert _R12_PRIORITY[1:13] == _R12_CANDIDATES
+#: r7-row keys that did not fit the 50-slot window; they lead _R13.
+_R13_CANDIDATES = [
+    "stream_late", "stream_scd2", "upsert_scd2_build", "win_bollinger",
+    "win_drawdown", "win_gap_fill", "win_late_arrivals",
+    "win_rolling_median", "win_rsi", "win_runs_test", "win_stochastic",
+    "win_vwap", "win_yoy",
+]
+assert not set(_R12_PRIORITY) & set(_R13_CANDIDATES)
+_R12_TAIL = [
+    k for k in _R11_PRIORITY + _R11_TAIL
+    if k not in set(_R12_PRIORITY)
+]
+_EXPORT_ORDER = _R12_PRIORITY + _R12_TAIL
 
 assert set(_EXPORT_ORDER) == set(QUERIES), (
     sorted(set(_EXPORT_ORDER) ^ set(QUERIES))

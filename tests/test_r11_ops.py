@@ -207,7 +207,7 @@ def nasty_dir(spark, tmp_path_factory):
 #: decode job).
 _NASTY_KEYS = (
     "llm_tokens", "llm_quality", "llm_lang_id", "llm_fingerprint",
-    "llm_repetition", "llm_bpe_pairs",
+    "llm_repetition", "llm_bpe_pairs", "llm_bpe_tokenize",
     "llm_bloom_prefilter", "llm_bm25", "llm_boilerplate", "llm_cdc_chunk",
     "llm_chunk", "llm_chunk_dedup", "llm_code_detect", "llm_collocations",
     "llm_concat", "llm_containment", "llm_dataset_card",
