@@ -483,13 +483,19 @@ def purchase_error_interval_join(events_p: DataFrame, events_r: DataFrame,
 def trigger_notifications_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D10 as a STREAMING job — the reference's trigger daemon: hourly
     KPI windows aggregate continuously, rules fire as notifications per
-    trigger. Both rules fuse into the ONE streaming aggregate via a
-    conditional rule array + explode (a union of two filtered branches
-    would plan two parallel streaming aggregations; this stays a single
-    agg, which every output mode supports). Output:
-    (entity_id, ts, rule, weight, details JSON) — the FULL batch trigger
-    shape (plans/triggers.py), details included, so sinks really are
-    interchangeable (r11 review: the 5th column was missing)."""
+    trigger. Rules are DATA (catalog.TriggerRule — the SAME specs the
+    batch trigger_notify key evaluates), compiled by the batch engine's
+    fused form (plans/triggers.py::evaluate_rules_fused): a conditional
+    rule array + explode over the ONE streaming aggregate. A union of
+    filtered branches would plan one parallel streaming aggregation per
+    rule; the fused form stays a single agg, which every output mode
+    supports. Output: (entity_id, ts, rule, weight, details JSON) — the
+    full batch trigger shape, sinks interchangeable (r11 review added
+    details; r12 lifted the inline rule literals into the shared
+    compiler)."""
+    from minerva_etl_46_spark.catalog import TriggerRule
+    from minerva_etl_46_spark.plans.triggers import evaluate_rules_fused
+
     e = _read_events_stream(spark, sf_dir)
     kpi = (
         e.groupBy(F.window("ts", "1 hour").alias("win"), "user_id")
@@ -504,39 +510,20 @@ def trigger_notifications_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("win.start").cast("long").alias("ts"),
             "n", "sum_value", "n_errors",
         )
+        # the rules' details name the window epoch "bucket" (the batch
+        # engine's column name); expose it alongside ts so the SAME rule
+        # specs compile unchanged — Catalyst prunes the duplicate
+        .withColumn("bucket", F.col("ts"))
     )
-    # details: per-rule JSON like the batch engine (plans/triggers.py
-    # packs details_cols via to_json) — integer-only columns so the JSON
-    # text is byte-identical cross-engine (the trigger_notify trade).
-    # Serialized to string INSIDE each struct, so the array's element
-    # type stays uniform across rules with different detail shapes.
-    # Emitting it makes the docstring's sink-interchangeability claim
-    # real: the batch shape is (entity_id, ts, rule, weight, details)
-    # (r11 review — the stream previously dropped the 5th column).
-    rules = F.array(
-        F.when(
-            F.col("sum_value") > 200.0,
-            F.struct(F.lit("value_surge").alias("rule"),
-                     F.lit(10).alias("weight"),
-                     F.to_json(F.struct(
-                         F.col("n").alias("n"),
-                         F.col("ts").alias("bucket"))).alias("details")),
-        ),
-        F.when(
-            F.col("n_errors") >= 2,
-            F.struct(F.lit("error_burst").alias("rule"),
-                     F.lit(5).alias("weight"),
-                     F.to_json(F.struct(
-                         F.col("n_errors").alias("n_errors"),
-                         F.col("ts").alias("bucket"))).alias("details")),
-        ),
-    )
-    notif = kpi.select(
-        "entity_id", "ts",
-        F.explode(F.filter(rules, lambda x: x.isNotNull())).alias("r"),
-    ).select("entity_id", "ts", F.col("r.rule").alias("rule"),
-             F.col("r.weight").alias("weight"),
-             F.col("r.details").alias("details"))
+    # details pack integer-only columns so the JSON text is
+    # byte-identical cross-engine (the trigger_notify trade)
+    rules = [
+        TriggerRule(name="value_surge", predicate_sql="sum_value > 200.0",
+                    weight_sql="10", details_cols=("n", "bucket")),
+        TriggerRule(name="error_burst", predicate_sql="n_errors >= 2",
+                    weight_sql="5", details_cols=("n_errors", "bucket")),
+    ]
+    notif = evaluate_rules_fused(kpi, rules)
     return _run_to_memory(notif, "stream_trigger_out", spark)
 
 
