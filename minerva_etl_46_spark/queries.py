@@ -2108,9 +2108,15 @@ def stream_sliding(spark, sf_dir):
     "stream_session",
     oracle=f"""
     with e as (select * from {EV}),
+    -- STRICTLY greater: an event exactly gap-after its predecessor
+    -- EXTENDS the session — F.session_window merges touching windows
+    -- (probed r12: events 30min apart at gap=30min yield ONE session),
+    -- and win_sessionize's batch rule is the same strict >. The old >=
+    -- split sessions the engine merges — latent on the clean fixture,
+    -- caught by the split-invariance property's exact-gap example.
     b as (select user_id, ts, event_id, value,
                  case when lag(ts) over w is null
-                      or ts >= lag(ts) over w + interval 30 minute
+                      or ts > lag(ts) over w + interval 30 minute
                       then 1 else 0 end as brk
           from e window w as (partition by user_id order by ts, event_id)),
     s as (select user_id, ts, value,
@@ -2129,8 +2135,9 @@ def stream_session(spark, sf_dir):
     (F.session_window — dynamic, data-driven window extents merged in the
     state store; streaming/jobs.py::session_counts). The oracle replays
     the gap semantics batch-side as gaps-and-islands (an event exactly
-    gap-after its predecessor starts a NEW session — session end is
-    exclusive), proving stream/batch session parity the same way
+    gap-after its predecessor EXTENDS the session — session_window
+    merges touching windows, the same strict-> rule as win_sessionize;
+    r12 fix), proving stream/batch session parity the same way
     stream_tumbling proves it for fixed windows."""
     return streaming_jobs.session_counts(spark, sf_dir)
 

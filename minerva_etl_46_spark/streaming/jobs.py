@@ -265,9 +265,10 @@ def session_counts(spark: SparkSession, sf_dir: str,
     production twin adds a watermark so closed sessions finalize and
     leave state (same append+foreachBatch shape as
     tumbling_rollup_append). The batch gaps-and-islands twin is
-    win_sessionize — the oracle replays THIS operator's semantics
-    (session end exclusive: an event exactly gap-after the previous one
-    starts a NEW session)."""
+    win_sessionize — the oracle replays THIS operator's semantics: an
+    event exactly gap-after the previous one EXTENDS the session
+    (session_window merges touching windows; probed r12 — the same
+    strict-> boundary win_sessionize always used)."""
     e = _read_events_stream(spark, sf_dir)
     return _run_to_memory(session_counts_frame(e, gap),
                           "stream_session_out", spark)

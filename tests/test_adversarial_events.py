@@ -57,6 +57,12 @@ def _nasty_rows():
     rows.append((eid, _t(5, 1), 1, "purchase", None, "{}")); eid += 1
     rows.append((eid, _t(13, 0), 2, "view", 3.0, None)); eid += 1
     rows.append((eid, _t(14, 0), 2, "view", 3.0, '{"a":{"b":1}}')); eid += 1
+    # EXACT-30-min spacing (r12): events exactly gap-apart EXTEND a
+    # session (session_window merges touching windows; the strict->
+    # boundary) — the case that exposed the stream_session oracle's >=
+    rows.append((eid, _t(20, 0), 0, "view", 1.0, "{}")); eid += 1
+    rows.append((eid, _t(20, 30), 0, "view", 1.0, "{}")); eid += 1
+    rows.append((eid, _t(21, 0), 0, "view", 1.0, "{}")); eid += 1
     return rows
 
 

@@ -577,8 +577,10 @@ def test_session_windows_invariant_to_arbitrary_splits(spark, rows, assign):
     row→batch assignment. The deep case this generates: an event landing
     in a LATER micro-batch between two existing sessions bridges them —
     the state store must MERGE previously-emitted sessions, not append a
-    third. Session rule (the builder's docstring): an event exactly
-    gap-after the previous one starts a NEW session; end = last + gap."""
+    third. Session rule (the builder's docstring, corrected r12 when
+    hypothesis found the exact-gap example): an event exactly gap-after
+    the previous one EXTENDS the session — session_window merges
+    touching windows; end = last + gap."""
     from minerva_etl_46_spark.streaming.jobs import session_counts_frame
 
     gap_min = 30
@@ -610,7 +612,7 @@ def test_session_windows_invariant_to_arbitrary_splits(spark, rows, assign):
         cur = [evs[0]]
         sessions = []
         for e in evs[1:]:
-            if e[0] - cur[-1][0] >= gap_us:   # exactly gap ⇒ NEW session
+            if e[0] - cur[-1][0] > gap_us:   # exactly gap ⇒ EXTENDS (r12)
                 sessions.append(cur)
                 cur = [e]
             else:
