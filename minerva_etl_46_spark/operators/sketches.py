@@ -42,10 +42,17 @@ def _bucket(key_col, seed_col, w: int, hash_fn: str):
 def cms_build(df: DataFrame, key: str, d: int = 4, w: int = 256,
               hash_fn: str = "xxhash64") -> DataFrame:
     """(seed, bucket, cnt) grid over df[key]. One hash-agg; the exchange
-    carries ≤ d·w rows."""
+    carries ≤ d·w rows.
+
+    NULL keys are MISSING DATA, not sketchable values: the hash
+    pre-image (key || ':' || seed) is undefined for them — the md5
+    family yields a NULL bucket here and a cast error in the DuckDB
+    replay — so they are excluded like every null observation in this
+    engine (the similarity/dedup rule; r12b adversarial-events)."""
     seeds = F.array(*[F.lit(i) for i in range(d)])
     return (
-        df.select(F.col(key).alias("__k"), F.explode(seeds).alias("seed"))
+        df.where(F.col(key).isNotNull())
+        .select(F.col(key).alias("__k"), F.explode(seeds).alias("seed"))
         .select("seed",
                 _bucket(F.col("__k"), F.col("seed"), w, hash_fn)
                 .alias("bucket"))

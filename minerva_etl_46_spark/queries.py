@@ -71,9 +71,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # DuckDB view of events with Spark-identical µs timestamps (ns floor-cast).
+#: Events pre-image. ``ts IS NOT NULL``: the timestamp is part of the
+#: trend-store KEY in the Minerva data model (trend rows key on
+#: (entity, timestamp) — an undated measurement is unstorable), so the
+#: engine drops NULL-ts rows at the load boundary and the oracles drop
+#: them here, in lockstep (r12b adversarial-events: every window walk's
+#: ORDER BY ts otherwise diverges on the NULL position, Spark NULLS
+#: FIRST vs DuckDB NULLS LAST — 37 keys at once).
 EV = (
     "(select event_id, cast(ts as timestamp) as ts, user_id, event_type,"
-    " value, props from events)"
+    " value, props from events where ts is not null)"
 )
 #: open-interval sentinel for epoch-µs BIGINT outputs (see module docstring)
 OPEN_END_US = -1
@@ -95,11 +102,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (LTZ) whatever precision/type the parquet carries — ns arrives as long
     (session.RUNTIME_CONFS nanosAsLong) and floor-converts to µs exactly
     like DuckDB's CAST(ts_ns AS TIMESTAMP); µs NTZ casts to LTZ (identity
-    under the pinned UTC session tz) — so oracles stay aligned."""
+    under the pinned UTC session tz) — so oracles stay aligned.
+
+    events.ts additionally carries the trend-store KEY rule: a row
+    without a timestamp is unstorable in the (entity, timestamp)-keyed
+    model, so NULL-ts rows drop HERE, at the load boundary, for every
+    consumer at once — the EV oracle macro applies the identical filter
+    (r12b). orders/lineitem dates are fact attributes, not store keys;
+    their NULLs stay and are handled per-operator."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     cols = _TS_COLS.get(name)
     if cols:
         df = normalize_ts_columns(df, cols, table=name)
+    if name == "events":
+        df = df.where(F.col("ts").isNotNull())
     return df
 
 
@@ -3072,8 +3088,12 @@ def llm_pack(spark, sf_dir):
                from hourly group by 1),
     grid as (select user_id, unnest(generate_series(lo, hi, 3600)) as bucket
              from bounds),
+    -- explicit NULL-safe join keys: USING drops the NULL-entity grid
+    -- the window path keeps (r12b)
     j as (select g.user_id, g.bucket, h.n, h.sum_value
-          from grid g left join hourly h using (user_id, bucket))
+          from grid g left join hourly h
+            on g.user_id is not distinct from h.user_id
+           and g.bucket = h.bucket)
     select user_id, bucket,
            coalesce(n, 0) as n,
            last_value(sum_value ignore nulls) over
@@ -3481,7 +3501,7 @@ def llm_concat(spark, sf_dir):
       select user_id, event_id, value,
              lag(value) over (partition by user_id
                               order by cast(ts as timestamp), event_id) as prev
-      from events),
+      from events where ts is not null),  -- the EV key rule (r12b)
     flags as (
       select user_id, event_id,
              case when prev is not null and value > prev then 1 else 0 end
@@ -5811,8 +5831,12 @@ def join_bucketed(spark, sf_dir):
                from hourly group by 1),
     grid as (select user_id, unnest(generate_series(lo, hi, 3600)) as bucket
              from bounds),
+    -- explicit NULL-safe join keys: USING drops the NULL-entity grid
+    -- the window path keeps (r12b)
     j as (select g.user_id, g.bucket, h.n, h.sum_value
-          from grid g left join hourly h using (user_id, bucket)),
+          from grid g left join hourly h
+            on g.user_id is not distinct from h.user_id
+           and g.bucket = h.bucket),
     f as (select user_id, bucket, n, sum_value,
             last_value(sum_value ignore nulls) over
               (partition by user_id order by bucket
@@ -6053,15 +6077,17 @@ def stream_dedup(spark, sf_dir):
     oracle=f"""
     with e as (select * from {EV}),
     seeds as (select unnest(generate_series(0, 3)) as seed),
+    -- user_id is not null: a NULL key has no hash pre-image — excluded
+    -- from the sketch domain on both sides (cms_build's rule, r12b)
     rows_h as (select user_id, seed,
                  cast(concat('0x', substr(md5(cast(user_id as varchar)
                       || ':' || cast(seed as varchar)), 1, 8)) as bigint)
                  % 256 as bucket
-               from e, seeds),
+               from e, seeds where user_id is not null),
     sketch as (select seed, bucket, count(*) as cnt
                from rows_h group by 1, 2),
     truth as (select user_id, count(*) as true_n
-              from e group by 1
+              from e where user_id is not null group by 1
               order by true_n desc, user_id asc limit 20),
     probes as (select t.user_id, t.true_n, s.seed,
                  cast(concat('0x', substr(md5(cast(t.user_id as varchar)
@@ -6096,8 +6122,11 @@ def agg_heavy_hitters_cms(spark, sf_dir):
 
     e = load(spark, sf_dir, "events")
     sketch = cms_build(e, "user_id", d=4, w=256, hash_fn="md5")
+    # truth restricted to the sketch's key domain (NULL keys are not
+    # sketchable — cms_build's rule, r12b)
     truth = (
-        e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+        e.where(F.col("user_id").isNotNull())
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
         .orderBy(F.col("true_n").desc(), F.col("user_id").asc())
         .limit(20)
     )
@@ -6512,9 +6541,13 @@ def fn_ip_cidr(spark, sf_dir):
         "event_id", "addr",
         (F.col("o1") * 16777216 + F.col("o2") * 65536
          + F.col("o3") * 256 + F.col("o4")).alias("ip_num"),
-        F.concat_ws(
-            ".", F.col("o1").cast("string"), F.col("o2").cast("string"),
-            F.col("o3").cast("string"), F.lit("0/24"),
+        # F.concat, not concat_ws: concat_ws SKIPS NULL parts ('0/24'
+        # from an all-NULL address) where the oracle's || chain — and a
+        # CIDR key derived from missing octets — must be NULL (r12b)
+        F.concat(
+            F.col("o1").cast("string"), F.lit("."),
+            F.col("o2").cast("string"), F.lit("."),
+            F.col("o3").cast("string"), F.lit(".0/24"),
         ).alias("subnet24"),
         (
             (F.col("o1") == 10)
@@ -7167,12 +7200,16 @@ def join_spatial(spark, sf_dir):
              0.3 * s.v + 0.7 * (w.l + w.b),
              0.1 * ((0.3 * s.v + 0.7 * (w.l + w.b)) - w.l) + 0.9 * w.b
       from walk w join seq s
-        on s.user_id = w.user_id and s.i = w.i + 1)
+        on s.user_id is not distinct from w.user_id and s.i = w.i + 1)
     select a.user_id, cast(a.n as bigint) as n,
            w.l as level, w.b as trend
+    -- IS NOT DISTINCT FROM: the NULL-entity partition walks like any
+    -- other (Spark's groupBy keeps it); plain equi-joins dropped its
+    -- level/trend from the oracle side only (r12b)
     from n_all a
-    left join nn on a.user_id = nn.user_id
-    left join walk w on w.user_id = a.user_id and w.i = nn.m
+    left join nn on a.user_id is not distinct from nn.user_id
+    left join walk w on w.user_id is not distinct from a.user_id
+                    and w.i = nn.m
     """,
 )
 def win_holt(spark, sf_dir):
@@ -8033,8 +8070,11 @@ def agg_weighted_median(spark, sf_dir):
     select d.user_id,
            cast(cast(m.max_dd as varchar) as double) as max_drawdown,
            min(d.bucket) as at_bucket
+    -- IS NOT DISTINCT FROM: keep the NULL-entity group the window path
+    -- keeps (r12b)
     from dd d join mx m
-      on d.user_id = m.user_id and d.peak - d.v = m.max_dd
+      on d.user_id is not distinct from m.user_id
+     and d.peak - d.v = m.max_dd
     group by d.user_id, m.max_dd
     """,
 )
@@ -10967,7 +11007,11 @@ def agg_time_to_convert(spark, sf_dir):
                      count(*) as dau,
                      sum(case when ud.d_idx = fs.first_day
                               then 1 else 0 end) as new_users
-              from ud join fs on ud.user_id = fs.user_id
+              -- IS NOT DISTINCT FROM: the NULL-entity group is a group
+              -- (both engines' GROUP BY keep it; Spark's min-window
+              -- partition keeps it) — a plain equi-join dropped it from
+              -- the oracle side only (r12b adversarial-events parity)
+              from ud join fs on ud.user_id is not distinct from fs.user_id
               group by 1)
     select cast(d_idx as bigint) as d_idx, cast(dau as bigint) as dau,
            cast(new_users as bigint) as new_users,

@@ -128,7 +128,12 @@ def _read_events_stream(spark: SparkSession, sf_dir: str,
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return normalize_ts_columns(raw, ["ts"], table="events(stream)")
+    # the trend-store KEY rule, same as the batch loader (queries.load):
+    # a row without a timestamp is unstorable — and in watermarked aggs
+    # Spark would drop it anyway; making it explicit keeps stream ≡ batch
+    return normalize_ts_columns(
+        raw, ["ts"], table="events(stream)"
+    ).where(F.col("ts").isNotNull())
 
 
 def _run_to_memory(agg: DataFrame, name: str, spark: SparkSession,

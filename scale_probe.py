@@ -1956,10 +1956,58 @@ def r11b_probe(spark, res, n_docs):
     print(json.dumps({"shape": "bpe_stage_scaling", **res}), flush=True)
 
 
+def r12_probe(spark, res, n_docs):
+    """r12: llm_bpe_tokenize's scale claim, measured — the ENTIRE merge
+    loop (N iterations of pair agg + argmax + merge application) is
+    VOCAB-bounded. Same harness as r11b (50k shared vocabulary at n/10
+    and n docs): the tokenize stage over the materialized vocab must
+    cost the same at both corpus sizes. This is the apply-half number
+    that holds at 100 TB: after bpe_vocab's one corpus pass, iteration
+    cost is |vocab| × avg_word_len per merge regardless of corpus
+    bytes."""
+    from minerva_etl_46_spark.operators.textstats import (
+        bpe_tokenize_vocab,
+        bpe_vocab,
+    )
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda i: F.concat(
+            F.lit("w"),
+            (F.abs(F.xxhash64(F.col("id"), i)) % 50_000).cast("string")))
+    warm = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text"))
+    bpe_tokenize_vocab(bpe_vocab(warm, "text"), 4).write.format("noop") \
+        .mode("overwrite").save()
+    for tag, n in (("small", n_docs // 10), ("large", n_docs)):
+        docs = (spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", words).alias("text"))
+            .localCheckpoint(eager=True))  # exclude synth cost
+        vocab = bpe_vocab(docs, "text").localCheckpoint(eager=True)
+        res[f"tok_vocab_{tag}"] = vocab.count()
+        timed(f"bpe_tokenize_{tag}", bpe_tokenize_vocab(vocab, 4), res)
+        docs.unpersist()
+    ratio = res["bpe_tokenize_large"]["sec"] / max(
+        res["bpe_tokenize_small"]["sec"], 1e-3)
+    res["bpe_tokenize_ratio"] = round(ratio, 2)
+    assert ratio < 3.0, (
+        f"tokenize loop scaled with the corpus (ratio {ratio}) — the "
+        "vocab-bounded claim is broken")
+    print(json.dumps({"shape": "bpe_tokenize_scaling", **res}), flush=True)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r12":
+        n = min(N, 1_000_000)
+        r12_probe(spark, res, n_docs=n)
+        print(json.dumps({"metric": "scale_probe_r12", "rows": n,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r11b":
         n = min(N, 1_000_000)
         r11b_probe(spark, res, n_docs=n)

@@ -63,6 +63,14 @@ def _nasty_rows():
     rows.append((eid, _t(20, 0), 0, "view", 1.0, "{}")); eid += 1
     rows.append((eid, _t(20, 30), 0, "view", 1.0, "{}")); eid += 1
     rows.append((eid, _t(21, 0), 0, "view", 1.0, "{}")); eid += 1
+    # NULL ts / NULL user_id (r12b): the r11 fixture never tested the
+    # TIME axis or the GROUP key being NULL — an undated event must not
+    # seed/poison any bucket walk, and the NULL-user group must survive
+    # every groupBy the way both engines' GROUP BY keeps it
+    rows.append((eid, None, 0, "view", 2.0, "{}")); eid += 1
+    rows.append((eid, None, 3, "click", None, "{}")); eid += 1   # new user
+    rows.append((eid, _t(15, 0), None, "view", 4.0, "{}")); eid += 1
+    rows.append((eid, None, None, None, None, None)); eid += 1
     return rows
 
 
