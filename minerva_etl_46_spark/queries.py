@@ -6874,7 +6874,10 @@ def llm_dataset_card(spark, sf_dir):
 @register(
     "mm_wav_features",
     oracle=f"""
-    with u as (select distinct user_id from {EV}),
+    -- user_id is not null: media_id is the media table's KEY — a
+    -- payload cannot be rendered/keyed for an unknown entity (r12b:
+    -- the NULL key previously crashed the render UDF's int() cast)
+    with u as (select distinct user_id from {EV} where user_id is not null),
     s as (select user_id, unnest(generate_series(0, 63)) as i from u),
     v as (select user_id,
                  abs(((user_id * 31 + i * 17) % 2000) - 1000) as a
@@ -6909,7 +6912,10 @@ def mm_wav_features(spark, sf_dir):
         wav_decode,
     )
 
-    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    # NULL keys excluded — see the oracle note (r12b)
+    users = (load(spark, sf_dir, "events")
+             .where(F.col("user_id").isNotNull())
+             .select("user_id").distinct())
 
     def render(batches):
         for pdf in batches:

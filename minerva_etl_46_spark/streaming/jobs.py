@@ -555,9 +555,13 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str,
     import os
 
     tune(spark)
+    # the trend-store KEY rule (queries.load): this job builds its own
+    # fixture copy instead of going through the shared readers, so the
+    # NULL-ts drop must apply here too (r12b — undated rows otherwise
+    # survived the watermarked dedup the oracle excludes)
     batch = normalize_ts_columns(
         spark.read.parquet(f"{sf_dir}/events.parquet"), ["ts"],
-        table="events")
+        table="events").where(F.col("ts").isNotNull())
     # fingerprint the source fixture into the cache-dir name: a bare
     # "dedup_src" reused on mere existence would serve STALE files after
     # an in-place fixture regeneration (or a recycled PID hitting an old

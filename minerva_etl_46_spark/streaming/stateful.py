@@ -314,9 +314,20 @@ def _scd2_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
                .drop_duplicates("ts_us", keep="last"))
         for ts_us, et in zip(pdf["ts_us"], pdf["event_type"]):
             ts_us = int(ts_us)
-            if cur_type is None:
+            # pandas surfaces a NULL string cell as NaN; canonicalize to
+            # None so the null-safe compare below is well-defined
+            if et is not None and not isinstance(et, str):
+                et = None
+            # cur_from == -1 is the NO-STATE sentinel, NOT cur_type is
+            # None: a NULL event_type is a VALUE under the engine's
+            # change detection (IS DISTINCT FROM — the r11 batch rule),
+            # so it must be holdable as the open interval; the old
+            # None-as-seed test re-seeded on every NULL and could never
+            # close or open a NULL interval (r12b adversarial-events:
+            # the stream emitted one fewer interval than the oracle)
+            if cur_from == -1:
                 cur_type, cur_from = et, ts_us
-            elif et != cur_type:
+            elif et != cur_type and not (et is None and cur_type is None):
                 out.append({
                     "user_id": user_id, "event_type": cur_type,
                     "valid_from_us": cur_from, "valid_to_us": ts_us,
@@ -324,7 +335,7 @@ def _scd2_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
                 })
                 cur_type, cur_from = et, ts_us
     state.update((cur_type, cur_from))
-    if cur_type is not None:
+    if cur_from != -1:
         out.append({
             "user_id": user_id, "event_type": cur_type,
             "valid_from_us": cur_from, "valid_to_us": -1,

@@ -99,8 +99,15 @@ def nasty_duck(nasty_events_dir):
 
 
 #: every registered batch key whose inputs are exactly {events} — pinned
-#: explicitly so coverage loss is loud (95 keys as of r11)
+#: explicitly so coverage loss is loud (95 keys as of r11; +13 at r12b —
+#: the filter/join/scan/sink event keys the r11 list omitted, closing
+#: the registry's last adversarial-coverage gap together with the
+#: STREAM_EVENT_KEYS gate below)
 EVENT_KEYS = [
+    "filter_threshold", "filter_ts_range", "join_asof", "join_interval",
+    "join_nearest", "join_parts", "join_range", "join_scd2",
+    "mm_wav_features", "scan_orc", "scan_partitioned",
+    "sink_overwrite_partition", "sink_parquet_partitioned",
     "agg_ab_test", "agg_approx", "agg_attribution", "agg_availability",
     "agg_bitmap_distinct", "agg_boxplot", "agg_busy_hour",
     "agg_calendar_heatmap", "agg_chisq", "agg_churn", "agg_corr_pairs",
@@ -133,6 +140,29 @@ EVENT_KEYS = [
 @pytest.mark.parametrize("key", EVENT_KEYS)
 def test_event_key_matches_oracle_on_adversarial_events(
         key, spark, nasty_events_dir, nasty_duck):
+    import __spark_entry__ as E
+    from tests.parity import compare
+
+    sp = E.queries()[key](spark, nasty_events_dir).toPandas()
+    du = nasty_duck.execute(E.oracle_sql()[key]).df()
+    errs = compare(sp, du, key)
+    assert not errs, "\n".join(errs)
+
+
+#: the streaming-shaped event keys (r12b): run the REAL micro-batch
+#: machinery over the hostile fixture — watermarks, state stores and
+#: session merges meet NULL values/types/users and the exact-gap triple.
+#: (NULL-ts rows drop at the stream reader, same key rule as batch.)
+STREAM_EVENT_KEYS = [
+    "stream_attribution", "stream_dedup", "stream_funnel", "stream_join",
+    "stream_late", "stream_records", "stream_scd2", "stream_session",
+    "stream_sliding", "stream_topk", "stream_trigger", "stream_tumbling",
+]
+
+
+@pytest.mark.parametrize("key", STREAM_EVENT_KEYS)
+def test_stream_key_matches_oracle_on_adversarial_events(
+        key, spark, nasty_events_dir, nasty_duck, tmp_path):
     import __spark_entry__ as E
     from tests.parity import compare
 

@@ -174,6 +174,11 @@ _NASTY_DOCS = [
     (6, "   ", "en", "web", 3),                         # whitespace-only
     (7, "le la et un est", "fr", "web", 15),
     (8, "x", "zz", "web", 1),                           # 1-char doc
+    # r12b: NULL lang / NULL source — the metadata axes every mix/shard/
+    # stratify key groups by had never been NULL
+    (9, "the common words here", None, "web", 21),      # NULL lang
+    (10, "more common words here", "en", None, 22),     # NULL source
+    (11, "words", None, None, 5),                       # both NULL
 ]
 
 
