@@ -140,3 +140,27 @@ def test_bpe_tokenize_survives_zero_pair_rounds(spark):
     df = spark.createDataFrame([("ab", 3)], "w string, freq long")
     seg = {r.w: list(r.seg) for r in bpe_tokenize_vocab(df, 8).collect()}
     assert seg == {"ab": ["ab</w>"]}
+
+
+# ---------------------------------------------------------------------------
+# kv percent-escape convention (r12): escape/unescape is an exact inverse
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(vals=st.lists(
+    st.text(alphabet="ab%|=\\x 25C7D3", min_size=0, max_size=12),
+    min_size=1, max_size=6))
+def test_kv_escape_roundtrips_exactly(spark, vals):
+    import pyspark.sql.functions as F
+
+    from minerva_etl_46_spark.sources.harvest import kv_escape, kv_unescape
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    out = df.select(
+        "v", kv_unescape(kv_escape(F.col("v"))).alias("rt"),
+        kv_escape(F.col("v")).alias("esc")).collect()
+    for r in out:
+        assert r.rt == r.v, (r.v, r.esc, r.rt)
+        # structural chars never survive escaping — the wire invariant
+        assert "|" not in r.esc and "=" not in r.esc
