@@ -184,7 +184,8 @@ def scan_csv(spark, sf_dir):
     # padded values and renders NULL as the empty field, conflating NULL
     # with '' on re-read (r12 adversarial-trade parity — round-trip is
     # lossless for NULL, '', padding, commas and quotes under these opts)
-    (nation.coalesce(1).write.mode("overwrite").option("header", True)
+    (_csv_token_guard(nation, ["n_name"])  # \N-collision: fail loudly
+     .coalesce(1).write.mode("overwrite").option("header", True)
      .option("nullValue", "\\N")
      .option("ignoreLeadingWhiteSpace", "false")
      .option("ignoreTrailingWhiteSpace", "false").csv(scratch))
@@ -4458,6 +4459,27 @@ def win_share(spark, sf_dir):
 # (INTERSECT, CUBE, exact percentiles, deterministic mode), SCD2
 # point-in-time join, winnowing fingerprints
 # ---------------------------------------------------------------------------
+
+
+def _csv_token_guard(df: DataFrame, cols: list[str],
+                     token: str = "\\N") -> DataFrame:
+    """The CSV export contract cannot represent a string value literally
+    equal to the NULL token: Spark's writer emits the value and NULL as
+    IDENTICAL bytes (probed r12 — in quoteAll mode too, where both
+    render as the escaped quoted form), so the round-trip would
+    silently corrupt the value to NULL. Fail LOUDLY instead: assert_true
+    is executor-side, plan-visible (can't be pruned), and free when the
+    data is clean — the 'raise, don't silently bend' discipline the
+    multimodal codecs use. Callers re-read what they wrote, so a
+    corrupted export would otherwise pass unnoticed until a downstream
+    consumer diverged."""
+    cond = None
+    for c in cols:
+        ok = F.col(c).isNull() | (F.col(c) != token)
+        cond = ok if cond is None else cond & ok
+    return df.where(F.assert_true(cond, F.lit(
+        f"CSV export cannot represent the literal NULL token {token!r}"
+    )).isNull())
 
 
 def _scratch(sf_dir: str, name: str) -> str:
@@ -10239,7 +10261,8 @@ def sink_csv(spark, sf_dir):
         F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal"),
         "c_mktsegment")
     # the scan_csv round-trip contract: explicit NULL token, no trim
-    (c.write.mode("overwrite").option("header", True)
+    (_csv_token_guard(c, ["c_name", "c_mktsegment"])  # \N: fail loudly
+     .write.mode("overwrite").option("header", True)
      .option("nullValue", "\\N")
      .option("ignoreLeadingWhiteSpace", "false")
      .option("ignoreTrailingWhiteSpace", "false").csv(scratch))
@@ -13510,6 +13533,12 @@ def scan_csv_gzip(spark, sf_dir):
             if v is None:
                 return "\\N"
             s = str(v)
+            if s == "\\N":
+                # the reader cannot distinguish this value from NULL
+                # (the _csv_token_guard contract) — fail loudly
+                raise ValueError(
+                    "CSV export cannot represent the literal NULL "
+                    "token '\\N'")
             if s == "":
                 return '""'
             if any(ch in s for ch in ',"\n\\'):

@@ -98,6 +98,11 @@ def _customer_rows():
     rows.append((24, "cn=admin,ou=x", None, 0.0, None))  # DN-ish name
     # 25: a customer that places NO orders (absence case)
     rows.append((25, "NO ORDERS EVER", 3, 10.0, "MACHINERY"))
+    # backslash-bearing name (r12c): round-trips the CSV escape path;
+    # the literal NULL token '\\N' itself is UNREPRESENTABLE by contract
+    # (_csv_token_guard fails loudly — pinned in test_r12_ops) and so
+    # stays out of this fixture
+    rows.append((26, "back\\slash \\Nx", 0, 1.0, "BUILDING"))
     return rows
 
 

@@ -164,3 +164,26 @@ def test_kv_escape_roundtrips_exactly(spark, vals):
         assert r.rt == r.v, (r.v, r.esc, r.rt)
         # structural chars never survive escaping — the wire invariant
         assert "|" not in r.esc and "=" not in r.esc
+
+
+# ---------------------------------------------------------------------------
+# CSV NULL-token collision (r12c): a value literally equal to \N is
+# UNREPRESENTABLE — the writer emits it and NULL as identical bytes
+# (probed; quoteAll mode included) — so the export fails loudly instead
+# of silently corrupting the value to NULL on re-read.
+# ---------------------------------------------------------------------------
+
+def test_csv_export_refuses_the_literal_null_token(spark, tmp_path):
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from minerva_etl_46_spark.queries import _csv_token_guard
+
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, "\\N"), (3, None)], "k int, s string")
+    guarded = _csv_token_guard(df, ["s"])
+    with pytest.raises(Exception, match="NULL token"):
+        guarded.collect()
+    # clean frames pass through unchanged
+    clean = spark.createDataFrame(
+        [(1, "ok"), (2, "back\\slash"), (3, None)], "k int, s string")
+    assert _csv_token_guard(clean, ["s"]).count() == 3
