@@ -4461,6 +4461,32 @@ def win_share(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _csv_cell(v) -> str:
+    """Render one value in exactly the dialect Spark's CSV reader parses
+    under the scan_csv contract (nullValue=\\N, escape=backslash): \\N
+    for NULL, "" for the empty string, backslash-escaped quotes inside
+    quoted fields. Values the format CANNOT represent fail loudly: a
+    literal \\N is byte-identical to NULL on the wire
+    (_csv_token_guard's probe), and a raw newline cannot exist in a
+    line-based record (the reader is not multiLine — splittability is
+    the point of the format). Property-pinned round-trip through the
+    REAL reader in tests/test_r12_ops.py."""
+    if v is None:
+        return "\\N"
+    s = str(v)
+    if s == "\\N":
+        raise ValueError(
+            "CSV export cannot represent the literal NULL token '\\N'")
+    if "\n" in s or "\r" in s:
+        raise ValueError(
+            "line-based CSV export cannot represent a raw newline")
+    if s == "":
+        return '""'
+    if any(ch in s for ch in ',"\\'):
+        return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    return s
+
+
 def _csv_token_guard(df: DataFrame, cols: list[str],
                      token: str = "\\N") -> DataFrame:
     """The CSV export contract cannot represent a string value literally
@@ -13524,32 +13550,13 @@ def scan_csv_gzip(spark, sf_dir):
         os.makedirs(scratch, exist_ok=True)
         rows = c.collect()  # bounded-by: customer dimension (15k at sf0.1)
 
-        def cell(v):
-            # render exactly the dialect Spark's own CSV writer emits
-            # and its reader parses: \N for NULL, "" for the empty
-            # string, backslash-escaped quotes inside quoted fields
-            # (the old f-string renderer emitted 'None' for NULLs and
-            # broke columns on embedded commas/quotes — r12 parity)
-            if v is None:
-                return "\\N"
-            s = str(v)
-            if s == "\\N":
-                # the reader cannot distinguish this value from NULL
-                # (the _csv_token_guard contract) — fail loudly
-                raise ValueError(
-                    "CSV export cannot represent the literal NULL "
-                    "token '\\N'")
-            if s == "":
-                return '""'
-            if any(ch in s for ch in ',"\n\\'):
-                return ('"' + s.replace("\\", "\\\\").replace('"', '\\"')
-                        + '"')
-            return s
-
+        # _csv_cell: the shared reader-dialect renderer (the old
+        # f-string renderer emitted 'None' for NULLs and broke columns
+        # on embedded commas/quotes — r12 parity); property-pinned
         files = [[] for _ in range(4)]
         for r in rows:
             files[r.c_custkey % 4].append(",".join(
-                cell(v)
+                _csv_cell(v)
                 for v in (r.c_custkey, r.c_name, r.c_nationkey, r.acctbal)
             ) + "\n")
         for i, lines in enumerate(files):

@@ -187,3 +187,36 @@ def test_csv_export_refuses_the_literal_null_token(spark, tmp_path):
     clean = spark.createDataFrame(
         [(1, "ok"), (2, "back\\slash"), (3, None)], "k int, s string")
     assert _csv_token_guard(clean, ["s"]).count() == 3
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(vals=st.lists(
+    st.one_of(
+        st.none(),
+        st.text(alphabet='ab,"\\% =|é日 x', min_size=0, max_size=12)
+        .filter(lambda s: s != "\\N"),
+    ),
+    min_size=1, max_size=6))
+def test_csv_cell_roundtrips_through_the_real_reader(spark, vals):
+    """_csv_cell (the scan_csv_gzip renderer) must round-trip ANY
+    representable value — NULL, '', commas, quotes, backslashes,
+    unicode, padding — through Spark's actual CSV reader under the
+    scan_csv contract options. The two unrepresentable classes (the
+    literal \\N token, raw newlines) raise and are excluded here."""
+    from minerva_etl_46_spark.queries import _csv_cell
+
+    lines = [f"{i},{_csv_cell(v)}" for i, v in enumerate(vals)]
+    rdd = spark.sparkContext.parallelize(["k,s"] + lines, 1)
+    back = (spark.read.option("header", True).option("nullValue", "\\N")
+            .schema("k int, s string").csv(rdd))
+    got = {r.k: r.s for r in back.collect()}
+    assert got == dict(enumerate(vals)), (vals, lines, got)
+
+
+def test_csv_cell_refuses_unrepresentable_values():
+    from minerva_etl_46_spark.queries import _csv_cell
+
+    for bad in ("\\N", "has\nnewline", "has\rcr"):
+        with pytest.raises(ValueError):
+            _csv_cell(bad)
