@@ -129,3 +129,28 @@ def test_every_key_eventually_gets_a_driver_row():
         f"keys never driver-sampled AND exported after position "
         f"{window}: {stragglers}"
     )
+
+
+def test_every_key_sits_in_an_adversarial_gate():
+    """r12 coverage-loss alarm: every registered key must appear in
+    exactly one hostile-fixture oracle gate — a key added without one
+    (or dropped from one) fails HERE, not silently. The gates:
+    adversarial events (batch + stream + embeddings), adversarial trade,
+    the hostile-documents sweep, and the BPE-hostile sweep."""
+    import __spark_entry__ as E
+    from tests.test_adversarial_events import (
+        EMBEDDING_KEYS,
+        EVENT_KEYS,
+        STREAM_EVENT_KEYS,
+    )
+    from tests.test_adversarial_trade import TRADE_KEYS
+    from tests.test_r11_ops import _NASTY_KEYS
+
+    gated = (set(EVENT_KEYS) | set(STREAM_EVENT_KEYS) | set(EMBEDDING_KEYS)
+             | set(TRADE_KEYS) | set(_NASTY_KEYS)
+             | {"llm_bpe_tokenize"})  # its own gate in test_r12_ops.py
+    registry = set(E.queries())
+    missing = sorted(registry - gated)
+    stale = sorted(gated - registry)
+    assert not missing, f"keys in NO adversarial gate: {missing}"
+    assert not stale, f"gate lists name unregistered keys: {stale}"
