@@ -58,18 +58,35 @@ def read_kv_harvest(spark: SparkSession, path: str, fields: dict[str, str],
     ``=`` inside a value; senders using this harvester's escape
     convention percent-encode ``%`` ``|`` ``=`` as ``%25`` ``%7C``
     ``%3D`` (kv_escape below is the writer half). Decoding happens after
-    the map split, before the cast — still all JVM codegen. NULL fields
+    the pair split, before the cast — still all JVM codegen. NULL fields
     are OMITTED from the line by convention (missing key → NULL), so
-    NULL and '' stay distinct (r12 adversarial-trade parity)."""
+    NULL and '' stay distinct (r12 adversarial-trade parity).
+
+    Duplicate keys take LAST-WINS (r12c): vendor logs repeat keys, and
+    the obvious ``str_to_map`` parse THROWS on the first duplicate under
+    Spark's default EXCEPTION dedup policy — one bad line aborting a
+    fleet load is exactly the posture scan_csv_badrows exists to avoid.
+    The parse is therefore a per-field HOF pipeline (split → filter by
+    ``key=`` prefix → last match → strip prefix), self-contained — no
+    global ``spark.sql.mapKeyDedupPolicy`` change — and still
+    whole-stage codegen."""
     raw = spark.read.text(path)
     # literal columns, not an F.expr SQL string: the pair separator is a
     # REGEX ('\|'), and SQL string-literal escaping would strip the
     # backslash, turning it into the empty-alternative regex "|" that
     # splits between every character
-    m = F.str_to_map(F.col("value"), F.lit(pair_sep), F.lit(kv_sep))
+    parts = F.split(F.col("value"), pair_sep)
 
     def field(k, t):
-        v = m.getItem(k)
+        prefix = k + kv_sep
+        matches = F.filter(parts, lambda p: p.startswith(F.lit(prefix)))
+        # guarded element_at: an absent key is NULL (never an ANSI
+        # out-of-bounds error), and -1 takes the LAST occurrence
+        v = F.when(
+            F.size(matches) > 0,
+            F.substring(F.element_at(matches, -1),
+                        len(prefix) + 1, 2_000_000_000),
+        )
         if percent_escaped:
             v = kv_unescape(v)
         return v.cast(t).alias(k)

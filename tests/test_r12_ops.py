@@ -220,3 +220,59 @@ def test_csv_cell_refuses_unrepresentable_values():
     for bad in ("\\N", "has\nnewline", "has\rcr"):
         with pytest.raises(ValueError):
             _csv_cell(bad)
+
+
+# ---------------------------------------------------------------------------
+# harvest malformed-line discipline (r12c): the docstrings promise
+# "missing keys surface as NULL rather than shifting columns" — pin it
+# ---------------------------------------------------------------------------
+
+def test_kv_harvest_malformed_lines_yield_nulls_not_shifts(spark, tmp_path):
+    from minerva_etl_46_spark.sources.harvest import read_kv_harvest
+
+    p = str(tmp_path / "kv")
+    lines = [
+        "a=1|b=x|c=2",          # clean
+        "b=y",                  # missing keys -> NULL a, NULL c
+        "",                     # empty line -> all NULL
+        "garbage with spaces",  # no separators -> all NULL values
+        "a=7|a=8|c=3",          # duplicate key: engine-deterministic
+        "a=|b=|c=",             # present-but-empty: '' not NULL
+    ]
+    spark.createDataFrame([(ln,) for ln in lines], "value string") \
+        .coalesce(1).write.mode("overwrite").text(p)
+    out = read_kv_harvest(
+        spark, p, fields={"a": "int", "b": "string", "c": "int"})
+    rows = {(r.a, r.b, r.c) for r in out.collect()}
+    assert (1, "x", 2) in rows
+    assert (None, "y", None) in rows
+    # neither malformed line shifted anything into a typed column
+    assert (None, None, None) in rows
+    # present-but-empty b stays '' (cast to string), ints cast '' -> NULL
+    assert (None, "", None) in rows
+    # duplicate keys take LAST-WINS (the read_kv_harvest contract —
+    # str_to_map would THROW here and abort the whole load, r12c)
+    assert (8, None, 3) in rows
+    assert len(rows) >= 5
+
+
+def test_fixed_width_short_lines_yield_null_tail_not_shift(spark, tmp_path):
+    from minerva_etl_46_spark.sources.harvest import read_fixed_width_harvest
+
+    p = str(tmp_path / "fw")
+    lines = [
+        "7     name      3   ",   # full record (6/10/4 layout)
+        "8     only",              # short: name partial, tail missing
+        "9",                       # id only
+        "",                        # empty line
+    ]
+    spark.createDataFrame([(ln,) for ln in lines], "value string") \
+        .coalesce(1).write.mode("overwrite").text(p)
+    out = read_fixed_width_harvest(
+        spark, p, fields=[("id", 6, "bigint"), ("name", 10, "string"),
+                          ("n", 4, "int")])
+    rows = {(r.id, r.name, r.n) for r in out.collect()}
+    assert (7, "name", 3) in rows
+    assert (8, "only", None) in rows      # tail NULL, no shift
+    assert (9, None, None) in rows
+    assert (None, None, None) in rows
