@@ -14258,7 +14258,43 @@ _R12_TAIL = [
     k for k in _R11_PRIORITY + _R11_TAIL
     if k not in set(_R12_PRIORITY)
 ]
-_EXPORT_ORDER = _R12_PRIORITY + _R12_TAIL
+
+_R13_PRIORITY = _R13_CANDIDATES + [
+    # Round-13 rotation, same deterministic policy: no new keys this round
+    # (the registry is complete against SURVEY §2 — the r12 verdict's
+    # standing rule), so the 13 r7-latest keys (_R13_CANDIDATES, named at
+    # r12 close) lead, then the alphabetically-first 37 of the 50
+    # r8-latest rows fill the 50-slot window. Computed this round from the
+    # union of CORRECTNESS_r01–r12 (histogram r7×13 r8×50 r9×50 r10×49
+    # r11×50 r12×50). After this round the staleness floor moves to r8
+    # (13 keys remain — they lead _R14_CANDIDATES below).
+    "agg_ab_test", "agg_basket_rules", "agg_boxplot",
+    "agg_calendar_heatmap", "agg_cohort_ltv", "agg_decay_score",
+    "agg_dq_checks", "agg_drift_tv", "agg_freshness", "agg_kendall",
+    "agg_mann_whitney", "agg_profile", "agg_revenue_bridge",
+    "agg_ri_audit", "agg_skew_report", "agg_target_encode",
+    "agg_theil_sen", "agg_time_to_convert", "agg_user_growth",
+    "fn_base64", "fn_calendar_spine", "fn_format_bytes", "fn_slugify",
+    "fn_unit_parse", "fn_uuid3", "fn_zorder", "graph_pagerank",
+    "graph_triangles", "join_snowflake", "llm_bloom_prefilter",
+    "llm_code_detect", "llm_embed_outliers", "llm_readability",
+    "mm_tile_grid", "scan_csv_gzip", "scan_httplog", "scan_json_nested",
+]
+assert len(_R13_PRIORITY) == 50, len(_R13_PRIORITY)
+assert _R13_PRIORITY[:13] == _R13_CANDIDATES
+#: r8-row keys that did not fit the 50-slot window; they lead _R14.
+_R14_CANDIDATES = [
+    "sink_jsonl", "sink_overwrite_partition", "sink_parquet_partitioned",
+    "stream_attribution", "stream_records", "stream_topk",
+    "topk_per_group", "win_delta", "win_interval_merge", "win_latest",
+    "win_percent_rank", "win_records", "win_twr",
+]
+assert not set(_R13_PRIORITY) & set(_R14_CANDIDATES)
+_R13_TAIL = [
+    k for k in _R12_PRIORITY + _R12_TAIL
+    if k not in set(_R13_PRIORITY)
+]
+_EXPORT_ORDER = _R13_PRIORITY + _R13_TAIL
 
 assert set(_EXPORT_ORDER) == set(QUERIES), (
     sorted(set(_EXPORT_ORDER) ^ set(QUERIES))

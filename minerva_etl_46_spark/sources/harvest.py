@@ -52,7 +52,13 @@ def read_kv_harvest(spark: SparkSession, path: str, fields: dict[str, str],
     Lines parse JVM-side via ``str_to_map`` (no Python, no inference);
     ``fields`` declares ``{key: spark_type}`` and missing keys surface as
     NULL rather than shifting columns — the same fail-visible discipline
-    as the CSV/JSONL paths. Separators are regexes (escape ``|``).
+    as the CSV/JSONL paths. ``pair_sep`` is a REGEX (escape ``|``);
+    ``kv_sep`` is a LITERAL string since the r12c duplicate-key rewrite —
+    it is concatenated into the ``key=`` prefix match and its length
+    feeds the substring offset, so a regex kv_sep (``'\\='``, ``'=+'``)
+    would silently match nothing. Vendor k=v wire formats use a fixed
+    one-character separator in practice; if a regex kv_sep feed ever
+    lands, split each pair on the regex instead of prefix-matching.
 
     ``percent_escaped``: the k=v wire format cannot carry a raw ``|`` or
     ``=`` inside a value; senders using this harvester's escape

@@ -585,13 +585,31 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str,
         (batch.filter(F.col("event_id") % 10 == 0)
               .coalesce(1).write.mode("append").parquet(staged))
         os.rename(staged, src)
-        # prune older-fingerprint siblings + orphaned staged dirs: without
-        # this, every fixture regeneration strands one full parquet copy
-        # in scratch_dir forever (r11 ADVICE)
+        # prune STRICTLY-OLDER-fingerprint siblings + their orphaned
+        # staged dirs: without this, every fixture regeneration strands
+        # one full parquet copy in scratch_dir forever (r11 ADVICE).
+        # Scoped to mtime < current (r12 ADVICE): scratch_dir is
+        # PID-scoped in the shipped callers, but the function accepts any
+        # path — an equal-or-newer fingerprint may belong to a concurrent
+        # builder mid-write, and "delete everything but mine" could
+        # rmtree its in-use src or _staged dir. Older fingerprints are
+        # dead by construction (the fixture they mirror no longer has
+        # that mtime+size).
         import glob as _glob
 
+        def _fp_mtime(path: str) -> int | None:
+            # dedup_src_<mtime>_<size>[_staged]
+            parts = os.path.basename(path).split("_")
+            try:
+                return int(parts[2])
+            except (IndexError, ValueError):
+                return None
+
         for stale in _glob.glob(os.path.join(scratch_dir, "dedup_src_*")):
-            if stale != src:
+            if stale == src:
+                continue
+            m = _fp_mtime(stale)
+            if m is not None and m < int(fst.st_mtime):
                 shutil.rmtree(stale, ignore_errors=True)
     raw = (
         spark.readStream.format("parquet")

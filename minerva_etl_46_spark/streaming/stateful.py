@@ -303,7 +303,16 @@ def _scd2_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     values are suppressed by the et != cur_type guard — the W4 trick,
     streamed. Every update call re-emits the open interval (valid_to
     sentinel −1, is_current) so the sink converges by max(valid_to)
-    per (entity, valid_from)."""
+    per (entity, valid_from).
+
+    Domain: ts_us > −1 (epoch-forward microseconds). −1 is reserved
+    twice — as valid_to's OPEN_END sentinel and as cur_from's NO-STATE
+    sentinel — so a genuine event at ts_us == −1 (1 µs before epoch)
+    would read as "no open interval" on the next micro-batch and its
+    final open emission would be suppressed. The load boundary already
+    drops NULL-ts rows and the trend-store domain is epoch-forward; a
+    pre-epoch feed would need an explicit has_state boolean in
+    SCD2_STATE_SCHEMA instead of the overloaded sentinel."""
     (user_id,) = key
     cur_type, cur_from = state.get if state.exists else (None, -1)
     out = []

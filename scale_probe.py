@@ -1991,9 +1991,18 @@ def r12_probe(spark, res, n_docs):
     ratio = res["bpe_tokenize_large"]["sec"] / max(
         res["bpe_tokenize_small"]["sec"], 1e-3)
     res["bpe_tokenize_ratio"] = round(ratio, 2)
-    assert ratio < 3.0, (
-        f"tokenize loop scaled with the corpus (ratio {ratio}) — the "
-        "vocab-bounded claim is broken")
+    # Record, don't assert (r12 ADVICE): a loaded host can flake a
+    # wall-clock ratio even when the vocab-bounded claim holds, and an
+    # aborted probe loses the whole JSON artifact. --strict restores the
+    # hard gate for quiet-host certification runs.
+    res["bpe_tokenize_ratio_ok"] = ratio < 3.0
+    if not res["bpe_tokenize_ratio_ok"]:
+        msg = (f"WARNING: tokenize large/small wall-clock ratio {ratio} "
+               "≥ 3.0 — vocab-bounded claim suspect (or host noise); "
+               "re-run on a quiet host or with --strict")
+        print(msg, file=sys.stderr, flush=True)
+        if "--strict" in sys.argv:
+            raise AssertionError(msg)
     print(json.dumps({"shape": "bpe_tokenize_scaling", **res}), flush=True)
 
 

@@ -943,3 +943,30 @@ def test_stream_dedup_fixture_build_survives_interrupted_prior_run(
         "'/root/testdata/sf0.001/events.parquet'").fetchone()[0]
     assert len(out) == n_distinct
     assert out["event_id"].is_unique
+
+
+def test_stream_dedup_prune_spares_concurrent_newer_fingerprints(
+        spark, tmp_path):
+    """r12 ADVICE: the stale-fixture prune must remove ONLY
+    strictly-older fingerprints. An equal-or-newer dedup_src_* sibling
+    (or its _staged dir) may belong to a concurrent builder that was
+    handed the same scratch_dir — "delete everything but mine" could
+    rmtree its in-use files mid-write."""
+    from minerva_etl_46_spark.streaming.jobs import dedup_within_watermark
+
+    scratch = str(tmp_path)
+    fst = os.stat("/root/testdata/sf0.001/events.parquet")
+    cur_mtime = int(fst.st_mtime)
+    older = os.path.join(scratch, f"dedup_src_{cur_mtime - 100}_123")
+    newer = os.path.join(scratch, f"dedup_src_{cur_mtime + 100}_456")
+    newer_staged = newer + "_staged"
+    for d in (older, newer, newer_staged):
+        os.makedirs(d)
+        with open(os.path.join(d, "marker"), "w") as f:
+            f.write("x")
+
+    dedup_within_watermark(spark, "/root/testdata/sf0.001", scratch)
+
+    assert not os.path.isdir(older)          # dead copy pruned
+    assert os.path.isdir(newer)              # concurrent builder spared
+    assert os.path.isdir(newer_staged)       # its mid-write staging too

@@ -1,0 +1,211 @@
+"""Checkpoint kill-and-restart gates for the five applyInPandasWithState
+walks (VERDICT r12 item 2): stop the query between micro-batches, restart
+a FRESH query object on the SAME checkpoint, and prove the converged
+emissions match the batch oracle over ALL rows. Split-invariance
+(test_stream_splits.py) proves batch-boundary independence but never
+exercises the state-store serialize → resume round-trip — this file does,
+because run 2 can only be right if run 1's per-entity state came back out
+of the checkpoint intact. This is the production daily path: a deploy or
+crash mid-stream restarts the query on its checkpoint.
+
+Mechanics: memory sink cannot recover from a checkpoint (Spark refuses —
+it is not fault-tolerant), so emissions go through a foreachBatch parquet
+append sink; the same pattern as tumbling_rollup_append's restart gate
+(test_streaming_append.py::test_restart_mid_window_carries_state). Each
+run is trigger(availableNow) over one-file-per-micro-batch sources, so
+run 1 ends "between micro-batches" by construction and run 2's first
+batch resumes from recovered state.
+
+Every scenario is built so a state-store loss CHANGES the answer:
+- scd2: the open interval from run 1 must close in run 2 (loss ⇒ the
+  run-1 value stays current forever).
+- records: run 1 sets the running max; a smaller run-2 value must NOT
+  flag (loss ⇒ phantom record).
+- funnel: stage 1 reached in run 1; stages 2-3 arrive in run 2 (loss ⇒
+  the walk is stuck at stage 0).
+- attribution: the touch lands in run 1, the conversion in run 2 (loss ⇒
+  'direct' instead of the channel).
+- dedup: run-2 events repeat run-1 keys (loss ⇒ duplicates re-emit).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+
+from tests.test_stream_splits import (
+    _ATTR_STEP_US,
+    _attr_model,
+    _funnel_model,
+    _records_model,
+    _scd2_model,
+)
+
+
+def _write_files(spark, src: str, batches, schema, mtime_base: int):
+    """One single-file parquet per batch into src, mtimes strictly
+    ascending from mtime_base (maxFilesPerTrigger=1 + oldest-first ⇒ one
+    micro-batch per file, in this order) — test_stream_splits's
+    _write_batches, pointed at an EXISTING dir so run-2 files can join
+    run-1's."""
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        if not rows:
+            continue
+        staged = os.path.join(src, f"_stage{mtime_base}_{i}")
+        spark.createDataFrame(rows, schema=schema).coalesce(1) \
+            .write.mode("overwrite").parquet(staged)
+        (part,) = [f for f in os.listdir(staged)
+                   if f.startswith("part-") and f.endswith(".parquet")]
+        dst = os.path.join(src, f"b{mtime_base}_{i}.parquet")
+        os.rename(os.path.join(staged, part), dst)
+        shutil.rmtree(staged)
+        os.utime(dst, (mtime_base + i, mtime_base + i))
+
+
+def _one_run(spark, src, schema, dag, sink_dir, ckpt, mode="update"):
+    """One availableNow run: fresh query object, shared checkpoint,
+    emissions appended to sink_dir. Returning means the run terminated
+    cleanly with its offsets + state committed — the restart boundary."""
+    raw = (spark.readStream.format("parquet").schema(schema)
+           .option("maxFilesPerTrigger", "1").load(src))
+
+    def sink(df, _epoch_id):
+        df.write.mode("append").parquet(sink_dir)
+
+    q = (dag(raw).writeStream.foreachBatch(sink).outputMode(mode)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def _restart_harness(spark, tmp_path, schema, dag, run1, run2,
+                     mode="update"):
+    """Write run1 batches, run a query to completion, write run2 batches,
+    restart a fresh query on the same checkpoint, return ALL emissions."""
+    base = str(tmp_path)
+    src = os.path.join(base, "incoming")
+    sink_dir = os.path.join(base, "emit")
+    ckpt = os.path.join(base, "ckpt")
+    t0 = 1_700_000_000  # fixed epoch base: deterministic mtime order
+    _write_files(spark, src, run1, schema, t0)
+    _one_run(spark, src, schema, dag, sink_dir, ckpt, mode)
+    _write_files(spark, src, run2, schema, t0 + 1000)
+    _one_run(spark, src, schema, dag, sink_dir, ckpt, mode)
+    return spark.read.parquet(sink_dir).toPandas()
+
+
+def test_scd2_restart_closes_interval_opened_before_the_kill(
+        spark, tmp_path):
+    from minerva_etl_46_spark.streaming.stateful import scd2_intervals
+
+    # (user, ts_s, type); batches are time-ranged per the ingest contract
+    rows = [(0, 1, "a"), (1, 3, "x"), (0, 5, "a"),        # run 1
+            (0, 10, "b"), (1, 12, "x"), (1, 20, "y")]     # run 2
+    schema = "user_id long, ts_us long, event_id long, event_type string"
+
+    def to_batch(sl):
+        return [(u, ts * 1_000_000, eid, et)
+                for eid, (u, ts, et) in enumerate(rows) if (u, ts, et) in sl]
+
+    run1, run2 = set(rows[:3]), set(rows[3:])
+    emitted = _restart_harness(
+        spark, tmp_path, schema,
+        lambda raw: scd2_intervals(
+            raw.select("user_id", "ts_us", "event_id", "event_type")),
+        [to_batch(run1)[:2], to_batch(run1)[2:]],
+        [to_batch(run2)[:2], to_batch(run2)[2:]])
+    conv = (emitted.groupby(["user_id", "valid_from_us", "event_type"])
+            ["valid_to_us"].max().reset_index())
+    got = {(int(r.user_id), r.event_type, int(r.valid_from_us),
+            int(r.valid_to_us), int(r.valid_to_us) == -1)
+           for r in conv.itertuples()}
+    assert got == _scd2_model(rows), \
+        "restarted SCD2 walk lost the open interval across the checkpoint"
+
+
+def test_records_restart_carries_running_max(spark, tmp_path):
+    from minerva_etl_46_spark.streaming.stateful import records_stream
+
+    schema = "user_id long, ts_us long, event_id long, value double"
+    # model input: (user, ts, value) with eids assigned in ts order
+    rows = [(0, 1, 5), (0, 2, None), (0, 10, 3), (0, 11, 7)]
+    batch = [(u, ts * 1_000_000, eid,
+              float(v) if v is not None else None)
+             for eid, (u, ts, v) in enumerate(rows)]
+    emitted = _restart_harness(
+        spark, tmp_path, schema,
+        lambda raw: records_stream(
+            raw.select("user_id", "ts_us", "event_id", "value")),
+        [batch[:1], batch[1:2]], [batch[2:3], batch[3:]])
+    got = {(int(r.user_id), int(r.event_id), int(r.is_record),
+            int(r.record_no)) for r in emitted.itertuples()}
+    assert got == _records_model(rows), \
+        "restarted record walk lost the running max (phantom record)"
+
+
+def test_funnel_restart_resumes_from_reached_stage(spark, tmp_path):
+    from minerva_etl_46_spark.streaming.stateful import funnel_progress
+
+    schema = "user_id long, ts_us long, event_type string"
+    rows = [(0, 1, "signup"), (0, 2, "view"),
+            (0, 10, "purchase"), (0, 11, "error")]
+    batch = [(u, ts * 1_000_000, et) for u, ts, et in rows]
+    emitted = _restart_harness(
+        spark, tmp_path, schema,
+        lambda raw: funnel_progress(
+            raw.select("user_id", "ts_us", "event_type")),
+        [batch[:1], batch[1:2]], [batch[2:3], batch[3:]])
+    conv = emitted.groupby("user_id")[
+        ["reached", "s1_us", "s2_us", "s3_us", "late_events"]].max()
+    got = {int(u): tuple(int(x) for x in r) for u, r in conv.iterrows()}
+    want = _funnel_model([batch[:1], batch[1:2], batch[2:3], batch[3:]])
+    assert got == want, \
+        "restarted funnel walk lost its stage high-water mark"
+    assert got[0][0] == 3  # the scenario really spans the restart
+
+
+def test_attribution_restart_credits_pre_kill_touch(spark, tmp_path):
+    from minerva_etl_46_spark.streaming.stateful import attribution_stream
+
+    schema = "user_id long, ts_us long, event_id long, event_type string"
+    # user 0: ad then purchase 30 min later (inside lookback — must
+    # credit 'ad' ACROSS the restart); user 1: email then purchase 90 min
+    # later (expired — 'direct' even though state survived)
+    rows = [(0, 1, "ad"), (1, 2, "email"),
+            (0, 3, "purchase"), (1, 5, "purchase")]
+    batch = [(u, ts * _ATTR_STEP_US, eid, et)
+             for eid, (u, ts, et) in enumerate(rows)]
+    emitted = _restart_harness(
+        spark, tmp_path, schema,
+        lambda raw: attribution_stream(
+            raw.select("user_id", "ts_us", "event_id", "event_type")),
+        [batch[:1], batch[1:2]], [batch[2:3], batch[3:]])
+    got = {(int(r.user_id), int(r.conv_us), r.channel)
+           for r in emitted.itertuples()}
+    assert got == _attr_model(rows), \
+        "restarted attribution walk lost the last-touch state"
+    assert (0, 3 * _ATTR_STEP_US, "ad") in got      # credited across kill
+    assert (1, 5 * _ATTR_STEP_US, "direct") in got  # lookback still expires
+
+
+def test_dedup_restart_suppresses_pre_kill_keys(spark, tmp_path):
+    from minerva_etl_46_spark.streaming.jobs import dedup_events_frame
+
+    schema = ("event_id long, user_id long, event_type string, "
+              "value double, ts timestamp")
+    day = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, minute):
+        return (eid, eid % 3, "view", float(eid),
+                day + datetime.timedelta(minutes=minute))
+
+    run1 = [[ev(1, 0), ev(2, 1)], [ev(3, 2)]]
+    run2 = [[ev(2, 10), ev(4, 11)], [ev(3, 12), ev(1, 13)]]
+    emitted = _restart_harness(spark, tmp_path, schema, dedup_events_frame,
+                               run1, run2, mode="append")
+    # run-2 repeats of run-1 keys must be suppressed BY RECOVERED STATE:
+    # exactly one emission per distinct key, ever
+    assert sorted(emitted["event_id"]) == [1, 2, 3, 4], \
+        "restarted dedup re-emitted keys it saw before the kill"
