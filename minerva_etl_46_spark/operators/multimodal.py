@@ -78,10 +78,28 @@ def wav_decode(payload: bytes) -> dict:
 
     if payload is None:
         raise NotImplementedError("empty payload")
-    with wave.open(io.BytesIO(bytes(payload))) as w:
-        n_frames = w.getnframes()
-        sampwidth = w.getsampwidth()
-        raw = w.readframes(n_frames)
+    try:
+        with wave.open(io.BytesIO(bytes(payload))) as w:
+            n_frames = w.getnframes()
+            sampwidth = w.getsampwidth()
+            n_channels = w.getnchannels()
+            raw = w.readframes(n_frames)
+    except (wave.Error, EOFError) as exc:
+        # hostile/truncated headers surface from the wave module as
+        # wave.Error or a bare EOFError (r13 hostile-bytes gate);
+        # normalize to ValueError — same class as bmp_decode's corrupt-
+        # bytes path, so callers catch one thing
+        raise ValueError(f"undecodable WAV: {exc}") from exc
+    if len(raw) != n_frames * sampwidth * n_channels:
+        # a data-chunk size field that LIES about the payload (declares
+        # more frames than bytes present) previously returned the
+        # declared n_frames with a feature computed over the bytes that
+        # actually exist — confidently wrong with no error. Same loud-
+        # failure rule as bmp_decode's truncation check.
+        raise ValueError(
+            f"truncated WAV: header declares {n_frames} frames "
+            f"({n_frames * sampwidth * n_channels} bytes), "
+            f"{len(raw)} present)")
     if sampwidth == 2:
         vals = struct.unpack(f"<{len(raw) // 2}h", raw)
         feat = (sum(abs(v) for v in vals) / len(vals)) if vals else 0.0
@@ -111,6 +129,17 @@ def bmp_decode(payload: bytes) -> dict:
         raise NotImplementedError("only 24-bit BI_RGB without PIL")
     height = abs(height)
     row_bytes = (width * 3 + 3) // 4 * 4
+    if data_off < 54:
+        # a pixel offset pointing INSIDE the header would silently
+        # compute the feature over header bytes (r13 hostile-bytes gate)
+        raise ValueError(f"BMP pixel data offset {data_off} inside the "
+                         "54-byte header")
+    if width == 0 or height == 0:
+        # short-circuit BEFORE the row loop: width=0 makes row_bytes=0,
+        # which defeats the truncation bound below, and a lying
+        # height=2^31 would then spin the loop two billion times on a
+        # 60-byte payload (hostile-bytes hang, r13)
+        return {"n_bytes": len(payload), "n_frames": 0, "feat_mean": 0.0}
     if width < 0 or data_off + height * row_bytes > len(payload):
         # a truncated pixel array previously yielded EMPTY slices and a
         # confidently wrong feat_mean with no error (r10 review) — fail
