@@ -209,3 +209,68 @@ def test_dedup_restart_suppresses_pre_kill_keys(spark, tmp_path):
     # exactly one emission per distinct key, ever
     assert sorted(emitted["event_id"]) == [1, 2, 3, 4], \
         "restarted dedup re-emitted keys it saw before the kill"
+
+
+def test_running_totals_restart_carries_counts(spark, tmp_path):
+    from minerva_etl_46_spark.streaming.stateful import running_totals
+
+    schema = "event_id long, ts_us long, user_id long, value double"
+    run1 = [[(1, 1_000_000, 0, 1.0)], [(2, 2_000_000, 0, 2.0)]]
+    run2 = [[(3, 3_000_000, 0, 4.0), (4, 4_000_000, 1, 10.0)]]
+    emitted = _restart_harness(
+        spark, tmp_path, schema,
+        lambda raw: running_totals(raw.select("user_id", "value")),
+        run1, run2)
+    final = (emitted.sort_values("n").groupby("user_id").tail(1)
+             .set_index("user_id"))
+    # loss ⇒ user 0 restarts at (1, 4.0) instead of (3, 7.0)
+    assert int(final.loc[0, "n"]) == 3
+    assert float(final.loc[0, "total"]) == 7.0
+    assert int(final.loc[1, "n"]) == 1
+
+
+def test_running_totals_tws_restart_survives_rocksdb_round_trip(
+        spark, tmp_path):
+    """Same gate through transformWithStateInPandas — a DIFFERENT state
+    machinery (named ValueState on the RocksDB provider, whose restart
+    path is a RocksDB checkpoint restore, not the HDFS-backed store the
+    other five walks recover through). Env-gated like
+    test_stateful_streaming's tws twin: the TWS driver worker needs the
+    python protobuf package, absent in this container — without it even
+    a fresh-checkpoint run dies in validateAndMaybeEvolveStateSchema
+    ('driver worker exited unexpectedly', probed r13)."""
+    import pytest
+
+    from minerva_etl_46_spark.streaming.stateful import (
+        HAS_TWS,
+        ROCKSDB_PROVIDER,
+        running_totals_tws,
+    )
+
+    if not HAS_TWS:
+        pytest.skip("transformWithState runtime deps absent (needs the "
+                    "python protobuf package for the TWS driver worker)")
+
+    schema = "event_id long, ts_us long, user_id long, value double"
+    run1 = [[(1, 1_000_000, 0, 1.0)], [(2, 2_000_000, 0, 2.0)]]
+    run2 = [[(3, 3_000_000, 0, 4.0)]]
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   ROCKSDB_PROVIDER)
+    try:
+        emitted = _restart_harness(
+            spark, tmp_path, schema,
+            lambda raw: running_totals_tws(raw.select("user_id", "value")),
+            run1, run2)
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass")
+    final = (emitted.sort_values("n").groupby("user_id").tail(1)
+             .set_index("user_id"))
+    assert int(final.loc[0, "n"]) == 3
+    assert float(final.loc[0, "total"]) == 7.0
