@@ -34,6 +34,8 @@ import datetime
 import os
 import shutil
 
+import pytest
+
 from tests.test_stream_splits import (
     _ATTR_STEP_US,
     _attr_model,
@@ -81,23 +83,47 @@ def _one_run(spark, src, schema, dag, sink_dir, ckpt, mode="update"):
 
 
 def _restart_harness(spark, tmp_path, schema, dag, run1, run2,
-                     mode="update"):
+                     mode="update", provider="default"):
     """Write run1 batches, run a query to completion, write run2 batches,
-    restart a fresh query on the same checkpoint, return ALL emissions."""
+    restart a fresh query on the same checkpoint, return ALL emissions.
+
+    provider="rocksdb" runs both legs on the RocksDB state store — the
+    provider a production cluster uses — so the restart is a RocksDB
+    checkpoint upload → restore, not the default HDFS-backed store's
+    snapshot+delta replay. Every walk gates on BOTH (the r12 verdict
+    listed RocksDB behavior as extrapolated; it is JVM-side, so unlike
+    transformWithState it needs no python protobuf and runs here)."""
     base = str(tmp_path)
     src = os.path.join(base, "incoming")
     sink_dir = os.path.join(base, "emit")
     ckpt = os.path.join(base, "ckpt")
     t0 = 1_700_000_000  # fixed epoch base: deterministic mtime order
-    _write_files(spark, src, run1, schema, t0)
-    _one_run(spark, src, schema, dag, sink_dir, ckpt, mode)
-    _write_files(spark, src, run2, schema, t0 + 1000)
-    _one_run(spark, src, schema, dag, sink_dir, ckpt, mode)
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    if provider == "rocksdb":
+        from minerva_etl_46_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+        spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+    try:
+        _write_files(spark, src, run1, schema, t0)
+        _one_run(spark, src, schema, dag, sink_dir, ckpt, mode)
+        _write_files(spark, src, run2, schema, t0 + 1000)
+        _one_run(spark, src, schema, dag, sink_dir, ckpt, mode)
+    finally:
+        if provider == "rocksdb":
+            if prev is not None:
+                spark.conf.set(conf_key, prev)
+            else:
+                spark.conf.unset(conf_key)
     return spark.read.parquet(sink_dir).toPandas()
 
 
+_PROVIDERS = pytest.mark.parametrize("provider", ["default", "rocksdb"])
+
+
+@_PROVIDERS
 def test_scd2_restart_closes_interval_opened_before_the_kill(
-        spark, tmp_path):
+        spark, tmp_path, provider):
     from minerva_etl_46_spark.streaming.stateful import scd2_intervals
 
     # (user, ts_s, type); batches are time-ranged per the ingest contract
@@ -115,7 +141,7 @@ def test_scd2_restart_closes_interval_opened_before_the_kill(
         lambda raw: scd2_intervals(
             raw.select("user_id", "ts_us", "event_id", "event_type")),
         [to_batch(run1)[:2], to_batch(run1)[2:]],
-        [to_batch(run2)[:2], to_batch(run2)[2:]])
+        [to_batch(run2)[:2], to_batch(run2)[2:]], provider=provider)
     conv = (emitted.groupby(["user_id", "valid_from_us", "event_type"])
             ["valid_to_us"].max().reset_index())
     got = {(int(r.user_id), r.event_type, int(r.valid_from_us),
@@ -125,7 +151,8 @@ def test_scd2_restart_closes_interval_opened_before_the_kill(
         "restarted SCD2 walk lost the open interval across the checkpoint"
 
 
-def test_records_restart_carries_running_max(spark, tmp_path):
+@_PROVIDERS
+def test_records_restart_carries_running_max(spark, tmp_path, provider):
     from minerva_etl_46_spark.streaming.stateful import records_stream
 
     schema = "user_id long, ts_us long, event_id long, value double"
@@ -138,14 +165,17 @@ def test_records_restart_carries_running_max(spark, tmp_path):
         spark, tmp_path, schema,
         lambda raw: records_stream(
             raw.select("user_id", "ts_us", "event_id", "value")),
-        [batch[:1], batch[1:2]], [batch[2:3], batch[3:]])
+        [batch[:1], batch[1:2]], [batch[2:3], batch[3:]],
+        provider=provider)
     got = {(int(r.user_id), int(r.event_id), int(r.is_record),
             int(r.record_no)) for r in emitted.itertuples()}
     assert got == _records_model(rows), \
         "restarted record walk lost the running max (phantom record)"
 
 
-def test_funnel_restart_resumes_from_reached_stage(spark, tmp_path):
+@_PROVIDERS
+def test_funnel_restart_resumes_from_reached_stage(spark, tmp_path,
+                                                  provider):
     from minerva_etl_46_spark.streaming.stateful import funnel_progress
 
     schema = "user_id long, ts_us long, event_type string"
@@ -156,7 +186,8 @@ def test_funnel_restart_resumes_from_reached_stage(spark, tmp_path):
         spark, tmp_path, schema,
         lambda raw: funnel_progress(
             raw.select("user_id", "ts_us", "event_type")),
-        [batch[:1], batch[1:2]], [batch[2:3], batch[3:]])
+        [batch[:1], batch[1:2]], [batch[2:3], batch[3:]],
+        provider=provider)
     conv = emitted.groupby("user_id")[
         ["reached", "s1_us", "s2_us", "s3_us", "late_events"]].max()
     got = {int(u): tuple(int(x) for x in r) for u, r in conv.iterrows()}
@@ -166,7 +197,9 @@ def test_funnel_restart_resumes_from_reached_stage(spark, tmp_path):
     assert got[0][0] == 3  # the scenario really spans the restart
 
 
-def test_attribution_restart_credits_pre_kill_touch(spark, tmp_path):
+@_PROVIDERS
+def test_attribution_restart_credits_pre_kill_touch(spark, tmp_path,
+                                                    provider):
     from minerva_etl_46_spark.streaming.stateful import attribution_stream
 
     schema = "user_id long, ts_us long, event_id long, event_type string"
@@ -181,7 +214,8 @@ def test_attribution_restart_credits_pre_kill_touch(spark, tmp_path):
         spark, tmp_path, schema,
         lambda raw: attribution_stream(
             raw.select("user_id", "ts_us", "event_id", "event_type")),
-        [batch[:1], batch[1:2]], [batch[2:3], batch[3:]])
+        [batch[:1], batch[1:2]], [batch[2:3], batch[3:]],
+        provider=provider)
     got = {(int(r.user_id), int(r.conv_us), r.channel)
            for r in emitted.itertuples()}
     assert got == _attr_model(rows), \
@@ -190,7 +224,8 @@ def test_attribution_restart_credits_pre_kill_touch(spark, tmp_path):
     assert (1, 5 * _ATTR_STEP_US, "direct") in got  # lookback still expires
 
 
-def test_dedup_restart_suppresses_pre_kill_keys(spark, tmp_path):
+@_PROVIDERS
+def test_dedup_restart_suppresses_pre_kill_keys(spark, tmp_path, provider):
     from minerva_etl_46_spark.streaming.jobs import dedup_events_frame
 
     schema = ("event_id long, user_id long, event_type string, "
@@ -204,14 +239,16 @@ def test_dedup_restart_suppresses_pre_kill_keys(spark, tmp_path):
     run1 = [[ev(1, 0), ev(2, 1)], [ev(3, 2)]]
     run2 = [[ev(2, 10), ev(4, 11)], [ev(3, 12), ev(1, 13)]]
     emitted = _restart_harness(spark, tmp_path, schema, dedup_events_frame,
-                               run1, run2, mode="append")
+                               run1, run2, mode="append",
+                               provider=provider)
     # run-2 repeats of run-1 keys must be suppressed BY RECOVERED STATE:
     # exactly one emission per distinct key, ever
     assert sorted(emitted["event_id"]) == [1, 2, 3, 4], \
         "restarted dedup re-emitted keys it saw before the kill"
 
 
-def test_running_totals_restart_carries_counts(spark, tmp_path):
+@_PROVIDERS
+def test_running_totals_restart_carries_counts(spark, tmp_path, provider):
     from minerva_etl_46_spark.streaming.stateful import running_totals
 
     schema = "event_id long, ts_us long, user_id long, value double"
@@ -220,7 +257,7 @@ def test_running_totals_restart_carries_counts(spark, tmp_path):
     emitted = _restart_harness(
         spark, tmp_path, schema,
         lambda raw: running_totals(raw.select("user_id", "value")),
-        run1, run2)
+        run1, run2, provider=provider)
     final = (emitted.sort_values("n").groupby("user_id").tail(1)
              .set_index("user_id"))
     # loss ⇒ user 0 restarts at (1, 4.0) instead of (3, 7.0)
