@@ -311,3 +311,120 @@ def test_running_totals_tws_restart_survives_rocksdb_round_trip(
              .set_index("user_id"))
     assert int(final.loc[0, "n"]) == 3
     assert float(final.loc[0, "total"]) == 7.0
+
+
+# --- unclean kill: replay of an uncommitted batch --------------------------
+#
+# The gates above stop BETWEEN micro-batches (offsets and commit both
+# written). A real crash can land between the two: offsets/N exists but
+# commits/N does not, and on restart Spark RE-EXECUTES batch N — state
+# must rewind to the batch-start version (not double-apply), and the
+# foreachBatch sink sees the emission twice (at-least-once), which the
+# convergence folds must absorb. Simulated deterministically by deleting
+# the last commit file from the checkpoint.
+
+
+def _drop_last_commit(ckpt: str) -> int:
+    commits = os.path.join(ckpt, "commits")
+    batches = sorted(int(f) for f in os.listdir(commits) if f.isdigit())
+    os.remove(os.path.join(commits, str(batches[-1])))
+    # also the Hadoop LocalFS checksum sidecar: a crash that never wrote
+    # commits/N never wrote .N.crc either, and a stale one makes the
+    # replay's commit rename fail with FileAlreadyExists (probed)
+    crc = os.path.join(commits, f".{batches[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    return batches[-1]
+
+
+@_PROVIDERS
+def test_running_totals_replay_does_not_double_apply_state(
+        spark, tmp_path, provider):
+    """n is the loudest double-apply detector: replaying batch 1 (one
+    row) on top of ALREADY-UPDATED state would make the final n = 4, not
+    3. The sink legitimately holds the replayed emission twice —
+    last-per-user convergence absorbs it."""
+    from minerva_etl_46_spark.streaming.stateful import running_totals
+
+    schema = "event_id long, ts_us long, user_id long, value double"
+    base = str(tmp_path)
+    src = os.path.join(base, "incoming")
+    sink_dir = os.path.join(base, "emit")
+    ckpt = os.path.join(base, "ckpt")
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    if provider == "rocksdb":
+        from minerva_etl_46_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+        spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+    try:
+        dag = lambda raw: running_totals(raw.select("user_id", "value"))  # noqa: E731
+        _write_files(spark, src,
+                     [[(1, 1_000_000, 0, 1.0)], [(2, 2_000_000, 0, 2.0)]],
+                     schema, 1_700_000_000)
+        _one_run(spark, src, schema, dag, sink_dir, ckpt)
+        replayed = _drop_last_commit(ckpt)   # batch 1 now "crashed"
+        _write_files(spark, src, [[(3, 3_000_000, 0, 4.0)]],
+                     schema, 1_700_001_000)
+        _one_run(spark, src, schema, dag, sink_dir, ckpt)
+    finally:
+        if provider == "rocksdb":
+            if prev is not None:
+                spark.conf.set(conf_key, prev)
+            else:
+                spark.conf.unset(conf_key)
+    emitted = spark.read.parquet(sink_dir).toPandas()
+    assert replayed == 1
+    # the replayed batch's emission appears twice in the raw sink —
+    # that's the honest at-least-once contract of foreachBatch
+    assert len(emitted[emitted["n"] == 2]) == 2
+    final = (emitted.sort_values("n").groupby("user_id").tail(1))
+    assert int(final["n"].iloc[0]) == 3, \
+        "replayed batch double-applied state (n inflated)"
+    assert float(final["total"].iloc[0]) == 7.0
+
+
+@_PROVIDERS
+def test_records_replay_rewinds_state_version(spark, tmp_path, provider):
+    """If replay re-applied batch 1's max on top of updated state, the
+    walk would believe it already saw value 5 TWICE; any later equal
+    value would mis-flag and record_no would drift. The converged set
+    must equal the model exactly — duplicates in the sink are absorbed
+    by the set compare."""
+    from minerva_etl_46_spark.streaming.stateful import records_stream
+
+    schema = "user_id long, ts_us long, event_id long, value double"
+    rows = [(0, 1, 5), (0, 2, 2), (0, 10, 3), (0, 11, 7)]
+    batch = [(u, ts * 1_000_000, eid, float(v))
+             for eid, (u, ts, v) in enumerate(rows)]
+    base = str(tmp_path)
+    src = os.path.join(base, "incoming")
+    sink_dir = os.path.join(base, "emit")
+    ckpt = os.path.join(base, "ckpt")
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    if provider == "rocksdb":
+        from minerva_etl_46_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+        spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+    try:
+        dag = lambda raw: records_stream(  # noqa: E731
+            raw.select("user_id", "ts_us", "event_id", "value"))
+        _write_files(spark, src, [batch[:1], batch[1:2]],
+                     schema, 1_700_000_000)
+        _one_run(spark, src, schema, dag, sink_dir, ckpt)
+        _drop_last_commit(ckpt)
+        _write_files(spark, src, [batch[2:3], batch[3:]],
+                     schema, 1_700_001_000)
+        _one_run(spark, src, schema, dag, sink_dir, ckpt)
+    finally:
+        if provider == "rocksdb":
+            if prev is not None:
+                spark.conf.set(conf_key, prev)
+            else:
+                spark.conf.unset(conf_key)
+    emitted = spark.read.parquet(sink_dir).toPandas()
+    got = {(int(r.user_id), int(r.event_id), int(r.is_record),
+            int(r.record_no)) for r in emitted.itertuples()}
+    assert got == _records_model(rows), \
+        "replayed batch corrupted the record walk's state version"
