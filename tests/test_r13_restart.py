@@ -428,3 +428,81 @@ def test_records_replay_rewinds_state_version(spark, tmp_path, provider):
             int(r.record_no)) for r in emitted.itertuples()}
     assert got == _records_model(rows), \
         "replayed batch corrupted the record walk's state version"
+
+
+# --- hypothesis: the kill position is adversarial too ----------------------
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_kill_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),                    # user_id
+        st.integers(0, 40),                   # ts (globally unique)
+        st.sampled_from(["a", "b", "c"]),     # event_type
+    ),
+    min_size=2, max_size=14,
+    unique_by=lambda r: r[1],
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_kill_rows, draw=st.data())
+def test_scd2_restart_survives_any_kill_position(spark, rows, draw):
+    """The fixed scenarios above pin ONE kill position; production kills
+    land anywhere. Randomize the time-ranged batch cuts, WHICH boundary
+    the kill falls on, and whether the kill was unclean (last commit
+    torn off ⇒ batch replay) — the converged intervals must equal the
+    pure-python model regardless."""
+    import tempfile
+
+    from minerva_etl_46_spark.streaming.stateful import scd2_intervals
+
+    schema = "user_id long, ts_us long, event_id long, event_type string"
+    ordered = sorted(rows, key=lambda r: r[1])
+    # up to 3 cuts ⇒ up to 4 time-ranged batches (ingest contract)
+    n_cuts = draw.draw(st.integers(1, min(3, len(rows) - 1)))
+    cut_at = sorted(draw.draw(st.lists(
+        st.integers(1, len(ordered) - 1),
+        min_size=n_cuts, max_size=n_cuts, unique=True)))
+    bounds = [0, *cut_at, len(ordered)]
+    batches = [
+        [(u, ts * 1_000_000, eid, et)
+         for eid, (u, ts, et) in enumerate(ordered)][lo:hi]
+        for lo, hi in zip(bounds, bounds[1:])
+    ]
+    kill_after = draw.draw(st.integers(1, len(batches)))  # run1 batch count
+    unclean = draw.draw(st.booleans())
+
+    base = tempfile.mkdtemp(prefix="scd2_kill_prop_")
+    try:
+        src = os.path.join(base, "incoming")
+        sink_dir = os.path.join(base, "emit")
+        ckpt = os.path.join(base, "ckpt")
+        dag = lambda raw: scd2_intervals(  # noqa: E731
+            raw.select("user_id", "ts_us", "event_id", "event_type"))
+        _write_files(spark, src, batches[:kill_after], schema,
+                     1_700_000_000)
+        _one_run(spark, src, schema, dag, sink_dir, ckpt)
+        if unclean:
+            _drop_last_commit(ckpt)
+        if batches[kill_after:]:
+            _write_files(spark, src, batches[kill_after:], schema,
+                         1_700_001_000)
+        # restart even when no new data arrived (deploy with an empty
+        # queue — the replayed/no-op run must not corrupt state)
+        _one_run(spark, src, schema, dag, sink_dir, ckpt)
+        emitted = spark.read.parquet(sink_dir).toPandas()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    conv = (emitted.groupby(["user_id", "valid_from_us", "event_type"])
+            ["valid_to_us"].max().reset_index())
+    got = {(int(r.user_id), r.event_type, int(r.valid_from_us),
+            int(r.valid_to_us), int(r.valid_to_us) == -1)
+           for r in conv.itertuples()}
+    want = _scd2_model([(u, ts, et) for u, ts, et in rows])
+    assert got == want, (
+        f"kill after batch {kill_after}/{len(batches)} "
+        f"(unclean={unclean}) diverged from the batch model")
