@@ -2006,10 +2006,124 @@ def r12_probe(spark, res, n_docs):
     print(json.dumps({"shape": "bpe_tokenize_scaling", **res}), flush=True)
 
 
+def r13_probe(spark, res, n_entities):
+    """Restart-recovery cost law for the applyInPandasWithState walks
+    (tests/test_r13_restart.py is the correctness gate; this measures
+    the cost): recovering a checkpoint loads the state store's LATEST
+    version, so restart wall-clock must track LIVE STATE SIZE (distinct
+    entities) and stay INDEPENDENT of HISTORY LENGTH (how many
+    micro-batches the query already processed). A walk whose restart
+    replays history would be unusable after a month of production —
+    this pins that it doesn't. Measured with scd2_intervals (one
+    (value, start) struct per entity — the constant-per-entity state
+    shape all six walks share) on BOTH providers: the default
+    HDFS-backed store restores snapshot+deltas; RocksDB restores its
+    own checkpoint. Every batch flips every entity's value, so each
+    batch rewrites ALL n state rows — the worst case for a
+    history-replaying implementation.
+
+    Emits per-config restart seconds plus two ratios:
+    - history_ratio_{provider}: restart after 8 batches / after 2
+      batches, same entity count — the law says ~1.0;
+    - state_ratio_{provider}: restart with 4x the entities, same
+      history — the law allows ~4x (state is the thing recovered),
+      sub-linear in practice because per-batch overhead dominates.
+    Ratios are RECORDED, never asserted (the r12 ADVICE rule: a loaded
+    host must still produce the artifact)."""
+    import shutil as _shutil
+    import tempfile
+
+    from minerva_etl_46_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        scd2_intervals,
+    )
+
+    schema = "user_id long, ts_us long, event_id long, event_type string"
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+
+    def write_batch(src, i, n):
+        # batch i flips every entity to value chr('a'+i%2): full-state
+        # churn per batch
+        staged = os.path.join(src, f"_stage{i}")
+        (spark.range(n).selectExpr(
+            "id as user_id",
+            f"cast({i} * 1000000 + id % 997 as long) as ts_us",
+            f"cast({i} * 10000000 + id as long) as event_id",
+            f"chr(ascii('a') + {i % 2}) as event_type",
+        ).coalesce(1).write.mode("overwrite").parquet(staged))
+        (part,) = [f for f in os.listdir(staged)
+                   if f.startswith("part-") and f.endswith(".parquet")]
+        dst = os.path.join(src, f"b{i:03d}.parquet")
+        os.rename(os.path.join(staged, part), dst)
+        _shutil.rmtree(staged)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def one_run(src, ckpt):
+        raw = (spark.readStream.format("parquet").schema(schema)
+               .option("maxFilesPerTrigger", "1").load(src))
+        q = (scd2_intervals(raw).writeStream
+             .foreachBatch(lambda df, _e: df.write.format("noop")
+                           .mode("overwrite").save())
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    for provider in ("default", "rocksdb"):
+        prev = spark.conf.get(conf_key, None)
+        if provider == "rocksdb":
+            spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+        try:
+            for tag, n, history in (
+                ("h2", n_entities, 2),
+                ("h8", n_entities, 8),
+                ("small_h2", n_entities // 4, 2),
+            ):
+                base = tempfile.mkdtemp(prefix=f"r13probe_{provider}_{tag}_")
+                src = os.path.join(base, "src")
+                os.makedirs(src)
+                ckpt = os.path.join(base, "ck")
+                for i in range(history):
+                    write_batch(src, i, n)
+                one_run(src, ckpt)             # the "month of production"
+                write_batch(src, history, n)   # one new batch arrives
+                t0 = time.perf_counter()
+                one_run(src, ckpt)             # restart: restore + 1 batch
+                dt = round(time.perf_counter() - t0, 2)
+                res[f"restart_{provider}_{tag}"] = {
+                    "sec": dt, "entities": n, "history_batches": history}
+                print(json.dumps(
+                    {"shape": f"restart_{provider}_{tag}",
+                     **res[f"restart_{provider}_{tag}"]}), flush=True)
+                _shutil.rmtree(base, ignore_errors=True)
+        finally:
+            if prev is not None:
+                spark.conf.set(conf_key, prev)
+            else:
+                spark.conf.unset(conf_key)
+        res[f"history_ratio_{provider}"] = round(
+            res[f"restart_{provider}_h8"]["sec"]
+            / max(res[f"restart_{provider}_h2"]["sec"], 1e-3), 2)
+        res[f"state_ratio_{provider}"] = round(
+            res[f"restart_{provider}_h2"]["sec"]
+            / max(res[f"restart_{provider}_small_h2"]["sec"], 1e-3), 2)
+        print(json.dumps({
+            "shape": f"restart_law_{provider}",
+            "history_ratio": res[f"history_ratio_{provider}"],
+            "state_ratio": res[f"state_ratio_{provider}"]}), flush=True)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r13":
+        n = int(os.environ.get("SCALE_PROBE_ENTITIES", 20_000))
+        r13_probe(spark, res, n_entities=n)
+        print(json.dumps({"metric": "scale_probe_r13", "entities": n,
+                          "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r12":
         n = min(N, 1_000_000)
         r12_probe(spark, res, n_docs=n)
