@@ -506,3 +506,112 @@ def test_scd2_restart_survives_any_kill_position(spark, rows, draw):
     assert got == want, (
         f"kill after batch {kill_after}/{len(batches)} "
         f"(unclean={unclean}) diverged from the batch model")
+
+
+def _replay_harness(spark, tmp_path, schema, dag, run1, run2, provider,
+                    mode="update"):
+    """_restart_harness with the kill made UNCLEAN: the last commit of
+    run 1 is torn off, so run 2 replays that batch before the new data."""
+    base = str(tmp_path)
+    src = os.path.join(base, "incoming")
+    sink_dir = os.path.join(base, "emit")
+    ckpt = os.path.join(base, "ckpt")
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    if provider == "rocksdb":
+        from minerva_etl_46_spark.streaming.stateful import ROCKSDB_PROVIDER
+
+        spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+    try:
+        _write_files(spark, src, run1, schema, 1_700_000_000)
+        _one_run(spark, src, schema, dag, sink_dir, ckpt, mode)
+        _drop_last_commit(ckpt)
+        _write_files(spark, src, run2, schema, 1_700_001_000)
+        _one_run(spark, src, schema, dag, sink_dir, ckpt, mode)
+    finally:
+        if provider == "rocksdb":
+            if prev is not None:
+                spark.conf.set(conf_key, prev)
+            else:
+                spark.conf.unset(conf_key)
+    return spark.read.parquet(sink_dir).toPandas()
+
+
+@_PROVIDERS
+def test_funnel_replay_does_not_inflate_late_counter(spark, tmp_path,
+                                                     provider):
+    """The funnel's hwm/late_events pair is the walk most sensitive to
+    double-apply: replaying batch 1's rows against ALREADY-advanced
+    state would see them below the high-water mark and count every one
+    as late. With a correct state rewind the replay is invisible."""
+    from minerva_etl_46_spark.streaming.stateful import funnel_progress
+
+    schema = "user_id long, ts_us long, event_type string"
+    rows = [(0, 1, "signup"), (0, 2, "view"),
+            (0, 10, "purchase"), (0, 11, "error")]
+    batch = [(u, ts * 1_000_000, et) for u, ts, et in rows]
+    emitted = _replay_harness(
+        spark, tmp_path, schema,
+        lambda raw: funnel_progress(
+            raw.select("user_id", "ts_us", "event_type")),
+        [batch[:1], batch[1:2]], [batch[2:3], batch[3:]], provider)
+    conv = emitted.groupby("user_id")[
+        ["reached", "s1_us", "s2_us", "s3_us", "late_events"]].max()
+    got = {int(u): tuple(int(x) for x in r) for u, r in conv.iterrows()}
+    want = _funnel_model([batch[:1], batch[1:2], batch[2:3], batch[3:]])
+    assert got == want, \
+        "replayed batch double-applied funnel state (late_events inflated)"
+    assert got[0][4] == 0  # no phantom late events from the replay
+
+
+@_PROVIDERS
+def test_attribution_replay_keeps_lookback_intact(spark, tmp_path,
+                                                  provider):
+    """Replay batch 2 (the 'email' touch): double-applied state would
+    still credit correctly, but a LOST rewind (state regressing to
+    pre-batch-1) would forget user 0's 'ad' touch. The converged SET
+    must match the model; the replayed emission rows legitimately
+    appear twice in the raw sink."""
+    from minerva_etl_46_spark.streaming.stateful import attribution_stream
+
+    schema = "user_id long, ts_us long, event_id long, event_type string"
+    rows = [(0, 1, "ad"), (1, 2, "email"),
+            (0, 3, "purchase"), (1, 5, "purchase")]
+    batch = [(u, ts * _ATTR_STEP_US, eid, et)
+             for eid, (u, ts, et) in enumerate(rows)]
+    emitted = _replay_harness(
+        spark, tmp_path, schema,
+        lambda raw: attribution_stream(
+            raw.select("user_id", "ts_us", "event_id", "event_type")),
+        [batch[:1], batch[1:2]], [batch[2:3], batch[3:]], provider)
+    got = {(int(r.user_id), int(r.conv_us), r.channel)
+           for r in emitted.itertuples()}
+    assert got == _attr_model(rows)
+    assert (0, 3 * _ATTR_STEP_US, "ad") in got
+
+
+@_PROVIDERS
+def test_dedup_replay_converges_to_distinct_keys(spark, tmp_path,
+                                                 provider):
+    """dropDuplicatesWithinWatermark under replay: the replayed batch's
+    rows re-emit (at-least-once sink), but run-2 repeats of run-1 keys
+    must still be suppressed by the recovered (rewound) key set — the
+    converged distinct set is exactly the input's distinct keys."""
+    from minerva_etl_46_spark.streaming.jobs import dedup_events_frame
+
+    schema = ("event_id long, user_id long, event_type string, "
+              "value double, ts timestamp")
+    day = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, minute):
+        return (eid, eid % 3, "view", float(eid),
+                day + datetime.timedelta(minutes=minute))
+
+    run1 = [[ev(1, 0), ev(2, 1)], [ev(3, 2)]]
+    run2 = [[ev(2, 10), ev(4, 11)], [ev(3, 12), ev(1, 13)]]
+    emitted = _replay_harness(spark, tmp_path, schema, dedup_events_frame,
+                              run1, run2, provider, mode="append")
+    assert sorted(set(emitted["event_id"])) == [1, 2, 3, 4]
+    # each key emitted at most twice (original + the one replayed batch),
+    # never once per duplicate input row
+    assert emitted["event_id"].value_counts().max() <= 2
