@@ -99,7 +99,7 @@ def wav_decode(payload: bytes) -> dict:
         raise ValueError(
             f"truncated WAV: header declares {n_frames} frames "
             f"({n_frames * sampwidth * n_channels} bytes), "
-            f"{len(raw)} present)")
+            f"{len(raw)} present")
     if sampwidth == 2:
         vals = struct.unpack(f"<{len(raw) // 2}h", raw)
         feat = (sum(abs(v) for v in vals) / len(vals)) if vals else 0.0

@@ -49,7 +49,9 @@ def read_kv_harvest(spark: SparkSession, path: str, fields: dict[str, str],
                     percent_escaped: bool = False) -> DataFrame:
     """S1c: key=value line harvest — the third common vendor drop shape
     (``k1=v1|k2=v2|...`` per line, frequent in telecom element logs).
-    Lines parse JVM-side via ``str_to_map`` (no Python, no inference);
+    Lines parse JVM-side via higher-order functions (no Python, no
+    inference — see the duplicate-key paragraph below for why not
+    ``str_to_map``);
     ``fields`` declares ``{key: spark_type}`` and missing keys surface as
     NULL rather than shifting columns — the same fail-visible discipline
     as the CSV/JSONL paths. ``pair_sep`` is a REGEX (escape ``|``);
