@@ -84,11 +84,13 @@ def wav_decode(payload: bytes) -> dict:
             sampwidth = w.getsampwidth()
             n_channels = w.getnchannels()
             raw = w.readframes(n_frames)
-    except (wave.Error, EOFError) as exc:
+    except (wave.Error, EOFError, RuntimeError) as exc:
         # hostile/truncated headers surface from the wave module as
-        # wave.Error or a bare EOFError (r13 hostile-bytes gate);
-        # normalize to ValueError — same class as bmp_decode's corrupt-
-        # bytes path, so callers catch one thing
+        # wave.Error, a bare EOFError, or — for a lying fmt-chunk SIZE
+        # field (e.g. 0x7fffffff at bytes 16-19) — a message-less
+        # RuntimeError from the stdlib chunk helper (r14 ADVICE);
+        # normalize all three to ValueError — same class as bmp_decode's
+        # corrupt-bytes path, so callers catch one thing
         raise ValueError(f"undecodable WAV: {exc}") from exc
     if len(raw) != n_frames * sampwidth * n_channels:
         # a data-chunk size field that LIES about the payload (declares
@@ -134,13 +136,18 @@ def bmp_decode(payload: bytes) -> dict:
         # compute the feature over header bytes (r13 hostile-bytes gate)
         raise ValueError(f"BMP pixel data offset {data_off} inside the "
                          "54-byte header")
+    if width < 0:
+        # checked BEFORE the zero short-circuit: negative width + lying
+        # zero height previously returned a success row instead of
+        # raising like every other negative-width header (r14 ADVICE)
+        raise ValueError(f"negative BMP width {width}")
     if width == 0 or height == 0:
         # short-circuit BEFORE the row loop: width=0 makes row_bytes=0,
         # which defeats the truncation bound below, and a lying
         # height=2^31 would then spin the loop two billion times on a
         # 60-byte payload (hostile-bytes hang, r13)
         return {"n_bytes": len(payload), "n_frames": 0, "feat_mean": 0.0}
-    if width < 0 or data_off + height * row_bytes > len(payload):
+    if data_off + height * row_bytes > len(payload):
         # a truncated pixel array previously yielded EMPTY slices and a
         # confidently wrong feat_mean with no error (r10 review) — fail
         # loudly like wav_decode's wave-module errors; ValueError (not

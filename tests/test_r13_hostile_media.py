@@ -84,6 +84,17 @@ def test_wav_lying_data_chunk_size_raises_not_garbage():
         wav_decode(bytes(good))
 
 
+def test_wav_lying_fmt_chunk_size_raises_valueerror_not_runtimeerror():
+    """A fmt-chunk SIZE field of 0x7fffffff (bytes 16-19) makes the
+    stdlib chunk helper raise a bare message-less RuntimeError, which
+    previously escaped un-normalized — breaking the 'callers catch one
+    thing' contract for hostile headers (r14 ADVICE)."""
+    good = bytearray(_wav(n_frames=8, sampwidth=2))
+    struct.pack_into("<I", good, 16, 0x7FFFFFFF)
+    with pytest.raises(ValueError, match="undecodable WAV"):
+        wav_decode(bytes(good))
+
+
 def test_wav_truncated_pcm_payload_raises():
     good = _wav(n_frames=8)
     with pytest.raises(ValueError):
@@ -155,6 +166,17 @@ def test_bmp_negative_width_raises():
     hdr = bytearray(_bmp(width=2, height=2))
     struct.pack_into("<i", hdr, 18, -2)
     with pytest.raises(ValueError):
+        bmp_decode(bytes(hdr))
+
+
+def test_bmp_negative_width_zero_height_still_raises():
+    """Negative width + lying ZERO height previously slipped past the
+    width<0 check because the zero short-circuit ran first and returned
+    a success row (n_frames=0) — the negative-width contract must win
+    (r14 ADVICE)."""
+    hdr = bytearray(_bmp(width=2, height=2))
+    struct.pack_into("<ii", hdr, 18, -2, 0)
+    with pytest.raises(ValueError, match="negative BMP width"):
         bmp_decode(bytes(hdr))
 
 
