@@ -22,14 +22,43 @@ kilobytes per part).
 
 The same loop runs under Structured Streaming `availableNow` by pointing
 `foreachBatch` at `run_window` — the builders are identical (SURVEY §2.9).
+
+Crash/concurrency contract (r14, pinned by tests/test_r14_materialize_crash.py):
+
+- **Crash-converge.** The state fingerprint is saved AFTER the target write
+  (staged rename), so a kill anywhere inside ``run_window`` leaves the OLD
+  fingerprint on disk and the next ``tick`` re-runs the window; for a
+  deterministic ``src_fn`` the dynamic-partition overwrite makes the replay
+  idempotent. Stale-partition deletes are LOGGED BEFORE they are executed
+  (log-ahead): a kill mid-delete can lose the rmtree but never the
+  modified-log entry, so a replay finishes the delete and chained
+  materializations always see the buckets dirty (at-least-once logging;
+  a duplicate entry only causes an idempotent downstream re-run).
+- **Single daemon per spec, enforced per host.** ``tick`` serializes on an
+  exclusive ``flock`` over ``{STATE_DIR}/{spec.name}.lock``: a concurrent
+  tick (thread or process on the same host) blocks until the first
+  finishes, then sees the recorded fingerprints and quiesces — convergence
+  by serialization + idempotence, instead of the silent last-wins
+  ``os.replace`` race on the state file. flock is advisory and host-local:
+  multi-host deployments must run ONE daemon per spec (the reference's
+  deployment shape) — a shared-filesystem lock is out of scope here.
+  Direct ``run_window`` callers (the streaming ``foreachBatch`` walk,
+  which is single-threaded per query) must serialize externally.
+- **Reader visibility.** A window replacement is partition-atomic, not
+  window-atomic: a concurrent reader (e.g. the HTTP data service) can
+  observe a mid-reprocess mix of new and old partitions, or a partition
+  mid-delete. Same visibility a one-shot dynamic overwrite gives; readers
+  needing a consistent window must gate on the recorded fingerprint.
 """
 
 from __future__ import annotations
 
+import fcntl
 import hashlib
 import os
 import time
 from collections.abc import Callable
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta
 from zoneinfo import ZoneInfo
@@ -122,6 +151,24 @@ class MaterializationEngine:
 
     def _state_path(self, spec: MaterializationSpec) -> str:
         return os.path.join(self.base_dir, STATE_DIR, f"{spec.name}.parquet")
+
+    def _lock_path(self, spec: MaterializationSpec) -> str:
+        return os.path.join(self.base_dir, STATE_DIR, f"{spec.name}.lock")
+
+    @contextmanager
+    def _spec_lock(self, spec: MaterializationSpec):
+        """Exclusive per-spec daemon lock (see module docstring). flock,
+        not O_EXCL: the kernel releases it when the fd closes — including
+        on a hard kill — so a crashed tick can never wedge the spec
+        behind a stale lock file. Two fds on one file conflict even
+        within a single process (flock is per-open-file-description), so
+        threaded concurrent ticks serialize too."""
+        fd = os.open(self._lock_path(spec), os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            os.close(fd)  # closing the fd releases the flock
 
     def load_state(self, spec: MaterializationSpec) -> pd.DataFrame:
         p = self._state_path(spec)
@@ -285,18 +332,27 @@ class MaterializationEngine:
         if len(prev) and pd.notna(prev["partitions"].iloc[0]):
             prev_parts = [int(x) for x in
                           str(prev["partitions"].iloc[0]).split(",") if x]
-        removed = []
+        to_remove = []
         for b in prev_parts:
             if b in touched:
                 continue
             pdir = os.path.join(spec.target.path, f"p_bucket={b}")
             if os.path.isdir(pdir):
-                shutil.rmtree(pdir)
-                removed.append(b)
-        if removed:
+                to_remove.append(b)
+        if to_remove:
             # a delete is a modification: downstream materializations
-            # chained off this target must see these buckets dirty
-            spec.target._log_modified(spark, removed, job_id=None)
+            # chained off this target must see these buckets dirty.
+            # LOG-AHEAD (r14): the log entry lands BEFORE the rmtree —
+            # a kill mid-delete can lose the rmtree (the replay finishes
+            # it: fingerprint unsaved ⇒ window re-runs) but never the
+            # dirty mark. The old order logged only AFTER the whole
+            # loop, so a crash between rmtree and log silently lost the
+            # deletion for every chained materialization, forever. A
+            # crash between log and rmtree just re-logs on replay —
+            # at-least-once, idempotent downstream.
+            spec.target._log_modified(spark, to_remove, job_id=None)
+        for b in to_remove:
+            shutil.rmtree(os.path.join(spec.target.path, f"p_bucket={b}"))
         state = state[state["window_start"] != window_start]
         state = pd.concat([
             state,
@@ -313,9 +369,15 @@ class MaterializationEngine:
     def tick(self, spark: SparkSession, spec: MaterializationSpec,
              now: float | None = None) -> list[int]:
         """One daemon iteration: process every dirty window. Returns the
-        windows materialized."""
-        done = []
-        for w, fp in self.candidates(spark, spec, now=now):
-            self.run_window(spark, spec, w, fp, now=now)
-            done.append(w)
-        return done
+        windows materialized.
+
+        Holds the per-spec flock for the whole iteration (candidates are
+        computed INSIDE the lock): a concurrent tick blocks, then reads
+        the state the first tick saved, sees matching fingerprints, and
+        quiesces — each dirty window runs exactly once across both."""
+        with self._spec_lock(spec):
+            done = []
+            for w, fp in self.candidates(spark, spec, now=now):
+                self.run_window(spark, spec, w, fp, now=now)
+                done.append(w)
+            return done
