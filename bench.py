@@ -92,6 +92,15 @@ def main() -> None:
     args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # stdout must carry the ONE JSON line and NOTHING else — the driver
+    # parses it structurally, and the JVM (which inherits fd 1 at launch)
+    # writes shutdown WARNs (e.g. the StateStore maintenance-thread
+    # IllegalStateException) onto stdout AFTER our print, nulling the
+    # driver's parsed field (VERDICT r13). Keep the true stdout on a
+    # private fd for the final JSON write and point fd 1 at stderr
+    # BEFORE the JVM launches, so every Spark/log4j byte lands on stderr.
+    json_fd = os.dup(1)
+    os.dup2(2, 1)
     spark = get_spark(app_name="minerva-bench")
     warmup(spark, sf_dir)
     passes = [run_pass(spark, sf_dir) for _ in range(max(1, args.repeat))]
@@ -121,8 +130,9 @@ def main() -> None:
         out["value_min"] = round(sum(t for t in qmin.values() if t >= 0), 3)
         out["headline"]["value_min"] = round(
             sum(qmin[k] for k in HEADLINE_20 if qmin.get(k, -1) >= 0), 3)
-    print(json.dumps(out))
-    spark.stop()
+    spark.stop()  # stop BEFORE the JSON write: orderly-shutdown noise first
+    os.write(json_fd, (json.dumps(out) + "\n").encode())
+    os.close(json_fd)
 
 
 if __name__ == "__main__":
