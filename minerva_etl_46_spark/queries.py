@@ -14294,7 +14294,41 @@ _R13_TAIL = [
     k for k in _R12_PRIORITY + _R12_TAIL
     if k not in set(_R13_PRIORITY)
 ]
-_EXPORT_ORDER = _R13_PRIORITY + _R13_TAIL
+
+_R14_PRIORITY = _R14_CANDIDATES + [
+    # Round-14 rotation, same deterministic policy: no new keys this round
+    # (the registry is complete against SURVEY §2 — the r12 verdict's
+    # standing rule), so the 13 r8-latest keys (_R14_CANDIDATES, named at
+    # r13 close) lead, then the alphabetically-first 37 of the 50
+    # r9-latest rows fill the 50-slot window. Computed this round from the
+    # union of CORRECTNESS_r01–r13 (histogram r8×13 r9×50 r10×49 r11×50
+    # r12×50 r13×50). After this round the staleness floor moves to r9
+    # (13 keys remain — they lead _R15_CANDIDATES below).
+    "agg_bitmap_distinct", "agg_entity", "agg_histogram",
+    "agg_hll_rollup", "agg_rollup", "agg_time", "agg_weighted_avg",
+    "fn_date_parts", "fn_regexp", "fn_string_dn", "fn_ts_align",
+    "fn_variant", "join_anti", "join_left", "join_parts", "join_range",
+    "join_salted", "join_semi", "kpi_expr", "llm_chunk", "llm_concat",
+    "llm_decontaminate", "llm_dedup_exact", "llm_dedup_groups",
+    "llm_dedup_incremental", "llm_dedup_near", "llm_dupe_stats",
+    "llm_fingerprint", "llm_hot_ngrams", "llm_keywords", "llm_lang_id",
+    "llm_len_buckets", "llm_minhash_est", "llm_mix_weights",
+    "llm_ngram_jaccard", "llm_normalize", "llm_overlap",
+]
+assert len(_R14_PRIORITY) == 50, len(_R14_PRIORITY)
+assert _R14_PRIORITY[:13] == _R14_CANDIDATES
+#: r9-row keys that did not fit the 50-slot window; they lead _R15.
+_R15_CANDIDATES = [
+    "llm_pack", "llm_quality", "llm_redact", "llm_repetition",
+    "llm_sample_stratified", "llm_shard", "llm_sim_topk", "llm_simhash",
+    "llm_split", "llm_vocab", "scan_avro", "win_cume", "win_pattern",
+]
+assert not set(_R14_PRIORITY) & set(_R15_CANDIDATES)
+_R14_TAIL = [
+    k for k in _R13_PRIORITY + _R13_TAIL
+    if k not in set(_R14_PRIORITY)
+]
+_EXPORT_ORDER = _R14_PRIORITY + _R14_TAIL
 
 assert set(_EXPORT_ORDER) == set(QUERIES), (
     sorted(set(_EXPORT_ORDER) ^ set(QUERIES))
