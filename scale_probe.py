@@ -2113,10 +2113,137 @@ def r13_probe(spark, res, n_entities):
             "state_ratio": res[f"state_ratio_{provider}"]}), flush=True)
 
 
+def r14_probe(spark, res, n_rows_per_window):
+    """Tick/recovery cost law for the BATCH materialization daemon
+    (tests/test_r14_materialize_crash.py is the correctness gate; this
+    measures the cost): a tick's wall-clock must track the DIRTY windows
+    it actually runs, never the windows the daemon has ALREADY
+    materialized. The state file and modified-log both grow with history
+    (O(windows-in-retention) bookkeeping), so a daemon that is slower
+    after a month of production would be unusable — this pins that the
+    bookkeeping stays negligible against one window's run.
+
+    Shapes, on a 1h rollup spec (the §3.2 shape) at two history depths:
+    - seed_h{H}: catch-up tick materializing H one-hour windows
+      (context; ∝ H by design — each window is one bounded batch job);
+    - tick1_h{H}: ONE new dirty window arrives after H windows of
+      history → tick seconds. history_ratio = tick1_big/tick1_small,
+      the law says ~1.0;
+    - noop_h{H}: nothing dirty → candidate-scan cost alone (the
+      daemon's idle heartbeat; O(log buckets) Spark scan + driver
+      bookkeeping, bounded by the modified-log retention window);
+    - replay_h{H}: crash-sim at the (a) seam of the r14 gate — the
+      state file is rolled back to its pre-tick copy, exactly what a
+      kill between ``spec.target.write`` and ``_save_state`` leaves —
+      then the re-tick converges by re-running the one unsaved window.
+      replay_ratio = replay/tick1 ~ 1.0: recovery costs one window,
+      independent of history.
+    Ratios are RECORDED, never asserted (the r12 ADVICE rule)."""
+    import shutil as _shutil
+    import tempfile
+
+    from minerva_etl_46_spark.plans.materialize import (
+        MaterializationEngine,
+        MaterializationSpec,
+    )
+    from minerva_etl_46_spark.sources.trendstore import TrendStorePartStorage
+
+    far = 4e9  # synthetic far-future 'now': all delays satisfied
+    keys = 1000
+
+    def window_rows(w_start, n):
+        # n raw rows spread inside [w_start, w_start+3600), 1000 entities
+        return spark.range(n).select(
+            (F.col("id") % keys).alias("k"),
+            F.timestamp_seconds(w_start + (F.col("id") * 7) % 3600).alias("ts"),
+            ((F.col("id") % 1000) / 3.0).alias("v"),
+        )
+
+    def build(history):
+        base = tempfile.mkdtemp(prefix=f"r14probe_h{history}_")
+        raw = TrendStorePartStorage(base, "raw_c", partition_size_s=3600)
+        target = TrendStorePartStorage(base, "c_1h", partition_size_s=3600)
+        trends = {"n": Trend("n", time_aggregation="count"),
+                  "sum_value": Trend("sum_value", time_aggregation="sum")}
+
+        def src_fn(sprk, ws, we):
+            rows = raw.read_window(sprk, ws, we).filter(
+                (F.col("ts").cast("long") >= ws)
+                & (F.col("ts").cast("long") < we))
+            return time_rollup(
+                rows.select("k", "ts", F.col("v").alias("n"),
+                            F.col("v").alias("sum_value")),
+                "k", "ts", G_1H, trends, bucket_col="bucket")
+
+        spec = MaterializationSpec(
+            name="c_1h", granularity=G_1H, target=target, src_fn=src_fn,
+            sources=[raw], ts_col="bucket", reprocessing_period_s=10**12)
+        engine = MaterializationEngine(base)
+        for h in range(history):
+            raw.write(window_rows(BASE + h * 3600, n_rows_per_window))
+        return base, raw, spec, engine
+
+    for tag, history in (("h8", 8), ("h32", 32)):
+        base, raw, spec, engine = build(history)
+        t0 = time.perf_counter()
+        done = engine.tick(spark, spec, now=far)
+        res[f"seed_{tag}"] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "windows": len(done), "rows_per_window": n_rows_per_window}
+
+        # one new dirty window after `history` windows of history
+        raw.write(window_rows(BASE + history * 3600, n_rows_per_window))
+        t0 = time.perf_counter()
+        done = engine.tick(spark, spec, now=far + 10)
+        res[f"tick1_{tag}"] = {
+            "sec": round(time.perf_counter() - t0, 2), "windows": len(done)}
+
+        t0 = time.perf_counter()
+        done = engine.tick(spark, spec, now=far + 20)
+        res[f"noop_{tag}"] = {
+            "sec": round(time.perf_counter() - t0, 2), "windows": len(done)}
+
+        # crash-sim: snapshot state, run one more window, roll the state
+        # file back (= kill between target.write and _save_state), re-tick
+        state_path = engine._state_path(spec)
+        snap = state_path + ".probe_snap"
+        _shutil.copyfile(state_path, snap)
+        raw.write(window_rows(BASE + (history + 1) * 3600,
+                              n_rows_per_window))
+        engine.tick(spark, spec, now=far + 30)
+        os.replace(snap, state_path)  # the crash lost the fingerprint save
+        t0 = time.perf_counter()
+        done = engine.tick(spark, spec, now=far + 40)
+        res[f"replay_{tag}"] = {
+            "sec": round(time.perf_counter() - t0, 2), "windows": len(done)}
+        for shape in ("seed", "tick1", "noop", "replay"):
+            print(json.dumps({"shape": f"{shape}_{tag}",
+                              **res[f"{shape}_{tag}"]}), flush=True)
+        _shutil.rmtree(base, ignore_errors=True)
+
+    res["history_ratio"] = round(
+        res["tick1_h32"]["sec"] / max(res["tick1_h8"]["sec"], 1e-3), 2)
+    res["noop_ratio"] = round(
+        res["noop_h32"]["sec"] / max(res["noop_h8"]["sec"], 1e-3), 2)
+    res["replay_ratio"] = round(
+        res["replay_h32"]["sec"] / max(res["tick1_h32"]["sec"], 1e-3), 2)
+    print(json.dumps({"shape": "tick_law",
+                      "history_ratio": res["history_ratio"],
+                      "noop_ratio": res["noop_ratio"],
+                      "replay_ratio": res["replay_ratio"]}), flush=True)
+
+
 def main():
     spark = get_spark(app_name="scale-probe")
     res: dict = {}
 
+    if len(sys.argv) > 1 and sys.argv[1] == "r14":
+        n = int(os.environ.get("SCALE_PROBE_MAT_ROWS", 200_000))
+        r14_probe(spark, res, n_rows_per_window=n)
+        print(json.dumps({"metric": "scale_probe_r14",
+                          "rows_per_window": n, "shapes": res}))
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "r13":
         n = int(os.environ.get("SCALE_PROBE_ENTITIES", 20_000))
         r13_probe(spark, res, n_entities=n)
