@@ -236,6 +236,69 @@ def test_crash_after_delete_log_before_rmtree_converges(spark, tmp_path,
 # ------------------------------------------------------ (c) concurrent ticks
 
 
+def test_spec_lock_excludes_other_processes_and_releases_on_kill(
+        spark, tmp_path):
+    """The two flock claims the thread test above can't pin: (1) the
+    per-spec lock EXCLUDES a holder in another PROCESS (advisory flock
+    is kernel-arbitrated across processes — the deployment shape is two
+    daemon processes sharing a state dir); (2) a SIGKILLed holder
+    releases the lock instantly (the kernel drops flocks with the fd
+    table — no stale-lock wedge, the property that makes crash recovery
+    a plain re-tick instead of manual lock surgery)."""
+    import fcntl
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    raw, target, trends, spec = _rollup_fixture(spark, tmp_path)
+    engine = MaterializationEngine(str(tmp_path))
+    lock_path = engine._lock_path(spec)
+
+    child = subprocess.Popen(
+        [sys.executable, "-c", (
+            "import fcntl, os, sys, time\n"
+            f"fd = os.open({lock_path!r}, os.O_CREAT | os.O_RDWR, 0o644)\n"
+            "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+            "print('locked', flush=True)\n"
+            "time.sleep(300)\n"
+        )],
+        stdout=subprocess.PIPE, text=True)
+    try:
+        assert child.stdout.readline().strip() == "locked"
+        # (1) cross-process exclusion: non-blocking acquire must fail
+        # while the child holds the flock
+        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            with pytest.raises(BlockingIOError):
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            # (2) SIGKILL the holder: the kernel releases the flock with
+            # the fd table — the lock must become acquirable promptly,
+            # with no unlink/cleanup of the lock file required
+            child.send_signal(signal.SIGKILL)
+            child.wait(timeout=30)
+            deadline = time.monotonic() + 30
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except BlockingIOError:
+                    assert time.monotonic() < deadline, \
+                        "flock still held after the holder was SIGKILLed"
+                    time.sleep(0.05)
+        finally:
+            os.close(fd)  # releases the lock if acquired
+    finally:
+        if child.poll() is None:
+            child.kill()
+            child.wait(timeout=30)
+
+    # and the daemon path itself still works end-to-end afterwards
+    raw.write(_rows(spark, [(1, H0 + 60, 1.0)]))
+    assert engine.tick(spark, spec, now=FAR), \
+        "tick must proceed once the dead holder's lock is gone"
+
+
 def test_concurrent_ticks_serialize_each_window_runs_once(spark, tmp_path):
     """Two daemons tick the same spec at once (two engine instances =
     two processes sharing the state dir; flock is per-open-file-
