@@ -1505,8 +1505,23 @@ def llm_dedup_near(spark, sf_dir):
     # bands=16 (r=2, s50=0.25) matches the 0.5 verify threshold — see
     # SCALE.md's S-curve measurements (bands=8 loses J≈0.65 pairs)
     pairs = lsh_candidate_pairs(sig, id_col="doc_id", k=32, bands=16,
-                                hash_family="md5")
-    return jaccard_verify(corpus, pairs, id_col="doc_id", text_col="text", threshold=0.5)
+                                hash_family="md5"
+                                ).localCheckpoint(eager=False)  # id set + verify
+    # candidate-bound the verify (r14, guide §2.3 "shuffle fewer bytes"):
+    # jaccard_verify's shingle explode — the dominant CPU cost — only
+    # needs docs that appear in a candidate pair; every other doc's
+    # grams were exploded and shuffled just to be dropped by the pair
+    # join. Same semi-join restriction incremental_near_dup has carried
+    # since r7; output is identical because sizes/intersections are
+    # per-candidate-doc quantities.
+    ids = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    relevant = corpus.join(ids, "doc_id", "left_semi")
+    return jaccard_verify(relevant, pairs, id_col="doc_id",
+                          text_col="text", threshold=0.5)
 
 
 @register(
@@ -1624,8 +1639,15 @@ def llm_minhash_est(spark, sf_dir):
             .alias("text"),
         )
     )
+    # consumed TWICE below (a- and b-side of the pair join): without the
+    # lineage cut the ENTIRE minhash pipeline — shingle explode + 32-seed
+    # md5 min-agg, the dominant cost — plans and runs once per side
+    # (r14 plan audit: 2 full documents scans; ReuseExchange can't fire
+    # because each side prunes different alias columns). Same idiom as
+    # lsh_candidate_pairs.
     sig = minhash_signature(d.unionByName(near), id_col="doc_id",
-                            text_col="text", k=32, hash_family="md5")
+                            text_col="text", k=32, hash_family="md5"
+                            ).localCheckpoint(eager=False)
     a = sig.select(F.col("doc_id").alias("a_id"),
                    *[F.col(f"mh{i}").alias(f"a{i}") for i in range(32)])
     b = sig.select(F.col("doc_id").alias("b_id"),
