@@ -4357,7 +4357,12 @@ def llm_semdedup(spark, sf_dir):
         ).alias("v"),
     )
     corpus = orig.unionByName(sib)
-    with_norm = corpus.withColumn("n2", _norm2_dec(F.col("v")))
+    # r14 lineage cut: with_norm feeds BOTH pair-join sides and (via
+    # corpus) the final keep/drop join — the embeddings scan, sibling
+    # synthesis and decimal norms otherwise run three times (plan
+    # audit: 6 embeddings scans).
+    with_norm = (corpus.withColumn("n2", _norm2_dec(F.col("v")))
+                 .localCheckpoint(eager=False))
     a = with_norm.select(F.col("vec_id").alias("a_id"), "label",
                          F.col("v").alias("a_v"), F.col("n2").alias("a_n2"))
     b = with_norm.select(F.col("vec_id").alias("b_id"), "label",
@@ -4370,7 +4375,8 @@ def llm_semdedup(spark, sf_dir):
         F.col("b_id").alias("vec_id")
     ).distinct()
     return (
-        corpus.join(dom.withColumn("__dropped", F.lit(1)), "vec_id", "left")
+        with_norm.select("vec_id", "label")  # same rows as corpus, reused
+        .join(dom.withColumn("__dropped", F.lit(1)), "vec_id", "left")
         .select(
             "vec_id", "label", F.col("__dropped").isNull().alias("kept")
         )
@@ -8486,12 +8492,16 @@ def agg_basket_pairs(spark, sf_dir):
     pairs are the long tail by construction, not a silent cap."""
     li = load(spark, sf_dir, "lineitem")
     # repartition(order) up front: hash(order) satisfies the
-    # (order, part) distinct AND co-partitions both self-join sides —
-    # the distinct's exchange is the ONLY fact-sized shuffle, reused
-    # (ReusedExchange) by every downstream consumer
+    # (order, part) distinct AND co-partitions both self-join sides.
+    # localCheckpoint (r14): items has FOUR consumers (both self-join
+    # sides, ic, n) whose different column pruning defeats
+    # ReuseExchange — the plan audit showed 4 full lineitem scans +
+    # 4 fact exchanges; the lineage cut computes the distinct once.
     items = (li.select("l_orderkey", "l_partkey")
-             .repartition("l_orderkey").distinct())
-    ic = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+             .repartition("l_orderkey").distinct()
+             .localCheckpoint(eager=False))
+    ic = (items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+          .localCheckpoint(eager=False))  # consumed twice: c1 + c2
     n = items.agg(
         F.countDistinct("l_orderkey").alias("n_orders"))
     a = items.select("l_orderkey", F.col("l_partkey").alias("p1"))
@@ -11501,12 +11511,19 @@ def agg_basket_rules(spark, sf_dir):
     never exists); the direction union doubles only the RULE frame;
     item counts and the 1-row order count broadcast onto it."""
     li = load(spark, sf_dir, "lineitem")
+    # lineage cuts (r14, same audit as agg_basket_pairs): items has four
+    # consumers and pairs — the order-key SELF-JOIN, the expensive step —
+    # was planned TWICE because the direction union consumes it on both
+    # sides (12 exchanges / 7 lineitem scans before; the union doubles
+    # only the RULE frame now, as the docstring always claimed).
     items = (
         li.select("l_orderkey", "l_partkey")
         .repartition("l_orderkey")
         .dropDuplicates(["l_orderkey", "l_partkey"])
+        .localCheckpoint(eager=False)
     )
-    ic = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    ic = (items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+          .localCheckpoint(eager=False))  # consumed twice: ca + cc
     n = items.agg(
         F.countDistinct("l_orderkey").alias("n_orders"))
     b = items.select(F.col("l_orderkey").alias("k"),
@@ -11517,6 +11534,7 @@ def agg_basket_rules(spark, sf_dir):
         .groupBy(F.col("l_partkey").alias("p1"), "p2")
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
         .filter(F.col("pair_cnt") >= 2)
+        .localCheckpoint(eager=False)  # consumed twice: both rule directions
     )
     rules = (
         pairs.select(F.col("p1").alias("antecedent"),
@@ -11753,13 +11771,18 @@ def graph_triangles(spark, sf_dir):
 
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp"))
-    ps = li.distinct()
+    # lineage cuts (r14 plan audit): ps feeds BOTH sides of the part
+    # self-join (2 lineitem scans + 2 fact exchanges before), and c —
+    # the fact-scaled pair hash-agg, the expensive step — was planned
+    # twice because the symmetrization union consumes it twice.
+    ps = li.distinct().localCheckpoint(eager=False)
     a, b = ps.alias("a"), ps.alias("b")
     c = (
         a.join(b, (F.col("a.part") == F.col("b.part"))
                & (F.col("a.supp") < F.col("b.supp")))
         .groupBy(F.col("a.supp").alias("u"), F.col("b.supp").alias("v"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     sym = c.select(F.col("u").alias("src"), F.col("v").alias("dst"), "cnt") \
         .unionAll(c.select(F.col("v").alias("src"),
@@ -11824,7 +11847,9 @@ def agg_theil_sen(spark, sf_dir):
         F.col("c_nationkey").alias("nation"),
         (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
         .alias("mi"),
-    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")) \
+        .localCheckpoint(eager=False)  # r14: both pair-join sides — the
+    # fact scan + broadcast join + month hash-agg otherwise run twice
     a, b = m.alias("a"), m.alias("b")
     p = a.join(
         b,
@@ -12137,7 +12162,8 @@ def agg_kendall(spark, sf_dir):
     ).agg(
         F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"),
         F.count(F.lit(1)).alias("n_orders"),
-    )
+    ).localCheckpoint(eager=False)  # r14: both pair-join sides — the
+    # fact scan + broadcast join + month hash-agg otherwise run twice
     a, b = m.alias("a"), m.alias("b")
     up = (F.col("b.rev") > F.col("a.rev"))
     dn = (F.col("b.rev") < F.col("a.rev"))
