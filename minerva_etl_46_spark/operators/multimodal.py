@@ -407,6 +407,11 @@ def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 10,
             ])
         ).alias("band"),
     ).select("media_id", "phash", "band.band_idx", "band.band_val")
+    # r14 lineage cut: bands feeds BOTH self-join sides; without it the
+    # upstream perceptual_hash mapInPandas — a Python decode pass over
+    # every payload — plans and runs once per side (opaque Python nodes
+    # are exactly what ReuseExchange cannot see through, guide §4).
+    bands = bands.localCheckpoint(eager=False)
     a = bands.select(F.col("media_id").alias("a_id"),
                      F.col("phash").alias("a_hash"),
                      "band_idx", "band_val")

@@ -3675,11 +3675,13 @@ def llm_keywords(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
-    tfs = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # df derives from the tf frame (one row per (doc, term) already) — the
-    # two branches share an identical Exchange subtree, so ReuseExchange
-    # tokenizes and scans the corpus ONCE; count_distinct over tok would
-    # scan and explode it a second time.
+    tfs = (tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+           .localCheckpoint(eager=False))
+    # df derives from the tf frame (one row per (doc, term) already).
+    # r14: the lineage cut makes the sharing REAL — the plan audit showed
+    # ReuseExchange never fired here (alias-divergent subtrees), so the
+    # token explode + (doc, term) agg ran once for dfs and once for the
+    # score join.
     dfs = tfs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tfs.join(F.broadcast(dfs), "term")
@@ -3731,7 +3733,9 @@ def llm_overlap(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     h = fingerprint(d, id_col="doc_id", text_col="text").join(
         d.select("doc_id", "source"), "doc_id"
-    ).select(F.col("fingerprint").alias("fp"), "source")
+    ).select(F.col("fingerprint").alias("fp"), "source") \
+     .localCheckpoint(eager=False)  # r14: both self-join sides — the
+    # normalize+md5 fingerprint pass otherwise runs twice
     a, b = h.alias("a"), h.alias("b")
     pairs = a.join(
         b,
@@ -4173,8 +4177,9 @@ def llm_bm25(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    ).localCheckpoint(eager=False)  # r14: dl + docfreq + tf all explode
+    dl = (toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+          .localCheckpoint(eager=False))  # corpus stats + the score join
     corpus = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     )
@@ -5299,7 +5304,8 @@ def llm_chunk_dedup(spark, sf_dir):
                 " ",
             )
         ).alias("h"),
-    )
+    ).localCheckpoint(eager=False)  # r14: freq + jd — the whole
+    # boundary-window + span join + chunk-md5 chain otherwise runs twice
     freq = hashed.groupBy("h").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
@@ -5424,6 +5430,8 @@ def join_nearest(spark, sf_dir):
         )
         .filter(F.col("rn") == 1)
         .select("user_id", F.unix_micros("ts").alias("a_us"), "aval")
+        .localCheckpoint(eager=False)  # r14: backward AND forward as-of
+        # legs — the events scan + dedup window otherwise run twice
     )
     facts = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.unix_micros("ts").alias("f_us")
@@ -6469,12 +6477,13 @@ def llm_surprisal(spark, sf_dir):
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).alias("tf"))
+        F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)
+    # r14: tf feeds freq AND the score join — the lineage cut runs the
+    # token explode + (doc, token) agg once. n_total ≡ Σfreq is now a
+    # vocab-scale agg over the cut tf frame instead of a THIRD full
+    # token explode of the raw stream.
     freq = tf.groupBy("token").agg(F.sum("tf").alias("freq"))
-    # n_total from the raw stream (≡ Σfreq) keeps the 1-row frame's
-    # lineage shallow — a nested tf→freq recompute would otherwise
-    # re-run two hash-aggs just to sum them
-    total = tok.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    total = freq.groupBy().agg(F.sum("freq").alias("n_total"))
     b = (F.length(F.bin("n_total")) - F.length(F.bin("freq")))
     scored = (
         tf.join(freq, "token")
@@ -7397,6 +7406,8 @@ def llm_tfidf(spark, sf_dir):
     tf = (
         tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("token_h", F.xxhash64("token"))
+        .localCheckpoint(eager=False)  # r14: dfreq + the score join —
+        # the token explode + (doc, token) agg otherwise run twice
     )
     dfreq = tf.groupBy("token_h").agg(F.count(F.lit(1)).alias("df"))
     n = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
@@ -7464,8 +7475,11 @@ def llm_collocations(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     a = F.split(F.lower("text"), " ")
     tok = d.select(F.explode(a).alias("w"))
-    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    ntok = tok.groupBy().agg(F.count(F.lit(1)).alias("n_tok"))
+    uni = (tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint(eager=False))  # r14: ua + ub + ntok below
+    # total token count == sum of per-token counts: derived from the
+    # checkpointed vocab frame instead of a second full token explode
+    ntok = uni.groupBy().agg(F.sum("c").alias("n_tok"))
     pairs = F.zip_with(
         F.slice(a, 1, F.size(a) - 1),
         F.slice(a, 2, F.size(a) - 1),
@@ -7475,6 +7489,8 @@ def llm_collocations(spark, sf_dir):
         d.select(F.explode(pairs).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=False)  # r14: npair + the lift join —
+        # the bigram explode + hash-agg otherwise run twice
     )
     npair = big.groupBy().agg(F.sum("c_ab").alias("n_pairs"))
     ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
@@ -7911,12 +7927,14 @@ def agg_survival(spark, sf_dir):
     days = e.select(
         "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day"))
     spans = days.groupBy("user_id").agg(
-        F.min("day").alias("first_day"), F.max("day").alias("last_day"))
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    ).localCheckpoint(eager=False)  # r14: feeds mx AND durs — the
+    # events scan + day agg otherwise run twice
     mx = spans.groupBy().agg(F.max("last_day").alias("corpus_max"))
     durs = spans.crossJoin(F.broadcast(mx)).select(
         (F.col("last_day") - F.col("first_day")).alias("t"),
         (F.col("last_day") == F.col("corpus_max")).alias("censored"),
-    )
+    ).localCheckpoint(eager=False)  # r14: feeds tt AND tot
     tt = durs.groupBy("t").agg(
         F.count_if(~F.col("censored")).alias("d"),
         F.count_if(F.col("censored")).alias("c"),
@@ -12065,7 +12083,10 @@ def llm_bloom_prefilter(spark, sf_dir):
     h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
     hashed = d.select("doc_id", h.alias("h"), h1.alias("h1"),
-                      h2.alias("h2"))
+                      h2.alias("h2")
+                      ).localCheckpoint(eager=False)  # r14: idx (bloom +
+    # exact-dup index) and probe (positions + exact check) all re-ran
+    # the md5+conv scan — four consumers, one computation
     idx = hashed.filter(F.col("doc_id") % 10 != 0)
     probe = hashed.filter(F.col("doc_id") % 10 == 0)
     ks = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
@@ -12730,7 +12751,10 @@ def llm_embed_outliers(spark, sf_dir):
         .cast("long").alias("xq"),
     )
     D18 = "decimal(18,0)"
-    s = el.groupBy("label", "i").agg(F.sum("xq").alias("sxq"))
+    el = el.localCheckpoint(eager=False)  # r14: s + nv + dots all
+    # re-ran the posexplode over the embeddings otherwise
+    s = (el.groupBy("label", "i").agg(F.sum("xq").alias("sxq"))
+         .localCheckpoint(eager=False))  # ns + the dots join
     nv = el.groupBy("vec_id", "label").agg(
         F.sum(F.col("xq").cast(D18) * F.col("xq").cast(D18)).alias("nv2"))
     ns = s.groupBy("label").agg(
@@ -12920,7 +12944,7 @@ def agg_target_encode(spark, sf_dir):
     stats = e.groupBy("event_type").agg(
         F.sum(F.col("value").cast(DEC)).alias("s"),
         F.count(F.lit(1)).alias("n"),
-    ).withColumnRenamed("event_type", "et_k")
+    ).withColumnRenamed("event_type", "et_k").localCheckpoint(eager=False)
     # null-SAFE join back: rows with a NULL category are still rows to
     # encode (the oracle's window PARTITION BY groups them together);
     # a plain equi-join silently dropped them (r11 adversarial-events
@@ -12929,8 +12953,9 @@ def agg_target_encode(spark, sf_dir):
     g = (facts.join(F.broadcast(stats),
                     facts["event_type"].eqNullSafe(stats["et_k"]))
          .drop("et_k"))
-    tot = e.agg(F.sum(F.col("value").cast(DEC)).alias("ts"),
-                F.count(F.lit(1)).alias("tn"))
+    # corpus totals derived from the per-type stats (exact decimal/long
+    # sums of group sums) instead of a THIRD full events scan+agg (r14)
+    tot = stats.agg(F.sum("s").alias("ts"), F.sum("n").alias("tn"))
     g = g.crossJoin(F.broadcast(tot))  # 1-row stats frame
     vd = F.col("value").cast(DEC)
     return g.select(
