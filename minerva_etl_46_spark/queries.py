@@ -1772,7 +1772,8 @@ def llm_ngram_jaccard(spark, sf_dir):
     )
     sh = d.select(
         F.col("doc_id"), F.explode(F.array_distinct(shingles("text", 3))).alias("sh")
-    )
+    ).localCheckpoint(eager=False)  # r14: both pair-join sides — the
+    # shingle explode otherwise runs twice
     pairs = (
         sh.select(F.col("doc_id").alias("a_id"), "sh")
         .join(sh.select(F.col("doc_id").alias("b_id"), "sh"), "sh")
@@ -3340,7 +3341,8 @@ def llm_mix_weights(spark, sf_dir):
     per_src = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(_ws_count("text")).alias("tokens"),
-    )
+    ).localCheckpoint(eager=False)  # r14: tot + the share projection —
+    # the doc scan + token-count agg otherwise run twice
     tot = per_src.agg(
         F.sum("tokens").cast("double").alias("all_tokens"),
         F.count(F.lit(1)).cast("double").alias("n_sources"),
@@ -5217,7 +5219,9 @@ def win_dod_change(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     hourly = e.groupBy(
         "user_id", bucket_epoch("ts", G_1H).alias("bucket")
-    ).agg(dsum("value").alias("traffic"))
+    ).agg(dsum("value").alias("traffic")
+          ).localCheckpoint(eager=False)  # r14: both self-join sides —
+    # the events scan + rollup otherwise run twice
     prev = hourly.select(
         "user_id", (F.col("bucket") + 86400).alias("bucket"),
         F.col("traffic").alias("prev_traffic"),
@@ -5573,7 +5577,9 @@ def agg_retention(spark, sf_dir):
     already share the user_id partitioning from their own aggs)."""
     e = load(spark, sf_dir, "events")
     week = F.floor(F.unix_micros("ts") / F.lit(86400000000 * 7)).cast("bigint")
-    weekly = e.select("user_id", week.alias("week")).distinct()
+    weekly = (e.select("user_id", week.alias("week")).distinct()
+              .localCheckpoint(eager=False))  # r14: cohort + the join —
+    # the fact scan + distinct otherwise run twice
     cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
         weekly.join(cohort, "user_id")
@@ -5832,6 +5838,9 @@ def llm_domain_match(spark, sf_dir):
             ).alias("f"),
         )
         .distinct()
+        .localCheckpoint(eager=False)  # r14: the profile branch AND the
+        # scoring join both consume feats — the bigram-md5 explode +
+        # distinct (the dominant cost) otherwise runs twice
     )
     prof = (
         feats.filter(F.col("lang") == "en")
@@ -8067,7 +8076,9 @@ def agg_corr_pairs(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     hourly = e.groupBy(
         bucket_epoch("ts", G_1H).alias("bucket"), "event_type"
-    ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("x"))
+    ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("x")
+          ).localCheckpoint(eager=False)  # r14: both pair-join sides —
+    # the events scan + hourly rollup otherwise run twice
     a = hourly.select(
         "bucket", F.col("event_type").alias("type_a"),
         F.col("x").cast("decimal(18,6)").alias("xa"))
@@ -8739,7 +8750,9 @@ def agg_gaps(spark, sf_dir):
         F.col("o_orderkey").alias("k"),
         # integer div, not /-then-cast: exact above 2^53 too
         F.expr("o_orderkey div 4096").alias("b"))
-    k = k.repartition("b")
+    k = k.repartition("b").localCheckpoint(eager=False)  # r14: the
+    # in-bucket window AND the bucket-span agg — the filtered scan +
+    # bucket exchange otherwise run twice
     wb = Window.partitionBy("b").orderBy(F.asc("k"))
     inner = (
         k.withColumn("nk", F.lead("k").over(wb))
@@ -9299,15 +9312,20 @@ def agg_stickiness(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     w_idx = F.expr("unix_micros(ts) div 604800000000").alias("w_idx")
     d_idx = F.expr("unix_micros(ts) div 86400000000").alias("d_idx")
-    du = e.select(w_idx, d_idx, "user_id").distinct()
+    du = (e.select(w_idx, d_idx, "user_id").distinct()
+          .localCheckpoint(eager=False))  # r14: daily AND wau below
     daily = du.groupBy("w_idx", "d_idx").agg(
         F.count(F.lit(1)).alias("dau"))
     weekly = daily.groupBy("w_idx").agg(
         F.sum("dau").cast("long").alias("sum_dau"),
         F.count(F.lit(1)).cast("long").alias("n_days"),
     )
+    # weekly actives derive from the (week, day, user) distinct —
+    # projecting away the day and re-distincting equals
+    # e.select(week, user).distinct() exactly, without the second fact
+    # scan+distinct (r14)
     wau = (
-        e.select(w_idx, "user_id").distinct()
+        du.select("w_idx", "user_id").distinct()
         .groupBy("w_idx").agg(F.count(F.lit(1)).cast("long").alias("wau"))
     )
     j = weekly.join(F.broadcast(wau), "w_idx")
@@ -12544,7 +12562,9 @@ def agg_skew_report(spark, sf_dir):
         "stack(3, 'l_orderkey', l_orderkey, "
         "'l_partkey', l_partkey, "
         "'l_suppkey', l_suppkey) as (col_name, key)"))
-    c = u.groupBy("col_name", "key").agg(F.count(F.lit(1)).alias("cnt"))
+    c = (u.groupBy("col_name", "key").agg(F.count(F.lit(1)).alias("cnt"))
+         .localCheckpoint(eager=False))  # r14: the rollup AND the
+    # hot-key window — the 3x stack explode + hash-agg otherwise run twice
     r = c.groupBy("col_name").agg(
         F.sum("cnt").alias("n_rows"),
         F.count(F.lit(1)).alias("n_distinct"),
@@ -13146,10 +13166,13 @@ def agg_freshness(spark, sf_dir):
     m = e.groupBy("user_id").agg(
         F.max(F.unix_micros("ts")).alias("last_us"),
         F.count(F.lit(1)).alias("n_events"),
-    )
-    # anchor from the SOURCE, not from m: deriving it from the reused
-    # entity frame re-runs that hash-agg a second time (probed r7g)
-    anchor = e.agg(F.max(F.unix_micros("ts")).alias("now_us"))
+    ).localCheckpoint(eager=False)  # r14: anchor + the final projection
+    # anchor now derives from m — the r7g probe's "re-runs the hash-agg"
+    # objection was the missing lineage cut; with m checkpointed the
+    # anchor is a node-scale agg over the cached frame, and the second
+    # full events scan+agg disappears. max over per-user maxes == the
+    # corpus max exactly.
+    anchor = m.agg(F.max("last_us").alias("now_us"))
     j = m.crossJoin(F.broadcast(anchor))  # 1-row stats frame
     lag = F.col("now_us") - F.col("last_us")
     return j.select(
