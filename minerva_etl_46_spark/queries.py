@@ -1505,8 +1505,7 @@ def llm_dedup_near(spark, sf_dir):
     # bands=16 (r=2, s50=0.25) matches the 0.5 verify threshold — see
     # SCALE.md's S-curve measurements (bands=8 loses J≈0.65 pairs)
     pairs = lsh_candidate_pairs(sig, id_col="doc_id", k=32, bands=16,
-                                hash_family="md5"
-                                ).localCheckpoint(eager=False)  # id set + verify
+                                hash_family="md5")
     # candidate-bound the verify (r14, guide §2.3 "shuffle fewer bytes"):
     # jaccard_verify's shingle explode — the dominant CPU cost — only
     # needs docs that appear in a candidate pair; every other doc's
@@ -1639,15 +1638,14 @@ def llm_minhash_est(spark, sf_dir):
             .alias("text"),
         )
     )
-    # consumed TWICE below (a- and b-side of the pair join): without the
-    # lineage cut the ENTIRE minhash pipeline — shingle explode + 32-seed
-    # md5 min-agg, the dominant cost — plans and runs once per side
-    # (r14 plan audit: 2 full documents scans; ReuseExchange can't fire
-    # because each side prunes different alias columns). Same idiom as
-    # lsh_candidate_pairs.
+    # r15: the r14 localCheckpoint here (sharing the minhash pipeline
+    # across both pair-join sides) made this key 7× SLOWER at local[32]
+    # (driver PERF_r14) — materializing the fact-scale signature frame
+    # deserialized, never unpersisted, anti-scales with core count.
+    # Reverted to the r13 recompute-per-side shape (guide §5: cache only
+    # when recompute costs more than the memory pressure — it doesn't).
     sig = minhash_signature(d.unionByName(near), id_col="doc_id",
-                            text_col="text", k=32, hash_family="md5"
-                            ).localCheckpoint(eager=False)
+                            text_col="text", k=32, hash_family="md5")
     a = sig.select(F.col("doc_id").alias("a_id"),
                    *[F.col(f"mh{i}").alias(f"a{i}") for i in range(32)])
     b = sig.select(F.col("doc_id").alias("b_id"),
@@ -1772,8 +1770,9 @@ def llm_ngram_jaccard(spark, sf_dir):
     )
     sh = d.select(
         F.col("doc_id"), F.explode(F.array_distinct(shingles("text", 3))).alias("sh")
-    ).localCheckpoint(eager=False)  # r14: both pair-join sides — the
-    # shingle explode otherwise runs twice
+    )  # r15: r14's localCheckpoint here (18× slower at local[32], driver
+    # PERF_r14) reverted — recomputing the explode per join side beats
+    # pinning the fact-scale shingle frame deserialized (guide §5)
     pairs = (
         sh.select(F.col("doc_id").alias("a_id"), "sh")
         .join(sh.select(F.col("doc_id").alias("b_id"), "sh"), "sh")
@@ -3341,8 +3340,9 @@ def llm_mix_weights(spark, sf_dir):
     per_src = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(_ws_count("text")).alias("tokens"),
-    ).localCheckpoint(eager=False)  # r14: tot + the share projection —
-    # the doc scan + token-count agg otherwise run twice
+    )  # r15: r14's localCheckpoint reverted (15× slower at local[32],
+    # driver PERF_r14) — the recomputed agg is cheaper than the lineage
+    # cut's materialization + lost stats under 32-way concurrency
     tot = per_src.agg(
         F.sum("tokens").cast("double").alias("all_tokens"),
         F.count(F.lit(1)).cast("double").alias("n_sources"),
@@ -3677,13 +3677,11 @@ def llm_keywords(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
-    tfs = (tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-           .localCheckpoint(eager=False))
+    tfs = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # df derives from the tf frame (one row per (doc, term) already).
-    # r14: the lineage cut makes the sharing REAL — the plan audit showed
-    # ReuseExchange never fired here (alias-divergent subtrees), so the
-    # token explode + (doc, term) agg ran once for dfs and once for the
-    # score join.
+    # r15: r14's localCheckpoint on tfs reverted (2.07× slower at
+    # local[32], driver PERF_r14) — pinning the fact-scale (doc, term)
+    # frame deserialized costs more than recomputing it (guide §5).
     dfs = tfs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tfs.join(F.broadcast(dfs), "term")
@@ -3735,9 +3733,9 @@ def llm_overlap(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     h = fingerprint(d, id_col="doc_id", text_col="text").join(
         d.select("doc_id", "source"), "doc_id"
-    ).select(F.col("fingerprint").alias("fp"), "source") \
-     .localCheckpoint(eager=False)  # r14: both self-join sides — the
-    # normalize+md5 fingerprint pass otherwise runs twice
+    ).select(F.col("fingerprint").alias("fp"), "source")
+    # r15: r14's localCheckpoint reverted (harmful at local[32], driver
+    # PERF_r14) — recompute the fingerprint pass per self-join side
     a, b = h.alias("a"), h.alias("b")
     pairs = a.join(
         b,
@@ -4179,9 +4177,10 @@ def llm_bm25(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
-    ).localCheckpoint(eager=False)  # r14: dl + docfreq + tf all explode
-    dl = (toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-          .localCheckpoint(eager=False))  # corpus stats + the score join
+    )  # r15: r14's two localCheckpoints (toks + dl) reverted — pinning
+    # the fully exploded token stream deserialized made this key 1.45×
+    # slower at local[32] (driver PERF_r14, ADVICE r14); recompute wins
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     corpus = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     )
@@ -5308,8 +5307,8 @@ def llm_chunk_dedup(spark, sf_dir):
                 " ",
             )
         ).alias("h"),
-    ).localCheckpoint(eager=False)  # r14: freq + jd — the whole
-    # boundary-window + span join + chunk-md5 chain otherwise runs twice
+    )  # r15: r14's localCheckpoint reverted (1.94× slower at local[32],
+    # driver PERF_r14) — recompute the chunk-md5 chain per consumer
     freq = hashed.groupBy("h").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
@@ -5434,8 +5433,8 @@ def join_nearest(spark, sf_dir):
         )
         .filter(F.col("rn") == 1)
         .select("user_id", F.unix_micros("ts").alias("a_us"), "aval")
-        .localCheckpoint(eager=False)  # r14: backward AND forward as-of
-        # legs — the events scan + dedup window otherwise run twice
+        # r15: r14's localCheckpoint reverted (1.64× slower at local[32],
+        # driver PERF_r14) — recompute the dedup window per as-of leg
     )
     facts = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.unix_micros("ts").alias("f_us")
@@ -5838,9 +5837,9 @@ def llm_domain_match(spark, sf_dir):
             ).alias("f"),
         )
         .distinct()
-        .localCheckpoint(eager=False)  # r14: the profile branch AND the
-        # scoring join both consume feats — the bigram-md5 explode +
-        # distinct (the dominant cost) otherwise runs twice
+        # r15: r14's localCheckpoint reverted (3.8× slower at local[32],
+        # driver PERF_r14) — recompute the bigram-md5 explode + distinct
+        # per consumer instead of pinning the fact-scale feature frame
     )
     prof = (
         feats.filter(F.col("lang") == "en")
@@ -6486,13 +6485,13 @@ def llm_surprisal(spark, sf_dir):
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)
-    # r14: tf feeds freq AND the score join — the lineage cut runs the
-    # token explode + (doc, token) agg once. n_total ≡ Σfreq is now a
-    # vocab-scale agg over the cut tf frame instead of a THIRD full
-    # token explode of the raw stream.
+        F.count(F.lit(1)).alias("tf"))
     freq = tf.groupBy("token").agg(F.sum("tf").alias("freq"))
-    total = freq.groupBy().agg(F.sum("freq").alias("n_total"))
+    # r15: full r13 shape restored (r14's lineage cut + derived total
+    # were harmful at local[32], driver PERF_r14; without the cut the
+    # tf→freq-derived total re-plans two hash-aggs + 2 exchanges — the
+    # direct one-pass count with map-side partials is strictly cheaper)
+    total = tok.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
     b = (F.length(F.bin("n_total")) - F.length(F.bin("freq")))
     scored = (
         tf.join(freq, "token")
@@ -7484,11 +7483,12 @@ def llm_collocations(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     a = F.split(F.lower("text"), " ")
     tok = d.select(F.explode(a).alias("w"))
-    uni = (tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-           .localCheckpoint(eager=False))  # r14: ua + ub + ntok below
-    # total token count == sum of per-token counts: derived from the
-    # checkpointed vocab frame instead of a second full token explode
-    ntok = uni.groupBy().agg(F.sum("c").alias("n_tok"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # r15: full r13 shape restored (r14's lineage cut + derived total
+    # were 1.76× slower at local[32], driver PERF_r14; without the cut
+    # the uni-derived total re-plans the vocab hash-agg — the direct
+    # one-pass count with map-side partials is strictly cheaper)
+    ntok = tok.groupBy().agg(F.count(F.lit(1)).alias("n_tok"))
     pairs = F.zip_with(
         F.slice(a, 1, F.size(a) - 1),
         F.slice(a, 2, F.size(a) - 1),
@@ -7498,8 +7498,8 @@ def llm_collocations(spark, sf_dir):
         d.select(F.explode(pairs).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
-        .localCheckpoint(eager=False)  # r14: npair + the lift join —
-        # the bigram explode + hash-agg otherwise run twice
+        # r15: r14's localCheckpoint reverted — recompute the bigram
+        # hash-agg per consumer (guide §5)
     )
     npair = big.groupBy().agg(F.sum("c_ab").alias("n_pairs"))
     ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
@@ -8522,15 +8522,12 @@ def agg_basket_pairs(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     # repartition(order) up front: hash(order) satisfies the
     # (order, part) distinct AND co-partitions both self-join sides.
-    # localCheckpoint (r14): items has FOUR consumers (both self-join
-    # sides, ic, n) whose different column pruning defeats
-    # ReuseExchange — the plan audit showed 4 full lineitem scans +
-    # 4 fact exchanges; the lineage cut computes the distinct once.
+    # r15: r14's two localCheckpoints (items, ic) reverted — pinning the
+    # fact-scale (order, part) distinct deserialized made this key 1.69×
+    # slower at local[32] (driver PERF_r14); recompute wins (guide §5).
     items = (li.select("l_orderkey", "l_partkey")
-             .repartition("l_orderkey").distinct()
-             .localCheckpoint(eager=False))
-    ic = (items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-          .localCheckpoint(eager=False))  # consumed twice: c1 + c2
+             .repartition("l_orderkey").distinct())
+    ic = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     n = items.agg(
         F.countDistinct("l_orderkey").alias("n_orders"))
     a = items.select("l_orderkey", F.col("l_partkey").alias("p1"))
@@ -8750,9 +8747,10 @@ def agg_gaps(spark, sf_dir):
         F.col("o_orderkey").alias("k"),
         # integer div, not /-then-cast: exact above 2^53 too
         F.expr("o_orderkey div 4096").alias("b"))
-    k = k.repartition("b").localCheckpoint(eager=False)  # r14: the
-    # in-bucket window AND the bucket-span agg — the filtered scan +
-    # bucket exchange otherwise run twice
+    k = k.repartition("b")  # r15: r14's localCheckpoint reverted
+    # (harmful at local[32], driver PERF_r14); the repartition stays —
+    # the window and the span agg share the hash(b) exchange via
+    # ReuseExchange
     wb = Window.partitionBy("b").orderBy(F.asc("k"))
     inner = (
         k.withColumn("nk", F.lead("k").over(wb))
@@ -9312,8 +9310,9 @@ def agg_stickiness(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     w_idx = F.expr("unix_micros(ts) div 604800000000").alias("w_idx")
     d_idx = F.expr("unix_micros(ts) div 86400000000").alias("d_idx")
-    du = (e.select(w_idx, d_idx, "user_id").distinct()
-          .localCheckpoint(eager=False))  # r14: daily AND wau below
+    du = e.select(w_idx, d_idx, "user_id").distinct()
+    # r15: r14's localCheckpoint reverted (1.42× slower at local[32],
+    # driver PERF_r14); the wau re-distinct rewrite below stays
     daily = du.groupBy("w_idx", "d_idx").agg(
         F.count(F.lit(1)).alias("dau"))
     weekly = daily.groupBy("w_idx").agg(
@@ -11547,19 +11546,16 @@ def agg_basket_rules(spark, sf_dir):
     never exists); the direction union doubles only the RULE frame;
     item counts and the 1-row order count broadcast onto it."""
     li = load(spark, sf_dir, "lineitem")
-    # lineage cuts (r14, same audit as agg_basket_pairs): items has four
-    # consumers and pairs — the order-key SELF-JOIN, the expensive step —
-    # was planned TWICE because the direction union consumes it on both
-    # sides (12 exchanges / 7 lineitem scans before; the union doubles
-    # only the RULE frame now, as the docstring always claimed).
+    # r15: r14's three localCheckpoints (items, ic, pairs) reverted —
+    # pinning the fact-scale (order, part) distinct deserialized made
+    # this key 1.63× slower at local[32] (driver PERF_r14); recompute
+    # per consumer wins (guide §5).
     items = (
         li.select("l_orderkey", "l_partkey")
         .repartition("l_orderkey")
         .dropDuplicates(["l_orderkey", "l_partkey"])
-        .localCheckpoint(eager=False)
     )
-    ic = (items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-          .localCheckpoint(eager=False))  # consumed twice: ca + cc
+    ic = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     n = items.agg(
         F.countDistinct("l_orderkey").alias("n_orders"))
     b = items.select(F.col("l_orderkey").alias("k"),
@@ -11570,7 +11566,6 @@ def agg_basket_rules(spark, sf_dir):
         .groupBy(F.col("l_partkey").alias("p1"), "p2")
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
         .filter(F.col("pair_cnt") >= 2)
-        .localCheckpoint(eager=False)  # consumed twice: both rule directions
     )
     rules = (
         pairs.select(F.col("p1").alias("antecedent"),
@@ -12101,10 +12096,9 @@ def llm_bloom_prefilter(spark, sf_dir):
     h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
     hashed = d.select("doc_id", h.alias("h"), h1.alias("h1"),
-                      h2.alias("h2")
-                      ).localCheckpoint(eager=False)  # r14: idx (bloom +
-    # exact-dup index) and probe (positions + exact check) all re-ran
-    # the md5+conv scan — four consumers, one computation
+                      h2.alias("h2"))
+    # r15: r14's localCheckpoint reverted (harmful at local[32], driver
+    # PERF_r14) — recompute the md5+conv scan per consumer (guide §5)
     idx = hashed.filter(F.col("doc_id") % 10 != 0)
     probe = hashed.filter(F.col("doc_id") % 10 == 0)
     ks = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
@@ -12771,10 +12765,10 @@ def llm_embed_outliers(spark, sf_dir):
         .cast("long").alias("xq"),
     )
     D18 = "decimal(18,0)"
-    el = el.localCheckpoint(eager=False)  # r14: s + nv + dots all
-    # re-ran the posexplode over the embeddings otherwise
-    s = (el.groupBy("label", "i").agg(F.sum("xq").alias("sxq"))
-         .localCheckpoint(eager=False))  # ns + the dots join
+    # r15: r14's two localCheckpoints (el, s) reverted — pinning the
+    # fact-scale posexplode frame deserialized made this key 2.09×
+    # slower at local[32] (driver PERF_r14, ADVICE r14); recompute wins
+    s = el.groupBy("label", "i").agg(F.sum("xq").alias("sxq"))
     nv = el.groupBy("vec_id", "label").agg(
         F.sum(F.col("xq").cast(D18) * F.col("xq").cast(D18)).alias("nv2"))
     ns = s.groupBy("label").agg(
@@ -13166,13 +13160,11 @@ def agg_freshness(spark, sf_dir):
     m = e.groupBy("user_id").agg(
         F.max(F.unix_micros("ts")).alias("last_us"),
         F.count(F.lit(1)).alias("n_events"),
-    ).localCheckpoint(eager=False)  # r14: anchor + the final projection
-    # anchor now derives from m — the r7g probe's "re-runs the hash-agg"
-    # objection was the missing lineage cut; with m checkpointed the
-    # anchor is a node-scale agg over the cached frame, and the second
-    # full events scan+agg disappears. max over per-user maxes == the
-    # corpus max exactly.
-    anchor = m.agg(F.max("last_us").alias("now_us"))
+    )  # r15: full r13 shape restored (r14's lineage cut + derived
+    # anchor were 1.58× slower at local[32], driver PERF_r14). Anchor
+    # from the SOURCE, not from m: deriving it from the uncut entity
+    # frame re-runs that hash-agg + an extra exchange (probed r7g).
+    anchor = e.agg(F.max(F.unix_micros("ts")).alias("now_us"))
     j = m.crossJoin(F.broadcast(anchor))  # 1-row stats frame
     lag = F.col("now_us") - F.col("last_us")
     return j.select(

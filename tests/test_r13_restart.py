@@ -36,6 +36,12 @@ import shutil
 
 import pytest
 
+# Heavyweight kill/replay gates: real Spark streaming restarts /
+# crash-replay cycles. Opt-in (RUN_SLOW_GATES=1) so the default
+# `pytest tests/` completes inside the driver's budget
+# (VERDICT r14 item 6).
+pytestmark = pytest.mark.slow_gate
+
 from tests.test_stream_splits import (
     _ATTR_STEP_US,
     _attr_model,
