@@ -171,10 +171,11 @@ def lsh_candidates_against(query_sig: DataFrame, index_sig: DataFrame,
     exactly the degenerate case the cap exists for. Oversized index-side
     buckets are dropped before the probe join (recall on boilerplate
     buckets is the documented trade, as in the symmetric path)."""
-    qb = _banded_long(query_sig.localCheckpoint(eager=False), id_col, k,
-                      bands, hash_family)
-    ib = _banded_long(index_sig.localCheckpoint(eager=False), id_col, k,
-                      bands, hash_family)
+    # r15: the two signature localCheckpoints here were single-consumer
+    # (each side feeds exactly one banding) — pure storage pinning with
+    # no recompute saved. Removed (guide §5: cache only reused frames).
+    qb = _banded_long(query_sig, id_col, k, bands, hash_family)
+    ib = _banded_long(index_sig, id_col, k, bands, hash_family)
     ibl = ib.select(F.col(id_col).alias("i_id"), "band_id", "bh")
     if max_bucket_size is not None:
         sizes = ibl.groupBy("band_id", "bh").agg(
@@ -263,11 +264,22 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, k: int = 32,
     handled by cluster-level sampling than pairwise verification — the
     cap makes that policy explicit instead of letting one bucket own the
     job. None disables the cap (fixture-scale default)."""
-    # the self-join below would otherwise evaluate the full minhash
-    # pipeline TWICE (once per side) — materialize the signature once
-    sig = sig.localCheckpoint(eager=False)
-    long_ = _banded_long(sig, id_col, k, bands, hash_family)
+    # r15: the self-join below used to keep the full minhash pipeline
+    # from evaluating twice via localCheckpoint(eager=False). That pins
+    # the signature frame deserialized in executor storage (never
+    # unpersisted — the r14 lesson at 32-way concurrency) and is not
+    # fault-tolerant. Instead, repartition the band rows on the JOIN KEY
+    # once: both self-join sides then hang off byte-identical Exchange
+    # subtrees, ReuseExchange computes the minhash+banding map side ONCE,
+    # and the join needs no further shuffle (guide §2.4 "two operations
+    # keyed the same way can share one exchange"). Same plan-count
+    # effect as the lineage cut, zero storage footprint, recomputable
+    # on executor loss.
+    long_ = _banded_long(sig, id_col, k, bands, hash_family) \
+        .repartition("band_id", "bh")
     if max_bucket_size is not None:
+        # the size agg groups on the partitioning key, so it also rides
+        # the shared exchange (no extra shuffle)
         sizes = long_.groupBy("band_id", "bh").agg(
             F.count(F.lit(1)).alias("__n"))
         long_ = (
@@ -291,28 +303,34 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
     shingle sets, count intersections via an equi-join on the shingle, and
     |A∪B| = |A|+|B|−|A∩B|. All integer arithmetic until the final
     deterministic division."""
+    from pyspark.sql import Window
+
     df = spread(df)
     sh = df.select(
         F.col(id_col).alias("jid"),
         F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh"),
-    ).localCheckpoint(eager=False)  # consumed 3× below (sizes + both join sides)
-    sizes = sh.groupBy("jid").agg(F.count(F.lit(1)).alias("n_sh"))
-    a_sh = sh.select(F.col("jid").alias("a_id"), "sh")
-    b_sh = sh.select(F.col("jid").alias("b_id"), F.col("sh"))
+    )
+    # r15: the separate sizes branch (and the localCheckpoint that kept
+    # the 3-consumer explode from tripling) is gone — the per-doc set
+    # size rides each shingle row via ONE count window over jid, so the
+    # two size joins disappear and the explode is planned once per join
+    # side with no storage pinning. n_sh is exact and constant within a
+    # doc, so min() below recovers it losslessly per pair.
+    sh = sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("jid")))
+    a_sh = sh.select(F.col("jid").alias("a_id"), "sh",
+                     F.col("n_sh").alias("n_a"))
+    b_sh = sh.select(F.col("jid").alias("b_id"), F.col("sh"),
+                     F.col("n_sh").alias("n_b"))
     inter = (
         pairs.join(a_sh, "a_id").join(b_sh, ["b_id", "sh"])
         .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(F.count(F.lit(1)).alias("n_inter"),
+             F.min("n_a").alias("n_a"), F.min("n_b").alias("n_b"))
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("jid", "a_id")
-                   .withColumnRenamed("n_sh", "n_a"), "a_id")
-        .join(sizes.withColumnRenamed("jid", "b_id")
-              .withColumnRenamed("n_sh", "n_b"), "b_id")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-        )
+    out = inter.withColumn(
+        "jaccard",
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
     )
     return out.filter(F.col("jaccard") >= threshold).select(
         "a_id", "b_id", "n_inter", "jaccard"

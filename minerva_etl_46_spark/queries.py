@@ -1506,20 +1506,16 @@ def llm_dedup_near(spark, sf_dir):
     # SCALE.md's S-curve measurements (bands=8 loses J≈0.65 pairs)
     pairs = lsh_candidate_pairs(sig, id_col="doc_id", k=32, bands=16,
                                 hash_family="md5")
-    # candidate-bound the verify (r14, guide §2.3 "shuffle fewer bytes"):
-    # jaccard_verify's shingle explode — the dominant CPU cost — only
-    # needs docs that appear in a candidate pair; every other doc's
-    # grams were exploded and shuffled just to be dropped by the pair
-    # join. Same semi-join restriction incremental_near_dup has carried
-    # since r7; output is identical because sizes/intersections are
-    # per-candidate-doc quantities.
-    ids = (
-        pairs.select(F.col("a_id").alias("doc_id"))
-        .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
-        .distinct()
-    )
-    relevant = corpus.join(ids, "doc_id", "left_semi")
-    return jaccard_verify(relevant, pairs, id_col="doc_id",
+    # r15: r14's candidate-bounded verify is DROPPED here (full r13
+    # shape). The semi-join restriction made pairs a 3× consumer
+    # (id set ×2 + verify join); without a lineage cut that plans the
+    # entire minhash→band→join pipeline three times (measured: 40
+    # parquet scans / 38 explodes / 55 exchanges in the physical plan),
+    # and with a cut it pins a fact-scale frame (the r14 regression).
+    # Consuming pairs ONCE keeps the plan linear; the full-corpus
+    # shingle explode in the verify is cheaper than triple-planning
+    # the signature pipeline at this shape.
+    return jaccard_verify(corpus, pairs, id_col="doc_id",
                           text_col="text", threshold=0.5)
 
 
