@@ -407,11 +407,17 @@ def phash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 10,
             ])
         ).alias("band"),
     ).select("media_id", "phash", "band.band_idx", "band.band_val")
-    # r14 lineage cut: bands feeds BOTH self-join sides; without it the
-    # upstream perceptual_hash mapInPandas — a Python decode pass over
-    # every payload — plans and runs once per side (opaque Python nodes
-    # are exactly what ReuseExchange cannot see through, guide §4).
-    bands = bands.localCheckpoint(eager=False)
+    # r15: bands feeds BOTH self-join sides. r14 cut the lineage with a
+    # localCheckpoint, which pins the band rows to executor storage and
+    # is not fault-tolerant (ADVICE r14). Repartitioning on the JOIN KEY
+    # instead makes the two sides byte-identical Exchange subtrees —
+    # ReuseExchange runs the upstream perceptual-hash mapInPandas (the
+    # expensive Python decode pass) exactly once as the map side of the
+    # one shared shuffle, with zero storage pinned and full
+    # recomputability (guide §2.4; canonically identical MapInPandas
+    # nodes of the same function ARE reuse-equal — it is pruning-
+    # divergent subtrees that defeat reuse, not Python opacity).
+    bands = bands.repartition("band_idx", "band_val")
     a = bands.select(F.col("media_id").alias("a_id"),
                      F.col("phash").alias("a_hash"),
                      "band_idx", "band_val")

@@ -11798,22 +11798,31 @@ def graph_triangles(spark, sf_dir):
 
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp"))
-    # lineage cuts (r14 plan audit): ps feeds BOTH sides of the part
-    # self-join (2 lineitem scans + 2 fact exchanges before), and c —
-    # the fact-scaled pair hash-agg, the expensive step — was planned
-    # twice because the symmetrization union consumes it twice.
-    ps = li.distinct().localCheckpoint(eager=False)
+    # r15: both r14 lineage cuts retired without giving back the shared
+    # computation. ps fed BOTH sides of the part self-join — pinning the
+    # fact-scale (part, supp) distinct deserialized (the r14 anti-
+    # pattern); repartitioning on the JOIN KEY instead makes the two
+    # sides byte-identical Exchange subtrees, so ReuseExchange computes
+    # the distinct once with zero storage (guide §2.4). c was planned
+    # twice because the symmetrization union consumed it twice; emitting
+    # both directions from ONE pass via explode removes the second
+    # consumer outright.
+    ps = li.distinct().repartition("part")
     a, b = ps.alias("a"), ps.alias("b")
     c = (
         a.join(b, (F.col("a.part") == F.col("b.part"))
                & (F.col("a.supp") < F.col("b.supp")))
         .groupBy(F.col("a.supp").alias("u"), F.col("b.supp").alias("v"))
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
     )
-    sym = c.select(F.col("u").alias("src"), F.col("v").alias("dst"), "cnt") \
-        .unionAll(c.select(F.col("v").alias("src"),
-                           F.col("u").alias("dst"), "cnt"))
+    sym = c.select(
+        F.explode(F.array(
+            F.struct(F.col("u").alias("src"), F.col("v").alias("dst"),
+                     F.col("cnt").alias("cnt")),
+            F.struct(F.col("v").alias("src"), F.col("u").alias("dst"),
+                     F.col("cnt").alias("cnt")),
+        )).alias("e")
+    ).select("e.src", "e.dst", "e.cnt")
     wk = Window.partitionBy("src").orderBy(F.desc("cnt"), F.asc("dst"))
     topk = (sym.withColumn("rk", F.row_number().over(wk))
             .filter(F.col("rk") <= 3))
